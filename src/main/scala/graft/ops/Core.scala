@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core row-level operators (SURVEY §2.2/§2.9).
+  *
+  * Scale posture: all of these are pure narrow projections / window ops —
+  * they stay inside WholeStageCodegen and introduce no shuffle except
+  * `latestView`, whose single hash-partition-by-key shuffle is the minimum
+  * required for keep-latest semantics.
+  */
+object Core {
+
+  /** Null-safe division: the reference inherits ClickHouse's `inf/nan` on
+    * divide-by-zero (initial_load_generate_postgres_data.py:448-449); the
+    * engine normalizes to NULL (SURVEY P5). */
+  def safeDiv(num: Column, den: Column): Column =
+    when(den =!= lit(0), num / den)
+
+  /** ClickHouse ReplacingMergeTree keep-latest semantics (SURVEY §2.9):
+    * collapse duplicate keys to the single row with the greatest version
+    * (ties broken by `tiebreak` so the view is deterministic, which the
+    * reference's background-merge is not — a bug we fix, not copy).
+    *
+    * One shuffle on `keys`; at 100 TB pre-bucket the version log by the same
+    * keys so repeated latestView reads reuse the layout without reshuffling.
+    */
+  def latestView(df: DataFrame, keys: Seq[String], version: String,
+                 tiebreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(version).desc +: tiebreak.map(col(_).desc)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Per-key change-version: GREATEST over nullable timestamps (SURVEY P3,
+    * track_delta.py:78). Both PG and Spark skip NULLs. */
+  def changeVersion(cols: Column*): Column = greatest(cols: _*)
+
+  /** Portable 2-decimal rounding for post-division metrics:
+    * `floor(x*100 + 0.5)/100` evaluates identically on the same IEEE double
+    * in every engine, unlike ROUND — Spark rounds the shortest decimal
+    * representation (BigDecimal.valueOf HALF_UP) while DuckDB/ClickHouse
+    * round the raw binary value, so quotients near x.xx5 flip between them.
+    * Non-negative inputs only (all our ratio metrics are). */
+  def round2p(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
+}

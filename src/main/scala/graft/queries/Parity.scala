@@ -1,0 +1,463 @@
+package graft.queries
+
+import graft.{Adtech, Tables}
+import graft.ops.{Aggregates, Core, Joins}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-parity queries (SURVEY §2's operator inventory) on the testdata
+  * role mapping (FIXTURES.md §3). Each spec carries its DuckDB oracle.
+  *
+  * Determinism rules shared by both sides: fixed report clock
+  * (`Adtech.Today`), NULL-safe division, rounding only on the final metric,
+  * ties broken by key columns.
+  */
+object Parity {
+  import Adtech.Today
+
+  /** Cutoff simulating the stale OLAP snapshot for the CDC queries. */
+  private val Cutoff = "1998-01-01"
+
+  // ---------------------------------------------------------------- Spark side
+
+  /** Flagship: campaign lifetime totals (reference et_initial_totals_oltp,
+    * initial_load…py:150-230). J1 dimension join (broadcast — advertiser is
+    * the small dim), A1 pre-aggregated fact totals joined AFTER aggregation
+    * (the scalable shape: join input is |campaigns|, not |events|), P3
+    * GREATEST change-version, P4 COALESCE zero-fill. */
+  def totals(s: SparkSession, dir: String): DataFrame = {
+    val camp = Adtech.campaign(s, dir)
+    val adv = Adtech.advertiser(s, dir)
+    val imp = Aggregates.totalsPerCampaign(Adtech.impressions(s, dir),
+      "impressions_total", "max_impressions_at")
+    val clk = Aggregates.totalsPerCampaign(Adtech.clicks(s, dir),
+      "clicks_total", "max_clicks_at")
+    camp.join(broadcast(adv), Seq("advertiser_id"), "left")
+      .join(imp, Seq("campaign_id"), "left")
+      .join(clk, Seq("campaign_id"), "left")
+      .select(
+        col("advertiser_id").as("rtm_advertiser_id"),
+        col("campaign_id").as("rtm_campaign_id"),
+        col("advertiser_name"),
+        concat(lit("Campaign_"), col("advertiser_id"), lit("_"),
+          col("campaign_id")).as("campaign_name"),
+        col("budget").as("campaign_budget"),
+        col("bid").as("campaign_bid"),
+        col("start_date").as("campaign_start_date"),
+        col("end_date").as("campaign_end_date"),
+        coalesce(col("impressions_total"), lit(0L))
+          .as("campaign_impressions_count_total"),
+        coalesce(col("clicks_total"), lit(0L))
+          .as("campaign_clicks_count_total"),
+        Core.changeVersion(col("campaign_created_at"),
+          col("max_impressions_at"), col("max_clicks_at")).as("rtm_delta"))
+  }
+
+  /** A2+J3: daily fact counts per (advertiser, campaign, day). */
+  private def daily(s: SparkSession, dir: String, facts: DataFrame,
+                    what: String): DataFrame = {
+    val campDim = Adtech.campaign(s, dir).select("campaign_id", "advertiser_id")
+    facts.join(campDim, Seq("campaign_id"), "left")
+      .groupBy(col("advertiser_id").as("rtm_advertiser_id"),
+        col("campaign_id").as("rtm_campaign_id"),
+        to_date(col("created_at")).as(s"campaign_${what}_date"))
+      .agg(count(lit(1)).as(s"campaign_${what}_daily_count"),
+        max(col("created_at")).as("rtm_delta"))
+  }
+
+  def dailyImpressions(s: SparkSession, dir: String): DataFrame =
+    daily(s, dir, Adtech.impressions(s, dir), "impressions")
+
+  def dailyClicks(s: SparkSession, dir: String): DataFrame =
+    daily(s, dir, Adtech.clicks(s, dir), "clicks")
+
+  /** P5–P11 KPI report (reference create_campaign_totals_report,
+    * initial_load…py:386-492): budget math, statuses, CTR/CPM. Narrow
+    * projection over `totals` — no additional shuffle. */
+  def totalsReport(s: SparkSession, dir: String): DataFrame = {
+    val t = totals(s, dir)
+    val bid = col("campaign_bid")
+    val budget = col("campaign_budget")
+    val imps = col("campaign_impressions_count_total")
+    val clks = col("campaign_clicks_count_total")
+    val today = to_date(lit(Today))
+    val periodDays = datediff(col("campaign_end_date"), col("campaign_start_date"))
+    val elapsed = datediff(today, col("campaign_start_date"))
+    val budgetUsed = round(bid * clks, 2) // exact: bid is in 0.5 steps
+    val dailyNorm = Core.round2p(budget / periodDays)
+    val dailyUsed = when(elapsed > 0, Core.round2p(budgetUsed / elapsed))
+    t.select(
+      col("rtm_advertiser_id"), col("rtm_campaign_id"),
+      col("advertiser_name"), col("campaign_name"),
+      bid, budget, imps, clks,
+      floor(budget / bid).as("campaign_bids_max"),
+      (floor(budget / bid) - clks).as("campaign_bids_remaining"),
+      budgetUsed.as("campaign_budget_used"),
+      when(bid * clks > budget, "exceeded")
+        .when(clks === 0, "unused")
+        .otherwise("unspent").as("campaign_budget_status"),
+      periodDays.as("campaign_period_days"),
+      elapsed.as("campaign_period_days_elapsed"),
+      datediff(col("campaign_end_date"), today).as("campaign_days_remaining"),
+      when(col("campaign_end_date") < today, "ended")
+        .when(col("campaign_start_date") > today, "scheduled")
+        .otherwise("ongoing").as("campaign_period_status"),
+      dailyNorm.as("campaign_budget_daily_norm"),
+      dailyUsed.as("campaign_budget_daily_used"),
+      when(dailyUsed > dailyNorm, "above_norm")
+        .otherwise("below_norm").as("campaign_budget_daily_status"),
+      when(imps > 0, Core.round2p((clks / imps) * 100)).as("campaign_ctr"),
+      when(imps > 0, Core.round2p((bid * clks) / imps)).as("campaign_cpm"),
+      col("rtm_delta"))
+  }
+
+  /** W1+A5+J5+J6: daily CTR report (initial_load…py:494-559) — distinct dim,
+    * row_number campaign-day ordinal, 3-key date-aligned click join. */
+  def dailyCtrReport(s: SparkSession, dir: String): DataFrame = {
+    val dim = totals(s, dir).select(col("rtm_advertiser_id"),
+      col("rtm_campaign_id"), col("advertiser_name"), col("campaign_name"))
+      .distinct()
+    val imps = dailyImpressions(s, dir).drop("rtm_delta")
+    val clks = dailyClicks(s, dir).drop("rtm_delta")
+      .withColumnRenamed("campaign_clicks_date", "campaign_impressions_date")
+    val w = Window.partitionBy(col("rtm_advertiser_id"), col("rtm_campaign_id"))
+      .orderBy(col("campaign_impressions_date"))
+    imps
+      .join(dim, Seq("rtm_advertiser_id", "rtm_campaign_id"), "left")
+      .join(clks,
+        Seq("rtm_advertiser_id", "rtm_campaign_id", "campaign_impressions_date"),
+        "left")
+      .select(
+        col("rtm_advertiser_id"), col("rtm_campaign_id"),
+        col("advertiser_name"), col("campaign_name"),
+        row_number().over(w).as("campaign_day"),
+        col("campaign_impressions_date"),
+        col("campaign_impressions_daily_count"),
+        coalesce(col("campaign_clicks_daily_count"), lit(0L))
+          .as("campaign_clicks_daily_count"),
+        Core.round2p((coalesce(col("campaign_clicks_daily_count"), lit(0L)) /
+          col("campaign_impressions_daily_count")) * 100)
+          .as("campaign_ctr_daily"))
+  }
+
+  /** §2.9 keep-latest (ReplacingMergeTree semantics) on the impressions log. */
+  def latestImpression(s: SparkSession, dir: String): DataFrame =
+    Core.latestView(Adtech.impressions(s, dir), Seq("campaign_id"),
+      "created_at", tiebreak = Seq("id"))
+      .select("campaign_id", "id", "created_at")
+
+  /** Per-campaign change-version keyset, optionally from a stale snapshot
+    * (facts truncated at `cutoff`) — the two sides of the CDC diff. */
+  private def deltaKeyset(s: SparkSession, dir: String,
+                          cutoff: Option[String]): DataFrame = {
+    def cut(df: DataFrame) = cutoff.fold(df)(c =>
+      df.filter(col("created_at") < to_timestamp(lit(c))))
+    val camp = Adtech.campaign(s, dir)
+    val imp = Aggregates.totalsPerCampaign(cut(Adtech.impressions(s, dir)),
+      "impressions_total", "max_impressions_at")
+    val clk = Aggregates.totalsPerCampaign(cut(Adtech.clicks(s, dir)),
+      "clicks_total", "max_clicks_at")
+    camp.join(imp, Seq("campaign_id"), "left")
+      .join(clk, Seq("campaign_id"), "left")
+      .select(col("campaign_id").as("rtm_campaign_id"),
+        Core.changeVersion(col("campaign_created_at"),
+          col("max_impressions_at"), col("max_clicks_at")).as("rtm_delta"))
+  }
+
+  /** J8: CDC changed-key detection — OLTP keyset anti-join OLAP keyset
+    * (track_delta.py:103-123, Python set-difference → distributed anti join). */
+  def deltaAntiJoin(s: SparkSession, dir: String): DataFrame =
+    Joins.deltaKeys(
+      deltaKeyset(s, dir, None),
+      deltaKeyset(s, dir, Some(Cutoff)),
+      Seq("rtm_campaign_id", "rtm_delta"))
+
+  /** J4: recompute restricted to changed keys (track_delta.py:214 semi join). */
+  def semiJoinRecompute(s: SparkSession, dir: String): DataFrame =
+    Joins.restrictToChanged(totals(s, dir),
+      deltaAntiJoin(s, dir).select("rtm_campaign_id"), Seq("rtm_campaign_id"))
+
+  /** A3: global stats row (main.py stats, scripts/main.py:64-123). */
+  def globalStats(s: SparkSession, dir: String): DataFrame = {
+    val adv = Tables.t(s, dir, "customer").agg(count(lit(1)).as("advertisers_count"))
+    val camp = Tables.t(s, dir, "orders").agg(count(lit(1)).as("campaigns_count"))
+    val imp = Adtech.impressions(s, dir).agg(count(lit(1)).as("impressions_count"))
+    val clk = Adtech.clicks(s, dir).agg(count(lit(1)).as("clicks_count"))
+    adv.crossJoin(camp).crossJoin(imp).crossJoin(clk)
+      .withColumn("overall_ctr",
+        when(col("impressions_count") > 0,
+          Core.round2p((col("clicks_count") / col("impressions_count")) * 100)))
+  }
+
+  /** J7+A4: per-campaign stats via the fan-out join + COUNT(DISTINCT)
+    * correction (scripts/main.py:96-111) — kept in the reference's shape to
+    * pin COUNT DISTINCT semantics; `totals` is the pre-aggregated scalable
+    * twin. */
+  def campaignStats(s: SparkSession, dir: String): DataFrame = {
+    val camp = Adtech.campaign(s, dir)
+    val adv = Adtech.advertiser(s, dir)
+    val imp = Adtech.impressions(s, dir).select(col("campaign_id"), col("id").as("imp_id"))
+    val clk = Adtech.clicks(s, dir).select(col("campaign_id"), col("id").as("clk_id"))
+    camp.join(broadcast(adv), Seq("advertiser_id"), "inner")
+      .join(imp, Seq("campaign_id"), "left")
+      .join(clk, Seq("campaign_id"), "left")
+      .groupBy(col("campaign_id"), col("advertiser_name"))
+      .agg(countDistinct(col("imp_id")).as("impressions_count"),
+        countDistinct(col("clk_id")).as("clicks_count"))
+      .withColumn("campaign_ctr",
+        when(col("impressions_count") > 0,
+          Core.round2p((col("clicks_count") / col("impressions_count")) * 100)))
+  }
+
+  /** S9: inline VALUES source joined against a table (track_delta.py:127-128). */
+  def valuesInline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val delta = Seq((1L, "seed"), (2L, "seed"), (3L, "delta"), (5L, "delta"),
+      (8L, "delta")).toDF("campaign_id", "batch_tag")
+    Adtech.campaign(s, dir)
+      .join(broadcast(delta), Seq("campaign_id"), "inner")
+      .select(col("campaign_id"), col("batch_tag"), col("budget"),
+        col("start_date"))
+  }
+
+  /** A5: distinct dimension lookup (initial_load…py:523-528). */
+  def distinctDim(s: SparkSession, dir: String): DataFrame =
+    totals(s, dir).select(col("rtm_advertiser_id"), col("rtm_campaign_id"),
+      col("advertiser_name"), col("campaign_name")).distinct()
+
+  /** P3/P4 edge semantics: GREATEST over NULLs + COALESCE zero-fill on the
+    * clickless-campaign path (SURVEY §5.2). */
+  def greatestCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val camp = Adtech.campaign(s, dir)
+    val clk = Aggregates.totalsPerCampaign(Adtech.clicks(s, dir),
+      "clicks_total", "max_clicks_at")
+    camp.join(clk, Seq("campaign_id"), "left")
+      .select(col("campaign_id"),
+        coalesce(col("clicks_total"), lit(0L)).as("clicks_total"),
+        greatest(col("campaign_created_at"), col("max_clicks_at"))
+          .as("last_activity_at"),
+        when(col("max_clicks_at").isNull, "no_clicks").otherwise("clicked")
+          .as("click_state"))
+  }
+
+  /** O1/O3: bounded ordered output with deterministic tiebreak. */
+  def topCampaigns(s: SparkSession, dir: String): DataFrame =
+    totals(s, dir)
+      .orderBy(col("campaign_impressions_count_total").desc,
+        col("rtm_campaign_id").asc)
+      .limit(100)
+      .select(col("rtm_campaign_id"), col("campaign_impressions_count_total"),
+        col("campaign_clicks_count_total"))
+
+  /** §2.10: tumbling 1-day event-time windows over the events stream table —
+    * the batch twin of the Structured Streaming aggregation. */
+  def eventDayWindows(s: SparkSession, dir: String): DataFrame =
+    Adtech.events(s, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("w.start").as("day_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  // --------------------------------------------------------------- oracle SQL
+
+  /** Shared DuckDB CTE fragments mirroring the role mapping. */
+  private val baseCtes: String =
+    s"""WITH camp AS (
+       |  SELECT o_orderkey AS campaign_id, o_custkey AS advertiser_id,
+       |         o_totalprice AS budget,
+       |         FLOOR(o_totalprice/10000.0) + 0.5 AS bid,
+       |         CAST(o_orderdate AS DATE) AS start_date,
+       |         CAST(o_orderdate AS DATE) + CAST(7 + o_orderkey % 24 AS INTEGER) AS end_date,
+       |         o_orderdate AS campaign_created_at
+       |  FROM orders),
+       |adv AS (SELECT c_custkey AS advertiser_id, c_name AS advertiser_name FROM customer),
+       |imp AS (SELECT l_orderkey AS campaign_id, COUNT(*) AS impressions_total,
+       |               MAX(l_shipdate) AS max_impressions_at FROM lineitem GROUP BY 1),
+       |clk AS (SELECT l_orderkey AS campaign_id, COUNT(*) AS clicks_total,
+       |               MAX(l_shipdate) AS max_clicks_at FROM lineitem
+       |        WHERE l_returnflag = 'R' GROUP BY 1),
+       |totals AS (
+       |  SELECT camp.advertiser_id AS rtm_advertiser_id,
+       |         camp.campaign_id AS rtm_campaign_id,
+       |         adv.advertiser_name,
+       |         'Campaign_' || camp.advertiser_id || '_' || camp.campaign_id AS campaign_name,
+       |         camp.budget AS campaign_budget, camp.bid AS campaign_bid,
+       |         camp.start_date AS campaign_start_date,
+       |         camp.end_date AS campaign_end_date,
+       |         COALESCE(imp.impressions_total, 0) AS campaign_impressions_count_total,
+       |         COALESCE(clk.clicks_total, 0) AS campaign_clicks_count_total,
+       |         GREATEST(camp.campaign_created_at, imp.max_impressions_at, clk.max_clicks_at) AS rtm_delta
+       |  FROM camp
+       |  LEFT JOIN adv ON camp.advertiser_id = adv.advertiser_id
+       |  LEFT JOIN imp ON camp.campaign_id = imp.campaign_id
+       |  LEFT JOIN clk ON camp.campaign_id = clk.campaign_id),
+       |impd AS (
+       |  SELECT o.o_custkey AS rtm_advertiser_id, l.l_orderkey AS rtm_campaign_id,
+       |         CAST(l.l_shipdate AS DATE) AS campaign_impressions_date,
+       |         COUNT(*) AS campaign_impressions_daily_count,
+       |         MAX(l.l_shipdate) AS rtm_delta
+       |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2, 3),
+       |clkd AS (
+       |  SELECT o.o_custkey AS rtm_advertiser_id, l.l_orderkey AS rtm_campaign_id,
+       |         CAST(l.l_shipdate AS DATE) AS campaign_clicks_date,
+       |         COUNT(*) AS campaign_clicks_daily_count,
+       |         MAX(l.l_shipdate) AS rtm_delta
+       |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE l.l_returnflag = 'R'
+       |  GROUP BY 1, 2, 3),
+       |imp_cut AS (SELECT l_orderkey AS campaign_id, MAX(l_shipdate) AS max_impressions_at
+       |            FROM lineitem WHERE l_shipdate < TIMESTAMP '$Cutoff' GROUP BY 1),
+       |clk_cut AS (SELECT l_orderkey AS campaign_id, MAX(l_shipdate) AS max_clicks_at
+       |            FROM lineitem WHERE l_returnflag = 'R' AND l_shipdate < TIMESTAMP '$Cutoff'
+       |            GROUP BY 1),
+       |oltp_keys AS (
+       |  SELECT camp.campaign_id AS rtm_campaign_id,
+       |         GREATEST(camp.campaign_created_at, imp.max_impressions_at, clk.max_clicks_at) AS rtm_delta
+       |  FROM camp
+       |  LEFT JOIN imp ON camp.campaign_id = imp.campaign_id
+       |  LEFT JOIN clk ON camp.campaign_id = clk.campaign_id),
+       |olap_keys AS (
+       |  SELECT camp.campaign_id AS rtm_campaign_id,
+       |         GREATEST(camp.campaign_created_at, imp_cut.max_impressions_at, clk_cut.max_clicks_at) AS rtm_delta
+       |  FROM camp
+       |  LEFT JOIN imp_cut ON camp.campaign_id = imp_cut.campaign_id
+       |  LEFT JOIN clk_cut ON camp.campaign_id = clk_cut.campaign_id),
+       |delta_keys AS (
+       |  SELECT o.rtm_campaign_id, o.rtm_delta FROM oltp_keys o
+       |  WHERE NOT EXISTS (SELECT 1 FROM olap_keys a
+       |                    WHERE a.rtm_campaign_id = o.rtm_campaign_id
+       |                      AND a.rtm_delta = o.rtm_delta))
+       |""".stripMargin
+
+  private def withBase(sql: String): String = baseCtes + sql
+
+  // ------------------------------------------------------------------- specs
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q01_campaign_totals", totals, Some(withBase(
+      "SELECT * FROM totals"))),
+
+    QuerySpec("q02_daily_impressions", dailyImpressions, Some(withBase(
+      "SELECT * FROM impd"))),
+
+    QuerySpec("q03_daily_clicks", dailyClicks, Some(withBase(
+      "SELECT * FROM clkd"))),
+
+    QuerySpec("q04_totals_report", totalsReport, Some(withBase(
+      s"""SELECT rtm_advertiser_id, rtm_campaign_id, advertiser_name, campaign_name,
+         |  campaign_bid, campaign_budget,
+         |  campaign_impressions_count_total, campaign_clicks_count_total,
+         |  CAST(FLOOR(campaign_budget / campaign_bid) AS BIGINT) AS campaign_bids_max,
+         |  CAST(FLOOR(campaign_budget / campaign_bid) AS BIGINT) - campaign_clicks_count_total AS campaign_bids_remaining,
+         |  ROUND(campaign_bid * campaign_clicks_count_total, 2) AS campaign_budget_used,
+         |  CASE WHEN campaign_bid * campaign_clicks_count_total > campaign_budget THEN 'exceeded'
+         |       WHEN campaign_clicks_count_total = 0 THEN 'unused'
+         |       ELSE 'unspent' END AS campaign_budget_status,
+         |  CAST(date_diff('day', campaign_start_date, campaign_end_date) AS INTEGER) AS campaign_period_days,
+         |  CAST(date_diff('day', campaign_start_date, DATE '$Today') AS INTEGER) AS campaign_period_days_elapsed,
+         |  CAST(date_diff('day', DATE '$Today', campaign_end_date) AS INTEGER) AS campaign_days_remaining,
+         |  CASE WHEN campaign_end_date < DATE '$Today' THEN 'ended'
+         |       WHEN campaign_start_date > DATE '$Today' THEN 'scheduled'
+         |       ELSE 'ongoing' END AS campaign_period_status,
+         |  FLOOR((campaign_budget / CAST(date_diff('day', campaign_start_date, campaign_end_date) AS INTEGER)) * 100 + 0.5) / 100 AS campaign_budget_daily_norm,
+         |  CASE WHEN date_diff('day', campaign_start_date, DATE '$Today') > 0
+         |       THEN FLOOR((ROUND(campaign_bid * campaign_clicks_count_total, 2)
+         |                   / CAST(date_diff('day', campaign_start_date, DATE '$Today') AS INTEGER)) * 100 + 0.5) / 100 END AS campaign_budget_daily_used,
+         |  CASE WHEN (CASE WHEN date_diff('day', campaign_start_date, DATE '$Today') > 0
+         |                  THEN FLOOR((ROUND(campaign_bid * campaign_clicks_count_total, 2)
+         |                              / CAST(date_diff('day', campaign_start_date, DATE '$Today') AS INTEGER)) * 100 + 0.5) / 100 END)
+         |            > FLOOR((campaign_budget / CAST(date_diff('day', campaign_start_date, campaign_end_date) AS INTEGER)) * 100 + 0.5) / 100
+         |       THEN 'above_norm' ELSE 'below_norm' END AS campaign_budget_daily_status,
+         |  CASE WHEN campaign_impressions_count_total > 0
+         |       THEN FLOOR(((campaign_clicks_count_total / campaign_impressions_count_total) * 100) * 100 + 0.5) / 100 END AS campaign_ctr,
+         |  CASE WHEN campaign_impressions_count_total > 0
+         |       THEN FLOOR(((campaign_bid * campaign_clicks_count_total) / campaign_impressions_count_total) * 100 + 0.5) / 100 END AS campaign_cpm,
+         |  rtm_delta
+         |FROM totals""".stripMargin))),
+
+    QuerySpec("q05_daily_ctr_report", dailyCtrReport, Some(withBase(
+      """SELECT i.rtm_advertiser_id, i.rtm_campaign_id,
+        |  d.advertiser_name, d.campaign_name,
+        |  CAST(row_number() OVER (PARTITION BY i.rtm_advertiser_id, i.rtm_campaign_id
+        |                          ORDER BY i.campaign_impressions_date) AS INTEGER) AS campaign_day,
+        |  i.campaign_impressions_date, i.campaign_impressions_daily_count,
+        |  COALESCE(c.campaign_clicks_daily_count, 0) AS campaign_clicks_daily_count,
+        |  FLOOR(((COALESCE(c.campaign_clicks_daily_count, 0) / i.campaign_impressions_daily_count) * 100) * 100 + 0.5) / 100 AS campaign_ctr_daily
+        |FROM impd i
+        |LEFT JOIN (SELECT DISTINCT rtm_advertiser_id, rtm_campaign_id, advertiser_name, campaign_name
+        |           FROM totals) d
+        |  ON i.rtm_advertiser_id = d.rtm_advertiser_id AND i.rtm_campaign_id = d.rtm_campaign_id
+        |LEFT JOIN clkd c
+        |  ON i.rtm_advertiser_id = c.rtm_advertiser_id AND i.rtm_campaign_id = c.rtm_campaign_id
+        |  AND i.campaign_impressions_date = c.campaign_clicks_date""".stripMargin))),
+
+    QuerySpec("q06_latest_view", latestImpression, Some(
+      """SELECT campaign_id, id, created_at FROM (
+        |  SELECT l_orderkey AS campaign_id, l_linenumber AS id, l_shipdate AS created_at,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem) t WHERE rn = 1""".stripMargin)),
+
+    QuerySpec("q07_delta_antijoin", deltaAntiJoin, Some(withBase(
+      "SELECT * FROM delta_keys"))),
+
+    QuerySpec("q08_semijoin_recompute", semiJoinRecompute, Some(withBase(
+      """SELECT * FROM totals t
+        |WHERE EXISTS (SELECT 1 FROM delta_keys d
+        |              WHERE d.rtm_campaign_id = t.rtm_campaign_id)""".stripMargin))),
+
+    QuerySpec("q09_global_stats", globalStats, Some(
+      """SELECT advertisers_count, campaigns_count, impressions_count, clicks_count,
+        |  CASE WHEN impressions_count > 0
+        |       THEN FLOOR(((clicks_count / impressions_count) * 100) * 100 + 0.5) / 100 END AS overall_ctr
+        |FROM (SELECT
+        |  (SELECT COUNT(*) FROM customer) AS advertisers_count,
+        |  (SELECT COUNT(*) FROM orders) AS campaigns_count,
+        |  (SELECT COUNT(*) FROM lineitem) AS impressions_count,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R') AS clicks_count) t""".stripMargin)),
+
+    QuerySpec("q10_campaign_stats", campaignStats, Some(withBase(
+      """SELECT camp.campaign_id, adv.advertiser_name,
+        |  COUNT(DISTINCT i.l_linenumber) AS impressions_count,
+        |  COUNT(DISTINCT c.l_linenumber) AS clicks_count,
+        |  CASE WHEN COUNT(DISTINCT i.l_linenumber) > 0
+        |       THEN FLOOR(((COUNT(DISTINCT c.l_linenumber) / COUNT(DISTINCT i.l_linenumber)) * 100) * 100 + 0.5) / 100 END AS campaign_ctr
+        |FROM camp
+        |JOIN adv ON camp.advertiser_id = adv.advertiser_id
+        |LEFT JOIN lineitem i ON camp.campaign_id = i.l_orderkey
+        |LEFT JOIN (SELECT * FROM lineitem WHERE l_returnflag = 'R') c
+        |  ON camp.campaign_id = c.l_orderkey
+        |GROUP BY 1, 2""".stripMargin))),
+
+    QuerySpec("q11_values_inline", valuesInline, Some(withBase(
+      """SELECT camp.campaign_id, v.batch_tag, camp.budget, camp.start_date
+        |FROM camp
+        |JOIN (VALUES (1, 'seed'), (2, 'seed'), (3, 'delta'), (5, 'delta'), (8, 'delta'))
+        |  AS v(campaign_id, batch_tag)
+        |  ON camp.campaign_id = v.campaign_id""".stripMargin))),
+
+    QuerySpec("q12_distinct_dim", distinctDim, Some(withBase(
+      """SELECT DISTINCT rtm_advertiser_id, rtm_campaign_id, advertiser_name, campaign_name
+        |FROM totals""".stripMargin))),
+
+    QuerySpec("q13_greatest_coalesce", greatestCoalesce, Some(withBase(
+      """SELECT camp.campaign_id,
+        |  COALESCE(clk.clicks_total, 0) AS clicks_total,
+        |  GREATEST(camp.campaign_created_at, clk.max_clicks_at) AS last_activity_at,
+        |  CASE WHEN clk.max_clicks_at IS NULL THEN 'no_clicks' ELSE 'clicked' END AS click_state
+        |FROM camp LEFT JOIN clk ON camp.campaign_id = clk.campaign_id""".stripMargin))),
+
+    QuerySpec("q14_top_campaigns", topCampaigns, Some(withBase(
+      """SELECT rtm_campaign_id, campaign_impressions_count_total, campaign_clicks_count_total
+        |FROM totals
+        |ORDER BY campaign_impressions_count_total DESC, rtm_campaign_id ASC
+        |LIMIT 100""".stripMargin))),
+
+    QuerySpec("q15_event_day_windows", eventDayWindows, Some(
+      """SELECT date_trunc('day', ts) AS day_start, event_type,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin))
+  )
+}
