@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Parity, QuerySpec}
+import graft.queries.{Extensions, Parity, QuerySpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ import graft.queries.{Parity, QuerySpec}
 object SparkEntry {
 
   /** All registered query specs, in declaration order. */
-  def specs: Seq[QuerySpec] = Parity.specs
+  def specs: Seq[QuerySpec] = Parity.specs ++ Extensions.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

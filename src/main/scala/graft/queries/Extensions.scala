@@ -1,0 +1,526 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extracted media features for the multimodal plumbing demo (m01). */
+case class MediaFeature(doc_id: Long, n_bytes: Long, checksum32: Long,
+                        frame_width: Long, n_frames: Long)
+
+/** Large-scale training-data pipeline operators (BASELINE.json north star):
+  * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+  * text analysis (token stats, quality, language-ID, fingerprint), and
+  * multimodal binary-column plumbing — all over `documents`/`embeddings`.
+  *
+  * Oracle portability: every similarity number is integer (parts-per-million)
+  * or computed from exact integers with single IEEE ops (sqrt/div), so the
+  * DuckDB twin is bit-identical — see graft.functions.Portable.
+  *
+  * Scale posture per operator is noted inline; the common theme: candidate
+  * generation (LSH bands, hash buckets) turns O(n²) pairwise work into
+  * equi-joins that shuffle-partition by bucket key, which is the only shape
+  * that survives 100 TB.
+  */
+object Extensions {
+  import Portable.{h32, idiv, ppm, P}
+
+  // ---------------------------------------------------------------- builders
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  /** doc_id, lang, t = whitespace tokens. */
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"),
+      split(col("text"), " ").as("t"))
+
+  /** One row per token occurrence with 1-based position. */
+  private def tokRows(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .select(col("doc_id"), col("lang"), posexplode(col("t")))
+      .select(col("doc_id"), col("lang"), (col("pos") + 1).as("pos"),
+        col("col").as("tok"))
+
+  /** Distinct 3-gram word shingles per doc (same-lang blocking key kept). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir).select(col("doc_id"), col("lang"),
+        explode(expr(
+          """CASE WHEN size(t) < 3 THEN CAST(array() AS array<string>)
+            |ELSE transform(sequence(0, size(t) - 3),
+            |               i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END"""
+            .stripMargin)).as("shingle"))
+      .distinct()
+
+  private def shingleCounts(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+
+  /** Embeddings quantized to integer parts-per-million so every sum is
+    * exact and order-free (float accumulation order differs between
+    * engines; integer sums cannot). */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+        .as("q"),
+      expr("""aggregate(
+              |  transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)),
+              |  CAST(0 AS BIGINT), (acc, x) -> acc + x * x)""".stripMargin)
+        .as("s2"))
+
+  /** Integer dot product of two quantized vectors (row-local, codegen'd —
+    * no per-element explode on the hot path). */
+  private val dotExpr =
+    "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** cos * 1e6 rounded to integer, from exact integer dot/norms; the only
+    * float ops are sqrt/div/floor on identical inputs → identical output. */
+  private val cosPpm =
+    floor(col("dot") / (sqrt(col("sa")) * sqrt(col("sb"))) * lit(1000000.0) + lit(0.5))
+      .cast("long")
+
+  // ------------------------------------------------------------ dedup family
+
+  /** d01: exact dedup by content hash — at 100 TB this is THE cheap first
+    * pass: one shuffle on a 128-bit hash, no text comparison. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** d02: n-gram Jaccard near-dup pairs (threshold 0.8), blocked by lang.
+    * The shingle self-join is the textbook exact method; its cost is
+    * Σ_s |docs(s)|² — fine at test scale, superseded by d03's LSH at scale. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val cnt = shingleCounts(sh)
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common_shingles"))
+    common
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard_ppm",
+        ppm(col("common_shingles"), col("n_a") + col("n_b") - col("common_shingles")))
+      .filter(col("jaccard_ppm") >= 800000)
+      .select("doc_a", "doc_b", "common_shingles", "jaccard_ppm")
+  }
+
+  /** d03: MinHash (16 perms) + LSH (4 bands × 4 rows) candidate pairs with
+    * exact Jaccard verification. The band joins are plain equi-joins on the
+    * 4-minhash signature — the scalable shape: shuffle by band key, never
+    * all-pairs. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val shh = sh.withColumn("h", h32(col("shingle")))
+    val js = s.range(0, 16).select(col("id").as("j"))
+    val mh = shh.crossJoin(js).groupBy(col("doc_id"), col("j"))
+      .agg(min(((lit(2L) * col("j") + 1) * col("h") + lit(1000003L) * col("j")) % lit(P))
+        .as("mh"))
+    val sigCols = (0 until 16).map(k => max(when(col("j") === k, col("mh"))).as(s"m$k"))
+    val sig = mh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val cand = (0 until 4).map { b =>
+        val eq = (0 until 4).map(o => col(s"a.m${4 * b + o}") === col(s"b.m${4 * b + o}"))
+          .reduce(_ && _)
+        sig.as("a").join(sig.as("b"), eq && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      }.reduce(_ union _).distinct()
+    val common = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    val cnt = shingleCounts(sh)
+    cand.join(common, Seq("doc_a", "doc_b"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard_ppm", ppm(col("c"), col("n_a") + col("n_b") - col("c")))
+      .select("doc_a", "doc_b", "jaccard_ppm")
+  }
+
+  /** d04: 32-bit SimHash per document from token-frequency-weighted hash
+    * bits. One narrow explode (tokens × 32 bits) then two hash-aggregations
+    * — fully map-side-combinable. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val tokc = tokRows(s, dir).groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("h", h32(col("tok")))
+    val bits = s.range(0, 32).select(col("id").as("bit"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("p2"))
+    tokc.crossJoin(bits)
+      .withColumn("contrib",
+        col("c") * (lit(2L) * (idiv(col("h"), col("p2")) % 2) - 1))
+      .groupBy(col("doc_id"), col("bit"), col("p2"))
+      .agg(sum(col("contrib")).as("sgn"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("sgn") > 0, col("p2")).otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** d05: embedding near-dup pairs by quantized cosine ≥ 0.35. Brute-force
+    * all-pairs (exact baseline); s02 is the bucketed scale path. */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("s2").as("sa"))
+    val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("s2").as("sb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos_ppm", cosPpm)
+      .filter(col("cos_ppm") >= 350000)
+      .select("vec_a", "vec_b", "cos_ppm")
+  }
+
+  // ------------------------------------------------------- similarity search
+
+  /** s01: exact brute-force cosine top-5 for the query set (vec_id < 10).
+    * O(|Q|·|corpus|) with a row-local integer dot — the correctness
+    * baseline every ANN variant is judged against. */
+  def annCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    q.join(b, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_ppm", "rank")
+  }
+
+  /** s02: LSH-bucketed ANN — 8 deterministic md5-seeded hyperplanes with
+    * INTEGER weights, sign-bit bucket, candidates = same bucket. The
+    * bucket equi-join is the scale path: shuffle by bucket, top-k within. */
+  def annLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val ev = e.select(col("vec_id"), posexplode(col("q")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("v"))
+    val w = s.range(0, 8).select(col("id").as("p"))
+      .crossJoin(s.range(1, 65).select(col("id").as("i")))
+      .withColumn("wv", h32(concat(col("p"), lit("_"), col("i"))) % 2001 - 1000)
+    val buckets = ev.join(w, "i")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("v") * col("wv")).as("sgn"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("sgn") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(lit(0L)))
+        .as("bucket"))
+    val cand = buckets.as("qb").filter(col("qb.vec_id") < 10)
+      .join(buckets.as("nb"),
+        col("qb.bucket") === col("nb.bucket") && col("qb.vec_id") =!= col("nb.vec_id"))
+      .select(col("qb.vec_id").as("query_id"), col("nb.vec_id").as("neighbor_id"))
+    val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    cand.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_ppm", "rank")
+  }
+
+  // ------------------------------------------------------------ text analysis
+
+  /** t01: token counting — whitespace + regex (BPE-ish) + distinct. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      length(col("text")).as("n_chars_measured"),
+      size(split(col("text"), " ")).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("n_regex_tokens"),
+      size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"))
+
+  /** t02: quality scoring — length/stopword/diversity signals as exact
+    * integer ratios. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("stop_cnt", expr("size(filter(t, x -> x IN ('a', 'the')))"))
+      .join(docs(s, dir).select(col("doc_id"),
+        length(regexp_replace(col("text"), " ", "")).as("tok_chars")), "doc_id")
+      .select(col("doc_id"),
+        col("n_tokens"),
+        ppm(col("stop_cnt").cast("long"), col("n_tokens").cast("long"))
+          .as("stop_ratio_ppm"),
+        ppm(size(array_distinct(col("t"))).cast("long"), col("n_tokens").cast("long"))
+          .as("distinct_ratio_ppm"),
+        idiv(col("tok_chars").cast("long") * 1000, col("n_tokens").cast("long"))
+          .as("avg_token_len_ppk"),
+        when(col("n_tokens") >= 20 &&
+          ppm(col("stop_cnt").cast("long"), col("n_tokens").cast("long")) < 300000, 1)
+          .otherwise(0).as("quality_ok"))
+
+  /** t03: language-ID by n-gram (token) frequency profiles, self-profiled
+    * from the labeled corpus; integer ppm weights so scoring is exact.
+    * (The testdata langs share one vocabulary, so accuracy is near-chance —
+    * the operator demonstrates the mechanism.) */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val tr = tokRows(s, dir)
+    val prof = tr.groupBy(col("lang").as("plang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val ptot = prof.groupBy("plang").agg(sum("c").as("tot"))
+    val profW = prof.join(ptot, "plang")
+      .select(col("plang"), col("tok"), ppm(col("c"), col("tot")).as("w"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("plang").asc)
+    tr.select(col("doc_id"), col("lang").as("true_lang"), col("tok"))
+      .join(profW, "tok")
+      .groupBy(col("doc_id"), col("true_lang"), col("plang"))
+      .agg(sum(col("w")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_lang"),
+        col("plang").as("predicted_lang"), col("score"))
+  }
+
+  /** t04: position-weighted document fingerprint — Σ (pos·h32(tok)) mod P. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    tokRows(s, dir).withColumn("h", h32(col("tok")))
+      .groupBy("doc_id")
+      .agg((sum((col("pos") * col("h")) % lit(P)) % lit(P)).as("fingerprint"),
+        count(lit(1)).as("n_tokens"))
+
+  // --------------------------------------------------------------- multimodal
+
+  /** m01: multimodal binary-column plumbing — text re-encoded as an opaque
+    * binary blob, features extracted per partition via the Dataset API
+    * (the Scala analogue of mapInPandas: batched, executor-side, no
+    * driver collect). The "decode" is a deterministic stand-in (md5-based
+    * checksum + size-derived shape) because no media codecs ship in this
+    * environment; schema/partitioning/batching are the real thing. */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          md.reset()
+          val digest = md.digest(bytes)
+          val checksum = digest.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+          MediaFeature(id, bytes.length.toLong, checksum,
+            bytes.length % 640L, bytes.length / 1000L + 1L)
+        }
+      }
+      .toDF()
+  }
+
+  // --------------------------------------------------------------- oracle SQL
+
+  private val docCtes: String =
+    """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |tokrows AS (SELECT doc_id, lang, pos, t[pos] AS tok
+      |            FROM toks, UNNEST(range(1, len(t) + 1)) u(pos)),
+      |sh AS (SELECT DISTINCT doc_id, lang,
+      |              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) u(i)),
+      |shc AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |shh AS (SELECT doc_id, lang, shingle,
+      |               ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh)
+      |""".stripMargin
+
+  private val embCtes: String =
+    """WITH qe AS (SELECT vec_id,
+      |        list_transform(embedding,
+      |          v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
+      |       FROM embeddings),
+      |ev AS (SELECT vec_id, i, q[i] AS v FROM qe, UNNEST(range(1, len(q) + 1)) u(i)),
+      |sq AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS s2 FROM ev GROUP BY 1)
+      |""".stripMargin
+
+  // ------------------------------------------------------------------- specs
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("d01_dedup_exact", dedupExact, Some(
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    QuerySpec("d02_dedup_ngram_jaccard", dedupNgramJaccard, Some(docCtes +
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       count(*) AS common_shingles,
+        |       (count(*) * 1000000) // (x.n_sh + y.n_sh - count(*)) AS jaccard_ppm
+        |FROM sh a
+        |JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |JOIN shc x ON x.doc_id = a.doc_id
+        |JOIN shc y ON y.doc_id = b.doc_id
+        |GROUP BY 1, 2, x.n_sh, y.n_sh
+        |HAVING (count(*) * 1000000) // (x.n_sh + y.n_sh - count(*)) >= 800000""".stripMargin)),
+
+    QuerySpec("d03_dedup_minhash_lsh", dedupMinhashLsh, Some(docCtes +
+      """, mh AS (
+        |  SELECT doc_id, j,
+        |         min(((2 * j + 1) * h + 1000003 * j) % 2147483647) AS mh
+        |  FROM shh, UNNEST(range(0, 16)) u(j) GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN j = 0 THEN mh END) m0, max(CASE WHEN j = 1 THEN mh END) m1,
+        |    max(CASE WHEN j = 2 THEN mh END) m2, max(CASE WHEN j = 3 THEN mh END) m3,
+        |    max(CASE WHEN j = 4 THEN mh END) m4, max(CASE WHEN j = 5 THEN mh END) m5,
+        |    max(CASE WHEN j = 6 THEN mh END) m6, max(CASE WHEN j = 7 THEN mh END) m7,
+        |    max(CASE WHEN j = 8 THEN mh END) m8, max(CASE WHEN j = 9 THEN mh END) m9,
+        |    max(CASE WHEN j = 10 THEN mh END) m10, max(CASE WHEN j = 11 THEN mh END) m11,
+        |    max(CASE WHEN j = 12 THEN mh END) m12, max(CASE WHEN j = 13 THEN mh END) m13,
+        |    max(CASE WHEN j = 14 THEN mh END) m14, max(CASE WHEN j = 15 THEN mh END) m15
+        |  FROM mh GROUP BY 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        |    (a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3) OR
+        |    (a.m4 = b.m4 AND a.m5 = b.m5 AND a.m6 = b.m6 AND a.m7 = b.m7) OR
+        |    (a.m8 = b.m8 AND a.m9 = b.m9 AND a.m10 = b.m10 AND a.m11 = b.m11) OR
+        |    (a.m12 = b.m12 AND a.m13 = b.m13 AND a.m14 = b.m14 AND a.m15 = b.m15))),
+        |common AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS c
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |       (COALESCE(cm.c, 0) * 1000000) // (x.n_sh + y.n_sh - COALESCE(cm.c, 0)) AS jaccard_ppm
+        |FROM cand c
+        |LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+        |JOIN shc x ON x.doc_id = c.doc_a
+        |JOIN shc y ON y.doc_id = c.doc_b""".stripMargin)),
+
+    QuerySpec("d04_dedup_simhash", dedupSimhash, Some(docCtes +
+      """, tokc AS (
+        |  SELECT doc_id, tok, count(*) AS c,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        |  FROM tokrows GROUP BY doc_id, tok),
+        |bitsum AS (
+        |  SELECT doc_id, bit, (1::BIGINT << CAST(bit AS INT)) AS p2,
+        |         SUM(c * (2 * ((h // (1::BIGINT << CAST(bit AS INT))) % 2) - 1)) AS sgn
+        |  FROM tokc, UNNEST(range(0, 32)) u(bit) GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |       CAST(SUM(CASE WHEN sgn > 0 THEN p2 ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bitsum GROUP BY 1""".stripMargin)),
+
+    QuerySpec("d05_dedup_embedding", dedupEmbedding, Some(embCtes +
+      """, dots AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, cos_ppm FROM (
+        |  SELECT d.vec_a, d.vec_b,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM dots d
+        |  JOIN sq x ON x.vec_id = d.vec_a
+        |  JOIN sq y ON y.vec_id = d.vec_b) t
+        |WHERE cos_ppm >= 350000""".stripMargin)),
+
+    QuerySpec("s01_ann_cosine_topk", annCosineTopK, Some(embCtes +
+      """, qdots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM qdots d
+        |  JOIN sq x ON x.vec_id = d.query_id
+        |  JOIN sq y ON y.vec_id = d.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin)),
+
+    QuerySpec("s02_ann_lsh_buckets", annLshBuckets, Some(embCtes +
+      """, w AS (
+        |  SELECT p, i,
+        |         ((('0x' || substr(md5(p || '_' || i), 1, 8))::BIGINT % 2001) - 1000) AS wv
+        |  FROM UNNEST(range(0, 8)) a(p), UNNEST(range(1, 65)) b(i)),
+        |planes AS (
+        |  SELECT ev.vec_id, w.p, SUM(ev.v * w.wv) AS sgn
+        |  FROM ev JOIN w ON ev.i = w.i GROUP BY 1, 2),
+        |buckets AS (
+        |  SELECT vec_id,
+        |         CAST(SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM planes GROUP BY 1),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |  FROM buckets q JOIN buckets n
+        |    ON q.bucket = n.bucket AND q.vec_id < 10 AND n.vec_id <> q.vec_id),
+        |cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ev a ON a.vec_id = c.query_id
+        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM cdots d
+        |  JOIN sq x ON x.vec_id = d.query_id
+        |  JOIN sq y ON y.vec_id = d.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin)),
+
+    QuerySpec("t01_token_stats", tokenStats, Some(
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars_measured,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_regex_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens
+        |FROM documents""".stripMargin)),
+
+    QuerySpec("t02_quality_score", qualityScore, Some(
+      """SELECT doc_id,
+        |  CAST(len(t) AS INTEGER) AS n_tokens,
+        |  (len(list_filter(t, x -> x IN ('a', 'the'))) * 1000000) // len(t) AS stop_ratio_ppm,
+        |  (len(list_distinct(t)) * 1000000) // len(t) AS distinct_ratio_ppm,
+        |  (length(replace(text, ' ', '')) * 1000) // len(t) AS avg_token_len_ppk,
+        |  CASE WHEN len(t) >= 20
+        |        AND (len(list_filter(t, x -> x IN ('a', 'the'))) * 1000000) // len(t) < 300000
+        |       THEN 1 ELSE 0 END AS quality_ok
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) d""".stripMargin)),
+
+    QuerySpec("t03_lang_id", langId, Some(docCtes +
+      """, prof AS (
+        |  SELECT lang AS plang, tok, count(*) AS c FROM tokrows GROUP BY 1, 2),
+        |ptot AS (SELECT plang, CAST(SUM(c) AS BIGINT) AS tot FROM prof GROUP BY 1),
+        |profw AS (
+        |  SELECT p.plang, p.tok, (p.c * 1000000) // t.tot AS w
+        |  FROM prof p JOIN ptot t ON p.plang = t.plang),
+        |scores AS (
+        |  SELECT d.doc_id, d.lang AS true_lang, p.plang,
+        |         CAST(SUM(p.w) AS BIGINT) AS score
+        |  FROM tokrows d JOIN profw p ON d.tok = p.tok
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, true_lang, plang AS predicted_lang, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY score DESC, plang ASC) AS rn
+        |  FROM scores) t
+        |WHERE rn = 1""".stripMargin)),
+
+    QuerySpec("t04_fingerprint", fingerprint, Some(docCtes +
+      """SELECT doc_id,
+        |  CAST(SUM((pos * ('0x' || substr(md5(tok), 1, 8))::BIGINT) % 2147483647)
+        |       % 2147483647 AS BIGINT) AS fingerprint,
+        |  count(*) AS n_tokens
+        |FROM tokrows GROUP BY 1""".stripMargin)),
+
+    QuerySpec("m01_multimodal_features", multimodalFeatures, Some(
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  ('0x' || substr(md5(text), 1, 8))::BIGINT AS checksum32,
+        |  CAST(length(text) % 640 AS BIGINT) AS frame_width,
+        |  CAST(length(text) // 1000 + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin))
+  )
+}
