@@ -1,0 +1,47 @@
+package graft.jobs
+
+import graft.ops.{Core, Joins}
+import org.apache.spark.sql.DataFrame
+
+/** The reference's track_deltas DAG (§3.2, dags/track_delta.py) as a batch
+  * CDC cycle: changed-key detection by anti join, recompute restricted by
+  * semi join, append-only version log, keep-latest reads.
+  *
+  * Fixes baked in (SURVEY §7.5 #3):
+  *  - the empty-delta malformed-VALUES bug (track_delta.py:288-289) cannot
+  *    occur: an empty anti-join result is just an empty DataFrame;
+  *  - reads always collapse versions via Core.latestView — the reference
+  *    reads ReplacingMergeTree mid-merge and can double-count (§2.9).
+  *
+  * Scale posture: both sides of the diff are key-grain (|campaigns|, not
+  * |events|); the delta keyset is small, so Catalyst broadcasts it for the
+  * semi join and the recompute touches only changed keys.
+  */
+object DeltaUpsert {
+
+  val Keys: Seq[String] = Seq("rtm_advertiser_id", "rtm_campaign_id")
+
+  /** Changed keys: OLTP-derived (key, rtm_delta) pairs absent from the OLAP
+    * log (track_delta.py:103-123's Python set-difference, distributed). */
+  def changedKeys(oltpTotals: DataFrame, olapLog: DataFrame): DataFrame =
+    Joins.deltaKeys(
+      oltpTotals.select((Keys :+ "rtm_delta").map(org.apache.spark.sql.functions.col): _*),
+      olapLog.select((Keys :+ "rtm_delta").map(org.apache.spark.sql.functions.col): _*),
+      Keys :+ "rtm_delta")
+
+  /** One delta cycle: new full-version rows for changed keys, to APPEND to
+    * the version log (never update-in-place — §2.9 semantics). */
+  def deltaRows(oltpTotals: DataFrame, olapLog: DataFrame): DataFrame =
+    Joins.restrictToChanged(oltpTotals,
+      changedKeys(oltpTotals, olapLog).select(Keys.head, Keys.tail: _*), Keys)
+
+  /** Keep-latest read over the append-only version log. */
+  def latest(olapLog: DataFrame): DataFrame =
+    Core.latestView(olapLog, Keys, "rtm_delta")
+
+  /** Full cycle as pure data: log ∪ delta, plus its collapsed view. */
+  def cycle(oltpTotals: DataFrame, olapLog: DataFrame): (DataFrame, DataFrame) = {
+    val appended = olapLog.unionByName(deltaRows(oltpTotals, olapLog))
+    (appended, latest(appended))
+  }
+}

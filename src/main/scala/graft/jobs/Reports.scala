@@ -1,0 +1,84 @@
+package graft.jobs
+
+import graft.ops.Core
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Report derivations (reference create_campaign_totals_report
+  * initial_load…py:386-492 and create_campaign_daily_ctr_report :494-559),
+  * as pure DataFrame transforms over the standard OLAP totals schema
+  * (Schemas.advertiserCampaigns column names).
+  *
+  * Scale posture: both reports are narrow projections / window functions
+  * over already-aggregated inputs — the only shuffle is the window
+  * partition-by in the daily report, on the same (advertiser, campaign)
+  * keys the inputs are already aggregated by.
+  */
+object Reports {
+
+  /** P5–P11 KPI totals report: budget math, statuses, CTR/CPM. `today` is
+    * the injected report clock (reference uses today()/now(),
+    * initial_load…py:453-461 — injectable per SURVEY §5.2). */
+  def totalsReport(t: DataFrame, today: String): DataFrame = {
+    val bid = col("campaign_bid")
+    val budget = col("campaign_budget")
+    val imps = col("campaign_impressions_count_total")
+    val clks = col("campaign_clicks_count_total")
+    val todayD = to_date(lit(today))
+    val periodDays = datediff(col("campaign_end_date"), col("campaign_start_date"))
+    val elapsed = datediff(todayD, col("campaign_start_date"))
+    val budgetUsed = round(bid * clks, 2) // exact: bid is in 0.5 steps
+    val dailyNorm = Core.round2p(budget / periodDays)
+    val dailyUsed = when(elapsed > 0, Core.round2p(budgetUsed / elapsed))
+    t.select(
+      col("rtm_advertiser_id"), col("rtm_campaign_id"),
+      col("advertiser_name"), col("campaign_name"),
+      bid, budget, imps, clks,
+      floor(budget / bid).as("campaign_bids_max"),
+      (floor(budget / bid) - clks).as("campaign_bids_remaining"),
+      budgetUsed.as("campaign_budget_used"),
+      when(bid * clks > budget, "exceeded")
+        .when(clks === 0, "unused")
+        .otherwise("unspent").as("campaign_budget_status"),
+      periodDays.as("campaign_period_days"),
+      elapsed.as("campaign_period_days_elapsed"),
+      datediff(col("campaign_end_date"), todayD).as("campaign_days_remaining"),
+      when(col("campaign_end_date") < todayD, "ended")
+        .when(col("campaign_start_date") > todayD, "scheduled")
+        .otherwise("ongoing").as("campaign_period_status"),
+      dailyNorm.as("campaign_budget_daily_norm"),
+      dailyUsed.as("campaign_budget_daily_used"),
+      when(dailyUsed > dailyNorm, "above_norm")
+        .otherwise("below_norm").as("campaign_budget_daily_status"),
+      when(imps > 0, Core.round2p((clks / imps) * 100)).as("campaign_ctr"),
+      when(imps > 0, Core.round2p((bid * clks) / imps)).as("campaign_cpm"),
+      col("rtm_delta"))
+  }
+
+  /** W1+J5+J6 daily CTR report: `dim` is the distinct (advertiser, campaign,
+    * names) lookup; daily click rows are date-aligned onto daily impression
+    * rows (days with clicks but no impressions drop, by reference design —
+    * SURVEY J6). */
+  def dailyCtrReport(dim: DataFrame, impsDaily: DataFrame,
+                     clksDaily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("rtm_advertiser_id"), col("rtm_campaign_id"))
+      .orderBy(col("campaign_impressions_date"))
+    impsDaily
+      .join(dim, Seq("rtm_advertiser_id", "rtm_campaign_id"), "left")
+      .join(clksDaily,
+        Seq("rtm_advertiser_id", "rtm_campaign_id", "campaign_impressions_date"),
+        "left")
+      .select(
+        col("rtm_advertiser_id"), col("rtm_campaign_id"),
+        col("advertiser_name"), col("campaign_name"),
+        row_number().over(w).as("campaign_day"),
+        col("campaign_impressions_date"),
+        col("campaign_impressions_daily_count"),
+        coalesce(col("campaign_clicks_daily_count"), lit(0L))
+          .as("campaign_clicks_daily_count"),
+        Core.round2p((coalesce(col("campaign_clicks_daily_count"), lit(0L)) /
+          col("campaign_impressions_daily_count")) * 100)
+          .as("campaign_ctr_daily"))
+  }
+}

@@ -73,44 +73,9 @@ object Parity {
     daily(s, dir, Adtech.clicks(s, dir), "clicks")
 
   /** P5–P11 KPI report (reference create_campaign_totals_report,
-    * initial_load…py:386-492): budget math, statuses, CTR/CPM. Narrow
-    * projection over `totals` — no additional shuffle. */
-  def totalsReport(s: SparkSession, dir: String): DataFrame = {
-    val t = totals(s, dir)
-    val bid = col("campaign_bid")
-    val budget = col("campaign_budget")
-    val imps = col("campaign_impressions_count_total")
-    val clks = col("campaign_clicks_count_total")
-    val today = to_date(lit(Today))
-    val periodDays = datediff(col("campaign_end_date"), col("campaign_start_date"))
-    val elapsed = datediff(today, col("campaign_start_date"))
-    val budgetUsed = round(bid * clks, 2) // exact: bid is in 0.5 steps
-    val dailyNorm = Core.round2p(budget / periodDays)
-    val dailyUsed = when(elapsed > 0, Core.round2p(budgetUsed / elapsed))
-    t.select(
-      col("rtm_advertiser_id"), col("rtm_campaign_id"),
-      col("advertiser_name"), col("campaign_name"),
-      bid, budget, imps, clks,
-      floor(budget / bid).as("campaign_bids_max"),
-      (floor(budget / bid) - clks).as("campaign_bids_remaining"),
-      budgetUsed.as("campaign_budget_used"),
-      when(bid * clks > budget, "exceeded")
-        .when(clks === 0, "unused")
-        .otherwise("unspent").as("campaign_budget_status"),
-      periodDays.as("campaign_period_days"),
-      elapsed.as("campaign_period_days_elapsed"),
-      datediff(col("campaign_end_date"), today).as("campaign_days_remaining"),
-      when(col("campaign_end_date") < today, "ended")
-        .when(col("campaign_start_date") > today, "scheduled")
-        .otherwise("ongoing").as("campaign_period_status"),
-      dailyNorm.as("campaign_budget_daily_norm"),
-      dailyUsed.as("campaign_budget_daily_used"),
-      when(dailyUsed > dailyNorm, "above_norm")
-        .otherwise("below_norm").as("campaign_budget_daily_status"),
-      when(imps > 0, Core.round2p((clks / imps) * 100)).as("campaign_ctr"),
-      when(imps > 0, Core.round2p((bid * clks) / imps)).as("campaign_cpm"),
-      col("rtm_delta"))
-  }
+    * initial_load…py:386-492) — shared derivation in jobs.Reports. */
+  def totalsReport(s: SparkSession, dir: String): DataFrame =
+    graft.jobs.Reports.totalsReport(totals(s, dir), Today)
 
   /** W1+A5+J5+J6: daily CTR report (initial_load…py:494-559) — distinct dim,
     * row_number campaign-day ordinal, 3-key date-aligned click join. */
@@ -121,24 +86,7 @@ object Parity {
     val imps = dailyImpressions(s, dir).drop("rtm_delta")
     val clks = dailyClicks(s, dir).drop("rtm_delta")
       .withColumnRenamed("campaign_clicks_date", "campaign_impressions_date")
-    val w = Window.partitionBy(col("rtm_advertiser_id"), col("rtm_campaign_id"))
-      .orderBy(col("campaign_impressions_date"))
-    imps
-      .join(dim, Seq("rtm_advertiser_id", "rtm_campaign_id"), "left")
-      .join(clks,
-        Seq("rtm_advertiser_id", "rtm_campaign_id", "campaign_impressions_date"),
-        "left")
-      .select(
-        col("rtm_advertiser_id"), col("rtm_campaign_id"),
-        col("advertiser_name"), col("campaign_name"),
-        row_number().over(w).as("campaign_day"),
-        col("campaign_impressions_date"),
-        col("campaign_impressions_daily_count"),
-        coalesce(col("campaign_clicks_daily_count"), lit(0L))
-          .as("campaign_clicks_daily_count"),
-        Core.round2p((coalesce(col("campaign_clicks_daily_count"), lit(0L)) /
-          col("campaign_impressions_daily_count")) * 100)
-          .as("campaign_ctr_daily"))
+    graft.jobs.Reports.dailyCtrReport(dim, imps, clks)
   }
 
   /** §2.9 keep-latest (ReplacingMergeTree semantics) on the impressions log. */

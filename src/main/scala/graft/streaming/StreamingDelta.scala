@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming variant of the 5-minute polled delta (SURVEY §2.10).
+  *
+  * The reference's "stream" is Airflow polling Postgres every 5 minutes
+  * (track_delta.py:617-624); the idiomatic Spark shape is an event stream →
+  * watermarked tumbling 1-day windows → foreachBatch upsert into the
+  * version log. Semantics difference vs the batch path (documented, SURVEY
+  * §7.5 #4): the watermark introduces a late-data drop horizon the
+  * reference lacks — DeltaUpsert remains the exact-parity mode.
+  */
+object StreamingDelta {
+
+  /** Daily counts per campaign over an event-time stream of fact rows
+    * (schema: campaign_id, created_at). Update mode: each batch re-emits
+    * the groups it touched, exactly the reference's re-emit-changed-days
+    * behavior (track_delta.py:236-253). */
+  def dailyCounts(stream: DataFrame, watermark: String = "2 days"): DataFrame =
+    stream
+      .withWatermark("created_at", watermark)
+      .groupBy(col("campaign_id"), window(col("created_at"), "1 day"))
+      .agg(count(lit(1)).as("daily_count"),
+        max(col("created_at")).as("rtm_delta"))
+      .select(col("campaign_id"),
+        to_date(col("window.start")).as("date"),
+        col("daily_count"), col("rtm_delta"))
+
+  /** Wire the windowed aggregation into a foreachBatch upsert: each
+    * micro-batch hands the changed (campaign, day) rows to `merge`, which
+    * appends them to the version log (idempotent under retry because the
+    * log is keyed + versioned and read via latestView). */
+  def upsertWriter(stream: DataFrame, checkpointDir: String,
+                   merge: (DataFrame, Long) => Unit,
+                   trigger: Trigger = Trigger.ProcessingTime("5 minutes"))
+      : DataStreamWriter[Row] =
+    dailyCounts(stream).writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(merge)
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.gen.Generators
+import graft.jobs.{DeltaUpsert, InitialLoad}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline semantics: initial load → generator rounds → delta
+  * cycles converge to the one-shot recompute (SURVEY §5.3/§5.4). */
+class PipelineSpec extends SparkSpec {
+
+  private def oltp(seed: Long, now: String) = {
+    val adv = Generators.advertisers(spark, 3, now)
+    val camp = Generators.campaigns(spark, 3, 2, now, seed)
+    val imps = Generators.impressions(spark, 6, 50, now, seed)
+    val clks = Generators.clicks(imps, 0.1, seed)
+    (adv, camp, imps, clks)
+  }
+
+  test("generators reproduce the reference distributions") {
+    val (adv, camp, imps, clks) = oltp(42L, Generators.DefaultNow)
+    assert(adv.count() == 3 && camp.count() == 6 && imps.count() == 300)
+    val names = adv.select("name").collect().map(_.getString(0)).toSet
+    assert(names == Set("Advertiser A", "Advertiser B", "Advertiser C"))
+    val bidRange = camp.agg(min("bid"), max("bid")).collect()(0)
+    assert(bidRange.getDecimal(0).doubleValue() >= 0.5 &&
+      bidRange.getDecimal(1).doubleValue() <= 5.0)
+    val period = camp.select(datediff(col("end_date"), col("start_date")).as("d"))
+      .agg(min("d"), max("d")).collect()(0)
+    assert(period.getInt(0) >= 7 && period.getInt(1) <= 30)
+    val nClk = clks.count()
+    assert(nClk > 0 && nClk < 300 * 0.3) // ~10% sample
+    // clicks happen 1-120s after their impression, so all within window+120s
+    assert(clks.join(imps.select(col("id"), col("created_at").as("imp_at")), "id")
+      .filter(col("created_at") <= col("imp_at")).count() == 0)
+  }
+
+  test("initial load totals: daily counts sum to lifetime totals") {
+    val (adv, camp, imps, clks) = oltp(42L, Generators.DefaultNow)
+    val olap = InitialLoad.run(adv, camp, imps, clks, "2024-06-01")
+    val dailySums = olap.impressionsDaily
+      .groupBy(col("rtm_campaign_id"))
+      .agg(sum("campaign_impressions_daily_count").as("s"))
+    val joined = olap.advertiserCampaigns
+      .join(dailySums, Seq("rtm_campaign_id"), "left")
+      .filter(coalesce(col("s"), lit(0L)) =!= col("campaign_impressions_count_total"))
+    assert(joined.count() == 0)
+  }
+
+  test("delta cycle: empty delta appends nothing (reference bug fixed)") {
+    val (adv, camp, imps, clks) = oltp(42L, Generators.DefaultNow)
+    val totals = InitialLoad.campaignTotals(adv, camp, imps, clks)
+    assert(DeltaUpsert.deltaRows(totals, totals).count() == 0)
+  }
+
+  test("delta cycles converge to one-shot recompute") {
+    val now1 = "2024-06-01 12:00:00"
+    val now2 = "2024-06-03 12:00:00"
+    val (adv, camp, imps1, clks1) = oltp(42L, now1)
+    val log1 = InitialLoad.campaignTotals(adv, camp, imps1, clks1)
+
+    // generator round: more impressions/clicks arrive later
+    val imps2 = imps1.unionByName(
+      Generators.impressions(spark, 6, 20, now2, 99L)
+        .withColumn("id", col("id") + 1000))
+    val clks2 = clks1.unionByName(
+      Generators.clicks(
+        Generators.impressions(spark, 6, 20, now2, 99L), 0.2, 99L)
+        .withColumn("id", col("id") + 1000))
+
+    val oltp2 = InitialLoad.campaignTotals(adv, camp, imps2, clks2)
+    val (appended, latest) = DeltaUpsert.cycle(oltp2, log1)
+    // keep-latest over the version log == the fresh one-shot recompute
+    assertSameRows(latest, oltp2, "latest view vs recompute")
+    // and the log retains history: appended >= latest rows
+    assert(appended.count() >= latest.count())
+  }
+
+  test("latestView collapse is idempotent") {
+    val (adv, camp, imps, clks) = oltp(7L, Generators.DefaultNow)
+    val totals = InitialLoad.campaignTotals(adv, camp, imps, clks)
+    val doubled = totals.unionByName(totals) // duplicate every version row
+    val once = DeltaUpsert.latest(doubled)
+    assertSameRows(once, DeltaUpsert.latest(once), "idempotent")
+    assert(once.count() == totals.count())
+  }
+}

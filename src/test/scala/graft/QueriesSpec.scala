@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.{Extensions, Parity}
+import org.apache.spark.sql.functions._
+
+/** Cross-query invariants on the sf0.001 fixture (the DuckDB oracle gate is
+  * the primary correctness check; these pin internal consistency). */
+class QueriesSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and every oracle key exists") {
+    assert(SparkEntry.queries.keySet == SparkEntry.specs.map(_.name).toSet)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("daily impressions sum to lifetime totals (A1 vs A2)") {
+    val totals = Parity.totals(spark, dir)
+      .select(col("rtm_campaign_id"), col("campaign_impressions_count_total"))
+    val sums = Parity.dailyImpressions(spark, dir)
+      .groupBy("rtm_campaign_id")
+      .agg(sum("campaign_impressions_daily_count").as("s"))
+    val bad = totals.join(sums, Seq("rtm_campaign_id"), "left")
+      .filter(coalesce(col("s"), lit(0L)) =!= col("campaign_impressions_count_total"))
+    assert(bad.count() == 0)
+  }
+
+  test("delta anti-join keys are exactly the campaigns changed after cutoff") {
+    // every returned key must have activity at/after the cutoff or be absent
+    // from the stale side; spot-check: all changed campaigns have max fact
+    // time >= cutoff
+    val changed = Parity.deltaAntiJoin(spark, dir)
+    val lastFact = Adtech.impressions(spark, dir)
+      .groupBy(col("campaign_id").as("rtm_campaign_id"))
+      .agg(max("created_at").as("m"))
+    val bad = changed.join(lastFact, Seq("rtm_campaign_id"), "left")
+      .filter(col("m") < to_timestamp(lit("1998-01-01")))
+    assert(bad.count() == 0)
+  }
+
+  test("ann topk returns exactly 5 ranked neighbors per query") {
+    val topk = Extensions.annCosineTopK(spark, dir)
+    val perQuery = topk.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mr"), min("rank").as("nr"))
+      .collect()
+    assert(perQuery.nonEmpty)
+    perQuery.foreach { r =>
+      assert(r.getLong(1) == 5 && r.getInt(2) == 5 && r.getInt(3) == 1)
+    }
+    // rank 1 is the true argmax: no other neighbor has higher cos_ppm
+    val best = topk.filter(col("rank") === 1)
+      .select(col("query_id"), col("cos_ppm").as("best"))
+    val bad = topk.join(best, "query_id").filter(col("cos_ppm") > col("best"))
+    assert(bad.count() == 0)
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs (d02 ⊆ d03 check)") {
+    val exact = Extensions.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b")
+    val lsh = Extensions.dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
+    val missed = exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti").count()
+    // 4x4 LSH at jaccard>=0.8: P[miss] = (1-0.8^4)^4 ~ 12% per pair; the
+    // planted near-dups sit at ~0.98 where P[miss] < 0.1% — expect zero.
+    assert(missed == 0, s"$missed high-jaccard pairs missed by LSH")
+  }
+
+  test("exact dedup partitions the corpus") {
+    val d = Extensions.dedupExact(spark, dir)
+    val total = d.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == Tables.t(spark, dir, "documents").count())
+  }
+}
