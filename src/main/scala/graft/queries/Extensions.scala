@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.Portable
+import graft.functions.{DotI64, Portable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -64,16 +64,14 @@ object Extensions {
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings").select(col("vec_id"),
       expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
-        .as("q"),
-      expr("""aggregate(
-              |  transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)),
-              |  CAST(0 AS BIGINT), (acc, x) -> acc + x * x)""".stripMargin)
-        .as("s2"))
+        .as("q"))
+      .withColumn("s2", DotI64(col("q"), col("q")))
 
-  /** Integer dot product of two quantized vectors (row-local, codegen'd —
-    * no per-element explode on the hot path). */
-  private val dotExpr =
-    "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+  /** Integer dot product via the native codegen Expression (DotI64):
+    * higher-order functions (zip_with/aggregate) fall out of whole-stage
+    * codegen and allocate per-pair arrays — on an O(n²) pair join that
+    * interpreted fold dominated the profile at sf0.1. */
+  private def dot: org.apache.spark.sql.Column = DotI64(col("qa"), col("qb"))
 
   /** cos * 1e6 rounded to integer, from exact integer dot/norms; the only
     * float ops are sqrt/div/floor on identical inputs → identical output. */
@@ -118,12 +116,13 @@ object Extensions {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val shh = sh.withColumn("h", h32(col("shingle")))
-    val js = s.range(0, 16).select(col("id").as("j"))
-    val mh = shh.crossJoin(js).groupBy(col("doc_id"), col("j"))
-      .agg(min(((lit(2L) * col("j") + 1) * col("h") + lit(1000003L) * col("j")) % lit(P))
-        .as("mh"))
-    val sigCols = (0 until 16).map(k => max(when(col("j") === k, col("mh"))).as(s"m$k"))
-    val sig = mh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // All 16 permutation minima in ONE hash aggregation over the shingle
+    // rows (map-side combinable) instead of a 16x row-multiplying cross
+    // join — same values, 1/16th the shuffled rows.
+    val sigCols = (0 until 16).map { k =>
+      min((col("h") * lit(2L * k + 1) + lit(1000003L * k)) % lit(P)).as(s"m$k")
+    }
+    val sig = shh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val cand = (0 until 4).map { b =>
         val eq = (0 until 4).map(o => col(s"a.m${4 * b + o}") === col(s"b.m${4 * b + o}"))
           .reduce(_ && _)
@@ -168,7 +167,7 @@ object Extensions {
     val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("s2").as("sa"))
     val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("s2").as("sb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dot)
       .withColumn("cos_ppm", cosPpm)
       .filter(col("cos_ppm") >= 350000)
       .select("vec_a", "vec_b", "cos_ppm")
@@ -187,7 +186,7 @@ object Extensions {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
     q.join(b, col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dot)
       .withColumn("cos_ppm", cosPpm)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -220,7 +219,7 @@ object Extensions {
     val win = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
     cand.join(q, "query_id").join(n, "neighbor_id")
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dot)
       .withColumn("cos_ppm", cosPpm)
       .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= 5)

@@ -126,13 +126,15 @@ object Parity {
     Joins.restrictToChanged(totals(s, dir),
       deltaAntiJoin(s, dir).select("rtm_campaign_id"), Seq("rtm_campaign_id"))
 
-  /** A3: global stats row (main.py stats, scripts/main.py:64-123). */
+  /** A3: global stats row (main.py stats, scripts/main.py:64-123).
+    * Impressions and clicks share one lineitem scan (conditional count). */
   def globalStats(s: SparkSession, dir: String): DataFrame = {
     val adv = Tables.t(s, dir, "customer").agg(count(lit(1)).as("advertisers_count"))
     val camp = Tables.t(s, dir, "orders").agg(count(lit(1)).as("campaigns_count"))
-    val imp = Adtech.impressions(s, dir).agg(count(lit(1)).as("impressions_count"))
-    val clk = Adtech.clicks(s, dir).agg(count(lit(1)).as("clicks_count"))
-    adv.crossJoin(camp).crossJoin(imp).crossJoin(clk)
+    val facts = Tables.t(s, dir, "lineitem").agg(
+      count(lit(1)).as("impressions_count"),
+      count(when(col("l_returnflag") === "R", 1)).as("clicks_count"))
+    adv.crossJoin(camp).crossJoin(facts)
       .withColumn("overall_ctr",
         when(col("impressions_count") > 0,
           Core.round2p((col("clicks_count") / col("impressions_count")) * 100)))
@@ -206,6 +208,29 @@ object Parity {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
       .select(col("w.start").as("day_start"), col("event_type"),
         col("n_events"), col("value_sum"))
+
+  /** Session windows (30-min gap) per user over the events stream — beyond
+    * the reference's tumbling days; same operator Structured Streaming uses
+    * for stateful sessionization. A session's end is last-event + gap
+    * (Spark session_window semantics; the oracle reproduces them with
+    * lag/cumsum). */
+  def eventSessions(s: SparkSession, dir: String): DataFrame =
+    Adtech.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** A4 at scale: APPROX_COUNT_DISTINCT (HLL) next to the exact count —
+    * the 100 TB variant of COUNT(DISTINCT). Sketch values are
+    * engine-specific, so this query has no DuckDB oracle (rows-only check);
+    * ApproxSpec bounds its error against the exact count instead. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
 
   // --------------------------------------------------------------- oracle SQL
 
@@ -406,6 +431,25 @@ object Parity {
     QuerySpec("q15_event_day_windows", eventDayWindows, Some(
       """SELECT date_trunc('day', ts) AS day_start, event_type,
         |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
-        |FROM events GROUP BY 1, 2""".stripMargin))
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec("q16_event_sessions", eventSessions, Some(
+      """WITH lagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM lagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin)),
+
+    QuerySpec("q17_approx_distinct", approxDistinct, None)
   )
 }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.queries.Parity
+
+/** Physical-plan shape assertions: the properties that matter at 100 TB
+  * (scan pruning, filter pushdown, broadcast of dimensions) hold in the
+  * plans Catalyst actually produces — not just in intent. */
+class PlanSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("clicks filter is pushed down to the parquet scan") {
+    val p = planOf(Parity.dailyClicks(spark, dir))
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"),
+      s"no pushed returnflag filter in plan:\n$p")
+  }
+
+  test("campaign totals reads only the needed columns (column pruning)") {
+    val p = planOf(Parity.totals(spark, dir))
+    // lineitem scan must not read l_extendedprice/l_discount etc.
+    assert(!p.contains("l_extendedprice"), "scan reads unused columns")
+  }
+
+  test("advertiser dimension joins via broadcast") {
+    val p = planOf(Parity.totals(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("changed-key diff compiles to a real anti join") {
+    val p = planOf(Parity.deltaAntiJoin(spark, dir))
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+  }
+
+  test("recompute restriction compiles to a semi join") {
+    val p = planOf(Parity.semiJoinRecompute(spark, dir))
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+  }
+
+  test("native dot_i64 appears in the ANN plan (not an interpreted fold)") {
+    val p = planOf(graft.queries.Extensions.annCosineTopK(spark, dir))
+    assert(p.contains("dot_i64"), s"dot_i64 missing from:\n$p")
+  }
+}
