@@ -1,0 +1,46 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Storage layout for the OLAP side (SURVEY S4–S8, O1).
+  *
+  * ClickHouse's `ORDER BY (adv, camp[, day])` clustering (initial_load…py:
+  * 98,109,119) maps to: partition fact outputs by event date + sort rows
+  * within each file by the cluster keys — readers prune partitions on date
+  * predicates and get locality on key scans without any global sort
+  * (a global orderBy would be an all-data shuffle at 100 TB).
+  */
+object Warehouse {
+
+  /** S4: append new version rows to an append-only version log.
+    * Idempotency comes from keyed versions + latestView reads, so a task
+    * retry that double-appends is harmless (unlike the reference, where
+    * XCom replay double-inserts and ReplacingMergeTree papers over it). */
+  def appendVersions(df: DataFrame, path: String,
+                     clusterKeys: Seq[String]): Unit =
+    df.sortWithinPartitions(clusterKeys.map(col): _*)
+      .write.mode(SaveMode.Append).parquet(path)
+
+  /** Daily fact grain: partition by event date so delta cycles and report
+    * reads prune to the touched days. */
+  def appendDaily(df: DataFrame, path: String, dateCol: String,
+                  clusterKeys: Seq[String]): Unit =
+    df.repartition(col(dateCol))
+      .sortWithinPartitions(clusterKeys.map(col): _*)
+      .write.mode(SaveMode.Append).partitionBy(dateCol).parquet(path)
+
+  /** S5+S7: the reference DROPs and rebuilds report tables every cycle
+    * (track_delta.py:438,548); overwrite mode is the atomic equivalent. */
+  def overwriteReport(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S8: reset — overwrite with an empty frame of the same schema. */
+  def reset(spark: SparkSession, path: String, schema: StructType): Unit =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema).write.mode(SaveMode.Overwrite).parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

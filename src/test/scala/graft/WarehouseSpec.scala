@@ -1,0 +1,74 @@
+package graft
+
+import graft.gen.Generators
+import graft.jobs.{DeltaUpsert, InitialLoad, Warehouse}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Storage round-trip: version-log append + partitioned daily facts +
+  * report overwrite + reset (SURVEY S4–S8), with keep-latest reads across
+  * process-like boundaries (write → read-back). */
+class WarehouseSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-wh").toString
+
+  test("version log append + latestView read-back across delta cycles") {
+    val dir = tmp()
+    val (adv, camp) = (Generators.advertisers(spark, 2),
+      Generators.campaigns(spark, 2, 2))
+    val imps1 = Generators.impressions(spark, 4, 30)
+    val clks1 = Generators.clicks(imps1, 0.1)
+    val totals1 = InitialLoad.campaignTotals(adv, camp, imps1, clks1)
+    Warehouse.appendVersions(totals1, s"$dir/advertiser_campaigns",
+      DeltaUpsert.Keys)
+
+    // second generator round → delta rows appended, then read back
+    val imps2 = imps1.unionByName(
+      Generators.impressions(spark, 4, 10, "2024-06-03 12:00:00", 7L)
+        .withColumn("id", col("id") + 5000))
+    val totals2 = InitialLoad.campaignTotals(adv, camp, imps2, clks1)
+    val log = Warehouse.read(spark, s"$dir/advertiser_campaigns")
+    val delta = DeltaUpsert.deltaRows(totals2, log)
+    assert(delta.count() > 0)
+    Warehouse.appendVersions(delta, s"$dir/advertiser_campaigns",
+      DeltaUpsert.Keys)
+
+    val latest = DeltaUpsert.latest(
+      Warehouse.read(spark, s"$dir/advertiser_campaigns"))
+    assertSameRows(latest, totals2, "read-back latest vs recompute")
+  }
+
+  test("daily facts write partitioned by date (partition pruning layout)") {
+    val dir = tmp()
+    val camp = Generators.campaigns(spark, 2, 2)
+    val imps = Generators.impressions(spark, 4, 50)
+    val daily = InitialLoad.dailyCounts(camp, imps, "impressions")
+    Warehouse.appendDaily(daily, s"$dir/daily", "campaign_impressions_date",
+      Seq("rtm_advertiser_id", "rtm_campaign_id"))
+    // hive-style partition dirs exist
+    val parts = new java.io.File(s"$dir/daily").listFiles()
+      .filter(_.getName.startsWith("campaign_impressions_date="))
+    assert(parts.length > 1, "expected multiple date partitions")
+    // read-back equals source
+    assertSameRows(Warehouse.read(spark, s"$dir/daily")
+      .select(daily.columns.map(col): _*), daily, "partitioned round-trip")
+  }
+
+  test("report overwrite replaces content; reset empties but keeps schema") {
+    val dir = tmp()
+    val camp = Generators.campaigns(spark, 2, 2)
+    val imps = Generators.impressions(spark, 4, 20)
+    val olap = InitialLoad.run(Generators.advertisers(spark, 2), camp, imps,
+      Generators.clicks(imps, 0.2), "2024-06-01")
+    Warehouse.overwriteReport(olap.totalsReport, s"$dir/report")
+    val n1 = Warehouse.read(spark, s"$dir/report").count()
+    Warehouse.overwriteReport(olap.totalsReport.limit(2), s"$dir/report")
+    assert(Warehouse.read(spark, s"$dir/report").count() == 2 && n1 > 2)
+
+    Warehouse.reset(spark, s"$dir/report", olap.totalsReport.schema)
+    val after = Warehouse.read(spark, s"$dir/report")
+    assert(after.count() == 0 &&
+      after.columns.toSeq == olap.totalsReport.columns.toSeq)
+  }
+}
