@@ -96,18 +96,24 @@ object Parity {
       .select("campaign_id", "id", "created_at")
 
   /** Per-campaign change-version keyset, optionally from a stale snapshot
-    * (facts truncated at `cutoff`) — the two sides of the CDC diff. */
+    * (facts truncated at `cutoff`) — the two sides of the CDC diff.
+    *
+    * Both fact aggregates (impression max + click max) come out of ONE
+    * lineitem scan via conditional aggregation — the clicks role is a
+    * filter of the same table, so separate scans would double the I/O that
+    * dominates this query at scale. `max(when(click))` over no clicks is
+    * NULL, exactly what the separate-aggregate + left-join shape produced. */
   private def deltaKeyset(s: SparkSession, dir: String,
                           cutoff: Option[String]): DataFrame = {
-    def cut(df: DataFrame) = cutoff.fold(df)(c =>
-      df.filter(col("created_at") < to_timestamp(lit(c))))
-    val camp = Adtech.campaign(s, dir)
-    val imp = Aggregates.totalsPerCampaign(cut(Adtech.impressions(s, dir)),
-      "impressions_total", "max_impressions_at")
-    val clk = Aggregates.totalsPerCampaign(cut(Adtech.clicks(s, dir)),
-      "clicks_total", "max_clicks_at")
-    camp.join(imp, Seq("campaign_id"), "left")
-      .join(clk, Seq("campaign_id"), "left")
+    val li = Tables.t(s, dir, "lineitem")
+    val facts = cutoff.fold(li)(c =>
+        li.filter(col("l_shipdate") < to_timestamp(lit(c))))
+      .groupBy(col("l_orderkey").as("campaign_id"))
+      .agg(max(col("l_shipdate")).as("max_impressions_at"),
+        max(when(col("l_returnflag") === "R", col("l_shipdate")))
+          .as("max_clicks_at"))
+    Adtech.campaign(s, dir)
+      .join(facts, Seq("campaign_id"), "left")
       .select(col("campaign_id").as("rtm_campaign_id"),
         Core.changeVersion(col("campaign_created_at"),
           col("max_impressions_at"), col("max_clicks_at")).as("rtm_delta"))
