@@ -29,13 +29,20 @@ object Parity {
   def totals(s: SparkSession, dir: String): DataFrame = {
     val camp = Adtech.campaign(s, dir)
     val adv = Adtech.advertiser(s, dir)
-    val imp = Aggregates.totalsPerCampaign(Adtech.impressions(s, dir),
-      "impressions_total", "max_impressions_at")
-    val clk = Aggregates.totalsPerCampaign(Adtech.clicks(s, dir),
-      "clicks_total", "max_clicks_at")
+    // Impression AND click totals from ONE fact scan: the clicks role is a
+    // filter of the same table, so separate per-role aggregates would read
+    // the fact data twice — at 100 TB that doubles the dominant I/O. A
+    // clickless campaign gets clicks_total = 0 (not NULL) here; identical
+    // after the COALESCE the left-join shape needed anyway.
+    val facts = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("campaign_id"))
+      .agg(count(lit(1)).as("impressions_total"),
+        count(when(col("l_returnflag") === "R", 1)).as("clicks_total"),
+        max(col("l_shipdate")).as("max_impressions_at"),
+        max(when(col("l_returnflag") === "R", col("l_shipdate")))
+          .as("max_clicks_at"))
     camp.join(broadcast(adv), Seq("advertiser_id"), "left")
-      .join(imp, Seq("campaign_id"), "left")
-      .join(clk, Seq("campaign_id"), "left")
+      .join(facts, Seq("campaign_id"), "left")
       .select(
         col("advertiser_id").as("rtm_advertiser_id"),
         col("campaign_id").as("rtm_campaign_id"),
