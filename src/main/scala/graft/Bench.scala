@@ -25,19 +25,32 @@ object Bench {
 
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
 
+    // A failed query must be visible IN the JSON (not only stderr): its
+    // per-query seconds are negated as a sentinel and its message goes into
+    // an "errors" object; "value" sums successful queries only.
+    var errors = Vector.empty[(String, String)]
     val results = SparkEntry.specs.map { spec =>
       val t0 = System.nanoTime()
-      try spec.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
-      }
-      spec.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          spec.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
+            errors :+= (spec.name -> String.valueOf(e.getMessage)
+              .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200))
+            false
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spec.name -> (if (ok) elapsed else -elapsed)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

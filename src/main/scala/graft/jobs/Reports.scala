@@ -19,7 +19,20 @@ object Reports {
 
   /** P5–P11 KPI totals report: budget math, statuses, CTR/CPM. `today` is
     * the injected report clock (reference uses today()/now(),
-    * initial_load…py:453-461 — injectable per SURVEY §5.2). */
+    * initial_load…py:453-461 — injectable per SURVEY §5.2).
+    *
+    * Formulas match the reference (initial_load…py:426-463) exactly:
+    * `campaign_budget_daily_*` divide by the full period length
+    * (dateDiff(start, end)); `campaign_period_status` ∈
+    * {ended, ongoing, exceeded} keyed on the sign of dateDiff(today, end);
+    * the equal-boundary cases of both budget statuses and the daily status
+    * fall through to NULL (the reference's ELSE NULL).
+    *
+    * Deliberate deviations (SURVEY §7.5 dialect fixes, not drift):
+    *   - 0-impression CTR/CPM are NULL, not ClickHouse's inf/nan (P5);
+    *   - ROUND(x,2) after division is the portable `Core.round2p`
+    *     (floor(x*100+0.5)/100), identical on the same IEEE double in every
+    *     engine, where CH/Spark/DuckDB ROUND disagree near x.xx5. */
   def totalsReport(t: DataFrame, today: String): DataFrame = {
     val bid = col("campaign_bid")
     val budget = col("campaign_budget")
@@ -27,32 +40,33 @@ object Reports {
     val clks = col("campaign_clicks_count_total")
     val todayD = to_date(lit(today))
     val periodDays = datediff(col("campaign_end_date"), col("campaign_start_date"))
-    val elapsed = datediff(todayD, col("campaign_start_date"))
-    val budgetUsed = round(bid * clks, 2) // exact: bid is in 0.5 steps
+    val daysRemaining = datediff(col("campaign_end_date"), todayD)
+    val used = bid * clks // exact: bid is in 0.5 steps
     val dailyNorm = Core.round2p(budget / periodDays)
-    val dailyUsed = when(elapsed > 0, Core.round2p(budgetUsed / elapsed))
+    val dailyUsed = Core.round2p(used / periodDays)
     t.select(
       col("rtm_advertiser_id"), col("rtm_campaign_id"),
       col("advertiser_name"), col("campaign_name"),
       bid, budget, imps, clks,
       floor(budget / bid).as("campaign_bids_max"),
       (floor(budget / bid) - clks).as("campaign_bids_remaining"),
-      budgetUsed.as("campaign_budget_used"),
-      when(bid * clks > budget, "exceeded")
-        .when(clks === 0, "unused")
-        .otherwise("unspent").as("campaign_budget_status"),
+      used.as("campaign_budget_used"),
+      when(budget < used, "exceeded")
+        .when(used === 0, "unused")
+        .when(budget > used, "unspent").as("campaign_budget_status"),
+      col("campaign_start_date"), col("campaign_end_date"),
       periodDays.as("campaign_period_days"),
-      elapsed.as("campaign_period_days_elapsed"),
-      datediff(col("campaign_end_date"), todayD).as("campaign_days_remaining"),
-      when(col("campaign_end_date") < todayD, "ended")
-        .when(col("campaign_start_date") > todayD, "scheduled")
-        .otherwise("ongoing").as("campaign_period_status"),
+      datediff(todayD, col("campaign_start_date")).as("campaign_period_days_elapsed"),
+      daysRemaining.as("campaign_days_remaining"),
+      when(daysRemaining === 0, "ended")
+        .when(daysRemaining > 0, "ongoing")
+        .when(daysRemaining < 0, "exceeded").as("campaign_period_status"),
       dailyNorm.as("campaign_budget_daily_norm"),
       dailyUsed.as("campaign_budget_daily_used"),
-      when(dailyUsed > dailyNorm, "above_norm")
-        .otherwise("below_norm").as("campaign_budget_daily_status"),
-      when(imps > 0, Core.round2p((clks / imps) * 100)).as("campaign_ctr"),
-      when(imps > 0, Core.round2p((bid * clks) / imps)).as("campaign_cpm"),
+      when(dailyNorm > dailyUsed, "below_norm")
+        .when(dailyNorm < dailyUsed, "above_norm").as("campaign_budget_daily_status"),
+      when(imps > 0, (clks / imps) * 100).as("campaign_ctr"),
+      when(imps > 0, used / imps).as("campaign_cpm"),
       col("rtm_delta"))
   }
 

@@ -514,12 +514,15 @@ object Extensions {
         |  count(*) AS n_tokens
         |FROM tokrows GROUP BY 1""".stripMargin)),
 
+    // octet_length(encode(..)) = UTF-8 byte length, matching the Spark
+    // side's encode(text,'UTF-8').length — length(text) would count
+    // characters and diverge on any non-ASCII document.
     QuerySpec("m01_multimodal_features", multimodalFeatures, Some(
       """SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  ('0x' || substr(md5(text), 1, 8))::BIGINT AS checksum32,
-        |  CAST(length(text) % 640 AS BIGINT) AS frame_width,
-        |  CAST(length(text) // 1000 + 1 AS BIGINT) AS n_frames
+        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS frame_width,
+        |  CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin))
   )
 }

@@ -214,11 +214,19 @@ object Parity {
         col("campaign_clicks_count_total"))
 
   /** §2.10: tumbling 1-day event-time windows over the events stream table —
-    * the batch twin of the Structured Streaming aggregation. */
+    * the batch twin of the Structured Streaming aggregation.
+    *
+    * `value` is quantized to integer cents BEFORE summing: a double SUM is
+    * accumulation-order-dependent and partial-aggregation order differs
+    * between engines and partitionings, so round-after-sum is latently
+    * flaky across engines. The integer sum is exact and order-free; the
+    * single final division is deterministic IEEE on both sides. */
   def eventDayWindows(s: SparkSession, dir: String): DataFrame =
     Adtech.events(s, dir)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100 + lit(0.5))).cast("double") / 100)
+          .as("value_sum"))
       .select(col("w.start").as("day_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
@@ -337,29 +345,35 @@ object Parity {
          |  campaign_impressions_count_total, campaign_clicks_count_total,
          |  CAST(FLOOR(campaign_budget / campaign_bid) AS BIGINT) AS campaign_bids_max,
          |  CAST(FLOOR(campaign_budget / campaign_bid) AS BIGINT) - campaign_clicks_count_total AS campaign_bids_remaining,
-         |  ROUND(campaign_bid * campaign_clicks_count_total, 2) AS campaign_budget_used,
-         |  CASE WHEN campaign_bid * campaign_clicks_count_total > campaign_budget THEN 'exceeded'
-         |       WHEN campaign_clicks_count_total = 0 THEN 'unused'
-         |       ELSE 'unspent' END AS campaign_budget_status,
+         |  campaign_bid * campaign_clicks_count_total AS campaign_budget_used,
+         |  CASE WHEN campaign_budget < campaign_bid * campaign_clicks_count_total THEN 'exceeded'
+         |       WHEN 0 = campaign_bid * campaign_clicks_count_total THEN 'unused'
+         |       WHEN campaign_budget > campaign_bid * campaign_clicks_count_total THEN 'unspent'
+         |       ELSE NULL END AS campaign_budget_status,
+         |  campaign_start_date, campaign_end_date,
          |  CAST(date_diff('day', campaign_start_date, campaign_end_date) AS INTEGER) AS campaign_period_days,
          |  CAST(date_diff('day', campaign_start_date, DATE '$Today') AS INTEGER) AS campaign_period_days_elapsed,
          |  CAST(date_diff('day', DATE '$Today', campaign_end_date) AS INTEGER) AS campaign_days_remaining,
-         |  CASE WHEN campaign_end_date < DATE '$Today' THEN 'ended'
-         |       WHEN campaign_start_date > DATE '$Today' THEN 'scheduled'
-         |       ELSE 'ongoing' END AS campaign_period_status,
+         |  CASE WHEN date_diff('day', DATE '$Today', campaign_end_date) = 0 THEN 'ended'
+         |       WHEN date_diff('day', DATE '$Today', campaign_end_date) > 0 THEN 'ongoing'
+         |       WHEN date_diff('day', DATE '$Today', campaign_end_date) < 0 THEN 'exceeded'
+         |       ELSE NULL END AS campaign_period_status,
          |  FLOOR((campaign_budget / CAST(date_diff('day', campaign_start_date, campaign_end_date) AS INTEGER)) * 100 + 0.5) / 100 AS campaign_budget_daily_norm,
-         |  CASE WHEN date_diff('day', campaign_start_date, DATE '$Today') > 0
-         |       THEN FLOOR((ROUND(campaign_bid * campaign_clicks_count_total, 2)
-         |                   / CAST(date_diff('day', campaign_start_date, DATE '$Today') AS INTEGER)) * 100 + 0.5) / 100 END AS campaign_budget_daily_used,
-         |  CASE WHEN (CASE WHEN date_diff('day', campaign_start_date, DATE '$Today') > 0
-         |                  THEN FLOOR((ROUND(campaign_bid * campaign_clicks_count_total, 2)
-         |                              / CAST(date_diff('day', campaign_start_date, DATE '$Today') AS INTEGER)) * 100 + 0.5) / 100 END)
-         |            > FLOOR((campaign_budget / CAST(date_diff('day', campaign_start_date, campaign_end_date) AS INTEGER)) * 100 + 0.5) / 100
-         |       THEN 'above_norm' ELSE 'below_norm' END AS campaign_budget_daily_status,
+         |  FLOOR(((campaign_bid * campaign_clicks_count_total)
+         |         / CAST(date_diff('day', campaign_start_date, campaign_end_date) AS INTEGER)) * 100 + 0.5) / 100 AS campaign_budget_daily_used,
+         |  CASE WHEN FLOOR((campaign_budget / CAST(date_diff('day', campaign_start_date, campaign_end_date) AS INTEGER)) * 100 + 0.5) / 100
+         |            > FLOOR(((campaign_bid * campaign_clicks_count_total)
+         |                     / CAST(date_diff('day', campaign_start_date, campaign_end_date) AS INTEGER)) * 100 + 0.5) / 100
+         |       THEN 'below_norm'
+         |       WHEN FLOOR((campaign_budget / CAST(date_diff('day', campaign_start_date, campaign_end_date) AS INTEGER)) * 100 + 0.5) / 100
+         |            < FLOOR(((campaign_bid * campaign_clicks_count_total)
+         |                     / CAST(date_diff('day', campaign_start_date, campaign_end_date) AS INTEGER)) * 100 + 0.5) / 100
+         |       THEN 'above_norm'
+         |       ELSE NULL END AS campaign_budget_daily_status,
          |  CASE WHEN campaign_impressions_count_total > 0
-         |       THEN FLOOR(((campaign_clicks_count_total / campaign_impressions_count_total) * 100) * 100 + 0.5) / 100 END AS campaign_ctr,
+         |       THEN (campaign_clicks_count_total / campaign_impressions_count_total) * 100 END AS campaign_ctr,
          |  CASE WHEN campaign_impressions_count_total > 0
-         |       THEN FLOOR(((campaign_bid * campaign_clicks_count_total) / campaign_impressions_count_total) * 100 + 0.5) / 100 END AS campaign_cpm,
+         |       THEN (campaign_bid * campaign_clicks_count_total) / campaign_impressions_count_total END AS campaign_cpm,
          |  rtm_delta
          |FROM totals""".stripMargin))),
 
@@ -443,7 +457,8 @@ object Parity {
 
     QuerySpec("q15_event_day_windows", eventDayWindows, Some(
       """SELECT date_trunc('day', ts) AS day_start, event_type,
-        |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin)),
 
     QuerySpec("q16_event_sessions", eventSessions, Some(
