@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Join operators J1–J8 (SURVEY §2.3), in particular the CDC pair that the
   * reference implements in driver-side Python sets (track_delta.py:103-123)
@@ -27,4 +29,44 @@ object Joins {
   def restrictToChanged(recompute: DataFrame, changed: DataFrame,
                         keys: Seq[String]): DataFrame =
     recompute.join(changed, keys, "left_semi")
+
+  /** As-of join (extension operator — the reference's click-after-impression
+    * generator, seed.py:86-106, implies exactly this attribution lookup but
+    * never computes it): for each left row, attach `valueCols` from the
+    * right row with the greatest `tsCol` <= the left row's `tsCol` within
+    * the same `keys` (NULL when no such row).
+    *
+    * Implemented as ONE union + running last-value window — a single
+    * hash-partition shuffle on `keys` — instead of the naive inequality
+    * join, whose range predicate Spark would execute as a per-key cross
+    * product: at 100 TB that's the difference between a linear pass and
+    * an O(n·m)-per-key blowup. Right rows sort before left rows at equal
+    * timestamps, so an exactly-simultaneous right row matches (<= , not <).
+    *
+    * `prefix` names the attached columns (`prefix + valueCol`); right rows
+    * whose value columns are NULL are treated as absent for the carry-
+    * forward (last(ignoreNulls) semantics). */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+           valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val attached = valueCols.map(c => c -> s"$prefix$c")
+    // Right side: keys + ts + renamed value columns, NULL for left-only cols.
+    val leftOnly = left.columns.filterNot((keys :+ tsCol).contains)
+    val rBase = attached.foldLeft(
+      right.select((keys :+ tsCol).map(col) ++ valueCols.map(col): _*)) {
+      case (d, (c, n)) => d.withColumnRenamed(c, n)
+    }
+    val rUnion = leftOnly.foldLeft(rBase) { (d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.withColumn("__kind", lit(0))
+    val lUnion = attached.foldLeft(left) { case (d, (c, n)) =>
+      d.withColumn(n, lit(null).cast(right.schema(c).dataType))
+    }.withColumn("__kind", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = attached.foldLeft(lUnion.unionByName(rUnion.select(lUnion.columns.map(col): _*))) {
+      case (d, (_, n)) => d.withColumn(n, last(col(n), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__kind") === 1).drop("__kind")
+  }
 }

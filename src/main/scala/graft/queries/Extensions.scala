@@ -226,6 +226,46 @@ object Extensions {
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
   }
 
+  /** s03: IVF-style ANN — deterministic coarse quantizer (centroids = every
+    * 50th vector), each vector assigned to its nearest centroid cell, query
+    * probes the 2 nearest cells and re-ranks exactly within them.
+    *
+    * This is the partition-pruning scale path: cells become partition keys,
+    * so a query touches |probed cells| / |cells| of the corpus instead of
+    * all of it; the centroid table is tiny and broadcast, so assignment is
+    * a narrow map over the corpus (no shuffle until the per-cell top-k). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("s2").as("sc"))
+    def centScore(v: DataFrame, idCol: String): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .withColumn("dot", DotI64(col("q"), col("qc")))
+        .withColumn("cos_ppm",
+          floor(col("dot") / (sqrt(col("s2")) * sqrt(col("sc"))) * lit(1000000.0) + lit(0.5))
+            .cast("long"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("cos_ppm").desc, col("cent_id").asc)))
+    val assigned = centScore(e, "vec_id")
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
+    val probes = centScore(e.filter(col("vec_id") < 10), "vec_id")
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    probes.join(assigned, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_ppm", "rank")
+  }
+
   // ------------------------------------------------------------ text analysis
 
   /** t01: token counting — whitespace + regex (BPE-ish) + distinct. */
@@ -287,6 +327,18 @@ object Extensions {
       .agg((sum((col("pos") * col("h")) % lit(P)) % lit(P)).as("fingerprint"),
         count(lit(1)).as("n_tokens"))
 
+  /** t05: text normalization — strip non-alphanumerics, collapse runs of
+    * spaces, trim, lowercase; emit the normalized text, its portable hash
+    * and length. Narrow codegen'd map, the canonical pre-dedup cleanup
+    * pass of a training-data pipeline. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(
+      regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
+    docs(s, dir).select(col("doc_id"), norm.as("norm_text"),
+      h32(norm).as("norm_hash"),
+      length(norm).as("n_chars_norm"))
+  }
+
   // --------------------------------------------------------------- multimodal
 
   /** m01: multimodal binary-column plumbing — text re-encoded as an opaque
@@ -313,6 +365,25 @@ object Extensions {
       }
       .toDF()
   }
+
+  /** m02: frame sampling plumbing — every 3rd frame index of each media
+    * blob (frame count derived from byte length as in m01), exploded to one
+    * row per sampled frame with its byte offset and a deterministic frame
+    * signature standing in for the decoded feature (no codecs in this
+    * environment; the explode/partitioning/batch shape is the real thing).
+    * At scale this is the fan-out stage ahead of a mapPartitions decoder:
+    * rows stay narrow (ids + offsets), the blob itself is NOT replicated
+    * per frame. */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .withColumn("n_frames", idiv(col("n_bytes"), lit(1000L)) + 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(3L))).as("frame_id"))
+      .select(col("doc_id"), col("frame_id"),
+        (col("frame_id") * 1000).as("frame_offset"),
+        h32(concat(col("doc_id"), lit(":"), col("frame_id"))).as("frame_sig"))
 
   // --------------------------------------------------------------- oracle SQL
 
@@ -523,6 +594,66 @@ object Extensions {
         |  ('0x' || substr(md5(text), 1, 8))::BIGINT AS checksum32,
         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS frame_width,
         |  CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    QuerySpec("s03_ann_ivf", annIvf, Some(embCtes +
+      """, adots AS (
+        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON b.i = a.i AND b.vec_id % 50 = 0
+        |  GROUP BY 1, 2),
+        |ascore AS (
+        |  SELECT d.vec_id, d.cent_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM adots d
+        |  JOIN sq x ON x.vec_id = d.vec_id
+        |  JOIN sq y ON y.vec_id = d.cent_id),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.query_id, a.neighbor_id
+        |  FROM probes p JOIN assigned a ON a.cell = p.cell
+        |  WHERE a.neighbor_id <> p.query_id),
+        |cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ev a ON a.vec_id = c.query_id
+        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM cdots d
+        |  JOIN sq x ON x.vec_id = d.query_id
+        |  JOIN sq y ON y.vec_id = d.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin)),
+
+    QuerySpec("t05_text_normalize", textNormalize, Some(
+      """SELECT doc_id, norm_text,
+        |  ('0x' || substr(md5(norm_text), 1, 8))::BIGINT AS norm_hash,
+        |  CAST(length(norm_text) AS INTEGER) AS n_chars_norm
+        |FROM (SELECT doc_id,
+        |        lower(trim(regexp_replace(
+        |          regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        |          AS norm_text
+        |      FROM documents) t""".stripMargin)),
+
+    QuerySpec("m02_frame_sample", frameSample, Some(
+      """SELECT doc_id, u.frame_id, u.frame_id * 1000 AS frame_offset,
+        |  ('0x' || substr(md5(doc_id || ':' || u.frame_id), 1, 8))::BIGINT AS frame_sig
+        |FROM (SELECT doc_id, octet_length(encode(text)) // 1000 + 1 AS n_frames
+        |      FROM documents) m,
+        |  UNNEST(range(0, m.n_frames, 3)) u(frame_id)""".stripMargin))
   )
 }

@@ -253,6 +253,62 @@ object Parity {
         approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  /** As-of attribution: each click event matched to the latest view event
+    * of the same user at-or-before the click (Joins.asOf — union + running
+    * last-value, one shuffle, no range cross product). */
+  def asofClickView(s: SparkSession, dir: String): DataFrame = {
+    val ev = Adtech.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("ts").as("view_ts"))
+    Joins.asOf(clicks, views, Seq("user_id"), "ts", Seq("view_ts"), "matched_")
+      .select(col("click_id"), col("user_id"), col("ts").as("click_ts"),
+        col("matched_view_ts"))
+  }
+
+  /** ROLLUP subtotal hierarchy over (flag, day) with GROUPING id — the
+    * grouping-sets family the reference lacks but any report layer needs;
+    * one shuffle, same hash-aggregate as a plain GROUP BY. Subtotal NULL
+    * placeholders are coalesced to sentinels ('ALL' / 9999-12-31, with gid
+    * still distinguishing them) so the cross-engine hash compare never
+    * sees a NULL date, which pandas renders as NaT on one side and None
+    * on the other. */
+  def rollupDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .rollup(col("l_returnflag").as("flag"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n_rows"), grouping_id().cast("int").as("gid"))
+      .select(coalesce(col("flag"), lit("ALL")).as("flag"),
+        coalesce(col("day"), to_date(lit("9999-12-31"))).as("day"),
+        col("n_rows"), col("gid"))
+
+  /** Set operations (EXCEPT / INTERSECT / UNION ALL): campaign keyset
+    * segmentation — impressed-but-never-clicked vs clicked. Distinct set
+    * semantics on both engines. */
+  def setOpsSegments(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val impressed = li.select(col("l_orderkey").as("campaign_id")).distinct()
+    val clicked = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("campaign_id")).distinct()
+    impressed.except(clicked).withColumn("segment", lit("impressed_only"))
+      .union(impressed.intersect(clicked)
+        .withColumn("segment", lit("clicked")))
+  }
+
+  /** PIVOT: per-campaign counts spread across the fixed flag domain —
+    * compiles to one conditional hash aggregate (no extra shuffle versus
+    * groupBy), with explicit value list so the plan is static at scale. */
+  def pivotFlags(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("campaign_id"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .select(col("campaign_id"),
+        coalesce(col("A"), lit(0L)).as("n_flag_a"),
+        coalesce(col("N"), lit(0L)).as("n_flag_n"),
+        coalesce(col("R"), lit(0L)).as("n_flag_r"))
+
   // --------------------------------------------------------------- oracle SQL
 
   /** Shared DuckDB CTE fragments mirroring the role mapping. */
@@ -478,6 +534,42 @@ object Parity {
         |  count(*) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin)),
 
-    QuerySpec("q17_approx_distinct", approxDistinct, None)
+    QuerySpec("q17_approx_distinct", approxDistinct, None),
+
+    QuerySpec("q18_asof_click_view", asofClickView, Some(
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        |  max(v.ts) AS matched_view_ts
+        |FROM events c
+        |LEFT JOIN events v
+        |  ON v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts
+        |WHERE c.event_type = 'click'
+        |GROUP BY 1, 2, 3""".stripMargin)),
+
+    QuerySpec("q19_rollup_daily", rollupDaily, Some(
+      """SELECT COALESCE(flag, 'ALL') AS flag,
+        |  COALESCE(day, DATE '9999-12-31') AS day,
+        |  count(*) AS n_rows,
+        |  CAST(GROUPING(flag, day) AS INTEGER) AS gid
+        |FROM (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day
+        |      FROM lineitem) t
+        |GROUP BY ROLLUP(flag, day)""".stripMargin)),
+
+    QuerySpec("q20_set_ops", setOpsSegments, Some(
+      """SELECT campaign_id, 'impressed_only' AS segment FROM (
+        |  SELECT DISTINCT l_orderkey AS campaign_id FROM lineitem
+        |  EXCEPT
+        |  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R') a
+        |UNION ALL
+        |SELECT campaign_id, 'clicked' AS segment FROM (
+        |  SELECT DISTINCT l_orderkey AS campaign_id FROM lineitem
+        |  INTERSECT
+        |  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R') b""".stripMargin)),
+
+    QuerySpec("q21_pivot_flags", pivotFlags, Some(
+      """SELECT l_orderkey AS campaign_id,
+        |  count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_flag_a,
+        |  count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_flag_n,
+        |  count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_flag_r
+        |FROM lineitem GROUP BY 1""".stripMargin))
   )
 }
