@@ -123,12 +123,21 @@ object Extensions {
       min((col("h") * lit(2L * k + 1) + lit(1000003L * k)) % lit(P)).as(s"m$k")
     }
     val sig = shh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val cand = (0 until 4).map { b =>
-        val eq = (0 until 4).map(o => col(s"a.m${4 * b + o}") === col(s"b.m${4 * b + o}"))
-          .reduce(_ && _)
-        sig.as("a").join(sig.as("b"), eq && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      }.reduce(_ union _).distinct()
+    // One self-join on (band, 4-minhash signature) over the band-exploded
+    // table instead of four separate self-joins: a single shuffle whose
+    // identical build/probe exchanges Spark deduplicates (ReuseExchange),
+    // where the per-band version shuffled the signature table 8 times.
+    val banded = (0 until 4).map { b =>
+        sig.select(lit(b).as("band"), col("doc_id"),
+          col(s"m${4 * b}").as("b0"), col(s"m${4 * b + 1}").as("b1"),
+          col(s"m${4 * b + 2}").as("b2"), col(s"m${4 * b + 3}").as("b3"))
+      }.reduce(_ union _)
+    val bandEq = Seq("band", "b0", "b1", "b2", "b3")
+      .map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    val cand = banded.as("a")
+      .join(banded.as("b"), bandEq && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     val common = cand
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
@@ -143,21 +152,21 @@ object Extensions {
   }
 
   /** d04: 32-bit SimHash per document from token-frequency-weighted hash
-    * bits. One narrow explode (tokens × 32 bits) then two hash-aggregations
-    * — fully map-side-combinable. */
+    * bits. All 32 signed bit-sums come out of ONE hash aggregation over the
+    * (doc, token) counts — 32 conditional-sum columns instead of a 32×
+    * row-multiplying bit cross join (same values, 1/32nd the aggregated
+    * rows and one less shuffle; at sf0.1 this was a 4× win). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val tokc = tokRows(s, dir).groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .withColumn("h", h32(col("tok")))
-    val bits = s.range(0, 32).select(col("id").as("bit"),
-      expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("p2"))
-    tokc.crossJoin(bits)
-      .withColumn("contrib",
-        col("c") * (lit(2L) * (idiv(col("h"), col("p2")) % 2) - 1))
-      .groupBy(col("doc_id"), col("bit"), col("p2"))
-      .agg(sum(col("contrib")).as("sgn"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("sgn") > 0, col("p2")).otherwise(lit(0L))).as("simhash"))
+    val bitSums = (0 until 32).map { k =>
+      sum(col("c") * (shiftright(col("h"), k) % 2 * 2 - 1)).as(s"s$k")
+    }
+    tokc.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(k => when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** d05: embedding near-dup pairs by quantized cosine ≥ 0.35. Brute-force

@@ -85,15 +85,47 @@ object Parity {
     graft.jobs.Reports.totalsReport(totals(s, dir), Today)
 
   /** W1+A5+J5+J6: daily CTR report (initial_load…py:494-559) — distinct dim,
-    * row_number campaign-day ordinal, 3-key date-aligned click join. */
+    * row_number campaign-day ordinal, 3-key date-aligned click join.
+    *
+    * Single-fact-scan form of jobs.Reports.dailyCtrReport (which stays the
+    * general 3-input API for the jobs layer): the clicks role is a filter of
+    * the impressions scan, so the J6 imp⟕clk date alignment is equivalent to
+    * ONE conditional aggregation — `count(when(click))` is 0 exactly where
+    * the left join + COALESCE produced 0, and click-only days (which J6
+    * drops by reference design) cannot exist because every click row IS an
+    * impression row. 3 fact scans → 1; the name dim comes from the broadcast
+    * campaign⋈advertiser join, not a second fact aggregation. */
   def dailyCtrReport(s: SparkSession, dir: String): DataFrame = {
-    val dim = totals(s, dir).select(col("rtm_advertiser_id"),
-      col("rtm_campaign_id"), col("advertiser_name"), col("campaign_name"))
-      .distinct()
-    val imps = dailyImpressions(s, dir).drop("rtm_delta")
-    val clks = dailyClicks(s, dir).drop("rtm_delta")
-      .withColumnRenamed("campaign_clicks_date", "campaign_impressions_date")
-    graft.jobs.Reports.dailyCtrReport(dim, imps, clks)
+    val campDim = Adtech.campaign(s, dir).select("campaign_id", "advertiser_id")
+    val dim = Adtech.campaign(s, dir)
+      .join(broadcast(Adtech.advertiser(s, dir)), Seq("advertiser_id"), "left")
+      .select(col("advertiser_id").as("rtm_advertiser_id"),
+        col("campaign_id").as("rtm_campaign_id"),
+        col("advertiser_name"),
+        concat(lit("Campaign_"), col("advertiser_id"), lit("_"),
+          col("campaign_id")).as("campaign_name"))
+    val daily = Tables.t(s, dir, "lineitem")
+      .join(campDim, col("l_orderkey") === col("campaign_id"), "left")
+      .groupBy(col("advertiser_id").as("rtm_advertiser_id"),
+        col("campaign_id").as("rtm_campaign_id"),
+        to_date(col("l_shipdate")).as("campaign_impressions_date"))
+      .agg(count(lit(1)).as("campaign_impressions_daily_count"),
+        count(when(col("l_returnflag") === "R", 1))
+          .as("campaign_clicks_daily_count"))
+    val w = Window.partitionBy(col("rtm_advertiser_id"), col("rtm_campaign_id"))
+      .orderBy(col("campaign_impressions_date"))
+    daily
+      .join(dim, Seq("rtm_advertiser_id", "rtm_campaign_id"), "left")
+      .select(
+        col("rtm_advertiser_id"), col("rtm_campaign_id"),
+        col("advertiser_name"), col("campaign_name"),
+        row_number().over(w).as("campaign_day"),
+        col("campaign_impressions_date"),
+        col("campaign_impressions_daily_count"),
+        col("campaign_clicks_daily_count"),
+        Core.round2p((col("campaign_clicks_daily_count") /
+          col("campaign_impressions_daily_count")) * 100)
+          .as("campaign_ctr_daily"))
   }
 
   /** §2.9 keep-latest (ReplacingMergeTree semantics) on the impressions log. */
@@ -134,10 +166,34 @@ object Parity {
       deltaKeyset(s, dir, Some(Cutoff)),
       Seq("rtm_campaign_id", "rtm_delta"))
 
-  /** J4: recompute restricted to changed keys (track_delta.py:214 semi join). */
-  def semiJoinRecompute(s: SparkSession, dir: String): DataFrame =
-    Joins.restrictToChanged(totals(s, dir),
-      deltaAntiJoin(s, dir).select("rtm_campaign_id"), Seq("rtm_campaign_id"))
+  /** J4: recompute restricted to changed keys (track_delta.py:214 semi join).
+    *
+    * The changed keyset comes from ONE conditional aggregation computing the
+    * live and stale (cutoff-filtered) change versions side by side in the
+    * same fact scan, then filtering keys whose versions differ (null-safe
+    * <=> — both keysets cover the same campaigns, so the pair-anti-join of
+    * q07 degenerates to a per-key comparison). 2 fact scans total (keys +
+    * recompute) instead of 3, and the semi join itself is unchanged. */
+  def semiJoinRecompute(s: SparkSession, dir: String): DataFrame = {
+    val cutTs = to_timestamp(lit(Cutoff))
+    val isClk = col("l_returnflag") === "R"
+    val facts = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("campaign_id"))
+      .agg(max(col("l_shipdate")).as("max_imp"),
+        max(when(isClk, col("l_shipdate"))).as("max_clk"),
+        max(when(col("l_shipdate") < cutTs, col("l_shipdate"))).as("max_imp_cut"),
+        max(when(isClk && col("l_shipdate") < cutTs, col("l_shipdate"))).as("max_clk_cut"))
+    val changed = Adtech.campaign(s, dir)
+      .join(facts, Seq("campaign_id"), "left")
+      .select(col("campaign_id").as("rtm_campaign_id"),
+        Core.changeVersion(col("campaign_created_at"),
+          col("max_imp"), col("max_clk")).as("live_delta"),
+        Core.changeVersion(col("campaign_created_at"),
+          col("max_imp_cut"), col("max_clk_cut")).as("stale_delta"))
+      .filter(!(col("live_delta") <=> col("stale_delta")))
+      .select("rtm_campaign_id")
+    Joins.restrictToChanged(totals(s, dir), changed, Seq("rtm_campaign_id"))
+  }
 
   /** A3: global stats row (main.py stats, scripts/main.py:64-123).
     * Impressions and clicks share one lineitem scan (conditional count). */
