@@ -43,4 +43,38 @@ object StreamingDelta {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch(merge)
+
+  /** Stream-stream interval join: click events attributed to the impression
+    * candidates of the same campaign at most `horizon` earlier. The
+    * reference's generator delays every click 1–120 s after its impression
+    * (seed.py:99), so a 2-minute horizon attributes all of them. Both sides
+    * carry watermarks — Spark bounds the join state to the horizon instead
+    * of buffering either stream forever, which is what makes this run
+    * indefinitely at scale. Streams must have columns
+    * (campaign_id, id, created_at). */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame,
+                      horizon: String = "2 minutes"): DataFrame = {
+    val imp = impressions.select(col("campaign_id").as("imp_campaign_id"),
+        col("id").as("impression_id"), col("created_at").as("imp_ts"))
+      .withWatermark("imp_ts", horizon)
+    val clk = clicks.select(col("campaign_id"), col("id").as("click_id"),
+        col("created_at").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    clk.join(imp,
+        col("campaign_id") === col("imp_campaign_id") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"INTERVAL '$horizon'"))
+      .select(col("campaign_id"), col("click_id"), col("click_ts"),
+        col("impression_id"), col("imp_ts"))
+  }
+
+  /** Exactly-once ingestion dedup for an at-least-once source: duplicate
+    * event ids arriving within the watermark collapse to one row, and the
+    * dedup state is dropped once the watermark passes (bounded memory —
+    * a plain dropDuplicates on a stream would keep every id forever). */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+                           tsCol: String, watermark: String = "1 hour")
+      : DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 }

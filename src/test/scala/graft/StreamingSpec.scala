@@ -57,4 +57,46 @@ class StreamingSpec extends SparkSpec {
     try q.awaitTermination(60000) finally if (q.isActive) q.stop()
     assert(seen.toList == List((1L, "2024-06-01", 2L)))
   }
+
+  test("stream-stream interval join attributes clicks within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val impMs = MemoryStream[(Long, Long, Timestamp)]
+    val clkMs = MemoryStream[(Long, Long, Timestamp)]
+    val cols = Seq("campaign_id", "id", "created_at")
+    impMs.addData(
+      (1L, 100L, ts("2024-06-01 10:00:00")), // matched by click 200 (+30s)
+      (1L, 101L, ts("2024-06-01 10:05:00")), // outside horizon of any click
+      (2L, 102L, ts("2024-06-01 10:00:00"))) // right campaign, no click
+    clkMs.addData(
+      (1L, 200L, ts("2024-06-01 10:00:30")),
+      (3L, 201L, ts("2024-06-01 10:00:30"))) // campaign with no impressions
+    val q = StreamingDelta.attributeClicks(
+        impMs.toDF().toDF(cols: _*), clkMs.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attr_out")
+      .select("click_id", "impression_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((200L, 100L)), s"got $got")
+  }
+
+  test("dropDuplicatesWithinWatermark collapses replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val stream = ms.toDF().toDF("event_id", "ts")
+    val q = StreamingDelta.dedupWithinWatermark(stream, Seq("event_id"), "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts("2024-06-01 10:00:00")), (2L, ts("2024-06-01 10:00:05")))
+      q.processAllAvailable()
+      // at-least-once replay: id 1 arrives again in a later micro-batch
+      ms.addData((1L, ts("2024-06-01 10:00:00")), (3L, ts("2024-06-01 10:00:10")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+  }
 }
