@@ -235,6 +235,30 @@ object Extensions {
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
   }
 
+  /** d06: near-dup cluster resolution — connected components over the d02
+    * pair graph via min-label propagation, 3 rounds unrolled (labels reach
+    * min over the 3-hop neighborhood; the 0.8-jaccard graph's components
+    * are pairs/short chains, and the oracle unrolls the identical rounds,
+    * so the output is deterministic whether or not a longer chain has
+    * fully converged). Each round is one equi-join + one min-aggregation —
+    * the BSP shape GraphFrames/Pregel would run at scale, expressed as
+    * plain shuffles. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    for (_ <- 1 to 3) {
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(col("doc_a").as("doc_id"), col("label"))
+      labels = labels.union(fromNeighbors)
+        .groupBy("doc_id").agg(min("label").as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** s03: IVF-style ANN — deterministic coarse quantizer (centroids = every
     * 50th vector), each vector assigned to its nearest centroid cell, query
     * probes the 2 nearest cells and re-ranks exactly within them.
@@ -604,6 +628,35 @@ object Extensions {
         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS frame_width,
         |  CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin)),
+
+    QuerySpec("d06_dedup_clusters", dedupClusters, Some(docCtes +
+      """, pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a
+        |  JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  JOIN shc x ON x.doc_id = a.doc_id
+        |  JOIN shc y ON y.doc_id = b.doc_id
+        |  GROUP BY 1, 2, x.n_sh, y.n_sh
+        |  HAVING (count(*) * 1000000) // (x.n_sh + y.n_sh - count(*)) >= 800000),
+        |e AS (SELECT doc_a, doc_b FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM e),
+        |l1 AS (SELECT doc_id, min(label) AS label FROM (
+        |         SELECT doc_id, label FROM l0
+        |         UNION ALL
+        |         SELECT e.doc_a AS doc_id, l.label FROM e JOIN l0 l ON l.doc_id = e.doc_b) t
+        |       GROUP BY 1),
+        |l2 AS (SELECT doc_id, min(label) AS label FROM (
+        |         SELECT doc_id, label FROM l1
+        |         UNION ALL
+        |         SELECT e.doc_a AS doc_id, l.label FROM e JOIN l1 l ON l.doc_id = e.doc_b) t
+        |       GROUP BY 1),
+        |l3 AS (SELECT doc_id, min(label) AS label FROM (
+        |         SELECT doc_id, label FROM l2
+        |         UNION ALL
+        |         SELECT e.doc_a AS doc_id, l.label FROM e JOIN l2 l ON l.doc_id = e.doc_b) t
+        |       GROUP BY 1)
+        |SELECT doc_id, label AS cluster_id FROM l3""".stripMargin)),
 
     QuerySpec("s03_ann_ivf", annIvf, Some(embCtes +
       """, adots AS (

@@ -352,6 +352,22 @@ object Parity {
         .withColumn("segment", lit("clicked")))
   }
 
+  /** JSON column extraction: the events.props payload parsed with a
+    * declared schema (from_json — codegen'd, no UDF) and aggregated.
+    * At scale the parse is a narrow map fused into the scan stage; the
+    * explicit schema keeps Catalyst pruning intact (schema_of_json-style
+    * inference would read the data twice). */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Adtech.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"), max("k").as("k_max"))
+
   /** PIVOT: per-campaign counts spread across the fixed flag domain —
     * compiles to one conditional hash aggregate (no extra shuffle versus
     * groupBy), with explicit value list so the plan is static at scale. */
@@ -626,6 +642,12 @@ object Parity {
         |  count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_flag_a,
         |  count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_flag_n,
         |  count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_flag_r
-        |FROM lineitem GROUP BY 1""".stripMargin))
+        |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    QuerySpec("q22_json_props", jsonProps, Some(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY 1""".stripMargin))
   )
 }
