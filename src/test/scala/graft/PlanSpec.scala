@@ -42,4 +42,38 @@ class PlanSpec extends SparkSpec {
     val p = planOf(graft.queries.Extensions.annCosineTopK(spark, dir))
     assert(p.contains("dot_i64"), s"dot_i64 missing from:\n$p")
   }
+
+  private def scanCount(p: String, table: String): Int =
+    s"$table\\.parquet".r.findAllIn(p).length
+
+  test("daily CTR report reads the fact table exactly once (fused agg)") {
+    val p = planOf(Parity.dailyCtrReport(spark, dir))
+    assert(scanCount(p, "lineitem") == 1,
+      s"expected 1 lineitem scan, got ${scanCount(p, "lineitem")}:\n$p")
+  }
+
+  test("semi-join recompute reads the fact table exactly twice (keys+probe)") {
+    val p = planOf(Parity.semiJoinRecompute(spark, dir))
+    assert(scanCount(p, "lineitem") == 2,
+      s"expected 2 lineitem scans, got ${scanCount(p, "lineitem")}:\n$p")
+  }
+
+  test("simhash plan has no row-multiplying join") {
+    val p = planOf(graft.queries.Extensions.dedupSimhash(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"row-multiplying join in simhash plan:\n$p")
+  }
+
+  test("as-of join is one shuffle, not a range cross product") {
+    val p = planOf(Parity.asofClickView(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"range join fell back to a cross product:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
+  }
+
+  test("json extraction prunes the events scan to the used columns") {
+    val p = planOf(Parity.jsonProps(spark, dir))
+    assert(!p.contains("user_id"), s"events scan reads unused columns:\n$p")
+  }
 }
