@@ -372,6 +372,30 @@ object Extensions {
       length(norm).as("n_chars_norm"))
   }
 
+  /** t06: deterministic stratified train/valid/test split — the split is a
+    * pure function of the content hash (h32 mod 100: 80/10/10), not an RNG,
+    * so membership is stable across runs, engines and repartitionings (the
+    * property a reproducible training pipeline needs; rand(seed) sampling
+    * is partition-order-dependent). Output: per (lang, split) counts. */
+  def stratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = h32(col("text")) % 100
+    docs(s, dir)
+      .select(col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** t07: corpus length profile — token-count histogram in buckets of 10.
+    * One narrow map + hash agg; the profiling pass that sizes
+    * truncation/packing decisions upstream of training. */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .select((idiv(size(col("t")).cast("long"), lit(10L)) * 10).as("bucket_lo"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"))
+
   // --------------------------------------------------------------- multimodal
 
   /** m01: multimodal binary-column plumbing — text re-encoded as an opaque
@@ -700,6 +724,19 @@ object Extensions {
         |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM scored) t
         |WHERE rank <= 5""".stripMargin)),
+
+    QuerySpec("t06_stratified_split", stratifiedSplit, Some(
+      """SELECT lang,
+        |  CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec("t07_length_histogram", lengthHistogram, Some(
+      """SELECT (CAST(len(string_split(text, ' ')) AS BIGINT) // 10) * 10 AS bucket_lo,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin)),
 
     QuerySpec("t05_text_normalize", textNormalize, Some(
       """SELECT doc_id, norm_text,
