@@ -30,6 +30,24 @@ object Joins {
                         keys: Seq[String]): DataFrame =
     recompute.join(changed, keys, "left_semi")
 
+  /** Skew-safe equi join: replicate the (small) right side `salt` times and
+    * spread each left row across the replicas by a deterministic hash of its
+    * whole row — a hot key's rows land on `salt` different reducers instead
+    * of one. Use when one key dominates (a mega-campaign at 100 TB) and the
+    * right side is too large to broadcast outright but small enough to
+    * replicate `salt`×; AQE's skew-join split handles the sort-merge case,
+    * this handles the hash-join case deterministically. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salt: Int = 16): DataFrame = {
+    val withSalt = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(salt)))
+    val replicated = right.crossJoin(
+      spark(right).range(0, salt).select(col("id").cast("int").as("__salt")))
+    withSalt.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  private def spark(df: DataFrame) = df.sparkSession
+
   /** As-of join (extension operator — the reference's click-after-impression
     * generator, seed.py:86-106, implies exactly this attribution lookup but
     * never computes it): for each left row, attach `valueCols` from the
