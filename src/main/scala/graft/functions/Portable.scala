@@ -18,8 +18,15 @@ object Portable {
 
   /** Portable 32-bit hash: first 8 hex chars of md5 as a long in [0, 2^32).
     * DuckDB twin: `('0x' || substr(md5(x), 1, 8))::BIGINT`.
-    * md5 beats xxhash/murmur here because every engine agrees on it. */
-  def h32(c: Column): Column =
+    * md5 beats xxhash/murmur here because every engine agrees on it.
+    * Computed by the native codegen expression (graft.functions.H32);
+    * `h32Builtin` keeps the built-in composition as its differential
+    * test twin (H32Spec). */
+  def h32(c: Column): Column = H32(c)
+
+  /** Built-in-functions form of h32 — same value, three string
+    * allocations per row; retained for differential testing. */
+  def h32Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Exact integer division for non-negative longs below 2^53:
