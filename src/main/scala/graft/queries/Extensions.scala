@@ -245,8 +245,12 @@ object Extensions {
     * plain shuffles. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
+    // Persist the frontier like any BSP engine would: each round references
+    // edges and the previous labels twice, so without materialization the
+    // lineage re-expands the expensive pair join 2^rounds times.
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     for (_ <- 1 to 3) {
@@ -255,6 +259,7 @@ object Extensions {
         .select(col("doc_a").as("doc_id"), col("label"))
       labels = labels.union(fromNeighbors)
         .groupBy("doc_id").agg(min("label").as("label"))
+        .persist()
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
