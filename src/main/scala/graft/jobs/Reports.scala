@@ -70,6 +70,20 @@ object Reports {
       col("rtm_delta"))
   }
 
+  /** Incremental totals-report maintenance — beyond the reference, which
+    * DROPs and fully re-derives the report every delta cycle
+    * (track_delta.py:438-537, O(all keys) every 5 minutes). The report is a
+    * per-row projection of the totals grain, so maintaining it only needs
+    * the CHANGED keys' rows re-derived and merged keep-latest over the
+    * previous report (same rtm_delta versioning as the OLAP log):
+    * O(changed + |report|) with no fact scan, and identical output to a
+    * full rebuild (PipelineSpec pins the equivalence). */
+  def incrementalTotalsReport(prevReport: DataFrame, changedTotals: DataFrame,
+                              today: String): DataFrame =
+    Core.latestView(
+      prevReport.unionByName(totalsReport(changedTotals, today)),
+      Seq("rtm_advertiser_id", "rtm_campaign_id"), "rtm_delta")
+
   /** W1+J5+J6 daily CTR report: `dim` is the distinct (advertiser, campaign,
     * names) lookup; daily click rows are date-aligned onto daily impression
     * rows (days with clicks but no impressions drop, by reference design —

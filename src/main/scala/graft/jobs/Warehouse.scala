@@ -43,4 +43,22 @@ object Warehouse {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed table layout: pre-shuffle the data ONCE at write time into
+    * `buckets` hash buckets on the join/aggregation keys (ClickHouse's
+    * ORDER-BY-key clustering taken one step further). Two tables bucketed
+    * the same way join with NO exchange on either side — at 100 TB this
+    * converts every recurring fact⋈fact or log⋈log join from a full
+    * shuffle into a local zip of corresponding buckets (WarehouseSpec
+    * pins the exchange-free plan). Requires saveAsTable: bucket metadata
+    * lives in the catalog, not the files. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

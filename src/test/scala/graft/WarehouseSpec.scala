@@ -71,4 +71,40 @@ class WarehouseSpec extends SparkSpec {
     assert(after.count() == 0 &&
       after.columns.toSeq == olap.totalsReport.columns.toSeq)
   }
+
+  test("co-bucketed tables join with no exchange on either side") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1L to 100L).map(i => (i, s"a$i")).toDF("k", "va")
+      val b = (1L to 80L).map(i => (i, i * 2)).toDF("k", "vb")
+      Warehouse.writeBucketed(a, "wh_bucketed_a", 4, Seq("k"))
+      Warehouse.writeBucketed(b, "wh_bucketed_b", 4, Seq("k"))
+      val joined = Warehouse.readTable(spark, "wh_bucketed_a")
+        .join(Warehouse.readTable(spark, "wh_bucketed_b"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(joined.count() == 80)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("incremental totals report equals a full rebuild") {
+    val dir = sf("sf0.001")
+    val today = Adtech.Today
+    val t0 = graft.queries.Parity.totals(spark, dir)
+    // simulate a delta cycle: some campaigns get new clicks + a newer version
+    val changed = t0.filter(col("rtm_campaign_id") % 97 === 0)
+      .withColumn("campaign_clicks_count_total",
+        col("campaign_clicks_count_total") + 10)
+      .withColumn("rtm_delta", col("rtm_delta") + expr("INTERVAL 1 DAY"))
+    assert(changed.count() > 0)
+    val mergedTotals = graft.ops.Core.latestView(
+      t0.unionByName(changed), DeltaUpsert.Keys, "rtm_delta")
+    val full = graft.jobs.Reports.totalsReport(mergedTotals, today)
+    val incremental = graft.jobs.Reports.incrementalTotalsReport(
+      graft.jobs.Reports.totalsReport(t0, today), changed, today)
+    assertSameRows(incremental, full, "incremental vs full rebuild")
+  }
 }
