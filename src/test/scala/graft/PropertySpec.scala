@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.{Core, Joins}
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5.3) over scalacheck-generated data:
+  * latestView keep-max + idempotence, Σ(daily) = lifetime totals, and the
+  * as-of join's equivalence to its O(n·m) reference definition. Gens are
+  * sampled with fixed seeds (no scalatestplus bridge in the offline dep
+  * set), so failures reproduce exactly. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseMs = Timestamp.valueOf("2024-06-01 00:00:00").getTime
+
+  /** (key, offset) rows — small domains force collisions. */
+  private val versionedRows: Gen[List[(Long, Long)]] =
+    Gen.listOfN(60, Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 50L)))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("latestView keeps the max version per key and is idempotent") {
+    samples(versionedRows, 8).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.map { case (k, off) =>
+        (k, new Timestamp(baseMs + off * 1000), off)
+      }.toDF("k", "v", "off")
+      val latest = Core.latestView(df, Seq("k"), "v", tiebreak = Seq("off"))
+      val expectMax = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val got = latest.select("k", "off").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expectMax.toMap, s"got $got want $expectMax")
+      assertSameRows(Core.latestView(latest, Seq("k"), "v",
+        tiebreak = Seq("off")), latest, "idempotence")
+    }
+  }
+
+  test("daily counts sum to lifetime totals per key") {
+    samples(versionedRows, 8).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.map { case (k, off) =>
+        (k, new Timestamp(baseMs + off * 3600 * 1000))
+      }.toDF("campaign_id", "created_at")
+      val fromDaily = df.groupBy(col("campaign_id"),
+          to_date(col("created_at")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("campaign_id").agg(sum("n").as("total")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val direct = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(fromDaily == direct.toMap)
+    }
+  }
+
+  private val asofRows: Gen[(List[(Long, Long)], List[(Long, Long)])] =
+    Gen.zip(
+      Gen.listOfN(25, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 40L))),
+      Gen.listOfN(25, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 40L))))
+
+  test("asOf equals the per-row max-at-or-before reference definition") {
+    samples(asofRows, 8).filter(_._1.nonEmpty).foreach {
+      case (leftRaw, rightRaw) =>
+        val left = leftRaw.zipWithIndex.map { case ((k, off), i) =>
+          (i.toLong, k, new Timestamp(baseMs + off * 1000))
+        }.toDF("row_id", "k", "ts")
+        val right = rightRaw.map { case (k, off) =>
+          (k, new Timestamp(baseMs + off * 1000))
+        }.toDF("k", "ts").withColumn("r_ts", col("ts"))
+        val got = Joins.asOf(left, right, Seq("k"), "ts", Seq("r_ts"))
+          .select("row_id", "asof_r_ts").collect()
+          .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+        val rightByKey = rightRaw.groupBy(_._1)
+        val want = leftRaw.zipWithIndex.map { case ((k, off), i) =>
+          val candidates = rightByKey.getOrElse(k, Nil)
+            .map(_._2).filter(_ <= off)
+          i.toLong -> (if (candidates.isEmpty) None
+            else Some(new Timestamp(baseMs + candidates.max * 1000)))
+        }.toMap
+        assert(got == want, s"got $got\nwant $want")
+    }
+  }
+}
