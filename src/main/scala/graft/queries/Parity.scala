@@ -352,6 +352,36 @@ object Parity {
         .withColumn("segment", lit("clicked")))
   }
 
+  /** Analytic window functions over the daily series: day-over-day delta
+    * (lag) and a 7-row trailing moving sum (rowsBetween frame) per
+    * campaign — the time-series surface beyond the reference's single
+    * row_number. Integer sums keep the frame math engine-exact. One
+    * shuffle on the partition key covers both functions. */
+  def dailyAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("campaign_id"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("campaign_id")).orderBy(col("day"))
+    daily.select(col("campaign_id"), col("day"), col("n"),
+      (col("n") - lag(col("n"), 1).over(w)).as("dod_delta"),
+      sum(col("n")).over(w.rowsBetween(-6, Window.currentRow))
+        .as("trailing_7_sum"))
+  }
+
+  /** Ranking family: rank / dense_rank / ntile over campaigns by lifetime
+    * impressions, tie-broken by key so every ordinal is deterministic. */
+  def campaignRanking(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("campaign_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("campaign_id").asc)
+    t.select(col("campaign_id"), col("n"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("dense_rnk"),
+      ntile(4).over(w).as("quartile"))
+  }
+
   /** JSON column extraction: the events.props payload parsed with a
     * declared schema (from_json — codegen'd, no UDF) and aggregated.
     * At scale the parse is a narrow map fused into the scan stage; the
@@ -648,6 +678,29 @@ object Parity {
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-        |FROM events GROUP BY 1""".stripMargin))
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    QuerySpec("q23_daily_analytics", dailyAnalytics, Some(
+      """WITH daily AS (
+        |  SELECT l_orderkey AS campaign_id, CAST(l_shipdate AS DATE) AS day,
+        |         count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT campaign_id, day, n,
+        |  n - lag(n, 1) OVER (PARTITION BY campaign_id ORDER BY day) AS dod_delta,
+        |  CAST(SUM(n) OVER (PARTITION BY campaign_id ORDER BY day
+        |                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS trailing_7_sum
+        |FROM daily""".stripMargin)),
+
+    QuerySpec("q24_campaign_ranking", campaignRanking, Some(
+      """WITH t AS (
+        |  SELECT l_orderkey AS campaign_id, count(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT campaign_id, n,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS dense_rnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM t
+        |WINDOW w AS (ORDER BY n DESC, campaign_id ASC)""".stripMargin))
   )
 }
