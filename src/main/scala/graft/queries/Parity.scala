@@ -382,6 +382,28 @@ object Parity {
       ntile(4).over(w).as("quartile"))
   }
 
+  /** Grouped top-k via the typed TopKDays Aggregator (map-side partial
+    * top-k: the shuffle carries O(groups·k) rows, not O(rows) — see
+    * functions.TopKDays). Top-3 days per campaign by impression count,
+    * ties broken by day; the oracle is the window-function form, pinning
+    * that both produce identical rows. */
+  def topkDaysPerCampaign(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val daily = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("campaign_id"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("campaign_id"), datediff(col("day"), epoch).as("epoch_day"),
+        col("n"))
+    val top3 = udaf(new graft.functions.TopKDays(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.DayCount])
+    daily.groupBy("campaign_id")
+      .agg(top3(col("epoch_day"), col("n")).as("top"))
+      .select(col("campaign_id"), posexplode(col("top.days")))
+      .select(col("campaign_id"), (col("pos") + 1).cast("int").as("day_rank"),
+        date_add(epoch, col("col.day")).as("day"), col("col.n").as("n"))
+  }
+
   /** JSON column extraction: the events.props payload parsed with a
     * declared schema (from_json — codegen'd, no UDF) and aggregated.
     * At scale the parse is a narrow map fused into the scan stage; the
@@ -701,6 +723,18 @@ object Parity {
         |  CAST(dense_rank() OVER w AS INTEGER) AS dense_rnk,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
         |FROM t
-        |WINDOW w AS (ORDER BY n DESC, campaign_id ASC)""".stripMargin))
+        |WINDOW w AS (ORDER BY n DESC, campaign_id ASC)""".stripMargin)),
+
+    QuerySpec("q25_topk_days", topkDaysPerCampaign, Some(
+      """WITH daily AS (
+        |  SELECT l_orderkey AS campaign_id, CAST(l_shipdate AS DATE) AS day,
+        |         count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT campaign_id, day_rank, day, n FROM (
+        |  SELECT campaign_id, day, n,
+        |    CAST(row_number() OVER (PARTITION BY campaign_id
+        |          ORDER BY n DESC, day ASC) AS INTEGER) AS day_rank
+        |  FROM daily) t
+        |WHERE day_rank <= 3""".stripMargin))
   )
 }
