@@ -23,7 +23,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
+    // Warm-up: JIT the code paths every query shares — parquet scan,
+    // hash-aggregate shuffle, noop sink — on a tiny table, so that cost
+    // is not billed to whichever query happens to run first.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey").count()
+      .write.format("noop").mode("overwrite").save()
 
     // A failed query must be visible IN the JSON (not only stderr): its
     // per-query seconds are negated as a sentinel and its message goes into

@@ -370,7 +370,11 @@ object Parity {
   }
 
   /** Ranking family: rank / dense_rank / ntile over campaigns by lifetime
-    * impressions, tie-broken by key so every ordinal is deterministic. */
+    * impressions, tie-broken by key so every ordinal is deterministic.
+    * The unpartitioned window runs on ALREADY-AGGREGATED campaign-grain
+    * rows (|campaigns|, not |events|) — the same bounded-output exemption
+    * as q14's global orderBy; ranking raw events this way would be the
+    * single-partition anti-pattern. */
   def campaignRanking(s: SparkSession, dir: String): DataFrame = {
     val t = Tables.t(s, dir, "lineitem")
       .groupBy(col("l_orderkey").as("campaign_id"))
