@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState,
+  GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming variant of the 5-minute polled delta (SURVEY §2.10).
   *
@@ -66,6 +67,40 @@ object StreamingDelta {
         col("click_ts") <= col("imp_ts") + expr(s"INTERVAL '$horizon'"))
       .select(col("campaign_id"), col("click_id"), col("click_ts"),
         col("impression_id"), col("imp_ts"))
+  }
+
+  /** Per-campaign running state emitted each micro-batch. */
+  case class CampaignState(campaign_id: Long, total: Long, batches: Int,
+                           last_seen: Timestamp)
+
+  /** Custom keyed state via mapGroupsWithState: a running per-campaign
+    * total that survives across micro-batches (the state the reference
+    * keeps in its OLAP table, held in the streaming state store instead —
+    * checkpointed, versioned, recoverable). Windowed aggs can't express
+    * "count of micro-batches seen" or other arbitrary transition
+    * functions; this operator family can. State has no timeout here
+    * because campaign cardinality is bounded; keyed event state would use
+    * an event-time timeout to stay bounded. */
+  def runningTotals(stream: DataFrame): Dataset[CampaignState] = {
+    val sp = stream.sparkSession
+    import sp.implicits._
+    stream.select(col("campaign_id").cast("long"),
+        col("created_at").cast("timestamp"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CampaignState, CampaignState](
+        GroupStateTimeout.NoTimeout) {
+        case (campaign, rows, state: GroupState[CampaignState]) =>
+          val batch = rows.toSeq
+          val prev = state.getOption
+            .getOrElse(CampaignState(campaign, 0L, 0, batch.head._2))
+          val next = CampaignState(campaign,
+            prev.total + batch.size,
+            prev.batches + 1,
+            (batch.map(_._2) :+ prev.last_seen).maxBy(_.getTime))
+          state.update(next)
+          next
+      }
   }
 
   /** Exactly-once ingestion dedup for an at-least-once source: duplicate

@@ -81,6 +81,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((200L, 100L)), s"got $got")
   }
 
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val stream = ms.toDF().toDF("campaign_id", "created_at")
+    val q = StreamingDelta.runningTotals(stream)
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      ms.addData((1L, ts("2024-06-01 10:00:00")), (1L, ts("2024-06-01 10:01:00")),
+        (2L, ts("2024-06-01 10:02:00")))
+      q.processAllAvailable()
+      ms.addData((1L, ts("2024-06-01 11:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update-mode memory sink keeps every emitted version; the last row
+    // per key is the accumulated state
+    val last = spark.table("state_out")
+      .groupBy("campaign_id")
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct("total", "batches"),
+        org.apache.spark.sql.functions.col("batches")).as("s"))
+      .select("campaign_id", "s.total", "s.batches").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(last == Set((1L, 3L, 2), (2L, 1L, 1)), s"got $last")
+  }
+
   test("dropDuplicatesWithinWatermark collapses replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp)]
