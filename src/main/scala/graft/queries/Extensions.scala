@@ -401,6 +401,41 @@ object Extensions {
       .groupBy("bucket_lo")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** t08: vocabulary building — top-20 tokens per language by frequency
+    * (ties by token) — the vocab-induction pass of a tokenizer pipeline.
+    * The per-lang window runs over (lang, token) counts, already one row
+    * per distinct token: |vocab| grain, not |tokens|. */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("tok").asc)
+    tokRows(s, dir).groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .select(col("lang"), col("rnk").cast("int").as("rnk"),
+        col("tok"), col("c"))
+  }
+
+  /** t09: sequence packing — sequential fill of documents into
+    * 2048-token context bins per language stratum: bin = floor(tokens
+    * packed before this doc / budget) over a deterministic
+    * (n_tokens desc, doc_id) order. The running sum is per-lang, so the
+    * window is partitioned (packing globally would be the single-partition
+    * anti-pattern; strata are how a distributed packer shards anyway).
+    * Sequential fill is the standard parallelizable approximation of
+    * greedy first-fit. */
+  def packBins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    toks(s, dir)
+      .select(col("doc_id"), col("lang"), size(col("t")).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        idiv(col("cum_before"), lit(2048L)).as("bin_id"))
+  }
+
   // --------------------------------------------------------------- multimodal
 
   /** m01: multimodal binary-column plumbing — text re-encoded as an opaque
@@ -742,6 +777,26 @@ object Extensions {
       """SELECT (CAST(len(string_split(text, ' ')) AS BIGINT) // 10) * 10 AS bucket_lo,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin)),
+
+    QuerySpec("t08_vocab_topk", vocabTopK, Some(docCtes +
+      """SELECT lang, rnk, tok, c FROM (
+        |  SELECT lang, tok, count(*) AS c,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY count(*) DESC, tok ASC) AS INTEGER) AS rnk
+        |  FROM tokrows GROUP BY lang, tok) t
+        |WHERE rnk <= 20""".stripMargin)),
+
+    QuerySpec("t09_pack_bins", packBins, Some(
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |             ORDER BY n_tokens DESC, doc_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) // 2048 AS bin_id
+        |FROM d""".stripMargin)),
 
     QuerySpec("t05_text_normalize", textNormalize, Some(
       """SELECT doc_id, norm_text,
