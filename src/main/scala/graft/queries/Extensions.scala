@@ -304,6 +304,24 @@ object Extensions {
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
   }
 
+  /** s04: per-language embedding centroids — element-wise mean pooling
+    * over the quantized vectors (embeddings joined to documents by id).
+    * Integer sums per (lang, dim) are exact and order-free; the mean is a
+    * single integer division. This is the class-centroid / mean-pooling
+    * primitive (and the training step IVF's coarse quantizer would use);
+    * the dim explode keeps rows narrow and the aggregation map-side
+    * combinable. */
+  def langCentroids(s: SparkSession, dir: String): DataFrame = {
+    val langs = docs(s, dir).select(col("doc_id").as("vec_id"), col("lang"))
+    quantized(s, dir)
+      .join(langs, "vec_id")
+      .select(col("lang"), posexplode(col("q")))
+      .select(col("lang"), (col("pos") + 1).as("dim"), col("col").as("v"))
+      .groupBy("lang", "dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        idiv(sum(col("v")), count(lit(1))).as("centroid_ppm"))
+  }
+
   // ------------------------------------------------------------ text analysis
 
   /** t01: token counting — whitespace + regex (BPE-ish) + distinct. */
@@ -777,6 +795,12 @@ object Extensions {
       """SELECT (CAST(len(string_split(text, ' ')) AS BIGINT) // 10) * 10 AS bucket_lo,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin)),
+
+    QuerySpec("s04_lang_centroids", langCentroids, Some(embCtes +
+      """SELECT d.lang, e.i AS dim, count(*) AS n_vecs,
+        |  CAST(SUM(e.v) AS BIGINT) // count(*) AS centroid_ppm
+        |FROM ev e JOIN documents d ON d.doc_id = e.vec_id
+        |GROUP BY 1, 2""".stripMargin)),
 
     QuerySpec("t08_vocab_topk", vocabTopK, Some(docCtes +
       """SELECT lang, rnk, tok, c FROM (
