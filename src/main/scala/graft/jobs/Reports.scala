@@ -77,12 +77,23 @@ object Reports {
     * the CHANGED keys' rows re-derived and merged keep-latest over the
     * previous report (same rtm_delta versioning as the OLAP log):
     * O(changed + |report|) with no fact scan, and identical output to a
-    * full rebuild (PipelineSpec pins the equivalence). */
+    * full rebuild (WarehouseSpec pins the equivalence).
+    *
+    * Clock invariant: equivalence holds for a FIXED report clock. The
+    * today-derived columns (elapsed/remaining/period status) of UNCHANGED
+    * keys are as of their last derivation; when the reporting day rolls
+    * over, pass all totals as changed (= full re-derive) once. A fresh row
+    * whose rtm_delta ties the previous one (re-derivation without new
+    * facts) deterministically wins via the freshness tiebreak. */
   def incrementalTotalsReport(prevReport: DataFrame, changedTotals: DataFrame,
                               today: String): DataFrame =
     Core.latestView(
-      prevReport.unionByName(totalsReport(changedTotals, today)),
-      Seq("rtm_advertiser_id", "rtm_campaign_id"), "rtm_delta")
+      prevReport.withColumn("__fresh", lit(0))
+        .unionByName(totalsReport(changedTotals, today)
+          .withColumn("__fresh", lit(1))),
+      Seq("rtm_advertiser_id", "rtm_campaign_id"), "rtm_delta",
+      tiebreak = Seq("__fresh"))
+      .drop("__fresh")
 
   /** W1+J5+J6 daily CTR report: `dim` is the distinct (advertiser, campaign,
     * names) lookup; daily click rows are date-aligned onto daily impression

@@ -31,16 +31,20 @@ object Joins {
     recompute.join(changed, keys, "left_semi")
 
   /** Skew-safe equi join: replicate the (small) right side `salt` times and
-    * spread each left row across the replicas by a deterministic hash of its
-    * whole row — a hot key's rows land on `salt` different reducers instead
-    * of one. Use when one key dominates (a mega-campaign at 100 TB) and the
-    * right side is too large to broadcast outright but small enough to
-    * replicate `salt`×; AQE's skew-join split handles the sort-merge case,
-    * this handles the hash-join case deterministically. */
+    * spread left rows across the replicas round-robin — a hot key's rows
+    * land on `salt` different reducers instead of one. The salt comes from
+    * a per-row ordinal, NOT a row hash: duplicate rows of the hot key (a
+    * replayed feed, a pruned projection) would all hash to one salt value
+    * and re-concentrate on a single reducer. The salt only routes rows, so
+    * the join OUTPUT is identical for any salt assignment. Use when one
+    * key dominates (a mega-campaign at 100 TB) and the right side is too
+    * large to broadcast outright but small enough to replicate `salt`×;
+    * AQE's skew-join split handles the sort-merge case, this handles the
+    * hash-join case. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salt: Int = 16): DataFrame = {
     val withSalt = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(salt)))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val replicated = right.crossJoin(
       spark(right).range(0, salt).select(col("id").cast("int").as("__salt")))
     withSalt.join(replicated, keys :+ "__salt").drop("__salt")
@@ -52,7 +56,7 @@ object Joins {
     * generator, seed.py:86-106, implies exactly this attribution lookup but
     * never computes it): for each left row, attach `valueCols` from the
     * right row with the greatest `tsCol` <= the left row's `tsCol` within
-    * the same `keys` (NULL when no such row).
+    * the same `keys` (all-NULL when no such row).
     *
     * Implemented as ONE union + running last-value window — a single
     * hash-partition shuffle on `keys` — instead of the naive inequality
@@ -61,30 +65,35 @@ object Joins {
     * an O(n·m)-per-key blowup. Right rows sort before left rows at equal
     * timestamps, so an exactly-simultaneous right row matches (<= , not <).
     *
-    * `prefix` names the attached columns (`prefix + valueCol`); right rows
-    * whose value columns are NULL are treated as absent for the carry-
-    * forward (last(ignoreNulls) semantics). */
+    * `valueCols` travel as ONE struct payload, so the attached values
+    * always come from the SAME right row (independent per-column carries
+    * could mix rows), and ties among right rows with equal (keys, tsCol)
+    * break deterministically by the payload's field order — not by
+    * partition layout. `prefix` names the attached columns
+    * (`prefix + valueCol`). */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
            valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
-    val attached = valueCols.map(c => c -> s"$prefix$c")
-    // Right side: keys + ts + renamed value columns, NULL for left-only cols.
+    val payload = "__asof_payload"
+    val rUnion0 = right.select((keys :+ tsCol).map(col) :+
+        struct(valueCols.map(col): _*).as(payload): _*)
+      .withColumn("__kind", lit(0))
     val leftOnly = left.columns.filterNot((keys :+ tsCol).contains)
-    val rBase = attached.foldLeft(
-      right.select((keys :+ tsCol).map(col) ++ valueCols.map(col): _*)) {
-      case (d, (c, n)) => d.withColumnRenamed(c, n)
-    }
-    val rUnion = leftOnly.foldLeft(rBase) { (d, c) =>
+    val rUnion = leftOnly.foldLeft(rUnion0) { (d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.withColumn("__kind", lit(0))
-    val lUnion = attached.foldLeft(left) { case (d, (c, n)) =>
-      d.withColumn(n, lit(null).cast(right.schema(c).dataType))
-    }.withColumn("__kind", lit(1))
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__kind").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = attached.foldLeft(lUnion.unionByName(rUnion.select(lUnion.columns.map(col): _*))) {
-      case (d, (_, n)) => d.withColumn(n, last(col(n), ignoreNulls = true).over(w))
     }
-    filled.filter(col("__kind") === 1).drop("__kind")
+    val lUnion = left
+      .withColumn(payload, lit(null).cast(rUnion0.schema(payload).dataType))
+      .withColumn("__kind", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__kind").asc, col(payload).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = valueCols.map(c => c -> s"$prefix$c")
+    attached.foldLeft(
+        lUnion.unionByName(rUnion.select(lUnion.columns.map(col): _*))
+          .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+          .filter(col("__kind") === 1)) {
+        case (d, (c, n)) => d.withColumn(n, col(s"$payload.$c"))
+      }
+      .drop(payload, "__kind")
   }
 }

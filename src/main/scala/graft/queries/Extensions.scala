@@ -257,9 +257,12 @@ object Extensions {
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select(col("doc_a").as("doc_id"), col("label"))
-      labels = labels.union(fromNeighbors)
+      val next = labels.union(fromNeighbors)
         .groupBy("doc_id").agg(min("label").as("label"))
         .persist()
+      next.count() // materialize before releasing the parent frontier
+      labels.unpersist()
+      labels = next
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }

@@ -106,8 +106,12 @@ object Parity {
           col("campaign_id")).as("campaign_name"))
     val daily = Tables.t(s, dir, "lineitem")
       .join(campDim, col("l_orderkey") === col("campaign_id"), "left")
+      // group by the FACT-side key (l_orderkey), not the joined campaign_id:
+      // on an orphan fact key the join yields NULL and grouping by it would
+      // merge all orphan campaigns into one NULL-key row (the oracle groups
+      // by l_orderkey)
       .groupBy(col("advertiser_id").as("rtm_advertiser_id"),
-        col("campaign_id").as("rtm_campaign_id"),
+        col("l_orderkey").as("rtm_campaign_id"),
         to_date(col("l_shipdate")).as("campaign_impressions_date"))
       .agg(count(lit(1)).as("campaign_impressions_daily_count"),
         count(when(col("l_returnflag") === "R", 1))

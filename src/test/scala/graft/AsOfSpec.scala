@@ -4,9 +4,10 @@ import graft.ops.Joins
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
-/** Edge semantics of the as-of join (Joins.asOf): <= matching at equal
-  * timestamps, NULL when nothing precedes, latest-wins among several
-  * candidates, and key isolation. */
+/** Edge semantics of the round-2 relational operators: the as-of join
+  * (<= matching at equal timestamps, NULL when nothing precedes,
+  * latest-wins, key isolation), the rollup gid domain, and IVF candidate
+  * bounds. */
 class AsOfSpec extends SparkSpec {
   import spark.implicits._
 
