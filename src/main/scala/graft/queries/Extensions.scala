@@ -245,24 +245,23 @@ object Extensions {
     * plain shuffles. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
-    // Persist the frontier like any BSP engine would: each round references
-    // edges and the previous labels twice, so without materialization the
-    // lineage re-expands the expensive pair join 2^rounds times.
+    // Lineage note: each round references edges and the previous labels
+    // twice, but the duplicated branches stay byte-identical (no pruning
+    // divergence), so ReuseExchange executes each frontier shuffle once —
+    // measured equal to an explicit persist() at 3 rounds, without pinning
+    // cache for the rest of the session. A deeper/convergence-driven loop
+    // should switch to persist + eager materialize + unpersist per round
+    // (the caching only pays once lineage depth outruns exchange reuse).
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     for (_ <- 1 to 3) {
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select(col("doc_a").as("doc_id"), col("label"))
-      val next = labels.union(fromNeighbors)
+      labels = labels.union(fromNeighbors)
         .groupBy("doc_id").agg(min("label").as("label"))
-        .persist()
-      next.count() // materialize before releasing the parent frontier
-      labels.unpersist()
-      labels = next
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
