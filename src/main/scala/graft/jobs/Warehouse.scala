@@ -44,6 +44,15 @@ object Warehouse {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read a version log written across schema versions: mergeSchema unions
+    * the per-file schemas, and files from before a column existed yield
+    * NULL for it — additive evolution (the only kind an append-only log
+    * should see) without rewriting history. Off by default on plain reads
+    * because schema merging footers across 100 TB of files is an extra
+    * planning cost to opt into, not a default. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Bucketed table layout: pre-shuffle the data ONCE at write time into
     * `buckets` hash buckets on the join/aggregation keys (ClickHouse's
     * ORDER-BY-key clustering taken one step further). Two tables bucketed

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Adtech, Tables}
+import graft.functions.Portable
 import graft.ops.{Aggregates, Core, Joins}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -424,6 +425,30 @@ object Parity {
         date_add(epoch, col("col.day")).as("day"), col("col.n").as("n"))
   }
 
+  /** Exact nearest-rank percentiles (p50/p90/p99) of the event value per
+    * type — the distribution-profiling aggregate, in the hash-safe form:
+    * value quantized to integer cents, rank = ceil(p·n) over the sorted
+    * group, no interpolation (interpolated quantiles disagree across
+    * engines in their float arithmetic; `approx_percentile` is the sketch
+    * variant and, like q17's HLL, is engine-specific by nature). Ties in
+    * the sort don't matter: every row at a given rank shares the value. */
+  def eventPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val base = Adtech.events(s, dir).select(col("event_type"),
+      floor(col("value") * 100 + lit(0.5)).as("cents"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val wAll = Window.partitionBy(col("event_type"))
+    def rankOf(num: Int, den: Int) =
+      Portable.idiv(col("n") * num + lit(num.toLong), lit(den.toLong))
+    base
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_events"),
+        min(when(col("rn") === rankOf(1, 2), col("cents"))).as("p50_cents"),
+        min(when(col("rn") === rankOf(9, 10), col("cents"))).as("p90_cents"),
+        min(when(col("rn") === rankOf(99, 100), col("cents"))).as("p99_cents"))
+  }
+
   /** JSON column extraction: the events.props payload parsed with a
     * declared schema (from_json — codegen'd, no UDF) and aggregated.
     * At scale the parse is a narrow map fused into the scan stage; the
@@ -744,6 +769,21 @@ object Parity {
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
         |FROM t
         |WINDOW w AS (ORDER BY n DESC, campaign_id ASC)""".stripMargin)),
+
+    QuerySpec("q26_event_percentiles", eventPercentiles, Some(
+      """WITH b AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM b)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |  min(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+        |  min(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90_cents,
+        |  min(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS p99_cents
+        |FROM r GROUP BY 1""".stripMargin)),
 
     QuerySpec("q25_topk_days", topkDaysPerCampaign, Some(
       """WITH daily AS (

@@ -72,6 +72,21 @@ class WarehouseSpec extends SparkSpec {
       after.columns.toSeq == olap.totalsReport.columns.toSeq)
   }
 
+  test("additive schema evolution: merged read NULL-fills pre-column files") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("append").parquet(s"$dir/log")
+    Seq((3L, "c", 7L)).toDF("k", "v", "extra")
+      .write.mode("append").parquet(s"$dir/log")
+    val merged = Warehouse.readEvolved(spark, s"$dir/log")
+    assert(merged.columns.toSet == Set("k", "v", "extra"))
+    val rows = merged.select("k", "extra").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(7L)), s"got $rows")
+  }
+
   test("co-bucketed tables join with no exchange on either side") {
     import spark.implicits._
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
