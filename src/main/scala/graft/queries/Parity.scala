@@ -425,6 +425,25 @@ object Parity {
         date_add(epoch, col("col.day")).as("day"), col("col.n").as("n"))
   }
 
+  /** Dense daily series: a calendar spine (sequence-explode of each
+    * campaign's period) left-joined with daily counts and zero-filled —
+    * the gap-filling the reference's daily report silently lacks (days
+    * with zero activity just vanish from it). The spine fan-out is
+    * bounded by |campaigns|·period_days and stays a narrow generate-side
+    * explode; the join shuffles on (campaign, day) like any daily agg. */
+  def denseDailySpine(s: SparkSession, dir: String): DataFrame = {
+    val spine = Adtech.campaign(s, dir)
+      .select(col("campaign_id"),
+        explode(sequence(col("start_date"), col("end_date"))).as("day"))
+    val daily = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("campaign_id"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n_raw"))
+    spine.join(daily, Seq("campaign_id", "day"), "left")
+      .select(col("campaign_id"), col("day"),
+        coalesce(col("n_raw"), lit(0L)).as("n"))
+  }
+
   /** Exact nearest-rank percentiles (p50/p90/p99) of the event value per
     * type — the distribution-profiling aggregate, in the hash-safe form:
     * value quantized to integer cents, rank = ceil(p·n) over the sorted
@@ -769,6 +788,17 @@ object Parity {
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
         |FROM t
         |WINDOW w AS (ORDER BY n DESC, campaign_id ASC)""".stripMargin)),
+
+    QuerySpec("q27_dense_daily_spine", denseDailySpine, Some(withBase(
+      """SELECT s.campaign_id, s.day, COALESCE(d.n, 0) AS n
+        |FROM (SELECT camp.campaign_id, CAST(u.day AS DATE) AS day
+        |      FROM camp,
+        |        UNNEST(generate_series(camp.start_date, camp.end_date,
+        |                               INTERVAL 1 DAY)) u(day)) s
+        |LEFT JOIN (SELECT l_orderkey AS campaign_id,
+        |                  CAST(l_shipdate AS DATE) AS day, count(*) AS n
+        |           FROM lineitem GROUP BY 1, 2) d
+        |  ON d.campaign_id = s.campaign_id AND d.day = s.day""".stripMargin))),
 
     QuerySpec("q26_event_percentiles", eventPercentiles, Some(
       """WITH b AS (
