@@ -9,11 +9,17 @@ import org.apache.spark.sql.SparkSession
   * `count()` would let Catalyst skip computing projected columns, which
   * under-measures report-style queries. One trivial warm-up job runs first
   * so JIT/codegen compilation isn't billed to the first query.
+  *
+  * Each query runs SPARK_GRAFT_ITERS times (default 3) and reports the
+  * MEDIAN: a single shot in a shared JVM cannot tell a plan regression
+  * from a GC pause or a codegen-cache eviction — medians over ≥3 runs
+  * make per-query comparisons across rounds meaningful.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,20 +42,26 @@ object Bench {
     // an "errors" object; "value" sums successful queries only.
     var errors = Vector.empty[(String, String)]
     val results = SparkEntry.specs.map { spec =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          spec.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
-            errors :+= (spec.name -> String.valueOf(e.getMessage)
-              .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200))
-            false
-        }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      spec.name -> (if (ok) elapsed else -elapsed)
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            spec.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
+              errors :+= (spec.name -> String.valueOf(e.getMessage)
+                .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200))
+              false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        if (ok) elapsed else -elapsed
+      }
+      // Median of the successful runs; if every run failed, the negated
+      // first attempt survives as the error sentinel.
+      val good = times.filter(_ >= 0).sorted
+      spec.name -> (if (good.isEmpty) times.head else good(good.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -30,8 +30,14 @@ class TopKDays(k: Int) extends Aggregator[DayCount, TopDays, TopDays] {
 
   override def zero: TopDays = TopDays(Nil)
 
+  /** Hot path: once the buffer is full, an element no better than the
+    * current worst is rejected with one comparison — the O(k log k)
+    * sort-and-trim only runs when the element actually enters. The
+    * buffer is always sorted (trim's postcondition), so `.last` IS the
+    * worst retained element. */
   override def reduce(b: TopDays, a: DayCount): TopDays =
-    TopDays(trim(b.days :+ a))
+    if (b.days.size >= k && Ordering[(Long, Int)].gteq(ord(a), ord(b.days.last))) b
+    else TopDays(trim(b.days :+ a))
 
   override def merge(b1: TopDays, b2: TopDays): TopDays =
     TopDays(trim(b1.days ++ b2.days))

@@ -31,20 +31,29 @@ object Joins {
     recompute.join(changed, keys, "left_semi")
 
   /** Skew-safe equi join: replicate the (small) right side `salt` times and
-    * spread left rows across the replicas round-robin — a hot key's rows
-    * land on `salt` different reducers instead of one. The salt comes from
-    * a per-row ordinal, NOT a row hash: duplicate rows of the hot key (a
-    * replayed feed, a pruned projection) would all hash to one salt value
-    * and re-concentrate on a single reducer. The salt only routes rows, so
-    * the join OUTPUT is identical for any salt assignment. Use when one
+    * spread left rows across the replicas — a hot key's rows land on
+    * `salt` different reducers instead of one. The salt only routes rows,
+    * so the join OUTPUT is identical for any salt assignment. Use when one
     * key dominates (a mega-campaign at 100 TB) and the right side is too
     * large to broadcast outright but small enough to replicate `salt`×;
     * AQE's skew-join split handles the sort-merge case, this handles the
-    * hash-join case. */
+    * hash-join case.
+    *
+    * The salt is a DETERMINISTIC function of the whole row
+    * (xxhash64 over every column): a nondeterministic per-row ordinal
+    * (monotonically_increasing_id) balances marginally better but is
+    * recomputed differently when a map task is retried after a
+    * shuffle-fetch failure — recomputed rows would route to different
+    * reducers while non-retried reducers keep their old input, silently
+    * dropping or duplicating rows (the SPARK-23207 failure class). At the
+    * cluster scale this operator exists for, stage retry is routine, so
+    * retry-safety wins. The trade: rows that are EXACT duplicates share a
+    * salt and stay on one reducer — if a hot key's rows are full
+    * duplicates, dedup first or add a disambiguating column. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salt: Int = 16): DataFrame = {
     val withSalt = left.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(left.columns.map(col): _*), lit(salt.toLong)).cast("int"))
     val replicated = right.crossJoin(
       spark(right).range(0, salt).select(col("id").cast("int").as("__salt")))
     withSalt.join(replicated, keys :+ "__salt").drop("__salt")
@@ -74,6 +83,16 @@ object Joins {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
            valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
     val payload = "__asof_payload"
+    // Fail fast on column-name collisions: a caller column named like a
+    // scratch column would be silently overwritten (or misalign the
+    // union), and a left column named like an output would be replaced.
+    val reserved = Seq(payload, "__kind")
+    val outCols = valueCols.map(prefix + _)
+    val clashes = (left.columns ++ right.columns).toSeq.intersect(reserved) ++
+      left.columns.toSeq.intersect(outCols)
+    require(clashes.isEmpty,
+      s"asOf: input columns collide with reserved/output names: " +
+        clashes.distinct.mkString(", "))
     val rUnion0 = right.select((keys :+ tsCol).map(col) :+
         struct(valueCols.map(col): _*).as(payload): _*)
       .withColumn("__kind", lit(0))

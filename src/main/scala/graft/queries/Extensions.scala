@@ -235,36 +235,59 @@ object Extensions {
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
   }
 
-  /** d06: near-dup cluster resolution — connected components over the d02
-    * pair graph via min-label propagation, 3 rounds unrolled (labels reach
-    * min over the 3-hop neighborhood; the 0.8-jaccard graph's components
-    * are pairs/short chains, and the oracle unrolls the identical rounds,
-    * so the output is deterministic whether or not a longer chain has
-    * fully converged). Each round is one equi-join + one min-aggregation —
-    * the BSP shape GraphFrames/Pregel would run at scale, expressed as
-    * plain shuffles. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
-    // Lineage note: each round references edges and the previous labels
-    // twice, but the duplicated branches stay byte-identical (no pruning
-    // divergence), so ReuseExchange executes each frontier shuffle once —
-    // measured equal to an explicit persist() at 3 rounds, without pinning
-    // cache for the rest of the session. A deeper/convergence-driven loop
-    // should switch to persist + eager materialize + unpersist per round
-    // (the caching only pays once lineage depth outruns exchange reuse).
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  /** Connected components over an undirected pair list via min-label
+    * propagation run to FIXPOINT — the BSP shape GraphFrames/Pregel would
+    * run at scale, expressed as plain shuffles: each round is one
+    * equi-join + one min-aggregation.
+    *
+    * Convergence, not a fixed unroll: labels only ever decrease, so the
+    * global label sum strictly decreases until the fixpoint — one scalar
+    * per round decides termination (no row-level diff job). Each round's
+    * labels are persisted and eagerly materialized (the same action that
+    * reads the convergence scalar), and the previous round unpersisted:
+    * without the persist, lineage re-expands the whole prefix every round
+    * and a join-per-round loop goes quadratic. `maxRounds` bounds the
+    * worst case (rounds needed = component diameter). */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    def checksum(labels: DataFrame): Long = {
+      val r = labels.agg(sum(col("label"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-    for (_ <- 1 to 3) {
-      val fromNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .select(col("doc_a").as("doc_id"), col("label"))
-      labels = labels.union(fromNeighbors)
+      .persist()
+    var prevSum = checksum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = labels.union(
+          edges.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .select(col("doc_a").as("doc_id"), col("label")))
         .groupBy("doc_id").agg(min("label").as("label"))
+        .persist()
+      val nextSum = checksum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      rounds += 1
     }
+    edges.unpersist()
+    // The final labels stay persisted: the caller's action reads them from
+    // cache; unpersisting here would recompute the ENTIRE loop lineage.
+    // The frame is key-grain (|distinct doc ids in pairs|) — tiny.
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** d06: near-dup cluster resolution — true connected components of the
+    * d02 pair graph (convergence-driven; the oracle is a recursive
+    * transitive closure, so both sides compute the component minimum
+    * exactly, whatever the component diameter). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
 
   /** s03: IVF-style ANN — deterministic coarse quantizer (centroids = every
     * 50th vector), each vector assigned to its nearest centroid cell, query
@@ -713,7 +736,12 @@ object Extensions {
         |  CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin)),
 
-    QuerySpec("d06_dedup_clusters", dedupClusters, Some(docCtes +
+    // True connected components: the oracle's recursive CTE enumerates every
+    // (node, reachable-node) pair of the symmetric edge set and takes the
+    // minimum — exact for ANY component diameter, matching the Spark side's
+    // run-to-fixpoint label propagation.
+    QuerySpec("d06_dedup_clusters", dedupClusters,
+      Some(docCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM sh a
@@ -724,23 +752,11 @@ object Extensions {
         |  HAVING (count(*) * 1000000) // (x.n_sh + y.n_sh - count(*)) >= 800000),
         |e AS (SELECT doc_a, doc_b FROM pairs
         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM e),
-        |l1 AS (SELECT doc_id, min(label) AS label FROM (
-        |         SELECT doc_id, label FROM l0
-        |         UNION ALL
-        |         SELECT e.doc_a AS doc_id, l.label FROM e JOIN l0 l ON l.doc_id = e.doc_b) t
-        |       GROUP BY 1),
-        |l2 AS (SELECT doc_id, min(label) AS label FROM (
-        |         SELECT doc_id, label FROM l1
-        |         UNION ALL
-        |         SELECT e.doc_a AS doc_id, l.label FROM e JOIN l1 l ON l.doc_id = e.doc_b) t
-        |       GROUP BY 1),
-        |l3 AS (SELECT doc_id, min(label) AS label FROM (
-        |         SELECT doc_id, label FROM l2
-        |         UNION ALL
-        |         SELECT e.doc_a AS doc_id, l.label FROM e JOIN l2 l ON l.doc_id = e.doc_b) t
-        |       GROUP BY 1)
-        |SELECT doc_id, label AS cluster_id FROM l3""".stripMargin)),
+        |reach(doc_id, lab) AS (
+        |  SELECT doc_a, doc_a FROM e
+        |  UNION
+        |  SELECT e.doc_a, r.lab FROM e JOIN reach r ON r.doc_id = e.doc_b)
+        |SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1""".stripMargin)),
 
     QuerySpec("s03_ann_ivf", annIvf, Some(embCtes +
       """, adots AS (

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.Ranks
+import graft.queries.Extensions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase ranking (ops.Ranks) differential-tested against the window
+  * functions it replaces, and the convergence-driven connected components
+  * on graphs deeper than any fixed unroll. */
+class RanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withGlobalOrdinal equals row_number over the same total order") {
+    val df = Seq.tabulate(997)(i => ((i * 37) % 997, i.toLong))
+      .toDF("k", "v")
+    val got = Ranks.withGlobalOrdinal(df, "rn", col("k").desc, col("v").asc)
+    val want = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("k").desc, col("v").asc)).cast("long"))
+    assertSameRows(got, want, "global ordinal")
+  }
+
+  test("ntileFromOrdinal matches ntile() including uneven and n<k tiles") {
+    for (n <- Seq(3, 4, 10, 103); k <- Seq(4, 7)) {
+      val df = (1 to n).map(_.toLong).toDF("v")
+      val want = df.withColumn("t",
+        ntile(k).over(Window.orderBy(col("v"))).cast("long"))
+      val got = Ranks.withGlobalOrdinal(df, "rn", col("v").asc)
+        .crossJoin(df.agg(count(lit(1)).as("n_total")))
+        .select(col("v"), Ranks.ntileFromOrdinal(col("rn"), col("n_total"), k).as("t"))
+      assertSameRows(got, want, s"ntile n=$n k=$k")
+    }
+  }
+
+  test("connectedComponents converges past 3 hops (7-node path graph)") {
+    // 10→20→30→40→50→60→70: one component, 6 hops end-to-end — a 3-round
+    // unroll would leave the far end mislabeled.
+    val pairs = Seq((20L, 10L), (30L, 20L), (40L, 30L), (50L, 40L),
+      (60L, 50L), (70L, 60L)).toDF("doc_a", "doc_b")
+    val got = Extensions.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set(10L, 20L, 30L, 40L, 50L, 60L, 70L).map(_ -> 10L))
+  }
+
+  test("connectedComponents labels disjoint components independently") {
+    val pairs = Seq((2L, 1L), (3L, 2L), (9L, 8L)).toDF("doc_a", "doc_b")
+    val got = Extensions.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("asOf rejects colliding caller column names") {
+    val l = Seq((1L, 10L, "x")).toDF("k", "ts", "asof_v")
+    val r = Seq((1L, 5L, "y")).toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Joins.asOf(l, r, Seq("k"), "ts", Seq("v"))
+    }
+    assert(e.getMessage.contains("asof_v"))
+  }
+}
