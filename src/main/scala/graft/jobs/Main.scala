@@ -1,0 +1,215 @@
+package graft.jobs
+
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import graft.gen.{DeltaActions, Generators, OltpState}
+import graft.schema.Schemas
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The runnable end-to-end pipeline — the reference's user-facing artifact
+  * (its two DAGs plus the seed script) as one driver:
+  *
+  *   1. branch-on-empty (initial_load…py:29-55): if any OLTP table is
+  *      empty, seed the batch defaults (scripts/main.py batch: 2
+  *      advertisers × 3 campaigns × 100 impressions, ctr 0.1);
+  *   2. initial load (initial_load…py:570-658): derive the OLAP entity
+  *      logs + both reports and write them;
+  *   3. N cycles of generate (generate_new_data.py's random action every
+  *      3 minutes) + track-delta (track_delta.py:662-664): append-only
+  *      version-log deltas, keep-latest reads, report rebuilds.
+  *
+  * Storage layout under `base`:
+  * {{{
+  *   base/oltp/{advertiser,campaign,impressions,clicks}      row tables
+  *   base/olap/advertiser_campaigns                          version log
+  *   base/olap/{impressions_daily,clicks_daily}              daily logs (date-partitioned)
+  *   base/reports/{campaign_totals_report,campaign_daily_ctr_report}
+  * }}}
+  *
+  * Every step is the distributed form: generation is range-based, deltas
+  * are anti/semi joins at key grain, reports read keep-latest views —
+  * nothing driver-side except max-id/branch scalars (same O(1) values the
+  * reference pulls via `RETURNING id` / `SELECT COUNT(*)`).
+  */
+object Main {
+
+  private val NowFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  final case class Paths(base: String) {
+    val advertiser = s"$base/oltp/advertiser"
+    val campaign = s"$base/oltp/campaign"
+    val impressions = s"$base/oltp/impressions"
+    val clicks = s"$base/oltp/clicks"
+    val totalsLog = s"$base/olap/advertiser_campaigns"
+    val impsDaily = s"$base/olap/impressions_daily"
+    val clksDaily = s"$base/olap/clicks_daily"
+    val totalsReport = s"$base/reports/campaign_totals_report"
+    val dailyCtrReport = s"$base/reports/campaign_daily_ctr_report"
+    def oltpAll: Seq[String] = Seq(advertiser, campaign, impressions, clicks)
+  }
+
+  /** Does a parquet dir exist with at least one data file? (The branch
+    * probe — the reference's `SELECT COUNT(*) > 0` per table.) */
+  private def hasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(f => f.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Read the OLTP store with the declared schemas; a missing table dir
+    * reads as an empty frame (so the CLI works on a fresh base). */
+  def oltp(spark: SparkSession, p: Paths): OltpState = {
+    def readOr(path: String, schema: org.apache.spark.sql.types.StructType) = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) spark.read.schema(schema).parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    OltpState(
+      advertiser = readOr(p.advertiser, Schemas.advertiser),
+      campaign = readOr(p.campaign, Schemas.campaign),
+      impressions = readOr(p.impressions, Schemas.event),
+      clicks = readOr(p.clicks, Schemas.event))
+  }
+
+  /** Seed the OLTP store with the reference batch defaults. */
+  def seed(spark: SparkSession, p: Paths, now: String, seedVal: Long): Unit = {
+    val adv = Generators.advertisers(spark, 2, now)
+    val camp = Generators.campaigns(spark, 2, 3, now, seedVal)
+    val imps = Generators.impressions(spark, 6, 100, now, seedVal)
+    val clks = Generators.clicks(imps, 0.1, seedVal)
+    adv.write.mode(SaveMode.Overwrite).parquet(p.advertiser)
+    camp.write.mode(SaveMode.Overwrite).parquet(p.campaign)
+    imps.write.mode(SaveMode.Overwrite).parquet(p.impressions)
+    clks.write.mode(SaveMode.Overwrite).parquet(p.clicks)
+  }
+
+  /** Derive everything from the current OLTP state and write the initial
+    * OLAP logs + reports. */
+  def initialLoad(spark: SparkSession, p: Paths, today: String): Unit = {
+    val st = oltp(spark, p)
+    val olap = InitialLoad.run(st.advertiser, st.campaign, st.impressions,
+      st.clicks, today)
+    Warehouse.appendVersions(olap.advertiserCampaigns, p.totalsLog,
+      DeltaUpsert.Keys)
+    Warehouse.appendDaily(olap.impressionsDaily, p.impsDaily,
+      "campaign_impressions_date", DeltaUpsert.Keys)
+    Warehouse.appendDaily(olap.clicksDaily, p.clksDaily,
+      "campaign_clicks_date", DeltaUpsert.Keys)
+    Warehouse.overwriteReport(olap.totalsReport, p.totalsReport)
+    Warehouse.overwriteReport(olap.dailyCtrReport, p.dailyCtrReport)
+  }
+
+  /** One generate + track-delta cycle. Returns the action name taken. */
+  def cycle(spark: SparkSession, p: Paths, now: String, today: String,
+            rng: scala.util.Random): String = {
+    // generate_new_data: one random action appended to the OLTP store.
+    val delta = DeltaActions.step(spark, oltp(spark, p), now, rng)
+    val target = delta.table match {
+      case "advertiser" => p.advertiser
+      case "campaign" => p.campaign
+      case "impressions" => p.impressions
+      case _ => p.clicks
+    }
+    delta.rows.write.mode(SaveMode.Append).parquet(target)
+
+    // track_delta: recompute totals at key grain, append only changed-key
+    // version rows, rebuild both reports from the keep-latest view.
+    val st = oltp(spark, p)
+    val totalsNow = InitialLoad.campaignTotals(st.advertiser, st.campaign,
+      st.impressions, st.clicks)
+    val log = Warehouse.read(spark, p.totalsLog)
+    val deltaRows = DeltaUpsert.deltaRows(totalsNow, log)
+    Warehouse.appendVersions(deltaRows, p.totalsLog, DeltaUpsert.Keys)
+
+    // Daily logs: append day-grain rows whose (key, day, rtm_delta) is new
+    // — the same CDC diff at daily grain (track_delta get_delta_impressions).
+    appendDailyDelta(spark, st, p.impsDaily, st.impressions, "impressions")
+    appendDailyDelta(spark, st, p.clksDaily, st.clicks, "clicks")
+
+    val latest = DeltaUpsert.latest(Warehouse.read(spark, p.totalsLog))
+    Warehouse.overwriteReport(Reports.totalsReport(latest, today), p.totalsReport)
+    val dim = latest.select(col("rtm_advertiser_id"), col("rtm_campaign_id"),
+      col("advertiser_name"), col("campaign_name")).distinct()
+    val impsDaily = latestDaily(Warehouse.read(spark, p.impsDaily),
+      "campaign_impressions_date", "campaign_impressions_daily_count")
+    val clksDaily = latestDaily(Warehouse.read(spark, p.clksDaily),
+      "campaign_clicks_date", "campaign_clicks_daily_count")
+      .withColumnRenamed("campaign_clicks_date", "campaign_impressions_date")
+    Warehouse.overwriteReport(
+      Reports.dailyCtrReport(dim, impsDaily, clksDaily), p.dailyCtrReport)
+    delta.action
+  }
+
+  /** Keep-latest daily rows; ties on rtm_delta break by the (monotone)
+    * daily count — same rationale as DeltaUpsert.latest. */
+  private def latestDaily(log: DataFrame, dateCol: String,
+                          cntCol: String): DataFrame =
+    graft.ops.Core.latestView(log,
+        Seq("rtm_advertiser_id", "rtm_campaign_id", dateCol), "rtm_delta",
+        tiebreak = Seq(cntCol))
+      .select(col("rtm_advertiser_id"), col("rtm_campaign_id"),
+        col(dateCol), col(cntCol))
+
+  /** Day-grain CDC: append daily rows whose FULL (key, day, count, delta)
+    * tuple is new — a (key, day, rtm_delta) diff alone misses a count
+    * change from a fact landing at-or-before its day's max timestamp
+    * (same late-arrival blind spot DeltaUpsert.changedKeys documents). */
+  private def appendDailyDelta(spark: SparkSession, st: OltpState,
+                               path: String, facts: DataFrame,
+                               what: String): Unit = {
+    val dateCol = s"campaign_${what}_date"
+    val cntCol = s"campaign_${what}_daily_count"
+    val diffCols = Seq("rtm_advertiser_id", "rtm_campaign_id", dateCol,
+      cntCol, "rtm_delta")
+    val fresh = InitialLoad.dailyCounts(st.campaign, facts, what)
+    val existing = Warehouse.read(spark, path)
+      .select(diffCols.map(col): _*)
+    val changed = graft.ops.Joins.deltaKeys(
+      fresh.select(diffCols.map(col): _*), existing, diffCols)
+    Warehouse.appendDaily(
+      graft.ops.Joins.restrictToChanged(fresh, changed,
+        Seq("rtm_advertiser_id", "rtm_campaign_id", dateCol)),
+      path, dateCol, DeltaUpsert.Keys)
+  }
+
+  /** Full lifecycle. Idempotent branch points mirror the reference:
+    * seeds only when OLTP is empty, initial-loads only when the OLAP log
+    * is absent, then runs `cycles` generate+delta rounds with the clock
+    * advancing 3 minutes per cycle (the reference's schedule_interval). */
+  def run(spark: SparkSession, base: String, cycles: Int, seedVal: Long,
+          now: String = Generators.DefaultNow): Seq[String] = {
+    val p = Paths(base)
+    val t0 = LocalDateTime.parse(now, NowFmt)
+    val today = now.take(10)
+    if (!p.oltpAll.forall(hasData(spark, _))) seed(spark, p, now, seedVal)
+    if (!hasData(spark, p.totalsLog)) initialLoad(spark, p, today)
+    val rng = new scala.util.Random(seedVal)
+    (1 to cycles).map { i =>
+      val nowI = t0.plusMinutes(3L * i).format(NowFmt)
+      cycle(spark, p, nowI, today, rng)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/tmp/graft_pipeline")
+    val cycles = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val actions = run(spark, base, cycles, seedVal = 42L)
+    val latest = DeltaUpsert.latest(Warehouse.read(spark, Paths(base).totalsLog))
+    println(s"[main] actions: ${actions.mkString(", ")}")
+    println(s"[main] latest totals rows: ${latest.count()}")
+    println(s"[main] report rows: " +
+      Warehouse.read(spark, Paths(base).totalsReport).count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.cli.Stats
+import graft.jobs.Main
+
+/** The operator CLI (scripts/main.py parity) end-to-end on a temp store. */
+class CliSpec extends SparkSpec {
+
+  private def lines(base: String, argv: String*): Seq[String] =
+    Stats.run(spark, base, argv)
+
+  test("batch → generators → stats → reset lifecycle") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cli").toString
+
+    assert(lines(base, "batch").head.startsWith("Seeded batch"))
+    assert(lines(base, "advertisers", "--count", "2").head ==
+      "Created 2 advertisers.")
+    assert(lines(base, "campaigns", "--advertiser-id", "1", "--count", "2").head
+      .contains("2 campaigns for advertiser #1"))
+    assert(lines(base, "impressions", "--campaign-id", "1", "--count", "50").head
+      .contains("50 impressions for campaign #1"))
+    assert(lines(base, "clicks", "--campaign-id", "1", "--ratio", "0.5").head
+      .startsWith("Created"))
+
+    val stats = lines(base, "stats")
+    assert(stats.head == "=== Database Statistics ===")
+    assert(stats.exists(_ == "Advertisers: 4"))   // 2 seeded + 2 added
+    assert(stats.exists(_ == "Campaigns: 8"))     // 6 seeded + 2 added
+    assert(stats.exists(_.startsWith("Impressions: 65")))  // 600 + 50
+    assert(stats.exists(_.startsWith("Overall CTR:")))
+    // one detail line per campaign
+    assert(stats.count(_.matches("^\\d+ .*%$")) == 8)
+
+    assert(lines(base, "reset").head == "All data has been deleted.")
+    val after = lines(base, "stats")
+    assert(after.exists(_ == "Advertisers: 0") && after.exists(_ == "Clicks: 0"))
+  }
+
+  test("clicks on an impression-less campaign is refused (main.py:169-178)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cli2").toString
+    lines(base, "batch")
+    assert(lines(base, "clicks", "--campaign-id", "999").head
+      .startsWith("No impressions found for campaign #999"))
+  }
+
+  test("ids continue from the current max across CLI appends") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cli3").toString
+    lines(base, "batch")
+    lines(base, "advertisers", "--count", "1")
+    val ids = Main.oltp(spark, Main.Paths(base)).advertiser
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+}

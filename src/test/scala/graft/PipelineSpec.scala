@@ -76,6 +76,33 @@ class PipelineSpec extends SparkSpec {
     assert(appended.count() >= latest.count())
   }
 
+  test("end-to-end driver: seed → initial load → N cycles on disk") {
+    val base = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val actions = jobs.Main.run(spark, base, cycles = 3, seedVal = 7L)
+    assert(actions.size == 3 &&
+      actions.forall(gen.DeltaActions.ActionNames.contains))
+    val p = jobs.Main.Paths(base)
+    // The OLAP keep-latest view converges to the one-shot recompute from
+    // the final OLTP snapshot — the lifecycle-level CDC invariant.
+    val st = jobs.Main.oltp(spark, p)
+    val recompute = InitialLoad.campaignTotals(st.advertiser, st.campaign,
+      st.impressions, st.clicks)
+    val latest = DeltaUpsert.latest(jobs.Warehouse.read(spark, p.totalsLog))
+    assertSameRows(latest, recompute, "latest vs one-shot recompute")
+    // Reports exist and sit at the totals grain.
+    assert(jobs.Warehouse.read(spark, p.totalsReport).count() == latest.count())
+    assert(jobs.Warehouse.read(spark, p.dailyCtrReport).count() > 0)
+    // Re-running does NOT re-seed or re-initial-load (branch-on-empty):
+    // the log row count only grows by the new cycles' deltas, and the
+    // invariant still holds.
+    jobs.Main.run(spark, base, cycles = 1, seedVal = 11L)
+    val st2 = jobs.Main.oltp(spark, p)
+    val latest2 = DeltaUpsert.latest(jobs.Warehouse.read(spark, p.totalsLog))
+    assertSameRows(latest2,
+      InitialLoad.campaignTotals(st2.advertiser, st2.campaign,
+        st2.impressions, st2.clicks), "after second run")
+  }
+
   test("latestView collapse is idempotent") {
     val (adv, camp, imps, clks) = oltp(7L, Generators.DefaultNow)
     val totals = InitialLoad.campaignTotals(adv, camp, imps, clks)

@@ -53,6 +53,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("random actions + delta cycles converge to one-shot recompute") {
+    // The reference's generate_new_data loop (random action every cycle)
+    // followed by track_delta each time: whatever the action sequence, the
+    // keep-latest view of the append-only log must equal the one-shot
+    // recompute from the final OLTP state.
+    import graft.gen.{DeltaActions, Generators, OltpState}
+    import graft.jobs.{DeltaUpsert, InitialLoad}
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val now0 = Generators.DefaultNow
+      val imps = Generators.impressions(spark, 4, 30, now0, seed)
+      var st = OltpState(
+        Generators.advertisers(spark, 2, now0),
+        Generators.campaigns(spark, 2, 2, now0, seed),
+        imps,
+        Generators.clicks(imps, 0.1, seed))
+      var log = InitialLoad.campaignTotals(st.advertiser, st.campaign,
+        st.impressions, st.clicks)
+      val rng = new scala.util.Random(seed)
+      for (i <- 1 to 4) {
+        val now = s"2024-06-01 12:0$i:00"
+        val delta = DeltaActions.step(spark, st, now, rng)
+        st = DeltaActions.applyDelta(st, delta)
+        val totals = InitialLoad.campaignTotals(st.advertiser, st.campaign,
+          st.impressions, st.clicks)
+        log = DeltaUpsert.cycle(totals, log)._1
+      }
+      val recompute = InitialLoad.campaignTotals(st.advertiser, st.campaign,
+        st.impressions, st.clicks)
+      assertSameRows(DeltaUpsert.latest(log), recompute, s"seed $seed")
+    }
+  }
+
   private val asofRows: Gen[(List[(Long, Long)], List[(Long, Long)])] =
     Gen.zip(
       Gen.listOfN(25, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 40L))),
