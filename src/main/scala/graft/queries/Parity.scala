@@ -365,8 +365,29 @@ object Parity {
 
   /** Set operations (EXCEPT / INTERSECT / UNION ALL): campaign keyset
     * segmentation — impressed-but-never-clicked vs clicked. Distinct set
-    * semantics on both engines. */
+    * semantics on both engines (the oracle IS the EXCEPT/INTERSECT SQL).
+    *
+    * Both sets derive from the same base table, so the literal
+    * `impressed.except(clicked) ∪ impressed.intersect(clicked)` plan
+    * aggregates the fact scan FOUR times with no exchange reuse (each set
+    * op re-derives its distinct inputs). The scalable evaluation of this
+    * set algebra is one conditional aggregation — `max(clicked-flag)` per
+    * key — with the difference/intersection read off the flag: one scan,
+    * one shuffle, identical rows (QueriesSpec pins the equivalence to the
+    * literal set-op form; PlanSpec pins the single-scan plan). */
   def setOpsSegments(s: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("campaign_id"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_clk"))
+    flags.filter(col("has_clk") === 0).select(col("campaign_id"))
+      .withColumn("segment", lit("impressed_only"))
+      .union(flags.filter(col("has_clk") === 1).select(col("campaign_id"))
+        .withColumn("segment", lit("clicked")))
+  }
+
+  /** The literal set-op form of q20 — the equivalence witness QueriesSpec
+    * checks against `setOpsSegments`' conditional-aggregation evaluation. */
+  def setOpsSegmentsLiteral(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.t(s, dir, "lineitem")
     val impressed = li.select(col("l_orderkey").as("campaign_id")).distinct()
     val clicked = li.filter(col("l_returnflag") === "R")

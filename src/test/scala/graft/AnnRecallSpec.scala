@@ -1,0 +1,45 @@
+package graft
+
+import graft.queries.Extensions
+
+/** Retrieval QUALITY of the approximate ANN paths, not just determinism:
+  * the oracle hash-check proves s02/s03 compute what they claim, but not
+  * that what they claim is close to the true neighbors. recall@5 against
+  * the exact brute-force top-k (s01) pins that.
+  *
+  * Floors (documented in COVERAGE.md) reflect MEASURED quality on the
+  * sf0.01 synthetic embeddings, which are near-uniform — the hardest
+  * case for ANN, recall ≈ corpus fraction scanned: banded 8×4 sign-LSH
+  * measured well above 0.6 (the single-table 8-bit signature it replaced
+  * measured 0.02); 4-probe-of-10-cells IVF measured 0.68 (2 probes:
+  * 0.46). Raising recall means more tables/probes — a parameter, not a
+  * code change. */
+class AnnRecallSpec extends SparkSpec {
+
+  private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  test("LSH-bucketed ANN achieves recall@5 >= 0.6 vs exact (sf0.01)") {
+    val dir = sf("sf0.01")
+    val exact = topSets(Extensions.annCosineTopK(spark, dir))
+    val lsh = topSets(Extensions.annLshBuckets(spark, dir))
+    val recalls = exact.map { case (q, truth) =>
+      lsh.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, f"LSH mean recall@5 $mean%.2f < 0.6")
+  }
+
+  test("IVF ANN achieves recall@5 >= 0.6 vs exact (sf0.01)") {
+    val dir = sf("sf0.01")
+    val exact = topSets(Extensions.annCosineTopK(spark, dir))
+    val ivf = topSets(Extensions.annIvf(spark, dir))
+    val recalls = exact.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, f"IVF mean recall@5 $mean%.2f < 0.6")
+  }
+}

@@ -52,6 +52,18 @@ class PlanSpec extends SparkSpec {
       s"expected 1 lineitem scan, got ${scanCount(p, "lineitem")}:\n$p")
   }
 
+  test("set-op segmentation plans 2 fact scans, one conditional agg each") {
+    // The literal except/intersect form planned FOUR aggregated scans of
+    // lineitem with no exchange reuse; the conditional-agg evaluation
+    // plans one per union branch with byte-identical exchanges (which
+    // AQE's exchange reuse can further collapse at runtime).
+    val p = planOf(Parity.setOpsSegments(spark, dir))
+    assert(scanCount(p, "lineitem") == 2,
+      s"expected 2 lineitem scans, got ${scanCount(p, "lineitem")}:\n$p")
+    assert(!p.contains("LeftAnti") && !p.contains("LeftSemi"),
+      "set ops should be evaluated via the flag aggregate, not re-derived joins")
+  }
+
   test("semi-join recompute reads the fact table exactly twice (keys+probe)") {
     val p = planOf(Parity.semiJoinRecompute(spark, dir))
     assert(scanCount(p, "lineitem") == 2,

@@ -67,6 +67,11 @@ class QueriesSpec extends SparkSpec {
     assert(missed == 0, s"$missed high-jaccard pairs missed by LSH")
   }
 
+  test("q20 conditional-agg evaluation equals the literal EXCEPT/INTERSECT") {
+    assertSameRows(Parity.setOpsSegments(spark, dir),
+      Parity.setOpsSegmentsLiteral(spark, dir), "set-op equivalence")
+  }
+
   test("exact dedup partitions the corpus") {
     val d = Extensions.dedupExact(spark, dir)
     val total = d.agg(sum("n_copies")).collect()(0).getLong(0)
