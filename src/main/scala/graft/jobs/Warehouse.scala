@@ -70,4 +70,26 @@ object Warehouse {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Z-order clustered layout: range-partition + sort by the Morton key
+    * of two dimension columns (Core.zorderKey), so every output file
+    * holds a compact 2-D tile — parquet min/max stats then prune files
+    * for range predicates on EITHER dimension, where a lexicographic
+    * sort prunes only its leading column. The key is a scratch column,
+    * dropped from the stored rows. */
+  def writeZOrdered(df: DataFrame, path: String, dimX: String,
+                    dimY: String, bits: Int = 16,
+                    partitions: Option[Int] = None): Unit = {
+    val keyed = df.withColumn("__z",
+      graft.ops.Core.zorderKey(col(dimX).cast("long"), col(dimY).cast("long"), bits))
+    // Explicit partition count bypasses AQE's small-shuffle coalescing so
+    // the tile grain is the caller's choice (files ≈ tiles).
+    val ranged = partitions match {
+      case Some(n) => keyed.repartitionByRange(n, col("__z"))
+      case None => keyed.repartitionByRange(col("__z"))
+    }
+    ranged.sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -40,6 +40,22 @@ object Core {
     * track_delta.py:78). Both PG and Spark skip NULLs. */
   def changeVersion(cols: Column*): Column = greatest(cols: _*)
 
+  /** Morton / Z-order key: interleave the low `bits` bits of two
+    * non-negative dimensions (x on even bit positions, y on odd). Rows
+    * sorted by this key cluster 2-D-locally, so range-partitioned files
+    * carry tight min/max bounds on BOTH dimensions — parquet stats then
+    * skip files for predicates on either dimension (a single-column sort
+    * gives locality on one dimension only and random placement on the
+    * other). This is the layout tool for the recurring
+    * (campaign, day)-sliced scans at 100 TB. Pure static bit arithmetic:
+    * codegen-friendly, engine-portable (the oracle spells out the same
+    * 2·bits terms). */
+  def zorderKey(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { b =>
+      (shiftright(x, b) % 2) * lit(1L << (2 * b)) +
+        (shiftright(y, b) % 2) * lit(1L << (2 * b + 1))
+    }.reduce(_ + _)
+
   /** Portable 2-decimal rounding for post-division metrics:
     * `floor(x*100 + 0.5)/100` evaluates identically on the same IEEE double
     * in every engine, unlike ROUND — Spark rounds the shortest decimal

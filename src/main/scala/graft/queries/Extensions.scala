@@ -423,6 +423,67 @@ object Extensions {
       .agg((sum((col("pos") * col("h")) % lit(P)) % lit(P)).as("fingerprint"),
         count(lit(1)).as("n_tokens"))
 
+  /** t10: TF-IDF top-3 terms per document. The idf is the INTEGER ratio
+    * `(n_docs_in_lang * 1e6) // df` rather than a log: libm `ln` is not
+    * bit-identical across engines, and the ratio induces the same
+    * monotone per-term ordering the selection needs. Grain discipline:
+    * tf is (doc, term), df is (lang, term) — both map-side combinable;
+    * the final top-k window partitions by doc_id (|docs| partitions,
+    * never global). */
+  def tfIdfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = tokRows(s, dir)
+      .groupBy(col("lang"), col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(dfc, Seq("lang", "tok"))
+      .join(broadcast(nDocs), Seq("lang"))
+      .withColumn("idf_ppm", ppm(col("n_docs"), col("df")))
+      .withColumn("tfidf", col("tf") * col("idf_ppm"))
+      .withColumn("term_rank", row_number().over(w).cast("int"))
+      .filter(col("term_rank") <= 3)
+      .select(col("doc_id"), col("term_rank"), col("tok"), col("tf"),
+        col("idf_ppm"), col("tfidf"))
+  }
+
+  /** t11: temperature-balanced multilingual sampling (τ = 0.5) — the
+    * data-mix operator of multilingual training pipelines: high-resource
+    * languages are down-sampled so the kept mix follows p_l^τ instead of
+    * the raw frequency. Per-language keep probability
+    * `p_l = sqrt(n_min / n_l)` (ppm-quantized: sqrt is correctly rounded
+    * per IEEE-754, so both engines compute the identical integer), and
+    * the keep DECISION is content-hash thresholding — deterministic per
+    * document, stable across runs/partitionings, like t06's split. The
+    * language stats frame is |langs| rows, broadcast back onto the
+    * corpus. */
+  def temperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("lang"), h32(col("text")).as("h"))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min("n_docs").as("n_min"))
+    val probs = counts.crossJoin(broadcast(minN))
+      .withColumn("p_ppm",
+        floor(sqrt(col("n_min") / col("n_docs")) * 1000000 + lit(0.5)).cast("long"))
+      .select("lang", "n_docs", "p_ppm")
+    d.join(broadcast(probs), "lang")
+      .groupBy(col("lang"), col("n_docs"), col("p_ppm"))
+      .agg(count(when(col("h") % 1000000 < col("p_ppm"), 1)).as("n_kept"))
+  }
+
+  /** d07: canonical-corpus resolution — the dedup family's terminal
+    * filter: every document mapped to its cluster's canonical id (the
+    * component minimum from d06; itself when not near-duplicated) and a
+    * keep/drop decision. This is the row-level operator a pipeline
+    * actually applies before training; d01–d06 are its machinery. */
+  def canonicalCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"))
+      .join(dedupClusters(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_kept",
+        when(col("doc_id") === col("canonical_id"), 1).otherwise(0))
+
   /** t05: text normalization — strip non-alphanumerics, collapse runs of
     * spaces, trim, lowercase; emit the normalized text, its portable hash
     * and length. Narrow codegen'd map, the canonical pre-dedup cleanup
@@ -772,6 +833,61 @@ object Extensions {
         |  UNION
         |  SELECT e.doc_a, r.lab FROM e JOIN reach r ON r.doc_id = e.doc_b)
         |SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1""".stripMargin)),
+
+    QuerySpec("d07_canonical_corpus", canonicalCorpus,
+      Some(docCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a
+        |  JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  JOIN shc x ON x.doc_id = a.doc_id
+        |  JOIN shc y ON y.doc_id = b.doc_id
+        |  GROUP BY 1, 2, x.n_sh, y.n_sh
+        |  HAVING (count(*) * 1000000) // (x.n_sh + y.n_sh - count(*)) >= 800000),
+        |e AS (SELECT doc_a, doc_b FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, lab) AS (
+        |  SELECT doc_a, doc_a FROM e
+        |  UNION
+        |  SELECT e.doc_a, r.lab FROM e JOIN reach r ON r.doc_id = e.doc_b),
+        |labels AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(l.cluster_id, d.doc_id) AS canonical_id,
+        |  CASE WHEN COALESCE(l.cluster_id, d.doc_id) = d.doc_id
+        |       THEN 1 ELSE 0 END AS is_kept
+        |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id""".stripMargin)),
+
+    QuerySpec("t10_tfidf_topterms", tfIdfTopTerms, Some(docCtes +
+      """, tf AS (
+        |  SELECT lang, doc_id, tok, count(*) AS tf FROM tokrows GROUP BY 1, 2, 3),
+        |dfc AS (SELECT lang, tok, count(*) AS df FROM tf GROUP BY 1, 2),
+        |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id, t.tok, t.tf,
+        |         (n.n_docs * 1000000) // d.df AS idf_ppm,
+        |         t.tf * ((n.n_docs * 1000000) // d.df) AS tfidf
+        |  FROM tf t
+        |  JOIN dfc d ON d.lang = t.lang AND d.tok = t.tok
+        |  JOIN nd n ON n.lang = t.lang)
+        |SELECT doc_id, term_rank, tok, tf, idf_ppm, tfidf FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY tfidf DESC, tok ASC) AS INTEGER) AS term_rank
+        |  FROM scored) x
+        |WHERE term_rank <= 3""".stripMargin)),
+
+    QuerySpec("t11_temperature_sample", temperatureSample, Some(
+      """WITH d AS (
+        |  SELECT lang, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) AS n_docs FROM d GROUP BY 1),
+        |m AS (SELECT min(n_docs) AS n_min FROM c),
+        |p AS (SELECT c.lang, c.n_docs,
+        |        CAST(floor(sqrt(m.n_min / c.n_docs) * 1000000 + 0.5) AS BIGINT) AS p_ppm
+        |      FROM c, m)
+        |SELECT p.lang, p.n_docs, p.p_ppm,
+        |  count(CASE WHEN d.h % 1000000 < p.p_ppm THEN 1 END) AS n_kept
+        |FROM d JOIN p ON p.lang = d.lang
+        |GROUP BY 1, 2, 3""".stripMargin)),
 
     QuerySpec("s03_ann_ivf", annIvf, Some(embCtes +
       """, adots AS (

@@ -524,6 +524,32 @@ object Parity {
         pctl(99, 100).as("p99_cents"))
   }
 
+  /** Z-order clustering key over the (campaign, day) daily grain — the
+    * multi-dimensional layout primitive (Core.zorderKey scaladoc;
+    * Warehouse.writeZOrdered applies it to storage). Exposed as a query
+    * so the bit-interleave itself is oracle-pinned: the DuckDB twin
+    * spells out the same 32 shift/mask terms. */
+  def zorderDaily(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("campaign_id"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("campaign_id"), col("day"), col("n"),
+        Core.zorderKey(
+          pmod(col("campaign_id"), lit(65536L)),
+          pmod(datediff(col("day"), epoch).cast("long"), lit(65536L)))
+          .as("zkey"))
+  }
+
+  /** The 2·16 Morton terms as DuckDB SQL (same arithmetic as
+    * Core.zorderKey — generated, not hand-copied, so bits can't drift). */
+  private def zTermsSql(x: String, y: String): String =
+    (0 until 16).map { b =>
+      s"((($x >> $b) % 2) * ${1L << (2 * b)}) + " +
+        s"((($y >> $b) % 2) * ${1L << (2 * b + 1)})"
+    }.mkString(" + ")
+
   /** JSON column extraction: the events.props payload parsed with a
     * declared schema (from_json — codegen'd, no UDF) and aggregated.
     * At scale the parse is a narrow map fused into the scan stage; the
@@ -854,6 +880,20 @@ object Parity {
         |                  CAST(l_shipdate AS DATE) AS day, count(*) AS n
         |           FROM lineitem GROUP BY 1, 2) d
         |  ON d.campaign_id = s.campaign_id AND d.day = s.day""".stripMargin))),
+
+    QuerySpec("q28_zorder_daily", zorderDaily, Some(
+      s"""WITH t AS (
+         |  SELECT l_orderkey AS campaign_id, CAST(l_shipdate AS DATE) AS day,
+         |         count(*) AS n
+         |  FROM lineitem GROUP BY 1, 2),
+         |b AS (
+         |  SELECT campaign_id, day, n,
+         |         campaign_id % 65536 AS zx,
+         |         datediff('day', DATE '1970-01-01', day) % 65536 AS zy
+         |  FROM t)
+         |SELECT campaign_id, day, n,
+         |  CAST(${zTermsSql("zx", "zy")} AS BIGINT) AS zkey
+         |FROM b""".stripMargin)),
 
     QuerySpec("q26_event_percentiles", eventPercentiles, Some(
       """WITH b AS (

@@ -38,6 +38,20 @@ class CoreSpec extends SparkSpec {
       List(Some(3L), None))
   }
 
+  test("zorderKey walks the canonical Morton curve on a 4x4 grid") {
+    val pts = for (y <- 0 to 3; x <- 0 to 3) yield (x.toLong, y.toLong)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Core.zorderKey(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // Standard Morton order: x bits on even positions, y bits on odd.
+    val want = Map(
+      (0L, 0L) -> 0L, (1L, 0L) -> 1L, (0L, 1L) -> 2L, (1L, 1L) -> 3L,
+      (2L, 0L) -> 4L, (3L, 0L) -> 5L, (2L, 1L) -> 6L, (3L, 1L) -> 7L,
+      (0L, 2L) -> 8L, (1L, 2L) -> 9L, (0L, 3L) -> 10L, (1L, 3L) -> 11L,
+      (2L, 2L) -> 12L, (3L, 2L) -> 13L, (2L, 3L) -> 14L, (3L, 3L) -> 15L)
+    assert(got == want)
+  }
+
   test("round2p matches HALF_UP on representable boundaries") {
     val df = Seq(0.125, 12.5, 1.0 / 3.0, 2.675).toDF("x")
       .select(Core.round2p(col("x")).as("r"))

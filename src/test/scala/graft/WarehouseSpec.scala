@@ -105,6 +105,32 @@ class WarehouseSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("z-ordered layout bounds BOTH dimensions per file") {
+    // 64x64 uniform grid, range-partitioned by Morton key: each file
+    // should hold a compact 2-D tile. A lexicographic (x, y) sort would
+    // give files spanning the FULL y range — no pruning on y predicates.
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"),
+      (col("id") / 64).cast("long").as("y"))
+    val path = tmp() + "/zord"
+    Warehouse.writeZOrdered(grid, path, "x", "y", partitions = Some(4))
+    val files = new java.io.File(path).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 2, s"expected multiple files, got ${files.length}")
+    val areas = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(max("x") - min("x"), max("y") - min("y")).head
+      (r.getLong(0) + 1.0) * (r.getLong(1) + 1.0)
+    }
+    val avgArea = areas.sum / areas.length
+    // global bounding box is 64*64 = 4096; z-tiles (allowing one
+    // straddling range boundary) must average well under half of it
+    assert(avgArea <= 2048.0,
+      s"z-order tiles too loose: avg bounding area $avgArea of 4096")
+    // and the data read back is intact
+    assert(spark.read.parquet(path).count() == 4096)
+  }
+
   test("incremental totals report equals a full rebuild") {
     val dir = sf("sf0.001")
     val today = Adtech.Today
