@@ -48,8 +48,31 @@ object NativeHashRewrite extends Rule[LogicalPlan] {
 }
 
 /** Entry point for `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Installs (a) the NativeHashRewrite optimizer rule and (b) the native
+  * kernels as SQL-callable functions — `SELECT h32(text)`,
+  * `SELECT dot_i64(qa, qb)` — so pure-SQL users (spark-sql shell, JDBC,
+  * views) reach the codegen Expressions without any Scala import. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => NativeHashRewrite)
+    extensions.injectFunction((
+      new FunctionIdentifier("h32"),
+      new ExpressionInfo(classOf[H32].getName, "h32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "h32(str) takes exactly one argument")
+        H32(args.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("dot_i64"),
+      new ExpressionInfo(classOf[graft.functions.DotI64].getName, "dot_i64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_i64(a, b) takes exactly two arguments")
+        graft.functions.DotI64(args.head, args.last)
+      }))
+  }
 }

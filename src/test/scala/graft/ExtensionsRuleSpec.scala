@@ -46,6 +46,21 @@ class ExtensionsRuleSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("native kernels are SQL-callable via injected functions") {
+    docs(extSession).createOrReplaceTempView("ext_docs")
+    val got = extSession
+      .sql("SELECT sum(h32(text)) AS s, count(*) AS n FROM ext_docs")
+      .collect()(0)
+    val want = docs(spark).select(Portable.h32Builtin(col("text")).as("h"))
+      .agg(sum("h"), count(lit(1))).collect()(0)
+    assert(got == want, s"got $got want $want")
+    // dot_i64 over array<long> columns, straight from SQL
+    val d = extSession.sql(
+      "SELECT dot_i64(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .collect()(0).getLong(0)
+    assert(d == 32L)
+  }
+
   test("unrelated conv and md5 uses are left untouched") {
     val df = docs(extSession)
       .selectExpr("CAST(conv(substring(md5(text), 1, 4), 16, 10) AS BIGINT) AS h4",
