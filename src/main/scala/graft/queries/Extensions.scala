@@ -471,6 +471,45 @@ object Extensions {
       .agg(count(when(col("h") % 1000000 < col("p_ppm"), 1)).as("n_kept"))
   }
 
+  /** t12: fixed-size stratified sample — k=10 documents per language,
+    * selected by content-hash order (deterministic "reservoir": the
+    * sample is a pure function of the corpus, stable across runs,
+    * engines and partitionings). Uses the typed MinKByKey Aggregator, so
+    * each map task forwards at most k rows per language and the shuffle
+    * carries O(|langs|·k) — the `row_number() <= k` window form (the
+    * oracle) would funnel the whole table through ≤|langs| reducers. */
+  def stratifiedReservoir(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("lang"), h32(col("text")).as("h"), col("doc_id"))
+    val mink = udaf(new graft.functions.MinKByKey(10),
+      org.apache.spark.sql.Encoders.product[graft.functions.KeyedId])
+    d.groupBy("lang")
+      .agg(mink(col("h"), col("doc_id")).as("sample"))
+      .select(col("lang"), posexplode(col("sample.ids")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("sample_rank"),
+        col("col.id").as("doc_id"), col("col.k").as("h"))
+  }
+
+  /** m03: chunked payload checksums — the blob-slicing plumbing of
+    * multimodal processing: each document's payload split into fixed
+    * 1000-unit chunks (a narrow generate-side explode — the payload is
+    * NOT replicated per chunk), each chunk checksummed. Chunks are
+    * character-addressed here because the oracle's md5 is VARCHAR-only
+    * (the corpus is pure ASCII, so characters ≡ bytes; for real binary
+    * the same shape runs substr-on-binary + a binary hash kernel). */
+  def chunkChecksums(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          idiv(col("len") - 1, lit(1000L)))).as("chunk_idx"))
+      .withColumn("chunk",
+        expr("substring(text, CAST(chunk_idx * 1000 + 1 AS INT), 1000)"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        h32(col("chunk")).as("checksum32"))
+
   /** d07: canonical-corpus resolution — the dedup family's terminal
     * filter: every document mapped to its cluster's canonical id (the
     * component minimum from d06; itself when not near-duplicated) and a
@@ -874,6 +913,29 @@ object Extensions {
         |              ORDER BY tfidf DESC, tok ASC) AS INTEGER) AS term_rank
         |  FROM scored) x
         |WHERE term_rank <= 3""".stripMargin)),
+
+    QuerySpec("t12_stratified_reservoir", stratifiedReservoir, Some(
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |         ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        |  FROM documents)
+        |SELECT lang, sample_rank, doc_id, h FROM (
+        |  SELECT lang, doc_id, h,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY h ASC, doc_id ASC) AS INTEGER) AS sample_rank
+        |  FROM d) x
+        |WHERE sample_rank <= 10""".stripMargin)),
+
+    QuerySpec("m03_chunk_checksums", chunkChecksums, Some(
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |         substr(text, CAST(i * 1000 + 1 AS INT), 1000) AS chunk
+        |  FROM d, UNNEST(range(0, (len - 1) // 1000 + 1)) u(i))
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(length(chunk) AS BIGINT) AS chunk_len,
+        |  ('0x' || substr(md5(chunk), 1, 8))::BIGINT AS checksum32
+        |FROM ch""".stripMargin)),
 
     QuerySpec("t11_temperature_sample", temperatureSample, Some(
       """WITH d AS (

@@ -524,6 +524,16 @@ object Parity {
         pctl(99, 100).as("p99_cents"))
   }
 
+  /** UNPIVOT/melt — the inverse of q21's PIVOT: the wide per-flag counts
+    * melted back to long (campaign, flag, n) form. Narrow generate-side
+    * expand (3 rows per input row, no shuffle); with q21 this closes the
+    * wide↔long reshaping pair a report layer needs. */
+  def unpivotFlags(s: SparkSession, dir: String): DataFrame =
+    pivotFlags(s, dir).unpivot(
+      Array(col("campaign_id")),
+      Array(col("n_flag_a"), col("n_flag_n"), col("n_flag_r")),
+      "flag_col", "n")
+
   /** Z-order clustering key over the (campaign, day) daily grain — the
     * multi-dimensional layout primitive (Core.zorderKey scaladoc;
     * Warehouse.writeZOrdered applies it to storage). Exposed as a query
@@ -880,6 +890,17 @@ object Parity {
         |                  CAST(l_shipdate AS DATE) AS day, count(*) AS n
         |           FROM lineitem GROUP BY 1, 2) d
         |  ON d.campaign_id = s.campaign_id AND d.day = s.day""".stripMargin))),
+
+    QuerySpec("q29_unpivot_flags", unpivotFlags, Some(
+      """WITH p AS (
+        |  SELECT l_orderkey AS campaign_id,
+        |    count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_flag_a,
+        |    count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_flag_n,
+        |    count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_flag_r
+        |  FROM lineitem GROUP BY 1)
+        |SELECT campaign_id, 'n_flag_a' AS flag_col, n_flag_a AS n FROM p
+        |UNION ALL SELECT campaign_id, 'n_flag_n', n_flag_n FROM p
+        |UNION ALL SELECT campaign_id, 'n_flag_r', n_flag_r FROM p""".stripMargin)),
 
     QuerySpec("q28_zorder_daily", zorderDaily, Some(
       s"""WITH t AS (
