@@ -52,6 +52,40 @@ class PlanSpec extends SparkSpec {
       s"expected 1 lineitem scan, got ${scanCount(p, "lineitem")}:\n$p")
   }
 
+  test("stratified reservoir plans as an aggregate, not a per-lang window") {
+    val p = planOf(graft.queries.Extensions.stratifiedReservoir(spark, dir))
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"reservoir fell back to a window plan:\n$p")
+    assert(p.toLowerCase.contains("aggregate"), s"no aggregate in:\n$p")
+  }
+
+  test("campaign ranking has no unpartitioned window (two-phase ordinal)") {
+    val p = planOf(Parity.campaignRanking(spark, dir))
+    assert(!p.contains("WindowExec"),
+      s"ranking still plans a window operator:\n$p")
+  }
+
+  test("event percentiles window over the histogram, not raw events") {
+    // The window input must be the aggregated (type, cents) distribution:
+    // a plan whose Window sits directly over the scan would re-introduce
+    // the ≤|event types| reducer funnel.
+    val df = Parity.eventPercentiles(spark, dir)
+    val p = planOf(df)
+    val windowIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(windowIdx >= 0, s"no window in:\n$p")
+    // At least one aggregate must appear BELOW the window in the plan tree
+    // (toString prints parents first, so "below" = later in the string).
+    assert(p.indexOf("HashAggregate", windowIdx) > windowIdx,
+      s"window not fed by an aggregate:\n$p")
+    assert(aggIdx >= 0)
+  }
+
+  test("TF-IDF broadcasts the per-language doc-count frame") {
+    val p = planOf(graft.queries.Extensions.tfIdfTopTerms(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast in:\n$p")
+  }
+
   test("set-op segmentation plans 2 fact scans, one conditional agg each") {
     // The literal except/intersect form planned FOUR aggregated scans of
     // lineitem with no exchange reuse; the conditional-agg evaluation
