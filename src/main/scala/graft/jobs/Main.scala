@@ -117,21 +117,36 @@ object Main {
     delta.rows.write.mode(SaveMode.Append).parquet(target)
 
     // track_delta: recompute totals at key grain, append only changed-key
-    // version rows, rebuild both reports from the keep-latest view.
+    // version rows, then maintain the reports.
     val st = oltp(spark, p)
     val totalsNow = InitialLoad.campaignTotals(st.advertiser, st.campaign,
       st.impressions, st.clicks)
     val log = Warehouse.read(spark, p.totalsLog)
-    val deltaRows = DeltaUpsert.deltaRows(totalsNow, log)
-    Warehouse.appendVersions(deltaRows, p.totalsLog, DeltaUpsert.Keys)
+    val deltaRows = DeltaUpsert.deltaRows(totalsNow, log).persist()
+    deltaRows.count()
 
     // Daily logs: append day-grain rows whose (key, day, rtm_delta) is new
     // — the same CDC diff at daily grain (track_delta get_delta_impressions).
     appendDailyDelta(spark, st, p.impsDaily, st.impressions, "impressions")
     appendDailyDelta(spark, st, p.clksDaily, st.clicks, "clicks")
 
+    // Totals report: O(changed) incremental maintenance — only the delta
+    // keys' rows re-derive, merged keep-latest over the previous report
+    // (Reports.incrementalTotalsReport; WarehouseSpec pins ≡ full
+    // rebuild) — instead of the reference's full DROP+rebuild every
+    // cycle. replaceReport stages the write because the new report reads
+    // the old one. Ordering is load-bearing: this must run BEFORE the
+    // delta is appended to the log — persist() does not protect against
+    // Spark's recache-by-path, which recomputes any cached plan whose
+    // lineage reads a path that was just written; recomputed after the
+    // append, the diff would see an already-updated log and go empty.
+    Warehouse.replaceReport(spark,
+      Reports.incrementalTotalsReport(
+        Warehouse.read(spark, p.totalsReport), deltaRows, today),
+      p.totalsReport)
+    Warehouse.appendVersions(deltaRows, p.totalsLog, DeltaUpsert.Keys)
+    deltaRows.unpersist()
     val latest = DeltaUpsert.latest(Warehouse.read(spark, p.totalsLog))
-    Warehouse.overwriteReport(Reports.totalsReport(latest, today), p.totalsReport)
     val dim = latest.select(col("rtm_advertiser_id"), col("rtm_campaign_id"),
       col("advertiser_name"), col("campaign_name")).distinct()
     val impsDaily = latestDaily(Warehouse.read(spark, p.impsDaily),

@@ -36,6 +36,23 @@ object Warehouse {
   def overwriteReport(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Replace a report with a frame DERIVED FROM ITSELF (incremental
+    * maintenance reads the previous report): a plain overwrite would
+    * delete the input files before the lazy plan reads them. Staged
+    * write + swap: materialize to `path__stage` first, then swap in via
+    * delete + rename (rename is atomic on HDFS-class filesystems; the
+    * delete→rename gap is the same visibility gap the reference's
+    * DROP TABLE + CREATE has, track_delta.py:438). */
+  def replaceReport(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val stage = new org.apache.hadoop.fs.Path(path + "__stage")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(stage, target)
+    ()
+  }
+
   /** S8: reset — overwrite with an empty frame of the same schema. */
   def reset(spark: SparkSession, path: String, schema: StructType): Unit =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -89,8 +89,12 @@ class PipelineSpec extends SparkSpec {
       st.impressions, st.clicks)
     val latest = DeltaUpsert.latest(jobs.Warehouse.read(spark, p.totalsLog))
     assertSameRows(latest, recompute, "latest vs one-shot recompute")
-    // Reports exist and sit at the totals grain.
-    assert(jobs.Warehouse.read(spark, p.totalsReport).count() == latest.count())
+    // The incrementally-maintained totals report equals a full derivation
+    // from the keep-latest view (the lifecycle-level form of the
+    // WarehouseSpec equivalence).
+    assertSameRows(jobs.Warehouse.read(spark, p.totalsReport),
+      jobs.Reports.totalsReport(latest, "2024-06-01"),
+      "incremental report vs full derive")
     assert(jobs.Warehouse.read(spark, p.dailyCtrReport).count() > 0)
     // Re-running does NOT re-seed or re-initial-load (branch-on-empty):
     // the log row count only grows by the new cycles' deltas, and the

@@ -67,6 +67,18 @@ class QueriesSpec extends SparkSpec {
     assert(missed == 0, s"$missed high-jaccard pairs missed by LSH")
   }
 
+  test("q17 HLL approximate distinct is within 15% of the exact count") {
+    // The sketch has no oracle (engine-specific); its accuracy contract
+    // is bounded here instead (default HLL rsd is 5%; 15% is a safe
+    // ceiling that still catches a broken sketch or wiring).
+    Parity.approxDistinct(spark, dir).collect().foreach { r =>
+      val exact = r.getLong(r.fieldIndex("exact_users")).toDouble
+      val approx = r.getLong(r.fieldIndex("approx_users")).toDouble
+      assert(exact > 0 && math.abs(approx - exact) / exact <= 0.15,
+        s"approx $approx vs exact $exact out of bounds")
+    }
+  }
+
   test("q20 conditional-agg evaluation equals the literal EXCEPT/INTERSECT") {
     assertSameRows(Parity.setOpsSegments(spark, dir),
       Parity.setOpsSegmentsLiteral(spark, dir), "set-op equivalence")
