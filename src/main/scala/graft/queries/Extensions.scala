@@ -510,6 +510,26 @@ object Extensions {
         length(col("chunk")).cast("long").as("chunk_len"),
         h32(col("chunk")).as("checksum32"))
 
+  /** d08: fuzzy dedup by edit distance — the modality the hash families
+    * (d01–d06) can't see: small character-level edits (typos, OCR noise)
+    * that change every shingle. Candidate pairs are BLOCKED by
+    * (lang, length-bucket) so the quadratic comparison runs within
+    * bounded blocks, never all-pairs, and the Levenshtein itself runs on
+    * a fixed 40-char prefix (O(40²) per pair, constant). Both engines
+    * implement textbook Levenshtein, so the integer distances are
+    * oracle-exact. */
+  def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, 40).as("prefix"),
+      idiv(length(col("text")).cast("long"), lit(50L)).as("lenb"))
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.lenb") === col("b.lenb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.prefix"), col("b.prefix")).cast("int").as("edit_dist"))
+      .filter(col("edit_dist") <= 10)
+  }
+
   /** d07: canonical-corpus resolution — the dedup family's terminal
     * filter: every document mapped to its cluster's canonical id (the
     * component minimum from d06; itself when not near-duplicated) and a
@@ -913,6 +933,17 @@ object Extensions {
         |              ORDER BY tfidf DESC, tok ASC) AS INTEGER) AS term_rank
         |  FROM scored) x
         |WHERE term_rank <= 3""".stripMargin)),
+
+    QuerySpec("d08_edit_distance_pairs", dedupEditDistance, Some(
+      """WITH d AS (
+        |  SELECT doc_id, lang, substr(text, 1, 40) AS prefix,
+        |         length(text) // 50 AS lenb
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
+        |FROM d a
+        |JOIN d b ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 10""".stripMargin)),
 
     QuerySpec("t12_stratified_reservoir", stratifiedReservoir, Some(
       """WITH d AS (

@@ -524,6 +524,20 @@ object Parity {
         pctl(99, 100).as("p99_cents"))
   }
 
+  /** CUBE — full grouping-sets lattice over (flag, month): every subtotal
+    * combination in ONE hash aggregate pass (4 grouping sets here), where
+    * separate GROUP BYs would scan the facts 4×. Same sentinel-coalesce
+    * discipline as q19's ROLLUP (NULL placeholder dates break the
+    * cross-engine hash compare), with grouping_id disambiguating. */
+  def cubeMonthly(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .cube(col("l_returnflag").as("flag"),
+        to_date(date_trunc("month", col("l_shipdate"))).as("month"))
+      .agg(count(lit(1)).as("n_rows"), grouping_id().cast("int").as("gid"))
+      .select(coalesce(col("flag"), lit("ALL")).as("flag"),
+        coalesce(col("month"), to_date(lit("9999-12-31"))).as("month"),
+        col("n_rows"), col("gid"))
+
   /** UNPIVOT/melt — the inverse of q21's PIVOT: the wide per-flag counts
     * melted back to long (campaign, flag, n) form. Narrow generate-side
     * expand (3 rows per input row, no shuffle); with q21 this closes the
@@ -890,6 +904,16 @@ object Parity {
         |                  CAST(l_shipdate AS DATE) AS day, count(*) AS n
         |           FROM lineitem GROUP BY 1, 2) d
         |  ON d.campaign_id = s.campaign_id AND d.day = s.day""".stripMargin))),
+
+    QuerySpec("q30_cube_monthly", cubeMonthly, Some(
+      """SELECT COALESCE(flag, 'ALL') AS flag,
+        |  COALESCE(month, DATE '9999-12-31') AS month,
+        |  count(*) AS n_rows,
+        |  CAST(GROUPING(flag, month) AS INTEGER) AS gid
+        |FROM (SELECT l_returnflag AS flag,
+        |             CAST(date_trunc('month', l_shipdate) AS DATE) AS month
+        |      FROM lineitem)
+        |GROUP BY CUBE(flag, month)""".stripMargin)),
 
     QuerySpec("q29_unpivot_flags", unpivotFlags, Some(
       """WITH p AS (
