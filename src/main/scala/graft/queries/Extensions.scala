@@ -514,20 +514,24 @@ object Extensions {
     * (d01–d06) can't see: small character-level edits (typos, OCR noise)
     * that change every shingle. Candidate pairs are BLOCKED by
     * (lang, length-bucket) so the quadratic comparison runs within
-    * bounded blocks, never all-pairs, and the Levenshtein itself runs on
-    * a fixed 40-char prefix (O(40²) per pair, constant). Both engines
-    * implement textbook Levenshtein, so the integer distances are
-    * oracle-exact. */
+    * bounded blocks, never all-pairs, and the Levenshtein runs on a
+    * fixed 20-char prefix THROUGH THE THRESHOLDED VARIANT — Spark's
+    * 3-arg levenshtein abandons a pair as soon as the running distance
+    * exceeds the bound (returns -1), so far-apart pairs (the vast
+    * majority) cost O(threshold·len), not O(len²). Distances ≤ the
+    * threshold equal the unbounded distance, so the oracle's plain
+    * levenshtein + WHERE produces identical rows. */
   def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("lang"),
-      substring(col("text"), 1, 40).as("prefix"),
+      substring(col("text"), 1, 20).as("prefix"),
       idiv(length(col("text")).cast("long"), lit(50L)).as("lenb"))
     d.as("a").join(d.as("b"),
         col("a.lang") === col("b.lang") && col("a.lenb") === col("b.lenb") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.prefix"), col("b.prefix")).cast("int").as("edit_dist"))
-      .filter(col("edit_dist") <= 10)
+        levenshtein(col("a.prefix"), col("b.prefix"), 10).cast("int")
+          .as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
   }
 
   /** d07: canonical-corpus resolution — the dedup family's terminal
@@ -936,7 +940,7 @@ object Extensions {
 
     QuerySpec("d08_edit_distance_pairs", dedupEditDistance, Some(
       """WITH d AS (
-        |  SELECT doc_id, lang, substr(text, 1, 40) AS prefix,
+        |  SELECT doc_id, lang, substr(text, 1, 20) AS prefix,
         |         length(text) // 50 AS lenb
         |  FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
