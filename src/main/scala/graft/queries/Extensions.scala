@@ -547,6 +547,31 @@ object Extensions {
       .withColumn("is_kept",
         when(col("doc_id") === col("canonical_id"), 1).otherwise(0))
 
+  /** t13: the CAPSTONE composition — materialize the training corpus the
+    * way a pipeline actually would: keep a document iff it is its
+    * near-dup cluster's canonical (d07) AND it passes quality gating
+    * (t02), then report the retained mix per (lang, split) with token
+    * budgets (t06's content-hash split). Each stage is a key-grain
+    * semi-join onto the doc set — the operators compose without any new
+    * shuffle shape, which is the point: d01–d08/t01–t12 are not demos,
+    * they assemble. */
+  def corpusMaterialize(s: SparkSession, dir: String): DataFrame = {
+    val kept = canonicalCorpus(s, dir)
+      .filter(col("is_kept") === 1).select("doc_id")
+    val quality = qualityScore(s, dir)
+      .filter(col("quality_ok") === 1).select("doc_id")
+    val bucket = h32(col("text")) % 100
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .join(kept, Seq("doc_id"), "left_semi")
+      .join(quality, Seq("doc_id"), "left_semi")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+  }
+
   /** t05: text normalization — strip non-alphanumerics, collapse runs of
     * spaces, trim, lowercase; emit the normalized text, its portable hash
     * and length. Narrow codegen'd map, the canonical pre-dedup cleanup
@@ -971,6 +996,43 @@ object Extensions {
         |  CAST(length(chunk) AS BIGINT) AS chunk_len,
         |  ('0x' || substr(md5(chunk), 1, 8))::BIGINT AS checksum32
         |FROM ch""".stripMargin)),
+
+    QuerySpec("t13_corpus_materialize", corpusMaterialize,
+      Some(docCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a
+        |  JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  JOIN shc x ON x.doc_id = a.doc_id
+        |  JOIN shc y ON y.doc_id = b.doc_id
+        |  GROUP BY 1, 2, x.n_sh, y.n_sh
+        |  HAVING (count(*) * 1000000) // (x.n_sh + y.n_sh - count(*)) >= 800000),
+        |e AS (SELECT doc_a, doc_b FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, lab) AS (
+        |  SELECT doc_a, doc_a FROM e
+        |  UNION
+        |  SELECT e.doc_a, r.lab FROM e JOIN reach r ON r.doc_id = e.doc_b),
+        |labels AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1),
+        |kept AS (
+        |  SELECT d.doc_id FROM documents d
+        |  LEFT JOIN labels l ON l.doc_id = d.doc_id
+        |  WHERE COALESCE(l.cluster_id, d.doc_id) = d.doc_id),
+        |quality AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS t FROM documents) q
+        |  WHERE len(t) >= 20
+        |    AND (len(list_filter(t, x -> x IN ('a', 'the'))) * 1000000) // len(t) < 300000)
+        |SELECT d.lang,
+        |  CASE WHEN ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents d
+        |JOIN kept k ON k.doc_id = d.doc_id
+        |JOIN quality q ON q.doc_id = d.doc_id
+        |GROUP BY 1, 2""".stripMargin)),
 
     QuerySpec("t11_temperature_sample", temperatureSample, Some(
       """WITH d AS (
