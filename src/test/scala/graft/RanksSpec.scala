@@ -49,6 +49,36 @@ class RanksSpec extends SparkSpec {
     assert(got == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("connectedComponents converges on cycles (fixpoint, not a tree walk)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L), (8L, 9L), (9L, 7L))
+      .toDF("doc_a", "doc_b")
+    val got = Extensions.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set(1L, 2L, 3L).map(_ -> 1L) ++ Set(7L, 8L, 9L).map(_ -> 7L))
+  }
+
+  test("connectedComponents equals a union-find reference on random graphs") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val edges = Seq.fill(20)((rng.nextInt(12) + 1L, rng.nextInt(12) + 1L))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find as the independent reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.groupBy(find).flatMap { case (_, ns) =>
+        val label = ns.min; ns.map(_ -> label)
+      }.toSet
+      val got = Extensions.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == want, s"seed $seed: got $got want $want")
+    }
+  }
+
   test("asOf rejects colliding caller column names") {
     val l = Seq((1L, 10L, "x")).toDF("k", "ts", "asof_v")
     val r = Seq((1L, 5L, "y")).toDF("k", "ts", "v")
