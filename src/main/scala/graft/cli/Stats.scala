@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Stats <base> clicks       --campaign-id 1 --ratio 0.12
   *   runMain graft.cli.Stats <base> batch        (seed batch defaults)
   *   runMain graft.cli.Stats <base> stats        (counts + per-campaign CTR)
+  *   runMain graft.cli.Stats <base> ingest       (stream-drain impressions → daily log)
   *   runMain graft.cli.Stats <base> reset        (empty all OLTP tables)
   * }}}
   *
@@ -80,6 +81,16 @@ object Stats {
       case "batch" =>
         Main.seed(spark, p, nowArg(rest), seedArg(rest))
         Seq("Seeded batch defaults (2 advertisers x 3 campaigns x 100 impressions).")
+      case "ingest" =>
+        // Drain the impressions store through the Structured Streaming
+        // file source into the streamed daily log (exactly-once via the
+        // checkpoint — re-running without new files appends nothing).
+        val log = s"$base/olap/impressions_daily_stream"
+        graft.streaming.FileIngest.ingestDaily(spark, p.impressions, log,
+          s"$base/_checkpoints/impressions_daily")
+        val n = graft.streaming.FileIngest
+          .latestDaily(Warehouse.read(spark, log)).count()
+        Seq(s"Ingested impressions; streamed daily log holds $n (campaign, day) rows.")
       case "reset" =>
         Warehouse.reset(spark, p.clicks, Schemas.event)
         Warehouse.reset(spark, p.impressions, Schemas.event)
@@ -122,7 +133,7 @@ object Stats {
         header ++ Seq("", "=== Campaign Details ===") ++ detail
       case other =>
         Seq(s"Unknown command: $other. " +
-          "Use advertisers|campaigns|impressions|clicks|batch|stats|reset.")
+          "Use advertisers|campaigns|impressions|clicks|batch|stats|ingest|reset.")
     }
   }
 

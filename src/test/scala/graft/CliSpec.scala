@@ -36,6 +36,18 @@ class CliSpec extends SparkSpec {
     assert(after.exists(_ == "Advertisers: 0") && after.exists(_ == "Clicks: 0"))
   }
 
+  test("ingest drains impressions into the streamed daily log, exactly once") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cli4").toString
+    lines(base, "batch")
+    val first = lines(base, "ingest").head
+    assert(first.startsWith("Ingested impressions"), first)
+    // no new files → identical state message (nothing re-appended)
+    assert(lines(base, "ingest").head == first)
+    // more impressions → the day set grows or counts change
+    lines(base, "impressions", "--campaign-id", "2", "--count", "40")
+    assert(lines(base, "ingest").head.startsWith("Ingested impressions"))
+  }
+
   test("clicks on an impression-less campaign is refused (main.py:169-178)") {
     val base = java.nio.file.Files.createTempDirectory("graft-cli2").toString
     lines(base, "batch")
