@@ -322,6 +322,28 @@ object Parity {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Sessionized funnel: per-day session counts, view-session counts, and
+    * view→click conversion — the composite analytic a funnel dashboard
+    * runs: q16's session_window sessionization feeding per-session flag
+    * aggregation feeding a daily rollup. Two shuffles total (user-key
+    * sessionization, then day grain); conversion as a guarded integer
+    * ppm so the ratio is oracle-exact. */
+  def sessionFunnel(s: SparkSession, dir: String): DataFrame =
+    Adtech.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(max(when(col("event_type") === "view", 1).otherwise(0)).as("has_view"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("has_click"))
+      .select(to_date(col("w.start")).as("day"),
+        col("has_view"), col("has_click"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("has_view")).cast("long").as("n_view_sessions"),
+        count(when(col("has_view") === 1 && col("has_click") === 1, 1))
+          .as("n_converted"))
+      .withColumn("conv_ppm",
+        when(col("n_view_sessions") > 0,
+          Portable.ppm(col("n_converted"), col("n_view_sessions"))))
+
   /** A4 at scale: APPROX_COUNT_DISTINCT (HLL) next to the exact count —
     * the 100 TB variant of COUNT(DISTINCT). Sketch values are
     * engine-specific, so this query has no DuckDB oracle (rows-only check);
@@ -827,6 +849,32 @@ object Parity {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin)),
+
+    QuerySpec("q31_session_funnel", sessionFunnel, Some(
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM lagged),
+        |persess AS (
+        |  SELECT user_id, sid, min(ts) AS session_start,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT CAST(session_start AS DATE) AS day,
+        |  count(*) AS n_sessions,
+        |  CAST(SUM(has_view) AS BIGINT) AS n_view_sessions,
+        |  count(CASE WHEN has_view = 1 AND has_click = 1 THEN 1 END) AS n_converted,
+        |  CASE WHEN SUM(has_view) > 0
+        |       THEN (count(CASE WHEN has_view = 1 AND has_click = 1 THEN 1 END) * 1000000)
+        |            // CAST(SUM(has_view) AS BIGINT) END AS conv_ppm
+        |FROM persess GROUP BY 1""".stripMargin)),
 
     QuerySpec("q17_approx_distinct", approxDistinct, None),
 
