@@ -49,8 +49,11 @@ object Warehouse {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(stage, target)
-    ()
+    // rename reports failure via its return, not an exception — a silent
+    // false here would leave the report missing with the data stranded
+    // in the stage dir.
+    require(fs.rename(stage, target),
+      s"replaceReport: rename $stage -> $target failed; data is in $stage")
   }
 
   /** S8: reset — overwrite with an empty frame of the same schema. */
