@@ -283,18 +283,46 @@ object Extensions {
       rounds += 1
     }
     edges.unpersist()
+    // Fail loudly rather than return wrong labels: if a component's
+    // diameter exceeds maxRounds the loop exits on the bound with labels
+    // still in flight — silently handing those to a dedup pipeline would
+    // under-merge clusters with no signal. Callers with genuinely deeper
+    // graphs raise maxRounds (rounds needed = component diameter).
+    require(converged,
+      s"connectedComponents: not converged after $maxRounds rounds — " +
+        "a component's diameter exceeds maxRounds; raise it")
     // The final labels stay persisted: the caller's action reads them from
     // cache; unpersisting here would recompute the ENTIRE loop lineage.
     // The frame is key-grain (|distinct doc ids in pairs|) — tiny.
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The candidate pair graph the TERMINAL dedup operators (d06/d07/t13)
+    * consume: LSH candidates (d03's banded MinHash self-join) verified at
+    * the exact-Jaccard threshold. This is the load-bearing choice for
+    * 100 TB: d02's shingle self-join generates the same ≥0.8 pairs but
+    * costs Σ_lang |docs|² — quadratic in corpus size — while the banded
+    * join shuffles by (band, signature) bucket and only ever compares
+    * colliding candidates. The trade is LSH recall: a true ≥0.8 pair is
+    * caught with p = 1-(1-s⁴)⁴ (s = its Jaccard), ≈97% at s=0.9, ≈88% at
+    * the 0.8 threshold — the standard dedup-pipeline contract (banding
+    * tuned to the threshold), vs. a pipeline that cannot run at all.
+    * Unlike d02's lang-blocked generator, the hash buckets are
+    * lang-agnostic: a verbatim copy filed under two languages still
+    * collides and merges (extra recall, not a false positive — every
+    * candidate is verified against the true shingle sets). */
+  def lshPairs(s: SparkSession, dir: String): DataFrame =
+    dedupMinhashLsh(s, dir)
+      .filter(col("jaccard_ppm") >= 800000)
+      .select("doc_a", "doc_b")
+
   /** d06: near-dup cluster resolution — true connected components of the
-    * d02 pair graph (convergence-driven; the oracle is a recursive
-    * transitive closure, so both sides compute the component minimum
-    * exactly, whatever the component diameter). */
+    * LSH-verified pair graph (convergence-driven; the oracle is a
+    * recursive transitive closure over the same banded candidates, so
+    * both sides compute the component minimum exactly, whatever the
+    * component diameter). */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
+    connectedComponents(lshPairs(s, dir))
 
   /** s03: IVF-style ANN — deterministic coarse quantizer (centroids = every
     * 50th vector), each vector assigned to its nearest centroid cell, query
@@ -501,6 +529,10 @@ object Extensions {
     docs(s, dir)
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("len"))
+      // Empty-text contract: zero chunks (idiv truncates toward zero, so
+      // len=0 would otherwise yield sequence(0,0) = one empty-chunk row
+      // where the oracle's floor-division range yields none).
+      .filter(col("len") > 0)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L),
           idiv(col("len") - 1, lit(1000L)))).as("chunk_idx"))
@@ -520,17 +552,38 @@ object Extensions {
     * exceeds the bound (returns -1), so far-apart pairs (the vast
     * majority) cost O(threshold·len), not O(len²). Distances ≤ the
     * threshold equal the unbounded distance, so the oracle's plain
-    * levenshtein + WHERE produces identical rows. */
-  def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+    * levenshtein + WHERE produces identical rows.
+    *
+    * Blocking recall contract: each doc is emitted into its own AND its
+    * successor length bucket, so any two docs whose buckets differ by at
+    * most 1 (|len diff| < 100 guaranteed compared; < 50 always) share a
+    * block — a near-pair straddling a bucket boundary (lengths 49/51) is
+    * still compared, where naive equal-bucket blocking silently skips it.
+    * Pairs whose lengths differ by ≥2 buckets are never compared: that is
+    * the stated trade (their edit distance is ≥ the length gap anyway,
+    * far above any plausible near-dup threshold for same-prefix docs).
+    * Cost: 2× candidate rows, still never all-pairs. */
+  def dedupEditDistance(s: SparkSession, dir: String): DataFrame =
+    editDistancePairs(docs(s, dir))
+
+  /** Frame-parameterized core of d08 over (doc_id, lang, text) rows —
+    * unit-testable on synthetic corpora (boundary-straddling pairs). */
+  def editDistancePairs(documents: DataFrame): DataFrame = {
+    val d = documents.select(col("doc_id"), col("lang"),
       substring(col("text"), 1, 20).as("prefix"),
       idiv(length(col("text")).cast("long"), lit(50L)).as("lenb"))
-    d.as("a").join(d.as("b"),
-        col("a.lang") === col("b.lang") && col("a.lenb") === col("b.lenb") &&
+    val blocked = d.withColumn("blk",
+      explode(array(col("lenb"), col("lenb") + 1)))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.prefix"), col("b.prefix"), 10).cast("int")
-          .as("edit_dist"))
+        col("a.prefix").as("pa"), col("b.prefix").as("pb"))
+      // An equal-bucket pair collides in BOTH its buckets: dedup the
+      // candidate keys before the (more expensive) edit distance runs.
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb"), 10).cast("int").as("edit_dist"))
       .filter(col("edit_dist") >= 0)
   }
 
@@ -703,6 +756,62 @@ object Extensions {
       |               ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh)
       |""".stripMargin
 
+  /** d03's MinHash/LSH candidate chain (mh → 16-col sig → banded cand →
+    * verified common-shingle counts), shared by the d03 oracle and the
+    * terminal dedup oracles (d06/d07/t13) so the LSH graph they cluster
+    * is textually identical to the one d03 verifies. */
+  private val minhashCtes: String =
+    """, mh AS (
+      |  SELECT doc_id, j,
+      |         min(((2 * j + 1) * h + 1000003 * j) % 2147483647) AS mh
+      |  FROM shh, UNNEST(range(0, 16)) u(j) GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN j = 0 THEN mh END) m0, max(CASE WHEN j = 1 THEN mh END) m1,
+      |    max(CASE WHEN j = 2 THEN mh END) m2, max(CASE WHEN j = 3 THEN mh END) m3,
+      |    max(CASE WHEN j = 4 THEN mh END) m4, max(CASE WHEN j = 5 THEN mh END) m5,
+      |    max(CASE WHEN j = 6 THEN mh END) m6, max(CASE WHEN j = 7 THEN mh END) m7,
+      |    max(CASE WHEN j = 8 THEN mh END) m8, max(CASE WHEN j = 9 THEN mh END) m9,
+      |    max(CASE WHEN j = 10 THEN mh END) m10, max(CASE WHEN j = 11 THEN mh END) m11,
+      |    max(CASE WHEN j = 12 THEN mh END) m12, max(CASE WHEN j = 13 THEN mh END) m13,
+      |    max(CASE WHEN j = 14 THEN mh END) m14, max(CASE WHEN j = 15 THEN mh END) m15
+      |  FROM mh GROUP BY 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+      |    (a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3) OR
+      |    (a.m4 = b.m4 AND a.m5 = b.m5 AND a.m6 = b.m6 AND a.m7 = b.m7) OR
+      |    (a.m8 = b.m8 AND a.m9 = b.m9 AND a.m10 = b.m10 AND a.m11 = b.m11) OR
+      |    (a.m12 = b.m12 AND a.m13 = b.m13 AND a.m14 = b.m14 AND a.m15 = b.m15))),
+      |common AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS c
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2)
+      |""".stripMargin
+
+  /** Oracle twin of `connectedComponents(lshPairs(...))`: LSH-verified
+    * pairs → symmetric edges → recursive transitive closure →
+    * component-min labels. */
+  private val ccCtes: String =
+    docCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + minhashCtes +
+    """, pairs AS (
+      |  SELECT c.doc_a, c.doc_b
+      |  FROM cand c
+      |  LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+      |  JOIN shc x ON x.doc_id = c.doc_a
+      |  JOIN shc y ON y.doc_id = c.doc_b
+      |  WHERE (COALESCE(cm.c, 0) * 1000000) // (x.n_sh + y.n_sh - COALESCE(cm.c, 0)) >= 800000),
+      |e AS (SELECT doc_a, doc_b FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, lab) AS (
+      |  SELECT doc_a, doc_a FROM e
+      |  UNION
+      |  SELECT e.doc_a, r.lab FROM e JOIN reach r ON r.doc_id = e.doc_b),
+      |labels AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1)
+      |""".stripMargin
+
   private val embCtes: String =
     """WITH qe AS (SELECT vec_id,
       |        list_transform(embedding,
@@ -732,35 +841,8 @@ object Extensions {
         |HAVING (count(*) * 1000000) // (x.n_sh + y.n_sh - count(*)) >= 800000""".stripMargin)),
 
     QuerySpec("d03_dedup_minhash_lsh", dedupMinhashLsh, Some(docCtes +
-      """, mh AS (
-        |  SELECT doc_id, j,
-        |         min(((2 * j + 1) * h + 1000003 * j) % 2147483647) AS mh
-        |  FROM shh, UNNEST(range(0, 16)) u(j) GROUP BY 1, 2),
-        |sig AS (
-        |  SELECT doc_id,
-        |    max(CASE WHEN j = 0 THEN mh END) m0, max(CASE WHEN j = 1 THEN mh END) m1,
-        |    max(CASE WHEN j = 2 THEN mh END) m2, max(CASE WHEN j = 3 THEN mh END) m3,
-        |    max(CASE WHEN j = 4 THEN mh END) m4, max(CASE WHEN j = 5 THEN mh END) m5,
-        |    max(CASE WHEN j = 6 THEN mh END) m6, max(CASE WHEN j = 7 THEN mh END) m7,
-        |    max(CASE WHEN j = 8 THEN mh END) m8, max(CASE WHEN j = 9 THEN mh END) m9,
-        |    max(CASE WHEN j = 10 THEN mh END) m10, max(CASE WHEN j = 11 THEN mh END) m11,
-        |    max(CASE WHEN j = 12 THEN mh END) m12, max(CASE WHEN j = 13 THEN mh END) m13,
-        |    max(CASE WHEN j = 14 THEN mh END) m14, max(CASE WHEN j = 15 THEN mh END) m15
-        |  FROM mh GROUP BY 1),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
-        |    (a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3) OR
-        |    (a.m4 = b.m4 AND a.m5 = b.m5 AND a.m6 = b.m6 AND a.m7 = b.m7) OR
-        |    (a.m8 = b.m8 AND a.m9 = b.m9 AND a.m10 = b.m10 AND a.m11 = b.m11) OR
-        |    (a.m12 = b.m12 AND a.m13 = b.m13 AND a.m14 = b.m14 AND a.m15 = b.m15))),
-        |common AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS c
-        |  FROM cand c
-        |  JOIN sh a ON a.doc_id = c.doc_a
-        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-        |  GROUP BY 1, 2)
-        |SELECT c.doc_a, c.doc_b,
+      minhashCtes +
+      """SELECT c.doc_a, c.doc_b,
         |       (COALESCE(cm.c, 0) * 1000000) // (x.n_sh + y.n_sh - COALESCE(cm.c, 0)) AS jaccard_ppm
         |FROM cand c
         |LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
@@ -903,43 +985,14 @@ object Extensions {
     // True connected components: the oracle's recursive CTE enumerates every
     // (node, reachable-node) pair of the symmetric edge set and takes the
     // minimum — exact for ANY component diameter, matching the Spark side's
-    // run-to-fixpoint label propagation.
+    // run-to-fixpoint label propagation. Both sides cluster the LSH-verified
+    // candidate graph (ccCtes ≡ connectedComponents(lshPairs)).
     QuerySpec("d06_dedup_clusters", dedupClusters,
-      Some(docCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a
-        |  JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  JOIN shc x ON x.doc_id = a.doc_id
-        |  JOIN shc y ON y.doc_id = b.doc_id
-        |  GROUP BY 1, 2, x.n_sh, y.n_sh
-        |  HAVING (count(*) * 1000000) // (x.n_sh + y.n_sh - count(*)) >= 800000),
-        |e AS (SELECT doc_a, doc_b FROM pairs
-        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(doc_id, lab) AS (
-        |  SELECT doc_a, doc_a FROM e
-        |  UNION
-        |  SELECT e.doc_a, r.lab FROM e JOIN reach r ON r.doc_id = e.doc_b)
-        |SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1""".stripMargin)),
+      Some(ccCtes + "SELECT doc_id, cluster_id FROM labels")),
 
     QuerySpec("d07_canonical_corpus", canonicalCorpus,
-      Some(docCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a
-        |  JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  JOIN shc x ON x.doc_id = a.doc_id
-        |  JOIN shc y ON y.doc_id = b.doc_id
-        |  GROUP BY 1, 2, x.n_sh, y.n_sh
-        |  HAVING (count(*) * 1000000) // (x.n_sh + y.n_sh - count(*)) >= 800000),
-        |e AS (SELECT doc_a, doc_b FROM pairs
-        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(doc_id, lab) AS (
-        |  SELECT doc_a, doc_a FROM e
-        |  UNION
-        |  SELECT e.doc_a, r.lab FROM e JOIN reach r ON r.doc_id = e.doc_b),
-        |labels AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1)
-        |SELECT d.doc_id, d.lang,
+      Some(ccCtes +
+      """SELECT d.doc_id, d.lang,
         |  COALESCE(l.cluster_id, d.doc_id) AS canonical_id,
         |  CASE WHEN COALESCE(l.cluster_id, d.doc_id) = d.doc_id
         |       THEN 1 ELSE 0 END AS is_kept
@@ -967,12 +1020,21 @@ object Extensions {
       """WITH d AS (
         |  SELECT doc_id, lang, substr(text, 1, 20) AS prefix,
         |         length(text) // 50 AS lenb
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
-        |FROM d a
-        |JOIN d b ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.prefix, b.prefix) <= 10""".stripMargin)),
+        |  FROM documents),
+        |blocked AS (
+        |  SELECT doc_id, lang, prefix, lenb AS blk FROM d
+        |  UNION ALL
+        |  SELECT doc_id, lang, prefix, lenb + 1 AS blk FROM d),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.prefix AS pa, b.prefix AS pb
+        |  FROM blocked a
+        |  JOIN blocked b ON a.lang = b.lang AND a.blk = b.blk
+        |                AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(levenshtein(pa, pb) AS INTEGER) AS edit_dist
+        |FROM cand
+        |WHERE levenshtein(pa, pb) <= 10""".stripMargin)),
 
     QuerySpec("t12_stratified_reservoir", stratifiedReservoir, Some(
       """WITH d AS (
@@ -987,7 +1049,8 @@ object Extensions {
         |WHERE sample_rank <= 10""".stripMargin)),
 
     QuerySpec("m03_chunk_checksums", chunkChecksums, Some(
-      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |           FROM documents WHERE length(text) > 0),
         |ch AS (
         |  SELECT doc_id, i AS chunk_idx,
         |         substr(text, CAST(i * 1000 + 1 AS INT), 1000) AS chunk
@@ -998,23 +1061,8 @@ object Extensions {
         |FROM ch""".stripMargin)),
 
     QuerySpec("t13_corpus_materialize", corpusMaterialize,
-      Some(docCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a
-        |  JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  JOIN shc x ON x.doc_id = a.doc_id
-        |  JOIN shc y ON y.doc_id = b.doc_id
-        |  GROUP BY 1, 2, x.n_sh, y.n_sh
-        |  HAVING (count(*) * 1000000) // (x.n_sh + y.n_sh - count(*)) >= 800000),
-        |e AS (SELECT doc_a, doc_b FROM pairs
-        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(doc_id, lab) AS (
-        |  SELECT doc_a, doc_a FROM e
-        |  UNION
-        |  SELECT e.doc_a, r.lab FROM e JOIN reach r ON r.doc_id = e.doc_b),
-        |labels AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1),
-        |kept AS (
+      Some(ccCtes +
+      """, kept AS (
         |  SELECT d.doc_id FROM documents d
         |  LEFT JOIN labels l ON l.doc_id = d.doc_id
         |  WHERE COALESCE(l.cluster_id, d.doc_id) = d.doc_id),

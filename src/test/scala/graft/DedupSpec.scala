@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries.Extensions
+import org.apache.spark.sql.functions._
+
+/** Behavior of the dedup candidate generators on adversarial corpora the
+  * sf tables don't contain: bucket-boundary near-pairs (d08's blocking
+  * blind spot) and the LSH graph's relationship to the exact pair set. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, lang: String, len: Int): (Long, String, String) = {
+    // Identical 20-char prefix (so edit_dist = 0), padded to `len`.
+    val prefix = "identical prefix 123"
+    (id, lang, prefix + "x" * (len - prefix.length))
+  }
+
+  test("d08 overlap blocking compares a near-pair straddling a bucket edge") {
+    // Lengths 49 and 51 fall in buckets 0 and 1: equal-bucket blocking
+    // never compares them; own+successor-bucket emission collides them
+    // in bucket 1.
+    val docs = Seq(doc(1L, "en", 49), doc(2L, "en", 51))
+      .toDF("doc_id", "lang", "text")
+    val got = Extensions.editDistancePairs(docs)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 0)))
+  }
+
+  test("d08 emits an equal-bucket pair exactly once (candidate dedup)") {
+    // Both docs sit in bucket 0, so they collide in blocks 0 AND 1 — the
+    // distinct must collapse that to one output row.
+    val docs = Seq(doc(1L, "en", 30), doc(2L, "en", 32))
+      .toDF("doc_id", "lang", "text")
+    assert(Extensions.editDistancePairs(docs).count() == 1L)
+  }
+
+  test("d08 never compares docs two buckets apart (stated recall bound)") {
+    val docs = Seq(doc(1L, "en", 30), doc(2L, "en", 140))
+      .toDF("doc_id", "lang", "text")
+    assert(Extensions.editDistancePairs(docs).count() == 0L)
+  }
+
+  test("d08 blocks across languages (lang is a hard partition)") {
+    val docs = Seq(doc(1L, "en", 49), doc(2L, "de", 51))
+      .toDF("doc_id", "lang", "text")
+    assert(Extensions.editDistancePairs(docs).count() == 0L)
+  }
+
+  test("same-lang lshPairs are a subset of the exact n-gram Jaccard pairs") {
+    // The LSH graph may MISS a true >=0.8 pair (banding recall) but must
+    // never assert one the exact computation rejects: every candidate is
+    // verified against true shingle sets at the same threshold. The exact
+    // generator (d02) blocks by language as a scale device, the hash
+    // buckets are lang-agnostic — so the comparable universe is the
+    // same-lang restriction (cross-lang copies are extra LSH recall, not
+    // false positives).
+    val dir = sf("sf0.001")
+    val langs = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val lshSameLang = Extensions.lshPairs(spark, dir)
+      .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("la")), "doc_a")
+      .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lb")), "doc_b")
+      .filter(col("la") === col("lb"))
+      .select("doc_a", "doc_b")
+    val exact = Extensions.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b")
+    assert(
+      lshSameLang.join(exact, Seq("doc_a", "doc_b"), "left_anti").count() == 0L,
+      "lshPairs contains a same-lang pair the exact computation rejects")
+  }
+
+  test("d06 clusters the LSH graph (labels match CC of lshPairs)") {
+    val dir = sf("sf0.001")
+    val fromOp = Extensions.dedupClusters(spark, dir)
+    val direct = Extensions.connectedComponents(
+      Extensions.lshPairs(spark, dir))
+    assertSameRows(fromOp, direct, "d06 vs CC(lshPairs)")
+  }
+}

@@ -118,6 +118,41 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
   }
 
+  test("terminal dedup pair source has no all-pairs shingle join") {
+    // d02's quadratic generator joins two full shingle tables on
+    // (shingle, lang) — a lang = lang equi-key is its unique fingerprint
+    // (the banded LSH join keys on (band, signature); its verification
+    // join keys on candidate doc ids). d06/d07/t13 consume lshPairs, so
+    // pinning the pair source pins all three.
+    val langEq = "lang#\\d+ = lang#\\d+".r
+    val p = graft.queries.Extensions.lshPairs(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(langEq.findFirstIn(p).isEmpty,
+      s"all-pairs shingle-lang join in the candidate generator:\n$p")
+  }
+
+  test("t13's composed plan has no all-pairs shingle join") {
+    val langEq = "lang#\\d+ = lang#\\d+".r
+    val df = graft.queries.Extensions.corpusMaterialize(spark, dir)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(langEq.findFirstIn(p).isEmpty,
+      s"all-pairs shingle-lang join in t13:\n$p")
+  }
+
+  test("d03's banded self-join reuses one exchange for both sides") {
+    // The band-exploded signature table feeds both join sides; a refactor
+    // that specializes the two branches (breaking canonical equality)
+    // would silently double the heaviest shuffle. Pinned on the static
+    // planner (AQE off) where ReuseExchange is decided at plan time.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = planOf(graft.queries.Extensions.dedupMinhashLsh(spark, dir))
+      assert(p.contains("ReusedExchange"),
+        s"banded self-join does not reuse its exchange:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("json extraction prunes the events scan to the used columns") {
     val p = planOf(Parity.jsonProps(spark, dir))
     assert(!p.contains("user_id"), s"events scan reads unused columns:\n$p")

@@ -79,6 +79,17 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents fails loudly when maxRounds is too small") {
+    // A 7-node path needs ~6 propagation rounds; maxRounds=2 must raise,
+    // not hand back half-propagated labels.
+    val pairs = Seq((20L, 10L), (30L, 20L), (40L, 30L), (50L, 40L),
+      (60L, 50L), (70L, 60L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Extensions.connectedComponents(pairs, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("asOf rejects colliding caller column names") {
     val l = Seq((1L, 10L, "x")).toDF("k", "ts", "asof_v")
     val r = Seq((1L, 5L, "y")).toDF("k", "ts", "v")
