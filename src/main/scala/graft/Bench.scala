@@ -39,9 +39,13 @@ object Bench {
 
     // A failed query must be visible IN the JSON (not only stderr): its
     // per-query seconds are negated as a sentinel and its message goes into
-    // an "errors" object; "value" sums successful queries only.
+    // an "errors" object. A query enters "errors" only when EVERY iteration
+    // failed (one entry, the first message — duplicate JSON keys are
+    // invalid); a transiently failing query keeps its positive median and
+    // the failure stays on stderr.
     var errors = Vector.empty[(String, String)]
     val results = SparkEntry.specs.map { spec =>
+      var firstErr: Option[String] = None
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -51,8 +55,9 @@ object Bench {
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
-              errors :+= (spec.name -> String.valueOf(e.getMessage)
-                .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200))
+              if (firstErr.isEmpty)
+                firstErr = Some(String.valueOf(e.getMessage)
+                  .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200))
               false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
@@ -61,6 +66,7 @@ object Bench {
       // Median of the successful runs; if every run failed, the negated
       // first attempt survives as the error sentinel.
       val good = times.filter(_ >= 0).sorted
+      if (good.isEmpty) firstErr.foreach(m => errors :+= (spec.name -> m))
       spec.name -> (if (good.isEmpty) times.head else good(good.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1,7 +1,7 @@
 package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.apache.spark.sql.types.StructType
 
 /** Storage layout for the OLAP side (SURVEY S4–S8, O1).
@@ -100,8 +100,16 @@ object Warehouse {
   def writeZOrdered(df: DataFrame, path: String, dimX: String,
                     dimY: String, bits: Int = 16,
                     partitions: Option[Int] = None): Unit = {
+    // pmod-mask both dimensions into [0, 2^bits) before interleaving
+    // (matching the q28 query's Morton key): an unmasked value >= 2^bits
+    // would alias distant rows into one tile and a negative value would
+    // produce negative key terms — both silently degrade the clustering
+    // (and the file pruning it exists for).
+    val mask = lit(1L << bits)
     val keyed = df.withColumn("__z",
-      graft.ops.Core.zorderKey(col(dimX).cast("long"), col(dimY).cast("long"), bits))
+      graft.ops.Core.zorderKey(
+        pmod(col(dimX).cast("long"), mask),
+        pmod(col(dimY).cast("long"), mask), bits))
     // Explicit partition count bypasses AQE's small-shuffle coalescing so
     // the tile grain is the caller's choice (files ≈ tiles).
     val ranged = partitions match {

@@ -49,17 +49,36 @@ object Joins {
     * cluster scale this operator exists for, stage retry is routine, so
     * retry-safety wins. The trade: rows that are EXACT duplicates share a
     * salt and stay on one reducer — if a hot key's rows are full
-    * duplicates, dedup first or add a disambiguating column. */
+    * duplicates, dedup first or add a disambiguating column. The salt
+    * hashes only the HASHABLE left columns (Spark's hash functions reject
+    * MapType at analysis time); map columns still ride along, they just
+    * don't contribute entropy. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salt: Int = 16): DataFrame = {
+    val saltSrc = left.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(saltSrc.nonEmpty,
+      "saltedJoin: no hashable columns to derive a deterministic salt from")
     val withSalt = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(saltSrc.toSeq: _*), lit(salt.toLong)).cast("int"))
     val replicated = right.crossJoin(
       spark(right).range(0, salt).select(col("id").cast("int").as("__salt")))
     withSalt.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
   private def spark(df: DataFrame) = df.sparkSession
+
+  /** xxhash64/hash reject MapType anywhere in the type (no canonical
+    * entry order); everything else is fair salt input. */
+  private def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case _: MapType => false
+      case ArrayType(e, _) => hashable(e)
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+  }
 
   /** As-of join (extension operator — the reference's click-after-impression
     * generator, seed.py:86-106, implies exactly this attribution lookup but

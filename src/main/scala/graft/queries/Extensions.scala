@@ -250,22 +250,54 @@ object Extensions {
     * Convergence, not a fixed unroll: labels only ever decrease, so the
     * global label sum strictly decreases until the fixpoint — one scalar
     * per round decides termination (no row-level diff job). Each round's
-    * labels are persisted and eagerly materialized (the same action that
-    * reads the convergence scalar), and the previous round unpersisted:
-    * without the persist, lineage re-expands the whole prefix every round
-    * and a join-per-round loop goes quadratic. `maxRounds` bounds the
-    * worst case (rounds needed = component diameter). */
+    * labels are eagerly localCheckpoint-ed: without materialization,
+    * lineage re-expands the whole prefix every round and a
+    * join-per-round loop goes quadratic.
+    *
+    * The loop runs at its OWN partitioning, derived from the measured
+    * node count, not the session's shuffle.partitions: the label/edge
+    * frames are key-grain (|distinct doc ids in pairs| — orders of
+    * magnitude below fact grain), and every round is a full stage-set
+    * whose cost at that size is pure task scheduling. At 32 session
+    * partitions a round on a few hundred labels measured 2–3 s of
+    * overhead; collapsed to the size-appropriate count it is ~0.2 s,
+    * while a billion-node graph at 100 TB still fans out. The
+    * repartition column matches the groupBy key, so the explicit
+    * exchange REPLACES the aggregation's (no extra shuffle).
+    * `maxRounds` bounds the worst case (rounds needed = component
+    * diameter). */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a"), col("doc_b"))
+    val edges0 = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
     def checksum(labels: DataFrame): Long = {
       val r = labels.agg(sum(col("label"))).head
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+    val nodes0 = edges0.select(col("doc_a").as("doc_id")).distinct().persist()
+    // Size the loop from the measured node count (~1M labels per loop
+    // partition, capped at the session setting), then re-lay BOTH loop
+    // frames at that partitioning: a labels layout left at the session's
+    // partition count re-imposes session-grain stages on every round.
+    val nNodes = nodes0.count()
+    val sessionParts =
+      pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1,
+      math.min(sessionParts.toLong, nNodes / 1000000L + 1L).toInt)
+    // localCheckpoint (eager) TRUNCATES LINEAGE, not just caches it: a
+    // plain persist leaves the whole upstream candidate-generation plan
+    // (here, the full d03 LSH chain) inside every loop frame's logical
+    // plan, and each round's query re-canonicalizes and re-optimizes it —
+    // measured 2-3 s of pure PLANNING per round on few-hundred-row
+    // frames at sf0.1. After the checkpoint the loop plans against the
+    // materialized RDD. (On a multi-node cluster with executor churn,
+    // swap for reliable checkpoint(dir) — same shape, durable blocks.)
+    var labels = nodes0.repartition(loopParts, col("doc_id"))
       .withColumn("label", col("doc_id"))
-      .persist()
+      .localCheckpoint()
+    val edges = edges0.repartition(loopParts, col("doc_b")).localCheckpoint()
+    nodes0.unpersist()
+    edges0.unpersist()
     var prevSum = checksum(labels)
     var rounds = 0
     var converged = false
@@ -273,16 +305,15 @@ object Extensions {
       val next = labels.union(
           edges.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
             .select(col("doc_a").as("doc_id"), col("label")))
+        .repartition(loopParts, col("doc_id"))
         .groupBy("doc_id").agg(min("label").as("label"))
-        .persist()
+        .localCheckpoint()
       val nextSum = checksum(next)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       rounds += 1
     }
-    edges.unpersist()
     // Fail loudly rather than return wrong labels: if a component's
     // diameter exceeds maxRounds the loop exits on the bound with labels
     // still in flight — silently handing those to a dedup pipeline would
@@ -291,9 +322,9 @@ object Extensions {
     require(converged,
       s"connectedComponents: not converged after $maxRounds rounds — " +
         "a component's diameter exceeds maxRounds; raise it")
-    // The final labels stay persisted: the caller's action reads them from
-    // cache; unpersisting here would recompute the ENTIRE loop lineage.
-    // The frame is key-grain (|distinct doc ids in pairs|) — tiny.
+    // The final labels are a checkpointed RDD: the caller's plan starts
+    // from the materialized blocks, not the loop lineage. The frame is
+    // key-grain (|distinct doc ids in pairs|) — tiny.
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -562,7 +593,15 @@ object Extensions {
     * Pairs whose lengths differ by ≥2 buckets are never compared: that is
     * the stated trade (their edit distance is ≥ the length gap anyway,
     * far above any plausible near-dup threshold for same-prefix docs).
-    * Cost: 2× candidate rows, still never all-pairs. */
+    *
+    * The expansion is SINGLE-SIDED: only the probe side explodes into
+    * {own, successor} buckets and joins against the unexploded build
+    * side on `a.blk = b.lenb` — half the join volume of exploding both
+    * sides (which compares doubled blocks against doubled blocks). Each
+    * unordered pair matches exactly once: a cross-bucket pair only with
+    * the lower-bucket doc as the probe (its successor block = the
+    * other's own bucket), an equal-bucket pair gated by id order — both
+    * row-local predicates, no dedup shuffle over the candidate set. */
   def dedupEditDistance(s: SparkSession, dir: String): DataFrame =
     editDistancePairs(docs(s, dir))
 
@@ -574,16 +613,13 @@ object Extensions {
       idiv(length(col("text")).cast("long"), lit(50L)).as("lenb"))
     val blocked = d.withColumn("blk",
       explode(array(col("lenb"), col("lenb") + 1)))
-    blocked.as("a").join(blocked.as("b"),
-        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.prefix").as("pa"), col("b.prefix").as("pb"))
-      // An equal-bucket pair collides in BOTH its buckets: dedup the
-      // candidate keys before the (more expensive) edit distance runs.
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("pa"), col("pb"), 10).cast("int").as("edit_dist"))
+    blocked.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.blk") === col("b.lenb") &&
+          (col("a.lenb") < col("b.lenb") || col("a.doc_id") < col("b.doc_id")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        levenshtein(col("a.prefix"), col("b.prefix"), 10).cast("int")
+          .as("edit_dist"))
       .filter(col("edit_dist") >= 0)
   }
 
@@ -1022,15 +1058,16 @@ object Extensions {
         |         length(text) // 50 AS lenb
         |  FROM documents),
         |blocked AS (
-        |  SELECT doc_id, lang, prefix, lenb AS blk FROM d
+        |  SELECT doc_id, lang, prefix, lenb, lenb AS blk FROM d
         |  UNION ALL
-        |  SELECT doc_id, lang, prefix, lenb + 1 AS blk FROM d),
+        |  SELECT doc_id, lang, prefix, lenb, lenb + 1 AS blk FROM d),
         |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        |         greatest(a.doc_id, b.doc_id) AS doc_b,
         |         a.prefix AS pa, b.prefix AS pb
         |  FROM blocked a
-        |  JOIN blocked b ON a.lang = b.lang AND a.blk = b.blk
-        |                AND a.doc_id < b.doc_id)
+        |  JOIN d b ON a.lang = b.lang AND a.blk = b.lenb
+        |          AND (a.lenb < b.lenb OR a.doc_id < b.doc_id))
         |SELECT doc_a, doc_b,
         |  CAST(levenshtein(pa, pb) AS INTEGER) AS edit_dist
         |FROM cand

@@ -29,9 +29,9 @@ object Sources {
     * bounds split the table into `numPartitions` range-predicate queries so
     * the scan runs on all executors instead of one connection (the
     * reference's single-cursor fetchall, initial_load…py:233, is the
-    * anti-pattern this replaces). Not exercised in this offline
-    * environment — no database to dial — but this is the live-Postgres
-    * parity path. */
+    * anti-pattern this replaces). This is the live-Postgres parity path;
+    * SourcesSpec proves the partitioned-extraction configuration against
+    * embedded Derby (the one JDBC engine on the offline classpath). */
   def jdbc(spark: SparkSession, url: String, table: String,
            partitionColumn: String, lowerBound: Long, upperBound: Long,
            numPartitions: Int): DataFrame =

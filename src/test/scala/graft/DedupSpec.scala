@@ -28,7 +28,7 @@ class DedupSpec extends SparkSpec {
 
   test("d08 emits an equal-bucket pair exactly once (candidate dedup)") {
     // Both docs sit in bucket 0, so they collide in blocks 0 AND 1 — the
-    // distinct must collapse that to one output row.
+    // greatest-bucket rule must emit exactly one output row.
     val docs = Seq(doc(1L, "en", 30), doc(2L, "en", 32))
       .toDF("doc_id", "lang", "text")
     assert(Extensions.editDistancePairs(docs).count() == 1L)

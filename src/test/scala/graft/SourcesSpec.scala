@@ -49,4 +49,65 @@ class SourcesSpec extends SparkSpec {
     val salted = Joins.saltedJoin(left, right, Seq("k"), salt = 4)
     assertSameRows(salted, plain, "salted vs plain")
   }
+
+  test("salting spreads a hot key across reducers (measured balance win)") {
+    // One key carries 8000 of 8100 rows. Plain shuffle: every hot row
+    // hashes to ONE reducer. Salted: the hot key fans out over 16
+    // (key, salt) groups. Static planner + no broadcast so the observed
+    // partitioning IS the join shuffle's.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = spark.range(0, 8000).select(lit(1L).as("k"), col("id").as("v"))
+        .union(spark.range(0, 100).select((col("id") % 10 + 2).as("k"),
+          col("id").as("v")))
+      val right = (1L to 11L).map(k => (k, s"t$k")).toDF("k", "tag")
+      def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Long =
+        df.groupBy(spark_partition_id().as("p")).count()
+          .agg(max("count")).as[Long].head()
+      val plainMax = maxPartitionRows(left.join(right, Seq("k")))
+      val saltedMax = maxPartitionRows(
+        Joins.saltedJoin(left, right, Seq("k"), salt = 16))
+      assert(plainMax >= 8000L,
+        s"setup broken: hot key not concentrated (max=$plainMax)")
+      assert(saltedMax * 2 <= plainMax,
+        s"salting did not spread the hot key: salted max $saltedMax " +
+          s"vs plain max $plainMax")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("salted join accepts left frames with map columns") {
+    // xxhash64 rejects MapType at analysis time; the salt must skip map
+    // columns rather than fail the whole join.
+    val left = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2)))
+      .toDF("k", "m")
+    val right = Seq((1L, "x"), (2L, "y")).toDF("k", "tag")
+    assert(Joins.saltedJoin(left, right, Seq("k")).count() == 2L)
+  }
+
+  test("jdbc partitioned extraction round-trips through embedded Derby") {
+    // Derby ships with Spark (the Hive-metastore backend jar), so the
+    // parallel-scan JDBC configuration is provable offline: 97 rows,
+    // 4 range partitions on id.
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby")
+      .toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE t (id BIGINT NOT NULL, name VARCHAR(20))")
+      (1 to 97).foreach(i => st.executeUpdate(s"INSERT INTO t VALUES ($i, 'n$i')"))
+      st.close()
+    } finally conn.close()
+    val got = Sources.jdbc(spark, url, "t", "id", 1L, 98L, 4)
+    assert(got.rdd.getNumPartitions == 4,
+      s"expected 4 range partitions, got ${got.rdd.getNumPartitions}")
+    assert(got.count() == 97L)
+    assert(got.agg(sum("id")).as[Long].head() == (1 to 97).map(_.toLong).sum)
+  }
 }
