@@ -41,8 +41,11 @@ object InitialLoad {
       .select(
         col("advertiser_name"),
         col("campaign_name"),
-        col("bid").cast("double").as("campaign_bid"),
-        col("budget").cast("double").as("campaign_budget"),
+        // No .cast("double"): NUMERIC(10,2) survives into the version log
+        // (Schemas.advertiserCampaigns), fixing the reference's silent
+        // Float64 downgrade at this boundary (initial_load…py:82-83).
+        col("bid").as("campaign_bid"),
+        col("budget").as("campaign_budget"),
         col("start_date").as("campaign_start_date"),
         col("end_date").as("campaign_end_date"),
         coalesce(col("imp_total"), lit(0L)).as("campaign_impressions_count_total"),

@@ -209,6 +209,45 @@ object Main {
     }
   }
 
+  /** Always-on service mode. The reference is a SCHEDULED system — a
+    * generate DAG every 3 minutes (generate_new_data.py:34) and a delta
+    * DAG every 5 (track_delta.py:617-624) — not a run-N-cycles batch.
+    * This composition runs the same lifecycle as one long-lived service:
+    * a processing-time streaming ingester continuously drains the
+    * impressions dir into a streamed daily log WHILE the generate +
+    * track-delta cycle appends to the OLTP store and maintains the
+    * reports. Shutdown is graceful: drain every file already committed
+    * to the store, then stop — the streaming checkpoint resumes
+    * exactly-once on the next start, so stop/start loses nothing.
+    *
+    * The streamed log (`olap/impressions_daily_stream`) complements the
+    * batch daily log (the exact-parity path): FileIngestSpec pins that
+    * its keep-latest view converges to the batch recompute of the final
+    * store. `interval` is the trigger cadence (the reference's 5-minute
+    * schedule; seconds in tests). */
+  def runService(spark: SparkSession, base: String, cycles: Int,
+                 seedVal: Long, interval: String = "5 minutes",
+                 now: String = Generators.DefaultNow): Seq[String] = {
+    val p = Paths(base)
+    val t0 = LocalDateTime.parse(now, NowFmt)
+    val today = now.take(10)
+    if (!p.oltpAll.forall(hasData(spark, _))) seed(spark, p, now, seedVal)
+    if (!hasData(spark, p.totalsLog)) initialLoad(spark, p, today)
+    val q = graft.streaming.FileIngest.startDailyIngest(spark, p.impressions,
+      s"$base/olap/impressions_daily_stream", s"$base/ckpt/imps_stream",
+      interval = interval)
+    try {
+      val rng = new scala.util.Random(seedVal)
+      (1 to cycles).map { i =>
+        val nowI = t0.plusMinutes(3L * i).format(NowFmt)
+        cycle(spark, p, nowI, today, rng)
+      }
+    } finally {
+      q.processAllAvailable()
+      q.stop()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft_pipeline")
     val cycles = if (args.length > 1) args(1).toInt else 3

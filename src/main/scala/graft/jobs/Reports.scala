@@ -41,15 +41,23 @@ object Reports {
     val todayD = to_date(lit(today))
     val periodDays = datediff(col("campaign_end_date"), col("campaign_start_date"))
     val daysRemaining = datediff(col("campaign_end_date"), todayD)
-    val used = bid * clks // exact: bid is in 0.5 steps
-    val dailyNorm = Core.round2p(budget / periodDays)
-    val dailyUsed = Core.round2p(used / periodDays)
+    // `used` and the budget comparisons run in the INPUT's numeric type:
+    // exact decimal arithmetic on the pipeline path (decimal × long →
+    // decimal), double on the parity path. Only the ratio metrics
+    // (per-day norms, CPM) cast to double — division is where NUMERIC
+    // would force a scale choice anyway and the reference's formulas are
+    // float (initial_load…py:426-463).
+    val used = bid * clks
+    val dailyNorm = Core.round2p(budget.cast("double") / periodDays)
+    val dailyUsed = Core.round2p(used.cast("double") / periodDays)
     t.select(
       col("rtm_advertiser_id"), col("rtm_campaign_id"),
       col("advertiser_name"), col("campaign_name"),
       bid, budget, imps, clks,
-      floor(budget / bid).as("campaign_bids_max"),
-      (floor(budget / bid) - clks).as("campaign_bids_remaining"),
+      // floor(double) is LONG but floor(decimal) is DECIMAL(p,0): pin the
+      // output type so both input paths produce the same report schema.
+      floor(budget / bid).cast("long").as("campaign_bids_max"),
+      (floor(budget / bid).cast("long") - clks).as("campaign_bids_remaining"),
       used.as("campaign_budget_used"),
       when(budget < used, "exceeded")
         .when(used === 0, "unused")
@@ -66,7 +74,7 @@ object Reports {
       when(dailyNorm > dailyUsed, "below_norm")
         .when(dailyNorm < dailyUsed, "above_norm").as("campaign_budget_daily_status"),
       when(imps > 0, (clks / imps) * 100).as("campaign_ctr"),
-      when(imps > 0, used / imps).as("campaign_cpm"),
+      when(imps > 0, used.cast("double") / imps).as("campaign_cpm"),
       col("rtm_delta"))
   }
 

@@ -37,12 +37,16 @@ object Schemas {
     StructField("created_at", TimestampType)))
 
   /** OLAP advertiser_campaigns version-log row (initial_load…py:79-98):
-    * append-only; reads go through Core.latestView on rtm_delta. */
+    * append-only; reads go through Core.latestView on rtm_delta.
+    * bid/budget stay DECIMAL through the log (SURVEY §1.3): the reference
+    * declares NUMERIC(10,2) in Postgres and silently downgrades to CH
+    * Float64 at this exact boundary (initial_load…py:82-83) — money
+    * re-enters float only inside ratio metrics (Reports.totalsReport). */
   val advertiserCampaigns: StructType = StructType(Seq(
     StructField("advertiser_name", StringType),
     StructField("campaign_name", StringType),
-    StructField("campaign_bid", DoubleType),
-    StructField("campaign_budget", DoubleType),
+    StructField("campaign_bid", DecimalType(10, 2)),
+    StructField("campaign_budget", DecimalType(10, 2)),
     StructField("campaign_start_date", DateType),
     StructField("campaign_end_date", DateType),
     StructField("campaign_impressions_count_total", LongType),

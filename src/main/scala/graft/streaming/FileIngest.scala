@@ -23,25 +23,43 @@ import org.apache.spark.sql.streaming.Trigger
   * re-versioned. */
 object FileIngest {
 
-  /** Drain all currently-available files from `srcDir` into the daily
-    * version log at `logPath` (Trigger.AvailableNow — run-to-completion;
-    * swap for a processing-time trigger for an always-on ingester). */
-  def ingestDaily(spark: SparkSession, srcDir: String, logPath: String,
-                  checkpointDir: String, watermark: String = "30 days"): Unit = {
+  private def dailyWriter(spark: SparkSession, srcDir: String,
+                          logPath: String, checkpointDir: String,
+                          watermark: String, trigger: Trigger) = {
     val stream = spark.readStream.schema(Schemas.event).parquet(srcDir)
       .select(col("campaign_id"), col("created_at"))
-    val q = StreamingDelta.dailyCounts(stream, watermark)
+    StreamingDelta.dailyCounts(stream, watermark)
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           Warehouse.appendVersions(batch, logPath, Seq("campaign_id", "date"))
       }
-      .start()
-    q.awaitTermination()
   }
+
+  /** Drain all currently-available files from `srcDir` into the daily
+    * version log at `logPath` (Trigger.AvailableNow — run-to-completion). */
+  def ingestDaily(spark: SparkSession, srcDir: String, logPath: String,
+                  checkpointDir: String, watermark: String = "30 days"): Unit =
+    dailyWriter(spark, srcDir, logPath, checkpointDir, watermark,
+      Trigger.AvailableNow()).start().awaitTermination()
+
+  /** Always-on variant: start a PROCESSING-TIME ingester over `srcDir`
+    * and return the live query — every `interval`, files that appeared
+    * since the last trigger become one micro-batch. The caller owns the
+    * lifecycle; the graceful shutdown sequence is
+    * `processAllAvailable()` (drain whatever is already committed to the
+    * store) then `stop()`, and the checkpoint makes the next start
+    * resume exactly-once after the stop (jobs.Main.runService composes
+    * this with the generate loop). */
+  def startDailyIngest(spark: SparkSession, srcDir: String, logPath: String,
+                       checkpointDir: String, interval: String = "5 minutes",
+                       watermark: String = "30 days")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    dailyWriter(spark, srcDir, logPath, checkpointDir, watermark,
+      Trigger.ProcessingTime(interval)).start()
 
   /** Keep-latest view of the streamed daily log; rtm_delta ties (a day's
     * count grew without moving its max timestamp) break on the monotone

@@ -44,4 +44,43 @@ class FileIngestSpec extends SparkSpec {
       FileIngest.latestDaily(Warehouse.read(spark, log)).drop("rtm_delta"),
       dailyRecompute(imps1.unionByName(imps2)), "after incremental file")
   }
+
+  test("always-on service: processing-time ingest tracks the generate loop") {
+    val base = java.nio.file.Files.createTempDirectory("graft-svc").toString
+    // Several generate+delta cycles run WHILE the 1-second-trigger
+    // ingester is live; runService then drains and stops gracefully.
+    val actions = graft.jobs.Main.runService(spark, base, cycles = 4,
+      seedVal = 11L, interval = "1 second")
+    assert(actions.size == 4)
+
+    // ≥2 processing-time micro-batches actually committed (the seed files
+    // plus at least one mid-loop append) — each commit is one file in the
+    // checkpoint's offsets dir.
+    val offsets = new java.io.File(s"$base/ckpt/imps_stream/offsets")
+      .listFiles().count(f => f.getName.forall(_.isDigit))
+    assert(offsets >= 2, s"expected >=2 committed micro-batches, got $offsets")
+
+    // Convergence: the streamed log's keep-latest view equals the batch
+    // recompute over the FINAL store (whatever the cycles appended).
+    val imps = spark.read.schema(graft.schema.Schemas.event)
+      .parquet(s"$base/oltp/impressions")
+    assertSameRows(
+      FileIngest.latestDaily(
+        Warehouse.read(spark, s"$base/olap/impressions_daily_stream"))
+        .drop("rtm_delta"),
+      dailyRecompute(imps), "streamed log vs final-store recompute")
+
+    // Graceful stop + checkpoint: a RESTART of the service picks up where
+    // the stop left off (exactly-once), not from scratch.
+    val moreActions = graft.jobs.Main.runService(spark, base, cycles = 2,
+      seedVal = 12L, interval = "1 second")
+    assert(moreActions.size == 2)
+    val impsAfter = spark.read.schema(graft.schema.Schemas.event)
+      .parquet(s"$base/oltp/impressions")
+    assertSameRows(
+      FileIngest.latestDaily(
+        Warehouse.read(spark, s"$base/olap/impressions_daily_stream"))
+        .drop("rtm_delta"),
+      dailyRecompute(impsAfter), "streamed log after service restart")
+  }
 }
