@@ -438,29 +438,51 @@ object Parity {
 
   /** Ranking family: rank / dense_rank (by impression count, real ties)
     * and ntile quartiles (over the unique (n desc, campaign_id) order) —
-    * WITHOUT a global window. `Window.orderBy` with no partition key would
-    * serialize every campaign-grain row through one reducer; instead:
+    * WITHOUT a global window over the data. `Window.orderBy` with no
+    * partition key would serialize every campaign-grain row through one
+    * reducer; instead:
     *
-    *   - a two-phase global ordinal (Ranks.withGlobalOrdinal —
-    *     range-repartition + per-partition positions + offsets),
-    *   - rank   = min ordinal of each n-tie-group (a key-grain aggregate),
-    *   - dense_rank = the same two-phase ordinal applied to the count
-    *     HISTOGRAM (|distinct n| rows — the distribution, not the data),
-    *   - ntile  = recomposed arithmetically from ordinal + total count.
+    *   - rank / dense_rank come from the count HISTOGRAM (|distinct n|
+    *     rows — the distribution, not the data): cumulative count of
+    *     better values + histogram row number,
+    *   - the global ordinal recomposes row-locally as
+    *     rank - 1 + position-within-tie-group (a window PARTITIONED by
+    *     the tie value),
+    *   - ntile derives arithmetically from ordinal + total count.
     *
-    * Output is bit-identical to the window form (the oracle IS the window
-    * form), but no stage ever sees more than its partition's share. */
+    * Fully DataFrame-API (no rdd.zipWithIndex hop): whole-stage codegen
+    * survives end-to-end, and output is bit-identical to the window form
+    * (the oracle IS the window form). */
   def campaignRanking(s: SparkSession, dir: String): DataFrame = {
     val t = Tables.t(s, dir, "lineitem")
       .groupBy(col("l_orderkey").as("campaign_id"))
       .agg(count(lit(1)).as("n"))
-    val tOrd = Ranks.withGlobalOrdinal(t, "rn",
-      col("n").desc, col("campaign_id").asc)
-    val ranksByN = tOrd.groupBy("n").agg(min(col("rn")).as("rnk0"))
-    val histOrd = Ranks.withGlobalOrdinal(ranksByN, "dense0", col("n").desc)
+    // Histogram grain (|distinct n| rows): dense_rank is the histogram
+    // row number, rank is 1 + the cumulative count of better values.
+    // These unpartitioned windows run over the aggregated DISTRIBUTION,
+    // never the data (the q26 pattern) — the frame is tiny by
+    // construction.
+    val hw = Window.orderBy(col("n").desc)
+    val hist = t.groupBy("n").agg(count(lit(1)).as("cnt"))
+      .withColumn("dense0", row_number().over(hw).cast("long"))
+      .withColumn("rnk0",
+        coalesce(sum(col("cnt")).over(hw.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)) + lit(1L))
+      .drop("cnt")
     val total = t.agg(count(lit(1)).as("n_total"))
-    tOrd.join(broadcast(histOrd), Seq("n"))
+    // The global ordinal RECOMPOSES row-locally: rn = (rows with better n,
+    // from the broadcast histogram) + position within the n-tie group —
+    // a window PARTITIONED by the tie value, so the whole plan stays in
+    // the DataFrame API and whole-stage codegen (no rdd.zipWithIndex
+    // serde hop), with one shuffle on n. Worst case is a mega tie group
+    // (many campaigns sharing one count) serializing within its group;
+    // tie cardinality over a count measure shrinks as counts grow, and
+    // the input is already campaign-grain.
+    val tieW = Window.partitionBy(col("n")).orderBy(col("campaign_id").asc)
+    t.join(broadcast(hist), Seq("n"))
       .crossJoin(broadcast(total))
+      .withColumn("rn",
+        col("rnk0") - lit(1L) + row_number().over(tieW).cast("long"))
       .select(col("campaign_id"), col("n"),
         col("rnk0").cast("int").as("rnk"),
         col("dense0").cast("int").as("dense_rnk"),

@@ -59,10 +59,22 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("aggregate"), s"no aggregate in:\n$p")
   }
 
-  test("campaign ranking has no unpartitioned window (two-phase ordinal)") {
-    val p = planOf(Parity.campaignRanking(spark, dir))
-    assert(!p.contains("WindowExec"),
-      s"ranking still plans a window operator:\n$p")
+  test("campaign ranking: data-grain windows partitioned, no RDD hop") {
+    val df = Parity.campaignRanking(spark, dir)
+    val p = planOf(df)
+    // No rdd.zipWithIndex serde hop — the plan must stay in the DataFrame
+    // API so whole-stage codegen survives.
+    assert(!p.contains("ExistingRDD"), s"RDD scan in ranking plan:\n$p")
+    // Unpartitioned windows may only run at HISTOGRAM grain (an Aggregate
+    // somewhere below them); a data-grain window must carry a partition
+    // spec or it serializes the frame through one reducer.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val unpartitionedOverData = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window if w.partitionSpec.isEmpty &&
+          w.collectFirst { case a: logical.Aggregate => a }.isEmpty => w
+    }
+    assert(unpartitionedOverData.isEmpty,
+      s"unpartitioned window directly over the data grain:\n$p")
   }
 
   test("event percentiles window over the histogram, not raw events") {
