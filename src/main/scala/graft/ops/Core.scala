@@ -36,6 +36,17 @@ object Core {
       .drop("__rn")
   }
 
+  /** Snapshot (time-travel) read of a version log: the keep-latest view
+    * AS OF `cutoff` — rows versioned after the cutoff are invisible, so
+    * the view reproduces exactly what latestView returned when the log
+    * ended at that version. This is the append-only log's answer to
+    * warehouse time travel: no stored snapshots, any past state is a
+    * filter away. The cutoff predicate sits BELOW the window, so at
+    * 100 TB it prunes date-partitioned log files before any shuffle. */
+  def snapshotView(df: DataFrame, keys: Seq[String], version: String,
+                   cutoff: Column, tiebreak: Seq[String] = Nil): DataFrame =
+    latestView(df.filter(col(version) <= cutoff), keys, version, tiebreak)
+
   /** Per-key change-version: GREATEST over nullable timestamps (SURVEY P3,
     * track_delta.py:78). Both PG and Spark skip NULLs. */
   def changeVersion(cols: Column*): Column = greatest(cols: _*)

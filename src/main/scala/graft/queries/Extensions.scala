@@ -79,6 +79,25 @@ object Extensions {
     floor(col("dot") / (sqrt(col("sa")) * sqrt(col("sb"))) * lit(1000000.0) + lit(0.5))
       .cast("long")
 
+  /** The deterministic coarse quantizer both IVF operators share (s03,
+    * s05): centroids = every 50th vector. Tiny frame, always broadcast. */
+  private def coarseCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("s2").as("sc"))
+
+  /** Per-(vector, centroid) cosine with rank 1 = nearest cell: a narrow
+    * map over the corpus (broadcast centroids, integer dot) — no shuffle
+    * until whatever the caller does with the cells. */
+  private def centroidRank(v: DataFrame, cents: DataFrame,
+                           idCol: String): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .withColumn("dot", DotI64(col("q"), col("qc")))
+      .withColumn("cos_ppm",
+        floor(col("dot") / (sqrt(col("s2")) * sqrt(col("sc"))) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("cos_ppm").desc, col("cent_id").asc)))
+
   // ------------------------------------------------------------ dedup family
 
   /** d01: exact dedup by content hash — at 100 TB this is THE cheap first
@@ -373,20 +392,11 @@ object Extensions {
     * a narrow map over the corpus (no shuffle until the per-cell top-k). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val cents = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("s2").as("sc"))
-    def centScore(v: DataFrame, idCol: String): DataFrame =
-      v.crossJoin(broadcast(cents))
-        .withColumn("dot", DotI64(col("q"), col("qc")))
-        .withColumn("cos_ppm",
-          floor(col("dot") / (sqrt(col("s2")) * sqrt(col("sc"))) * lit(1000000.0) + lit(0.5))
-            .cast("long"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col(idCol))
-          .orderBy(col("cos_ppm").desc, col("cent_id").asc)))
-    val assigned = centScore(e, "vec_id")
+    val cents = coarseCentroids(e)
+    val assigned = centroidRank(e, cents, "vec_id")
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
-    val probes = centScore(e.filter(col("vec_id") < 10), "vec_id")
+    val probes = centroidRank(e.filter(col("vec_id") < 10), cents, "vec_id")
       .filter(col("rn") <= 4)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
@@ -659,6 +669,88 @@ object Extensions {
       .join(quality, Seq("doc_id"), "left_semi")
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+  }
+
+  /** s05: cell-blocked semantic dedup (the SemDeDup shape) — d05's scale
+    * path, standing to it exactly as d03 stands to d02: instead of the
+    * all-pairs O(n²) cosine join, every vector is assigned to its nearest
+    * coarse-quantizer cell (s03's IVF machinery, broadcast centroids) and
+    * only WITHIN-CELL pairs are compared — Σ|cell|² work, shuffled by
+    * cell key. Recall bound: a near-dup pair split across two cells is
+    * missed (the standard blocking trade; finer cells trade recall for
+    * cost like nprobe does in s03). Emits pairs at the d05 threshold so
+    * the two operators' outputs are directly comparable. */
+  def semdedupCells(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val assigned = centroidRank(e, coarseCentroids(e), "vec_id")
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val withVec = assigned.join(e, "vec_id")
+    val a = withVec.select(col("cell"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("s2").as("sa"))
+    val b = withVec.select(col("cell"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("s2").as("sb"))
+    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .filter(col("cos_ppm") >= 350000)
+      .select("cell", "vec_a", "vec_b", "cos_ppm")
+  }
+
+  /** d09: train/test contamination check — the evaluation-integrity pass
+    * of a training pipeline: does any TEST document share a long n-gram
+    * with any TRAIN document (benchmark leakage)? Splits are t06's
+    * content-hash assignment, n-grams are 8 tokens (3-gram overlap is
+    * ubiquitous natural language; 8-gram overlap is evidence of copying).
+    * Shape: distinct train 8-grams (one hash agg) equi-joined to test
+    * 8-gram rows — a hash join on the shingle key, never a doc×doc
+    * comparison; output is per-test-doc hit counts. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir).select(col("doc_id"),
+        (h32(col("text")) % 100).as("bucket"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("bucket"), explode(expr(
+        """CASE WHEN size(t) < 8 THEN CAST(array() AS array<string>)
+          |ELSE transform(sequence(0, size(t) - 8),
+          |  i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+          |                 t[i+4], t[i+5], t[i+6], t[i+7])) END"""
+          .stripMargin)).as("gram"))
+      .distinct()
+    val trainGrams = grams.filter(col("bucket") < 80)
+      .select("gram").distinct()
+    grams.filter(col("bucket") >= 90)
+      .join(trainGrams, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_8grams"))
+  }
+
+  /** t14: repetition-based quality gating (the Gopher-rule family):
+    * per-document duplicate-bigram fraction and top-bigram fraction —
+    * boilerplate and generation loops show up as repeated n-grams long
+    * before they show up in t02's stopword/length heuristics. Two
+    * stacked hash aggs ((doc, bigram) counts → per-doc moments), all
+    * ratios integer ppm. Docs with fewer than 2 tokens have no bigrams
+    * and drop out (same contract in the oracle). */
+  def repetitionQuality(s: SparkSession, dir: String): DataFrame = {
+    val bg = toks(s, dir).select(col("doc_id"), explode(expr(
+      """CASE WHEN size(t) < 2 THEN CAST(array() AS array<string>)
+        |ELSE transform(sequence(0, size(t) - 2),
+        |               i -> concat_ws(' ', t[i], t[i+1])) END"""
+        .stripMargin)).as("g"))
+    bg.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"),
+        col("n_bigrams"),
+        col("n_distinct_bigrams"),
+        ppm(col("n_bigrams") - col("n_distinct_bigrams"), col("n_bigrams"))
+          .as("dup_bigram_ppm"),
+        ppm(col("top_c"), col("n_bigrams")).as("top_bigram_ppm"))
+      .withColumn("repetition_ok",
+        when(col("dup_bigram_ppm") < 200000 &&
+          col("top_bigram_ppm") < 100000, 1).otherwise(0))
   }
 
   /** t05: text normalization — strip non-alphanumerics, collapse runs of
@@ -1230,6 +1322,71 @@ object Extensions {
         |  ('0x' || substr(md5(doc_id || ':' || u.frame_id), 1, 8))::BIGINT AS frame_sig
         |FROM (SELECT doc_id, octet_length(encode(text)) // 1000 + 1 AS n_frames
         |      FROM documents) m,
-        |  UNNEST(range(0, m.n_frames, 3)) u(frame_id)""".stripMargin))
+        |  UNNEST(range(0, m.n_frames, 3)) u(frame_id)""".stripMargin)),
+
+    QuerySpec("s05_semdedup_cells", semdedupCells, Some(embCtes +
+      """, adots AS (
+        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON b.i = a.i AND b.vec_id % 50 = 0
+        |  GROUP BY 1, 2),
+        |ascore AS (
+        |  SELECT d.vec_id, d.cent_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM adots d
+        |  JOIN sq x ON x.vec_id = d.vec_id
+        |  JOIN sq y ON y.vec_id = d.cent_id),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cent_id AS cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore) t WHERE rn = 1),
+        |pdots AS (
+        |  SELECT x.cell, x.vec_id AS vec_a, y.vec_id AS vec_b,
+        |         CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM assigned x
+        |  JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id
+        |  JOIN ev a ON a.vec_id = x.vec_id
+        |  JOIN ev b ON b.vec_id = y.vec_id AND b.i = a.i
+        |  GROUP BY 1, 2, 3)
+        |SELECT cell, vec_a, vec_b, cos_ppm FROM (
+        |  SELECT p.cell, p.vec_a, p.vec_b,
+        |         CAST(floor(p.dot / (sqrt(sx.s2) * sqrt(sy.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM pdots p
+        |  JOIN sq sx ON sx.vec_id = p.vec_a
+        |  JOIN sq sy ON sy.vec_id = p.vec_b) t
+        |WHERE cos_ppm >= 350000""".stripMargin)),
+
+    QuerySpec("d09_contamination", contamination, Some(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
+        |         string_split(text, ' ') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, bucket,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |         t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS gram
+        |  FROM d, UNNEST(range(1, greatest(len(t) - 6, 1))) u(i)),
+        |train AS (SELECT DISTINCT gram FROM grams WHERE bucket < 80)
+        |SELECT g.doc_id, count(*) AS n_shared_8grams
+        |FROM grams g JOIN train tr ON tr.gram = g.gram
+        |WHERE g.bucket >= 90
+        |GROUP BY 1""".stripMargin)),
+
+    QuerySpec("t14_repetition_quality", repetitionQuality, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |       FROM toks, UNNEST(range(1, len(t))) u(i)),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  count(*) AS n_distinct_bigrams,
+        |  CAST(((SUM(c) - count(*)) * 1000000) // SUM(c) AS BIGINT) AS dup_bigram_ppm,
+        |  CAST((MAX(c) * 1000000) // SUM(c) AS BIGINT) AS top_bigram_ppm,
+        |  CASE WHEN ((SUM(c) - count(*)) * 1000000) // SUM(c) < 200000
+        |        AND (MAX(c) * 1000000) // SUM(c) < 100000
+        |       THEN 1 ELSE 0 END AS repetition_ok
+        |FROM bgc GROUP BY 1""".stripMargin))
   )
 }

@@ -139,6 +139,17 @@ object Parity {
       "created_at", tiebreak = Seq("id"))
       .select("campaign_id", "id", "created_at")
 
+  /** q32: snapshot (time-travel) read — q06's keep-latest view AS OF a
+    * historical cutoff (Core.snapshotView): rows versioned later are
+    * invisible, reconstructing the view exactly as it stood then. The
+    * warehouse feature the reference's DROP+rebuild reports destroy
+    * every cycle (past states are unrecoverable there); an append-only
+    * version log keeps every past state one filter away. */
+  def snapshotAsOf(s: SparkSession, dir: String): DataFrame =
+    Core.snapshotView(Adtech.impressions(s, dir), Seq("campaign_id"),
+      "created_at", to_date(lit("1998-06-01")), tiebreak = Seq("id"))
+      .select("campaign_id", "id", "created_at")
+
   /** Per-campaign change-version keyset, optionally from a stale snapshot
     * (facts truncated at `cutoff`) — the two sides of the CDC diff.
     *
@@ -1024,6 +1035,15 @@ object Parity {
         |  min(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90_cents,
         |  min(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS p99_cents
         |FROM r GROUP BY 1""".stripMargin)),
+
+    QuerySpec("q32_snapshot_asof", snapshotAsOf, Some(
+      """SELECT campaign_id, id, created_at FROM (
+        |  SELECT l_orderkey AS campaign_id, l_linenumber AS id,
+        |         l_shipdate AS created_at,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem WHERE l_shipdate <= DATE '1998-06-01') t
+        |WHERE rn = 1""".stripMargin)),
 
     QuerySpec("q25_topk_days", topkDaysPerCampaign, Some(
       """WITH daily AS (
