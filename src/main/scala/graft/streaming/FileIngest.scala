@@ -25,8 +25,17 @@ object FileIngest {
 
   private def dailyWriter(spark: SparkSession, srcDir: String,
                           logPath: String, checkpointDir: String,
-                          watermark: String, trigger: Trigger) = {
-    val stream = spark.readStream.schema(Schemas.event).parquet(srcDir)
+                          watermark: String, trigger: Trigger,
+                          maxFilesPerTrigger: Option[Int] = None) = {
+    // maxFilesPerTrigger is the file source's backpressure valve: without
+    // it, a backlog (first start against a year of files, or restart
+    // after downtime) becomes ONE giant micro-batch that must fit in
+    // memory; with it the backlog drains as bounded batches, each
+    // checkpointed — same end state, bounded peak footprint.
+    val reader0 = spark.readStream.schema(Schemas.event)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(srcDir)
       .select(col("campaign_id"), col("created_at"))
     StreamingDelta.dailyCounts(stream, watermark)
       .writeStream
@@ -42,9 +51,10 @@ object FileIngest {
   /** Drain all currently-available files from `srcDir` into the daily
     * version log at `logPath` (Trigger.AvailableNow — run-to-completion). */
   def ingestDaily(spark: SparkSession, srcDir: String, logPath: String,
-                  checkpointDir: String, watermark: String = "30 days"): Unit =
+                  checkpointDir: String, watermark: String = "30 days",
+                  maxFilesPerTrigger: Option[Int] = None): Unit =
     dailyWriter(spark, srcDir, logPath, checkpointDir, watermark,
-      Trigger.AvailableNow()).start().awaitTermination()
+      Trigger.AvailableNow(), maxFilesPerTrigger).start().awaitTermination()
 
   /** Always-on variant: start a PROCESSING-TIME ingester over `srcDir`
     * and return the live query — every `interval`, files that appeared
@@ -56,10 +66,11 @@ object FileIngest {
     * this with the generate loop). */
   def startDailyIngest(spark: SparkSession, srcDir: String, logPath: String,
                        checkpointDir: String, interval: String = "5 minutes",
-                       watermark: String = "30 days")
+                       watermark: String = "30 days",
+                       maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     dailyWriter(spark, srcDir, logPath, checkpointDir, watermark,
-      Trigger.ProcessingTime(interval)).start()
+      Trigger.ProcessingTime(interval), maxFilesPerTrigger).start()
 
   /** Keep-latest view of the streamed daily log; rtm_delta ties (a day's
     * count grew without moving its max timestamp) break on the monotone

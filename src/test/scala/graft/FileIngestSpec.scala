@@ -45,6 +45,21 @@ class FileIngestSpec extends SparkSpec {
       dailyRecompute(imps1.unionByName(imps2)), "after incremental file")
   }
 
+  test("maxFilesPerTrigger drains a backlog as bounded micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bp").toString
+    val (src, log, ckpt) = (s"$base/src", s"$base/log", s"$base/ckpt")
+    val imps = Generators.impressions(spark, 4, 25, "2024-06-01 12:00:00", 3L)
+    imps.repartition(3).write.parquet(src)  // a 3-file backlog
+    FileIngest.ingestDaily(spark, src, log, ckpt, maxFilesPerTrigger = Some(1))
+    val offsets = new java.io.File(s"$ckpt/offsets")
+      .listFiles().count(f => f.getName.forall(_.isDigit))
+    assert(offsets >= 3,
+      s"backlog should drain as >=3 bounded batches, got $offsets")
+    assertSameRows(
+      FileIngest.latestDaily(Warehouse.read(spark, log)).drop("rtm_delta"),
+      dailyRecompute(imps), "bounded drain converges to the same view")
+  }
+
   test("always-on service: processing-time ingest tracks the generate loop") {
     val base = java.nio.file.Files.createTempDirectory("graft-svc").toString
     // Several generate+delta cycles run WHILE the 1-second-trigger

@@ -79,6 +79,25 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("ntileFromOrdinal matches the tile-size definition exhaustively") {
+    // Independent oracle: tiles are built by SIZE (first n%k tiles get
+    // n/k+1 rows) and each ordinal's tile read off the cumulative sizes —
+    // not the arithmetic under test. Exhaustive over n<=60, k<=8, one job.
+    val rows = for { n <- 1 to 60; k <- 1 to 8; rn <- 1 to n }
+      yield (n.toLong, k, rn.toLong, {
+        val sizes = (0 until k).map(i => n / k + (if (i < n % k) 1 else 0))
+        val cum = sizes.scanLeft(0)(_ + _).tail
+        (cum.indexWhere(rn <= _) + 1).toLong
+      })
+    val df = rows.toDF("n", "k", "rn", "want")
+    val gotCol = coalesce((1 to 8).map(k =>
+      when(col("k") === k,
+        Ranks.ntileFromOrdinal(col("rn"), col("n"), k))): _*)
+    val bad = df.withColumn("got", gotCol)
+      .filter(col("got") =!= col("want")).count()
+    assert(bad == 0, s"$bad (n,k,rn) combinations disagree")
+  }
+
   test("connectedComponents fails loudly when maxRounds is too small") {
     // A 7-node path needs ~6 propagation rounds; maxRounds=2 must raise,
     // not hand back half-propagated labels.

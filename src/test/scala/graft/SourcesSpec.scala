@@ -81,6 +81,41 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits the skewed partition of a sort-merge join at runtime") {
+    // The runtime counterpart to saltedJoin: for SORT-MERGE joins AQE
+    // itself detects the oversized shuffle partition (hot key) and splits
+    // it across tasks — no query rewrite. Thresholds lowered so the test
+    // skew (a ~5 MB hot key vs KB-sized siblings) trips the default
+    // factor-of-5-over-median rule.
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+    spark.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+    try {
+      val pad = "x" * 100
+      val left = spark.range(0, 50000)
+        .select(lit(1L).as("k"), concat(lit(pad), col("id")).as("v"))
+        .union(spark.range(0, 200).select((col("id") % 10 + 2).as("k"),
+          col("id").cast("string").as("v")))
+      val right = (1L to 11L).map(k => (k, s"t$k")).toDF("k", "tag")
+      val joined = left.join(right, Seq("k"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join accepts left frames with map columns") {
     // xxhash64 rejects MapType at analysis time; the salt must skip map
     // columns rather than fail the whole join.
