@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Stats <base> batch        (seed batch defaults)
   *   runMain graft.cli.Stats <base> stats        (counts + per-campaign CTR)
   *   runMain graft.cli.Stats <base> ingest       (stream-drain impressions → daily log)
+  *   runMain graft.cli.Stats <base> service      --cycles 3 --interval "5 minutes"
   *   runMain graft.cli.Stats <base> reset        (empty all OLTP tables)
   * }}}
   *
@@ -91,6 +92,16 @@ object Stats {
         val n = graft.streaming.FileIngest
           .latestDaily(Warehouse.read(spark, log)).count()
         Seq(s"Ingested impressions; streamed daily log holds $n (campaign, day) rows.")
+      case "service" =>
+        // Always-on mode from the CLI: generate+delta cycles run while
+        // the processing-time ingester streams the store; graceful
+        // drain-then-stop (Main.runService).
+        val cycles = opt(rest, "--cycles", "3").toInt
+        val interval = opt(rest, "--interval", "5 minutes")
+        val actions = Main.runService(spark, base, cycles, seedArg(rest),
+          interval, nowArg(rest))
+        Seq(s"Service ran $cycles cycles (${actions.mkString(", ")}); " +
+          "streaming ingest drained and stopped.")
       case "reset" =>
         Warehouse.reset(spark, p.clicks, Schemas.event)
         Warehouse.reset(spark, p.impressions, Schemas.event)
@@ -133,7 +144,7 @@ object Stats {
         header ++ Seq("", "=== Campaign Details ===") ++ detail
       case other =>
         Seq(s"Unknown command: $other. " +
-          "Use advertisers|campaigns|impressions|clicks|batch|stats|ingest|reset.")
+          "Use advertisers|campaigns|impressions|clicks|batch|stats|ingest|service|reset.")
     }
   }
 

@@ -36,6 +36,15 @@ class CliSpec extends SparkSpec {
     assert(after.exists(_ == "Advertisers: 0") && after.exists(_ == "Clicks: 0"))
   }
 
+  test("service subcommand runs cycles with a live ingester, stops cleanly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cli5").toString
+    val out = lines(base, "service", "--cycles", "2",
+      "--interval", "1 second").head
+    assert(out.startsWith("Service ran 2 cycles"), out)
+    assert(new java.io.File(s"$base/ckpt/imps_stream/offsets").exists,
+      "service left no streaming checkpoint")
+  }
+
   test("ingest drains impressions into the streamed daily log, exactly once") {
     val base = java.nio.file.Files.createTempDirectory("graft-cli4").toString
     lines(base, "batch")

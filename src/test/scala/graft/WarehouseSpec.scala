@@ -53,6 +53,17 @@ class WarehouseSpec extends SparkSpec {
     // read-back equals source
     assertSameRows(Warehouse.read(spark, s"$dir/daily")
       .select(daily.columns.map(col): _*), daily, "partitioned round-trip")
+    // and the READER prunes: a date predicate becomes a PartitionFilter on
+    // the scan (directory-level pruning — other days' files never open)
+    val oneDay = daily.select(col("campaign_impressions_date")).head.getDate(0)
+    val pruned = Warehouse.read(spark, s"$dir/daily")
+      .filter(col("campaign_impressions_date") === lit(oneDay))
+    val scans = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "campaign_impressions_date"))),
+      s"date predicate did not become a partition filter:\n${pruned.queryExecution}")
   }
 
   test("report overwrite replaces content; reset empties but keeps schema") {
