@@ -132,27 +132,34 @@ object Extensions {
     * exact Jaccard verification. The band joins are plain equi-joins on the
     * 4-minhash signature — the scalable shape: shuffle by band key, never
     * all-pairs. */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  /** Band-exploded MinHash signature table (16 perms as 4 bands × 4
+    * rows): all 16 permutation minima come out of ONE hash aggregation
+    * over the shingle rows (map-side combinable) instead of a 16×
+    * row-multiplying cross join — same values, 1/16th the shuffled rows.
+    * Shared by d03 (full self-join) and d10 (delta-vs-corpus join). */
+  private def bandedSignatures(sh: DataFrame): DataFrame = {
     val shh = sh.withColumn("h", h32(col("shingle")))
-    // All 16 permutation minima in ONE hash aggregation over the shingle
-    // rows (map-side combinable) instead of a 16x row-multiplying cross
-    // join — same values, 1/16th the shuffled rows.
     val sigCols = (0 until 16).map { k =>
       min((col("h") * lit(2L * k + 1) + lit(1000003L * k)) % lit(P)).as(s"m$k")
     }
     val sig = shh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    (0 until 4).map { b =>
+      sig.select(lit(b).as("band"), col("doc_id"),
+        col(s"m${4 * b}").as("b0"), col(s"m${4 * b + 1}").as("b1"),
+        col(s"m${4 * b + 2}").as("b2"), col(s"m${4 * b + 3}").as("b3"))
+    }.reduce(_ union _)
+  }
+
+  private val bandEq = Seq("band", "b0", "b1", "b2", "b3")
+    .map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
     // One self-join on (band, 4-minhash signature) over the band-exploded
     // table instead of four separate self-joins: a single shuffle whose
     // identical build/probe exchanges Spark deduplicates (ReuseExchange),
     // where the per-band version shuffled the signature table 8 times.
-    val banded = (0 until 4).map { b =>
-        sig.select(lit(b).as("band"), col("doc_id"),
-          col(s"m${4 * b}").as("b0"), col(s"m${4 * b + 1}").as("b1"),
-          col(s"m${4 * b + 2}").as("b2"), col(s"m${4 * b + 3}").as("b3"))
-      }.reduce(_ union _)
-    val bandEq = Seq("band", "b0", "b1", "b2", "b3")
-      .map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    val banded = bandedSignatures(sh)
     val cand = banded.as("a")
       .join(banded.as("b"), bandEq && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -671,6 +678,43 @@ object Extensions {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
   }
 
+  /** d10: INCREMENTAL near-dup detection — the shape a growing corpus
+    * actually runs every ingest cycle: only the NEW batch's banded
+    * signatures probe the full signature table (new×all: catches
+    * new-vs-existing AND new-vs-new), so the per-cycle cost is
+    * O(|batch| + collisions), never the O(|corpus|²-ish) full self-join
+    * d03 re-pays when run from scratch. Verified exact Jaccard on the
+    * candidates, same contract as d03. The "new batch" here is the
+    * newest 10% of doc ids (stand-in for a delta load; in the pipeline
+    * the batch frame comes straight from the ingest micro-batch).
+    * Canonical orientation: the new doc is `new_doc`; a new-new pair is
+    * emitted once (smaller id first). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val banded = bandedSignatures(sh)
+    val cutoff = docs(s, dir).agg((max(col("doc_id")) * 9).as("c9"))
+    val withCut = banded.crossJoin(broadcast(cutoff))
+    val newSide = withCut.filter(col("doc_id") * 10 > col("c9"))
+    val cand = newSide.as("a")
+      .join(withCut.as("b"), bandEq && col("a.doc_id") =!= col("b.doc_id") &&
+        (col("b.doc_id") * 10 <= col("b.c9") ||
+          col("a.doc_id") < col("b.doc_id")))
+      .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("other_doc"))
+      .distinct()
+    val common = cand
+      .join(sh.as("a"), col("new_doc") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("other_doc") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy("new_doc", "other_doc").agg(count(lit(1)).as("c"))
+    val cnt = shingleCounts(sh)
+    cand.join(common, Seq("new_doc", "other_doc"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .join(cnt.select(col("doc_id").as("new_doc"), col("n_sh").as("n_a")), "new_doc")
+      .join(cnt.select(col("doc_id").as("other_doc"), col("n_sh").as("n_b")), "other_doc")
+      .withColumn("jaccard_ppm", ppm(col("c"), col("n_a") + col("n_b") - col("c")))
+      .select("new_doc", "other_doc", "jaccard_ppm")
+  }
+
   /** s05: cell-blocked semantic dedup (the SemDeDup shape) — d05's scale
     * path, standing to it exactly as d03 stands to d02: instead of the
     * all-pairs O(n²) cosine join, every vector is assigned to its nearest
@@ -888,7 +932,9 @@ object Extensions {
     * verified common-shingle counts), shared by the d03 oracle and the
     * terminal dedup oracles (d06/d07/t13) so the LSH graph they cluster
     * is textually identical to the one d03 verifies. */
-  private val minhashCtes: String =
+  /** MinHash signature chain alone (mh → 16-col sig), shared with the
+    * incremental variant (d10), whose candidate join differs. */
+  private val sigCtes: String =
     """, mh AS (
       |  SELECT doc_id, j,
       |         min(((2 * j + 1) * h + 1000003 * j) % 2147483647) AS mh
@@ -903,8 +949,11 @@ object Extensions {
       |    max(CASE WHEN j = 10 THEN mh END) m10, max(CASE WHEN j = 11 THEN mh END) m11,
       |    max(CASE WHEN j = 12 THEN mh END) m12, max(CASE WHEN j = 13 THEN mh END) m13,
       |    max(CASE WHEN j = 14 THEN mh END) m14, max(CASE WHEN j = 15 THEN mh END) m15
-      |  FROM mh GROUP BY 1),
-      |cand AS (
+      |  FROM mh GROUP BY 1)
+      |""".stripMargin
+
+  private val minhashCtes: String = sigCtes +
+    """, cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
       |    (a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3) OR
@@ -1373,6 +1422,32 @@ object Extensions {
         |FROM grams g JOIN train tr ON tr.gram = g.gram
         |WHERE g.bucket >= 90
         |GROUP BY 1""".stripMargin)),
+
+    QuerySpec("d10_dedup_incremental", dedupIncremental, Some(docCtes +
+      sigCtes +
+      """, mx AS (SELECT max(doc_id) * 9 AS c9 FROM documents),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS other_doc
+        |  FROM sig a, sig b, mx
+        |  WHERE a.doc_id * 10 > mx.c9
+        |    AND a.doc_id <> b.doc_id
+        |    AND (b.doc_id * 10 <= mx.c9 OR a.doc_id < b.doc_id)
+        |    AND ((a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3) OR
+        |         (a.m4 = b.m4 AND a.m5 = b.m5 AND a.m6 = b.m6 AND a.m7 = b.m7) OR
+        |         (a.m8 = b.m8 AND a.m9 = b.m9 AND a.m10 = b.m10 AND a.m11 = b.m11) OR
+        |         (a.m12 = b.m12 AND a.m13 = b.m13 AND a.m14 = b.m14 AND a.m15 = b.m15))),
+        |common AS (
+        |  SELECT c.new_doc, c.other_doc, count(*) AS c
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.new_doc
+        |  JOIN sh b ON b.doc_id = c.other_doc AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT c.new_doc, c.other_doc,
+        |       (COALESCE(cm.c, 0) * 1000000) // (x.n_sh + y.n_sh - COALESCE(cm.c, 0)) AS jaccard_ppm
+        |FROM cand c
+        |LEFT JOIN common cm ON cm.new_doc = c.new_doc AND cm.other_doc = c.other_doc
+        |JOIN shc x ON x.doc_id = c.new_doc
+        |JOIN shc y ON y.doc_id = c.other_doc""".stripMargin)),
 
     QuerySpec("t14_repetition_quality", repetitionQuality, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
