@@ -41,9 +41,11 @@ object Bench {
     // per-query seconds are negated as a sentinel and its message goes into
     // an "errors" object. A query enters "errors" only when EVERY iteration
     // failed (one entry, the first message — duplicate JSON keys are
-    // invalid); a transiently failing query keeps its positive median and
-    // the failure stays on stderr.
+    // invalid); a query failing on SOME iterations keeps its positive
+    // median but is surfaced in a "flaky" object (name → failed-iteration
+    // count) so partial failures can't hide behind a good median.
     var errors = Vector.empty[(String, String)]
+    var flaky = Vector.empty[(String, Int)]
     val results = SparkEntry.specs.map { spec =>
       var firstErr: Option[String] = None
       val times = (1 to iters).map { _ =>
@@ -67,14 +69,18 @@ object Bench {
       // first attempt survives as the error sentinel.
       val good = times.filter(_ >= 0).sorted
       if (good.isEmpty) firstErr.foreach(m => errors :+= (spec.name -> m))
+      else if (good.size < times.size)
+        flaky :+= (spec.name -> (times.size - good.size))
       spec.name -> (if (good.isEmpty) times.head else good(good.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
+    val flakyJson = flaky.map { case (k, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -73,6 +73,27 @@ object Warehouse {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** One-shot log migration for NON-additive schema changes (a column's
+    * TYPE changing, e.g. the bid/budget double→decimal fix): mergeSchema
+    * handles added columns but refuses incompatible types, and appending
+    * rows of the new type to a directory of old-type files would poison
+    * every subsequent read. Rewrites the whole log once, casting each
+    * existing column to its target type (columns missing from old files
+    * read as NULL), via the same staged swap replaceReport uses. Run
+    * BEFORE the first new-schema append; at 100 TB this is the one-time
+    * cost a type fix honestly carries — there is no lazy way to read a
+    * directory mixing physical DOUBLE and DECIMAL pages. */
+  def migrateLog(spark: SparkSession, path: String,
+                 target: StructType): Unit = {
+    val old = readEvolved(spark, path)
+    val casted = old.select(target.fields.map { f =>
+      (if (old.columns.contains(f.name)) col(f.name)
+       else org.apache.spark.sql.functions.lit(null))
+        .cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    replaceReport(spark, casted, path)
+  }
+
   /** Bucketed table layout: pre-shuffle the data ONCE at write time into
     * `buckets` hash buckets on the join/aggregation keys (ClickHouse's
     * ORDER-BY-key clustering taken one step further). Two tables bucketed

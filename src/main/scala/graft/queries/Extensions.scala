@@ -318,6 +318,12 @@ object Extensions {
     // frames at sf0.1. After the checkpoint the loop plans against the
     // materialized RDD. (On a multi-node cluster with executor churn,
     // swap for reliable checkpoint(dir) — same shape, durable blocks.)
+    // Frees a localCheckpoint's materialized blocks (df.unpersist is a
+    // CacheManager no-op for them; the blocks belong to the LogicalRDD).
+    def freeCkpt(df: DataFrame): Unit =
+      df.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
     var labels = nodes0.repartition(loopParts, col("doc_id"))
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
@@ -335,11 +341,17 @@ object Extensions {
         .groupBy("doc_id").agg(min("label").as("label"))
         .localCheckpoint()
       val nextSum = checksum(next)
+      // next is already materialized (eager checkpoint): the previous
+      // round's blocks can be dropped deterministically instead of
+      // pinning up to maxRounds of label frames until driver GC.
+      freeCkpt(labels)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       rounds += 1
     }
+    freeCkpt(edges)
+    if (!converged) freeCkpt(labels)
     // Fail loudly rather than return wrong labels: if a component's
     // diameter exceeds maxRounds the loop exits on the bound with labels
     // still in flight — silently handing those to a dedup pipeline would
@@ -367,7 +379,17 @@ object Extensions {
     * Unlike d02's lang-blocked generator, the hash buckets are
     * lang-agnostic: a verbatim copy filed under two languages still
     * collides and merges (extra recall, not a false positive — every
-    * candidate is verified against the true shingle sets). */
+    * candidate is verified against the true shingle sets).
+    *
+    * d08's edit-distance pairs are DELIBERATELY not unioned in: a
+    * ≤10-edit match on a 20-char prefix window is evidence of a shared
+    * opening, not of whole-document duplication — auto-merging on it
+    * would chain documents that merely start alike. d08 stays a REPORT
+    * of fuzzy candidates for human/threshold triage;
+    * `connectedComponents` accepts any pairs frame, so a caller that
+    * does want the union clusters
+    * `lshPairs(...).union(dedupEditDistance(...).select(...))`
+    * directly. */
   def lshPairs(s: SparkSession, dir: String): DataFrame =
     dedupMinhashLsh(s, dir)
       .filter(col("jaccard_ppm") >= 800000)
@@ -928,10 +950,6 @@ object Extensions {
       |               ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh)
       |""".stripMargin
 
-  /** d03's MinHash/LSH candidate chain (mh → 16-col sig → banded cand →
-    * verified common-shingle counts), shared by the d03 oracle and the
-    * terminal dedup oracles (d06/d07/t13) so the LSH graph they cluster
-    * is textually identical to the one d03 verifies. */
   /** MinHash signature chain alone (mh → 16-col sig), shared with the
     * incremental variant (d10), whose candidate join differs. */
   private val sigCtes: String =
@@ -952,6 +970,10 @@ object Extensions {
       |  FROM mh GROUP BY 1)
       |""".stripMargin
 
+  /** The full d03 chain (sig → banded cand → verified common-shingle
+    * counts), shared by the d03 oracle and the terminal dedup oracles
+    * (d06/d07/t13) so the LSH graph they cluster is textually identical
+    * to the one d03 verifies. */
   private val minhashCtes: String = sigCtes +
     """, cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

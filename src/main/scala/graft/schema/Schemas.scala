@@ -41,7 +41,11 @@ object Schemas {
     * bid/budget stay DECIMAL through the log (SURVEY §1.3): the reference
     * declares NUMERIC(10,2) in Postgres and silently downgrades to CH
     * Float64 at this exact boundary (initial_load…py:82-83) — money
-    * re-enters float only inside ratio metrics (Reports.totalsReport). */
+    * re-enters float only inside ratio metrics (Reports.totalsReport).
+    * A log written by a pre-decimal build must be rewritten ONCE with
+    * `Warehouse.migrateLog(spark, path, advertiserCampaigns)` before the
+    * first new append: a type change is not additive evolution, and a
+    * directory mixing DOUBLE and DECIMAL files is unreadable. */
   val advertiserCampaigns: StructType = StructType(Seq(
     StructField("advertiser_name", StringType),
     StructField("campaign_name", StringType),
