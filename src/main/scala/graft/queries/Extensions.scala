@@ -819,6 +819,34 @@ object Extensions {
           col("top_bigram_ppm") < 100000, 1).otherwise(0))
   }
 
+  /** t15: token-balanced output sharding — the write-side twin of t09's
+    * packing: every document assigned to one of 8 output shards such
+    * that per-shard token totals stay balanced. Round-robin by global
+    * size rank (descending) is the parallelizable approximation of LPT
+    * greedy: consecutive ranks go to different shards, so each shard
+    * gets one doc from every size stratum. The global ordinal uses the
+    * q24 recomposition — histogram rank + tie-group position — so no
+    * unpartitioned window ever touches the data grain and the plan
+    * stays in whole-stage codegen. Output is the per-shard manifest
+    * (doc/token totals) a writer would fan out on. */
+  def shardAssign(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(s, dir)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+    val hw = Window.orderBy(col("n_tokens").desc)
+    val hist = t.groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk0",
+        coalesce(sum(col("cnt")).over(hw.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)) + lit(1L))
+      .drop("cnt")
+    val tieW = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id").asc)
+    t.join(broadcast(hist), Seq("n_tokens"))
+      .withColumn("rn",
+        col("rnk0") - lit(1L) + row_number().over(tieW).cast("long"))
+      .withColumn("shard_id", (col("rn") - lit(1L)) % lit(8L))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
   /** t05: text normalization — strip non-alphanumerics, collapse runs of
     * spaces, trim, lowercase; emit the normalized text, its portable hash
     * and length. Narrow codegen'd map, the canonical pre-dedup cleanup
@@ -1470,6 +1498,20 @@ object Extensions {
         |LEFT JOIN common cm ON cm.new_doc = c.new_doc AND cm.other_doc = c.other_doc
         |JOIN shc x ON x.doc_id = c.new_doc
         |JOIN shc y ON y.doc_id = c.other_doc""".stripMargin)),
+
+    QuerySpec("t15_shard_assign", shardAssign, Some(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |         row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM d)
+        |SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard_id,
+        |       count(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM r GROUP BY 1""".stripMargin)),
 
     QuerySpec("t14_repetition_quality", repetitionQuality, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -67,6 +67,16 @@ class QueriesSpec extends SparkSpec {
     assert(missed == 0, s"$missed high-jaccard pairs missed by LSH")
   }
 
+  test("t15 shard assignment balances token totals across shards") {
+    // Round-robin by size rank is an LPT approximation: with hundreds of
+    // docs per shard the heaviest/lightest shard should be within 10%.
+    val shards = Extensions.shardAssign(spark, dir)
+      .select(col("total_tokens")).collect().map(_.getLong(0))
+    assert(shards.length == 8, s"expected 8 shards, got ${shards.length}")
+    assert(shards.max.toDouble / shards.min <= 1.10,
+      s"shard token totals unbalanced: min ${shards.min} max ${shards.max}")
+  }
+
   test("q17 HLL approximate distinct is within 15% of the exact count") {
     // The sketch has no oracle (engine-specific); its accuracy contract
     // is bounded here instead (default HLL rsd is 5%; 15% is a safe
