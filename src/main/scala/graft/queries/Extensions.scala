@@ -737,6 +737,29 @@ object Extensions {
       .select("new_doc", "other_doc", "jaccard_ppm")
   }
 
+  /** d11: exact-substring duplication detection — the memorization-grade
+    * modality (a verbatim 30-token window shared between two documents
+    * is training-data duplication even when whole-document similarity is
+    * low, so d01–d03 never flag it; the standard treatment uses ~50 BPE
+    * tokens, 30 whitespace tokens here sized to the corpus' median
+    * length). Shape: distinct per-doc window hashes → ONE hash
+    * aggregation by window → emit windows seen in >1 document with the
+    * doc-id range. The shuffle carries |distinct windows| hashed keys —
+    * the same cost class as d01, nothing pairwise. */
+  def substringDupes(s: SparkSession, dir: String): DataFrame = {
+    val g = toks(s, dir).select(col("doc_id"), explode(expr(
+      """CASE WHEN size(t) < 30 THEN CAST(array() AS array<string>)
+        |ELSE transform(sequence(0, size(t) - 30),
+        |               i -> concat_ws(' ', slice(t, i + 1, 30))) END"""
+        .stripMargin)).as("gram"))
+      .distinct()
+    g.groupBy(h32(col("gram")).as("gram_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** s05: cell-blocked semantic dedup (the SemDeDup shape) — d05's scale
     * path, standing to it exactly as d03 stands to d02: instead of the
     * all-pairs O(n²) cosine join, every vector is assigned to its nearest
@@ -744,23 +767,33 @@ object Extensions {
     * only WITHIN-CELL pairs are compared — Σ|cell|² work, shuffled by
     * cell key. Recall bound: a near-dup pair split across two cells is
     * missed (the standard blocking trade; finer cells trade recall for
-    * cost like nprobe does in s03). Emits pairs at the d05 threshold so
-    * the two operators' outputs are directly comparable. */
+    * cost like nprobe does in s03). Each vector is MULTI-ASSIGNED to its
+    * top-2 cells (the s03 nprobe dial on the indexing side): single-cell
+    * assignment measured 0.27 recall vs the exact d05 pairs on the
+    * near-uniform synthetic embeddings, top-2 overlap lifts it above the
+    * 0.5 floor DedupSpec pins — on clustered production embeddings the
+    * same operator concentrates near-dups into one cell and the
+    * multi-assignment factor can drop. Emits pairs at the d05 threshold
+    * so the two operators' outputs are directly comparable. */
   def semdedupCells(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
     val assigned = centroidRank(e, coarseCentroids(e), "vec_id")
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= 2)
       .select(col("vec_id"), col("cent_id").as("cell"))
-    val withVec = assigned.join(e, "vec_id")
-    val a = withVec.select(col("cell"), col("vec_id").as("vec_a"),
-      col("q").as("qa"), col("s2").as("sa"))
-    val b = withVec.select(col("cell"), col("vec_id").as("vec_b"),
-      col("q").as("qb"), col("s2").as("sb"))
-    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+    val cand = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+        col("s2").as("sa")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+        col("s2").as("sb")), "vec_b")
       .withColumn("dot", dot)
       .withColumn("cos_ppm", cosPpm)
       .filter(col("cos_ppm") >= 350000)
-      .select("cell", "vec_a", "vec_b", "cos_ppm")
+      .select("vec_a", "vec_b", "cos_ppm")
   }
 
   /** d09: train/test contamination check — the evaluation-integrity pass
@@ -1439,17 +1472,19 @@ object Extensions {
         |    SELECT vec_id, cent_id AS cell,
         |           row_number() OVER (PARTITION BY vec_id
         |             ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore) t WHERE rn = 1),
-        |pdots AS (
-        |  SELECT x.cell, x.vec_id AS vec_a, y.vec_id AS vec_b,
-        |         CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |    FROM ascore) t WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
         |  FROM assigned x
-        |  JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id
-        |  JOIN ev a ON a.vec_id = x.vec_id
-        |  JOIN ev b ON b.vec_id = y.vec_id AND b.i = a.i
-        |  GROUP BY 1, 2, 3)
-        |SELECT cell, vec_a, vec_b, cos_ppm FROM (
-        |  SELECT p.cell, p.vec_a, p.vec_b,
+        |  JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id),
+        |pdots AS (
+        |  SELECT c.vec_a, c.vec_b, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ev a ON a.vec_id = c.vec_a
+        |  JOIN ev b ON b.vec_id = c.vec_b AND b.i = a.i
+        |  GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, cos_ppm FROM (
+        |  SELECT p.vec_a, p.vec_b,
         |         CAST(floor(p.dot / (sqrt(sx.s2) * sqrt(sy.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
         |  FROM pdots p
         |  JOIN sq sx ON sx.vec_id = p.vec_a
@@ -1498,6 +1533,20 @@ object Extensions {
         |LEFT JOIN common cm ON cm.new_doc = c.new_doc AND cm.other_doc = c.other_doc
         |JOIN shc x ON x.doc_id = c.new_doc
         |JOIN shc y ON y.doc_id = c.other_doc""".stripMargin)),
+
+    QuerySpec("d11_substring_dupes", substringDupes, Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+29], ' ') AS gram
+        |  FROM t, UNNEST(range(1, greatest(len(t) - 28, 1))) u(i))
+        |SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gram_hash,
+        |       count(*) AS n_docs,
+        |       min(doc_id) AS first_doc,
+        |       max(doc_id) AS last_doc
+        |FROM g
+        |GROUP BY 1
+        |HAVING count(*) >= 2""".stripMargin)),
 
     QuerySpec("t15_shard_assign", shardAssign, Some(
       """WITH d AS (
