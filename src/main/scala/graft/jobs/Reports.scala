@@ -50,14 +50,15 @@ object Reports {
     val used = bid * clks
     val dailyNorm = Core.round2p(budget.cast("double") / periodDays)
     val dailyUsed = Core.round2p(used.cast("double") / periodDays)
+    // floor(double) is LONG but floor(decimal) is DECIMAL(p,0): pin the
+    // output type so both input paths produce the same report schema.
+    val bidsMax = floor(budget / bid).cast("long")
     t.select(
       col("rtm_advertiser_id"), col("rtm_campaign_id"),
       col("advertiser_name"), col("campaign_name"),
       bid, budget, imps, clks,
-      // floor(double) is LONG but floor(decimal) is DECIMAL(p,0): pin the
-      // output type so both input paths produce the same report schema.
-      floor(budget / bid).cast("long").as("campaign_bids_max"),
-      (floor(budget / bid).cast("long") - clks).as("campaign_bids_remaining"),
+      bidsMax.as("campaign_bids_max"),
+      (bidsMax - clks).as("campaign_bids_remaining"),
       used.as("campaign_budget_used"),
       when(budget < used, "exceeded")
         .when(used === 0, "unused")

@@ -58,6 +58,30 @@ object Extensions {
   private def shingleCounts(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
+  /** t06's content-hash split bucket (0–99), shared by every operator
+    * that partitions on the deterministic train/valid/test assignment. */
+  private def splitBucket = h32(col("text")) % 100
+
+  /** Exact-Jaccard verification of candidate pairs against the true
+    * shingle sets — the shared tail of d03 and d10 (column names of the
+    * pair frame differ, arithmetic does not). */
+  private def verifiedJaccard(cand: DataFrame, sh: DataFrame,
+                              aCol: String, bCol: String): DataFrame = {
+    val common = cand
+      .join(sh.as("a"), col(aCol) === col("a.doc_id"))
+      .join(sh.as("b"),
+        col(bCol) === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(aCol, bCol).agg(count(lit(1)).as("c"))
+    val cnt = shingleCounts(sh)
+    cand.join(common, Seq(aCol, bCol), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .join(cnt.select(col("doc_id").as(aCol), col("n_sh").as("n_a")), aCol)
+      .join(cnt.select(col("doc_id").as(bCol), col("n_sh").as("n_b")), bCol)
+      .withColumn("jaccard_ppm",
+        ppm(col("c"), col("n_a") + col("n_b") - col("c")))
+      .select(aCol, bCol, "jaccard_ppm")
+  }
+
   /** Embeddings quantized to integer parts-per-million so every sum is
     * exact and order-free (float accumulation order differs between
     * engines; integer sums cannot). */
@@ -164,17 +188,7 @@ object Extensions {
       .join(banded.as("b"), bandEq && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val common = cand
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    val cnt = shingleCounts(sh)
-    cand.join(common, Seq("doc_a", "doc_b"), "left")
-      .withColumn("c", coalesce(col("c"), lit(0L)))
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .withColumn("jaccard_ppm", ppm(col("c"), col("n_a") + col("n_b") - col("c")))
-      .select("doc_a", "doc_b", "jaccard_ppm")
+    verifiedJaccard(cand, sh, "doc_a", "doc_b")
   }
 
   /** d04: 32-bit SimHash per document from token-frequency-weighted hash
@@ -688,10 +702,9 @@ object Extensions {
       .filter(col("is_kept") === 1).select("doc_id")
     val quality = qualityScore(s, dir)
       .filter(col("quality_ok") === 1).select("doc_id")
-    val bucket = h32(col("text")) % 100
     docs(s, dir)
       .select(col("doc_id"), col("lang"),
-        when(bucket < 80, "train").when(bucket < 90, "valid")
+        when(splitBucket < 80, "train").when(splitBucket < 90, "valid")
           .otherwise("test").as("split"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
       .join(kept, Seq("doc_id"), "left_semi")
@@ -723,18 +736,7 @@ object Extensions {
           col("a.doc_id") < col("b.doc_id")))
       .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("other_doc"))
       .distinct()
-    val common = cand
-      .join(sh.as("a"), col("new_doc") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("other_doc") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy("new_doc", "other_doc").agg(count(lit(1)).as("c"))
-    val cnt = shingleCounts(sh)
-    cand.join(common, Seq("new_doc", "other_doc"), "left")
-      .withColumn("c", coalesce(col("c"), lit(0L)))
-      .join(cnt.select(col("doc_id").as("new_doc"), col("n_sh").as("n_a")), "new_doc")
-      .join(cnt.select(col("doc_id").as("other_doc"), col("n_sh").as("n_b")), "other_doc")
-      .withColumn("jaccard_ppm", ppm(col("c"), col("n_a") + col("n_b") - col("c")))
-      .select("new_doc", "other_doc", "jaccard_ppm")
+    verifiedJaccard(cand, sh, "new_doc", "other_doc")
   }
 
   /** d11: exact-substring duplication detection — the memorization-grade
@@ -806,7 +808,7 @@ object Extensions {
     * comparison; output is per-test-doc hit counts. */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val grams = docs(s, dir).select(col("doc_id"),
-        (h32(col("text")) % 100).as("bucket"),
+        splitBucket.as("bucket"),
         split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("bucket"), explode(expr(
         """CASE WHEN size(t) < 8 THEN CAST(array() AS array<string>)
@@ -897,15 +899,13 @@ object Extensions {
     * so membership is stable across runs, engines and repartitionings (the
     * property a reproducible training pipeline needs; rand(seed) sampling
     * is partition-order-dependent). Output: per (lang, split) counts. */
-  def stratifiedSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket = h32(col("text")) % 100
+  def stratifiedSplit(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("lang"),
-        when(bucket < 80, "train").when(bucket < 90, "valid")
+        when(splitBucket < 80, "train").when(splitBucket < 90, "valid")
           .otherwise("test").as("split"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"))
-  }
 
   /** t07: corpus length profile — token-count histogram in buckets of 10.
     * One narrow map + hash agg; the profiling pass that sizes

@@ -69,28 +69,25 @@ class DedupSpec extends SparkSpec {
       "lshPairs contains a same-lang pair the exact computation rejects")
   }
 
-  test("s05 cell-blocked pairs are a subset of the exact d05 pairs") {
-    // Same quantized vectors, same threshold: every within-cell pair s05
-    // emits must exist in the exact all-pairs computation — cell blocking
-    // may only MISS pairs (split across cells), never invent them.
+  test("s05 is a subset of exact d05 pairs with recall above the floor") {
+    // Same quantized vectors, same threshold: cell blocking may only MISS
+    // pairs (split across cells), never invent them — and the miss rate
+    // is quantified against the exact pair set.
     val dir = sf("sf0.001")
-    val s05 = Extensions.semdedupCells(spark, dir).select("vec_a", "vec_b")
-    val d05 = Extensions.dedupEmbedding(spark, dir).select("vec_a", "vec_b")
-    assert(s05.join(d05, Seq("vec_a", "vec_b"), "left_anti").count() == 0L,
-      "s05 emitted a pair the exact computation rejects")
-  }
-
-  test("s05 recall vs exact d05 stays above the floor") {
-    // The blocking trade quantified: fraction of true >=0.35-cosine pairs
-    // whose two members landed in the same coarse cell.
-    val dir = sf("sf0.001")
-    val s05 = Extensions.semdedupCells(spark, dir).select("vec_a", "vec_b")
-    val d05 = Extensions.dedupEmbedding(spark, dir).select("vec_a", "vec_b")
-    val hit = d05.join(s05, Seq("vec_a", "vec_b"), "left_semi").count()
-    val total = d05.count()
-    assert(total > 0, "no exact pairs at this SF — recall undefined")
-    val recall = hit.toDouble / total
-    assert(recall >= 0.5, f"s05 recall $recall%.3f below floor 0.5 ($hit/$total)")
+    val s05 = Extensions.semdedupCells(spark, dir)
+      .select("vec_a", "vec_b").persist()
+    val d05 = Extensions.dedupEmbedding(spark, dir)
+      .select("vec_a", "vec_b").persist()
+    try {
+      assert(s05.join(d05, Seq("vec_a", "vec_b"), "left_anti").count() == 0L,
+        "s05 emitted a pair the exact computation rejects")
+      val hit = d05.join(s05, Seq("vec_a", "vec_b"), "left_semi").count()
+      val total = d05.count()
+      assert(total > 0, "no exact pairs at this SF — recall undefined")
+      val recall = hit.toDouble / total
+      assert(recall >= 0.5,
+        f"s05 recall $recall%.3f below floor 0.5 ($hit/$total)")
+    } finally { s05.unpersist(); d05.unpersist() }
   }
 
   test("d06 clusters the LSH graph (labels match CC of lshPairs)") {

@@ -14,6 +14,11 @@ class FileIngestSpec extends SparkSpec {
     imps.groupBy(col("campaign_id"), to_date(col("created_at")).as("date"))
       .agg(count(lit(1)).as("daily_count"))
 
+  /** Committed micro-batches = numeric files in the checkpoint's offsets dir. */
+  private def committedBatches(ckpt: String): Int =
+    new java.io.File(s"$ckpt/offsets")
+      .listFiles().count(f => f.getName.forall(_.isDigit))
+
   test("file-source ingest converges and is exactly-once across runs") {
     val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val (src, log, ckpt) = (s"$base/src", s"$base/log", s"$base/ckpt")
@@ -51,8 +56,7 @@ class FileIngestSpec extends SparkSpec {
     val imps = Generators.impressions(spark, 4, 25, "2024-06-01 12:00:00", 3L)
     imps.repartition(3).write.parquet(src)  // a 3-file backlog
     FileIngest.ingestDaily(spark, src, log, ckpt, maxFilesPerTrigger = Some(1))
-    val offsets = new java.io.File(s"$ckpt/offsets")
-      .listFiles().count(f => f.getName.forall(_.isDigit))
+    val offsets = committedBatches(ckpt)
     assert(offsets >= 3,
       s"backlog should drain as >=3 bounded batches, got $offsets")
     assertSameRows(
@@ -69,10 +73,8 @@ class FileIngestSpec extends SparkSpec {
     assert(actions.size == 4)
 
     // ≥2 processing-time micro-batches actually committed (the seed files
-    // plus at least one mid-loop append) — each commit is one file in the
-    // checkpoint's offsets dir.
-    val offsets = new java.io.File(s"$base/ckpt/imps_stream/offsets")
-      .listFiles().count(f => f.getName.forall(_.isDigit))
+    // plus at least one mid-loop append).
+    val offsets = committedBatches(s"$base/ckpt/imps_stream")
     assert(offsets >= 2, s"expected >=2 committed micro-batches, got $offsets")
 
     // Convergence: the streamed log's keep-latest view equals the batch

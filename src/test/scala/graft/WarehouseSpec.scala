@@ -85,26 +85,23 @@ class WarehouseSpec extends SparkSpec {
 
   test("migrateLog rewrites an old-typed log so new-typed appends read back") {
     import spark.implicits._
+    import org.apache.spark.sql.types._
     val dir = tmp()
     // A pre-decimal build wrote the log with DOUBLE money columns.
     Seq((1L, 10.5, "a"), (2L, 20.25, "b"))
       .toDF("id", "bid", "name")
       .write.mode("append").parquet(s"$dir/log")
-    val target = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("bid",
-        org.apache.spark.sql.types.DecimalType(10, 2)),
-      org.apache.spark.sql.types.StructField("name",
-        org.apache.spark.sql.types.StringType)))
+    val target = StructType(Seq(
+      StructField("id", LongType),
+      StructField("bid", DecimalType(10, 2)),
+      StructField("name", StringType)))
     Warehouse.migrateLog(spark, s"$dir/log", target)
     // New-schema rows append cleanly and the whole dir reads as one type.
     Seq((3L, BigDecimal("30.75"), "c")).toDF("id", "bid", "name")
       .select(col("id"), col("bid").cast("decimal(10,2)").as("bid"), col("name"))
       .write.mode("append").parquet(s"$dir/log")
     val back = Warehouse.read(spark, s"$dir/log")
-    assert(back.schema("bid").dataType ==
-      org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(back.schema("bid").dataType == DecimalType(10, 2))
     assert(back.count() == 3)
     assert(back.agg(sum(col("bid"))).head.getDecimal(0)
       .compareTo(new java.math.BigDecimal("61.50")) == 0)
