@@ -104,10 +104,41 @@ object Extensions {
       .cast("long")
 
   /** The deterministic coarse quantizer both IVF operators share (s03,
-    * s05): centroids = every 50th vector. Tiny frame, always broadcast. */
-  private def coarseCentroids(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % 50 === 0)
+    * s05): k ≈ √n centroids, hash-sampled from the corpus itself.
+    *
+    * CARDINALITY IS THE LOAD-BEARING CHOICE. A fixed sampling stride
+    * (an earlier revision used every-50th-vector) makes |centroids|
+    * LINEAR in the corpus: at a billion vectors that is 20M centroids —
+    * too big to broadcast, and the assignment crossJoin degenerates to
+    * O(n²/stride) dot products, the exact quadratic class IVF exists to
+    * avoid. Real IVF keeps k sublinear; √n balances the two costs that
+    * pull against each other — assignment work n·k and per-probe cell
+    * scans n/k — both O(n^1.5) total / O(√n) per query at k = √n. The
+    * stride is derived from a count(*) (parquet metadata, no data scan)
+    * and vectors are sampled by the portable 32-bit hash of their id —
+    * stable under non-dense / non-uniform id spaces where a raw
+    * `id % stride` would oversample or miss entirely.
+    *
+    * The centroid frame is √n rows of d ints: ~32k centroids × 768 dims
+    * × 8 B ≈ 200 MB at a billion vectors — still a broadcastable dim
+    * table, where the linear policy's 20M × 768 × 8 B ≈ 123 GB is not. */
+  private def coarseCentroids(e: DataFrame): DataFrame = {
+    val n = e.count()
+    val stride = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+    e.filter(h32(col("vec_id").cast("string")) % stride === 0)
       .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("s2").as("sc"))
+  }
+
+  /** DuckDB twin of coarseCentroids' sampling predicate (shared by the
+    * s03/s05 oracles): same hash, same √n stride, same scalar-subquery
+    * count. */
+  private val centsCte: String =
+    """cents AS (
+      |  SELECT vec_id FROM embeddings
+      |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+      |        % (SELECT GREATEST(1, CAST(floor(sqrt(count(*))) AS BIGINT))
+      |           FROM embeddings) = 0),
+      |""".stripMargin
 
   /** Per-(vector, centroid) cosine with rank 1 = nearest cell: a narrow
     * map over the corpus (broadcast centroids, integer dot) — no shuffle
@@ -306,6 +337,13 @@ object Extensions {
     * exchange REPLACES the aggregation's (no extra shuffle).
     * `maxRounds` bounds the worst case (rounds needed = component
     * diameter). */
+  /** Frees a localCheckpoint's materialized blocks (df.unpersist is a
+    * CacheManager no-op for them; the blocks belong to the LogicalRDD). */
+  private def freeCkpt(df: DataFrame): Unit =
+    df.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges0 = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -332,12 +370,6 @@ object Extensions {
     // frames at sf0.1. After the checkpoint the loop plans against the
     // materialized RDD. (On a multi-node cluster with executor churn,
     // swap for reliable checkpoint(dir) — same shape, durable blocks.)
-    // Frees a localCheckpoint's materialized blocks (df.unpersist is a
-    // CacheManager no-op for them; the blocks belong to the LogicalRDD).
-    def freeCkpt(df: DataFrame): Unit =
-      df.queryExecution.logical.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
     var labels = nodes0.repartition(loopParts, col("doc_id"))
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
@@ -414,18 +446,37 @@ object Extensions {
     * recursive transitive closure over the same banded candidates, so
     * both sides compute the component minimum exactly, whatever the
     * component diameter). */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(lshPairs(s, dir))
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    // Materialize the verified pair graph ONCE (eager localCheckpoint)
+    // before handing it to the fixpoint: connectedComponents references
+    // `pairs` in both union orientations, and every downstream stage of
+    // the terminal composition (d07's left join, t13's semi-joins) would
+    // otherwise carry the full shingle → signature → banded-join →
+    // exact-verify chain in its lineage and re-derive it per reference —
+    // at sf0.1 that made d06 cost 2.6× d03 (7.8 s vs 3.0 s) for a loop
+    // over a few-hundred-row graph. The pair frame itself is tiny (one
+    // row per verified near-dup pair), so the checkpoint is cheap at any
+    // corpus size; its blocks are freed once the component labels (their
+    // own checkpoint) exist.
+    val pairs = lshPairs(s, dir).localCheckpoint()
+    val out = connectedComponents(pairs)
+    freeCkpt(pairs)
+    out
+  }
 
-  /** s03: IVF-style ANN — deterministic coarse quantizer (centroids = every
-    * 50th vector), each vector assigned to its nearest centroid cell, query
-    * probes the 4 nearest cells and re-ranks exactly within them.
+  /** s03: IVF-style ANN — √n hash-sampled coarse quantizer
+    * (coarseCentroids), each vector assigned to its nearest centroid
+    * cell, query probes the 12 nearest cells and re-ranks exactly within
+    * them.
     *
-    * Quality (AnnRecallSpec, recall@5 vs exact s01 on sf0.01): 2 probes
-    * measured 0.46, 4 probes 0.68 — asserted floor 0.6. nprobe is the
-    * recall/cost dial; the synthetic embeddings are near-uniform (no
-    * cluster structure), so recall tracks the scanned fraction and finer
-    * cells don't help (20 cells / 6 probes measured WORSE, 0.58). On
+    * Quality (AnnRecallSpec, recall@5 vs exact s01 on sf0.01, 32 sampled
+    * cells): 4 probes measured 0.42, 8 → 0.52, 12 → 0.64 (asserted floor
+    * 0.6), all 32 → 1.00 exactly (the probe-everything sanity bound —
+    * within-cell re-ranking is exact, so scanning every cell IS s01).
+    * nprobe is the recall/cost dial; the synthetic embeddings are
+    * near-uniform (no cluster structure), so recall tracks the scanned
+    * fraction (12/32 ≈ 37%, slightly LESS scanning than the previous
+    * 4-of-10-linear-cells geometry at equal-or-better recall). On
     * clustered production embeddings the same operator concentrates
     * neighbors into few cells and the curve steepens.
     *
@@ -440,7 +491,7 @@ object Extensions {
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
     val probes = centroidRank(e.filter(col("vec_id") < 10), cents, "vec_id")
-      .filter(col("rn") <= 4)
+      .filter(col("rn") <= 12)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
     val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
@@ -770,17 +821,18 @@ object Extensions {
     * cell key. Recall bound: a near-dup pair split across two cells is
     * missed (the standard blocking trade; finer cells trade recall for
     * cost like nprobe does in s03). Each vector is MULTI-ASSIGNED to its
-    * top-2 cells (the s03 nprobe dial on the indexing side): single-cell
-    * assignment measured 0.27 recall vs the exact d05 pairs on the
-    * near-uniform synthetic embeddings, top-2 overlap lifts it above the
-    * 0.5 floor DedupSpec pins — on clustered production embeddings the
-    * same operator concentrates near-dups into one cell and the
+    * top-4 cells (the s03 nprobe dial on the indexing side): on the √n
+    * quantizer's 32 hash-sampled cells (500 vectors, stride 22), top-3
+    * measured 0.572 recall vs the exact d05 pairs on the near-uniform
+    * synthetic embeddings, top-4 0.759 (195/257) — DedupSpec pins the
+    * 0.6 floor. On clustered production embeddings
+    * the same operator concentrates near-dups into one cell and the
     * multi-assignment factor can drop. Emits pairs at the d05 threshold
     * so the two operators' outputs are directly comparable. */
   def semdedupCells(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
     val assigned = centroidRank(e, coarseCentroids(e), "vec_id")
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= 4)
       .select(col("vec_id"), col("cent_id").as("cell"))
     val cand = assigned.as("a")
       .join(assigned.as("b"),
@@ -1357,10 +1409,10 @@ object Extensions {
         |FROM d JOIN p ON p.lang = d.lang
         |GROUP BY 1, 2, 3""".stripMargin)),
 
-    QuerySpec("s03_ann_ivf", annIvf, Some(embCtes +
-      """, adots AS (
+    QuerySpec("s03_ann_ivf", annIvf, Some(embCtes + ", " + centsCte +
+      """adots AS (
         |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM ev a JOIN ev b ON b.i = a.i AND b.vec_id % 50 = 0
+        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
         |  GROUP BY 1, 2),
         |ascore AS (
         |  SELECT d.vec_id, d.cent_id,
@@ -1377,7 +1429,7 @@ object Extensions {
         |  SELECT vec_id AS query_id, cent_id AS cell FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id
         |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 4),
+        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 12),
         |cand AS (
         |  SELECT p.query_id, a.neighbor_id
         |  FROM probes p JOIN assigned a ON a.cell = p.cell
@@ -1456,10 +1508,10 @@ object Extensions {
         |      FROM documents) m,
         |  UNNEST(range(0, m.n_frames, 3)) u(frame_id)""".stripMargin)),
 
-    QuerySpec("s05_semdedup_cells", semdedupCells, Some(embCtes +
-      """, adots AS (
+    QuerySpec("s05_semdedup_cells", semdedupCells, Some(embCtes + ", " + centsCte +
+      """adots AS (
         |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM ev a JOIN ev b ON b.i = a.i AND b.vec_id % 50 = 0
+        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
         |  GROUP BY 1, 2),
         |ascore AS (
         |  SELECT d.vec_id, d.cent_id,
@@ -1472,7 +1524,7 @@ object Extensions {
         |    SELECT vec_id, cent_id AS cell,
         |           row_number() OVER (PARTITION BY vec_id
         |             ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore) t WHERE rn <= 2),
+        |    FROM ascore) t WHERE rn <= 4),
         |cand AS (
         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
         |  FROM assigned x

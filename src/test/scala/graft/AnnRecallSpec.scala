@@ -11,9 +11,10 @@ import graft.queries.Extensions
   * sf0.01 synthetic embeddings, which are near-uniform — the hardest
   * case for ANN, recall ≈ corpus fraction scanned: banded 8×4 sign-LSH
   * measured well above 0.6 (the single-table 8-bit signature it replaced
-  * measured 0.02); 4-probe-of-10-cells IVF measured 0.68 (2 probes:
-  * 0.46). Raising recall means more tables/probes — a parameter, not a
-  * code change. */
+  * measured 0.02); 12-probe-of-32-√n-cells IVF measured 0.64 (8 probes:
+  * 0.52, 4: 0.42, all 32: 1.00 exactly — within-cell re-ranking is
+  * exact, so probing every cell degenerates to s01). Raising recall
+  * means more tables/probes — a parameter, not a code change. */
 class AnnRecallSpec extends SparkSpec {
 
   private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =

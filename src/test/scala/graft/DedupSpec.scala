@@ -85,8 +85,8 @@ class DedupSpec extends SparkSpec {
       val total = d05.count()
       assert(total > 0, "no exact pairs at this SF — recall undefined")
       val recall = hit.toDouble / total
-      assert(recall >= 0.5,
-        f"s05 recall $recall%.3f below floor 0.5 ($hit/$total)")
+      assert(recall >= 0.6,
+        f"s05 recall $recall%.3f below floor 0.6 ($hit/$total)")
     } finally { s05.unpersist(); d05.unpersist() }
   }
 
