@@ -243,8 +243,12 @@ object Main {
         cycle(spark, p, nowI, today, rng)
       }
     } finally {
-      q.processAllAvailable()
-      q.stop()
+      // Drain-then-stop, with stop() in its own finally: if the query
+      // already failed, processAllAvailable() rethrows its exception —
+      // which must not mask the cycle loop's error NOR leak a live query
+      // registered on the shared session.
+      try q.processAllAvailable()
+      finally q.stop()
     }
   }
 

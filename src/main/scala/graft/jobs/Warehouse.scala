@@ -48,13 +48,28 @@ object Warehouse {
     val stage = new org.apache.hadoop.fs.Path(path + "__stage")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    // rename reports failure via its return, not an exception — a silent
-    // false here would leave the report missing with the data stranded
-    // in the stage dir.
-    require(fs.rename(stage, target),
-      s"replaceReport: rename $stage -> $target failed; data is in $stage")
+    swapStageInto(fs, stage, target)
   }
+
+  /** The delete + rename commit of a staged swap. rename reports failure
+    * via its return, not an exception — a silent false would leave the
+    * target missing with the data stranded in the stage dir. */
+  private def swapStageInto(fs: org.apache.hadoop.fs.FileSystem,
+                            stage: org.apache.hadoop.fs.Path,
+                            target: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(stage, target),
+      s"staged swap: rename $stage -> $target failed; data is in $stage")
+  }
+
+  /** (name, mtime, length) of every direct child of `dir` — the cheap
+    * change detector the staged-swap writers use to spot a concurrent
+    * writer (one listStatus RPC; content hashing would re-read the log). */
+  private def dirFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path): Set[(String, Long, Long)] =
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir)
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
 
   /** S8: reset — overwrite with an empty frame of the same schema. */
   def reset(spark: SparkSession, path: String, schema: StructType): Unit =
@@ -82,16 +97,34 @@ object Warehouse {
     * read as NULL), via the same staged swap replaceReport uses. Run
     * BEFORE the first new-schema append; at 100 TB this is the one-time
     * cost a type fix honestly carries — there is no lazy way to read a
-    * directory mixing physical DOUBLE and DECIMAL pages. */
+    * directory mixing physical DOUBLE and DECIMAL pages.
+    *
+    * SINGLE-WRITER contract, enforced: the rewrite reads the log lazily
+    * and commits by delete + rename, so rows appended by a concurrent
+    * writer (e.g. runService's ingester on the same log) between the
+    * read and the swap would be silently dropped. The directory is
+    * fingerprinted before the read and re-checked after the staged
+    * write materializes; a concurrent append fails the migration loudly
+    * BEFORE the destructive swap, leaving the log untouched (the stage
+    * dir remains for inspection). */
   def migrateLog(spark: SparkSession, path: String,
                  target: StructType): Unit = {
+    val targetPath = new org.apache.hadoop.fs.Path(path)
+    val stage = new org.apache.hadoop.fs.Path(path + "__stage")
+    val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = dirFingerprint(fs, targetPath)
     val old = readEvolved(spark, path)
     val casted = old.select(target.fields.map { f =>
       (if (old.columns.contains(f.name)) col(f.name)
        else org.apache.spark.sql.functions.lit(null))
         .cast(f.dataType).as(f.name)
     }.toSeq: _*)
-    replaceReport(spark, casted, path)
+    casted.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val after = dirFingerprint(fs, targetPath)
+    require(before == after,
+      s"migrateLog: $path changed during migration (concurrent writer?) — " +
+        s"aborting before the swap; rewrite is parked in $stage")
+    swapStageInto(fs, stage, targetPath)
   }
 
   /** Bucketed table layout: pre-shuffle the data ONCE at write time into

@@ -806,8 +806,11 @@ object Extensions {
         |               i -> concat_ws(' ', slice(t, i + 1, 30))) END"""
         .stripMargin)).as("gram"))
       .distinct()
+    // countDistinct, not count: the grain is the 32-bit window hash, and
+    // two DIFFERENT windows of one document colliding on h32 must not
+    // count that document twice — n_docs is distinct documents per hash.
     g.groupBy(h32(col("gram")).as("gram_hash"))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .filter(col("n_docs") >= 2)
@@ -1593,12 +1596,12 @@ object Extensions {
         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+29], ' ') AS gram
         |  FROM t, UNNEST(range(1, greatest(len(t) - 28, 1))) u(i))
         |SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gram_hash,
-        |       count(*) AS n_docs,
+        |       count(DISTINCT doc_id) AS n_docs,
         |       min(doc_id) AS first_doc,
         |       max(doc_id) AS last_doc
         |FROM g
         |GROUP BY 1
-        |HAVING count(*) >= 2""".stripMargin)),
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
 
     QuerySpec("t15_shard_assign", shardAssign, Some(
       """WITH d AS (

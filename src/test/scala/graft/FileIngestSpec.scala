@@ -72,10 +72,13 @@ class FileIngestSpec extends SparkSpec {
       seedVal = 11L, interval = "1 second")
     assert(actions.size == 4)
 
-    // ≥2 processing-time micro-batches actually committed (the seed files
-    // plus at least one mid-loop append).
-    val offsets = committedBatches(s"$base/ckpt/imps_stream")
-    assert(offsets >= 2, s"expected >=2 committed micro-batches, got $offsets")
+    // ≥1 committed micro-batch is deterministic (the seed files exist
+    // before the stream starts; the shutdown drain commits them even if
+    // every 1-second trigger raced the loop). Whether MID-LOOP appends
+    // landed in their own batches is timing-dependent — the restart
+    // below forces a second batch deterministically instead.
+    val offsets1 = committedBatches(s"$base/ckpt/imps_stream")
+    assert(offsets1 >= 1, s"expected >=1 committed micro-batch, got $offsets1")
 
     // Convergence: the streamed log's keep-latest view equals the batch
     // recompute over the FINAL store (whatever the cycles appended).
@@ -88,10 +91,19 @@ class FileIngestSpec extends SparkSpec {
       dailyRecompute(imps), "streamed log vs final-store recompute")
 
     // Graceful stop + checkpoint: a RESTART of the service picks up where
-    // the stop left off (exactly-once), not from scratch.
+    // the stop left off (exactly-once), not from scratch. An impressions
+    // file appended BETWEEN the runs guarantees the restarted stream has
+    // new input (a cycle's single random action may touch another table),
+    // so the restart must commit at least one further micro-batch.
+    Generators.impressions(spark, 4, 5, "2024-06-03 12:00:00", 99L)
+      .withColumn("id", col("id") + 100000)
+      .write.mode("append").parquet(s"$base/oltp/impressions")
     val moreActions = graft.jobs.Main.runService(spark, base, cycles = 2,
       seedVal = 12L, interval = "1 second")
     assert(moreActions.size == 2)
+    val offsets2 = committedBatches(s"$base/ckpt/imps_stream")
+    assert(offsets2 > offsets1,
+      s"restart with new input must commit a new micro-batch ($offsets1 -> $offsets2)")
     val impsAfter = spark.read.schema(graft.schema.Schemas.event)
       .parquet(s"$base/oltp/impressions")
     assertSameRows(
