@@ -21,6 +21,12 @@ object DeltaUpsert {
 
   val Keys: Seq[String] = Seq("rtm_advertiser_id", "rtm_campaign_id")
 
+  /** Version-tie ordering shared by every reader AND the compactor
+    * (Warehouse.compact must rank versions exactly as latest() does or
+    * compaction could keep a row latest() would not have returned). */
+  val Tiebreak: Seq[String] = Seq("campaign_impressions_count_total",
+    "campaign_clicks_count_total")
+
   /** Changed keys: OLTP-derived totals rows absent from the OLAP log
     * (track_delta.py:103-123's Python set-difference, distributed).
     *
@@ -51,9 +57,7 @@ object DeltaUpsert {
     * break on the counts — monotone under append-only facts, hence the
     * higher count IS the newer version. */
   def latest(olapLog: DataFrame): DataFrame =
-    Core.latestView(olapLog, Keys, "rtm_delta",
-      tiebreak = Seq("campaign_impressions_count_total",
-        "campaign_clicks_count_total"))
+    Core.latestView(olapLog, Keys, "rtm_delta", tiebreak = Tiebreak)
 
   /** Full cycle as pure data: log ∪ delta, plus its collapsed view. */
   def cycle(oltpTotals: DataFrame, olapLog: DataFrame): (DataFrame, DataFrame) = {

@@ -194,9 +194,16 @@ object Main {
   /** Full lifecycle. Idempotent branch points mirror the reference:
     * seeds only when OLTP is empty, initial-loads only when the OLAP log
     * is absent, then runs `cycles` generate+delta rounds with the clock
-    * advancing 3 minutes per cycle (the reference's schedule_interval). */
+    * advancing 3 minutes per cycle (the reference's schedule_interval).
+    *
+    * `compactEvery` > 0 compacts the totals version log every that many
+    * cycles (Warehouse.compact, keeping `retainVersions` versions per
+    * key) — the scheduled stand-in for ClickHouse's background merges,
+    * run at the one point in the loop where the log has no other writer
+    * and no live cached reader (the delta cycle has fully consumed it). */
   def run(spark: SparkSession, base: String, cycles: Int, seedVal: Long,
-          now: String = Generators.DefaultNow): Seq[String] = {
+          now: String = Generators.DefaultNow, compactEvery: Int = 0,
+          retainVersions: Int = 1): Seq[String] = {
     val p = Paths(base)
     val t0 = LocalDateTime.parse(now, NowFmt)
     val today = now.take(10)
@@ -205,7 +212,11 @@ object Main {
     val rng = new scala.util.Random(seedVal)
     (1 to cycles).map { i =>
       val nowI = t0.plusMinutes(3L * i).format(NowFmt)
-      cycle(spark, p, nowI, today, rng)
+      val a = cycle(spark, p, nowI, today, rng)
+      if (compactEvery > 0 && i % compactEvery == 0)
+        Warehouse.compact(spark, p.totalsLog, DeltaUpsert.Keys, "rtm_delta",
+          retainVersions, tiebreak = DeltaUpsert.Tiebreak)
+      a
     }
   }
 

@@ -127,6 +127,51 @@ object Warehouse {
     swapStageInto(fs, stage, targetPath)
   }
 
+  /** §2.9's operational other half: version-log compaction — the engine's
+    * analogue of ClickHouse's background MergeTree merges
+    * (initial_load_generate_postgres_data.py:97-98, where duplicate key
+    * versions collapse on merge). The append-only log + latestView gives
+    * correct reads at any log length, but nothing else ever REWRITES the
+    * log: without compaction every read pays a window over all versions
+    * ever written and storage grows without bound. Compaction rewrites
+    * the log to the newest `retainVersions` rows of each key
+    * (Core.recentVersions) via the same staged swap + concurrent-writer
+    * fingerprint guard migrateLog uses.
+    *
+    * Contract (WarehouseSpec-pinned):
+    *  - latestView(compacted) ≡ latestView(original) for any retain ≥ 1;
+    *  - snapshotView at any cutoff that lands within a key's RETAINED
+    *    versions is preserved; cutoffs older than the retention horizon
+    *    lose resolution to the oldest retained version — exactly the
+    *    trade the reference's merges make, here with an explicit dial;
+    *  - file count after compaction is the shuffle's output (AQE-coalesced
+    *    — small logs become a handful of files), independent of how many
+    *    appends built the log.
+    *
+    * Scale posture: one hash shuffle on `keys` — the same shape every
+    * latestView read already pays, run once off the hot path instead of
+    * on every read. Run it between delta cycles (single-writer window;
+    * the guard aborts pre-swap if an append races it). */
+  def compact(spark: SparkSession, path: String, keys: Seq[String],
+              version: String, retainVersions: Int = 1,
+              tiebreak: Seq[String] = Nil,
+              clusterKeys: Seq[String] = Nil): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val stage = new org.apache.hadoop.fs.Path(path + "__stage")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = dirFingerprint(fs, target)
+    val kept = graft.ops.Core.recentVersions(
+      read(spark, path), keys, version, retainVersions, tiebreak)
+    val sortKeys = if (clusterKeys.nonEmpty) clusterKeys else keys
+    kept.sortWithinPartitions(sortKeys.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val after = dirFingerprint(fs, target)
+    require(before == after,
+      s"compact: $path changed during compaction (concurrent writer?) — " +
+        s"aborting before the swap; rewrite is parked in $stage")
+    swapStageInto(fs, stage, target)
+  }
+
   /** Bucketed table layout: pre-shuffle the data ONCE at write time into
     * `buckets` hash buckets on the join/aggregation keys (ClickHouse's
     * ORDER-BY-key clustering taken one step further). Two tables bucketed

@@ -28,11 +28,20 @@ object Core {
     * keys so repeated latestView reads reuse the layout without reshuffling.
     */
   def latestView(df: DataFrame, keys: Seq[String], version: String,
-                 tiebreak: Seq[String] = Nil): DataFrame = {
+                 tiebreak: Seq[String] = Nil): DataFrame =
+    recentVersions(df, keys, version, 1, tiebreak)
+
+  /** The `n` newest version rows of every key (latestView is n = 1).
+    * This is the retention grain of log compaction: keeping n > 1 bounds
+    * the log while preserving snapshotView time travel across the last
+    * n versions of each key. Same single shuffle as latestView. */
+  def recentVersions(df: DataFrame, keys: Seq[String], version: String,
+                     n: Int, tiebreak: Seq[String] = Nil): DataFrame = {
+    require(n >= 1, s"recentVersions: n must be >= 1, got $n")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((col(version).desc +: tiebreak.map(col(_).desc)): _*)
     df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= n)
       .drop("__rn")
   }
 

@@ -107,6 +107,37 @@ class PipelineSpec extends SparkSpec {
         st2.impressions, st2.clicks), "after second run")
   }
 
+  test("periodic compaction bounds the log without changing the pipeline") {
+    // Twin drivers, same seed: one compacts the totals log every 2 cycles
+    // (the scheduled background-merge analogue), one never does. The
+    // keep-latest view — and therefore every report — must be identical;
+    // only the log's physical row/file count may differ.
+    val basePlain = java.nio.file.Files.createTempDirectory("graft-nc").toString
+    val baseCompact = java.nio.file.Files.createTempDirectory("graft-c").toString
+    jobs.Main.run(spark, basePlain, cycles = 6, seedVal = 21L)
+    jobs.Main.run(spark, baseCompact, cycles = 6, seedVal = 21L,
+      compactEvery = 2)
+    val logPlain = jobs.Warehouse.read(spark,
+      jobs.Main.Paths(basePlain).totalsLog)
+    val logCompact = jobs.Warehouse.read(spark,
+      jobs.Main.Paths(baseCompact).totalsLog)
+    assertSameRows(DeltaUpsert.latest(logCompact), DeltaUpsert.latest(logPlain),
+      "latest view with vs without compaction")
+    assertSameRows(
+      jobs.Warehouse.read(spark, jobs.Main.Paths(baseCompact).totalsReport),
+      jobs.Warehouse.read(spark, jobs.Main.Paths(basePlain).totalsReport),
+      "totals report with vs without compaction")
+    // Bounded: the last compaction tick lands on cycle 6, so the log holds
+    // EXACTLY one version per key (retainVersions = 1 default) while the
+    // uncompacted twin kept every version ever appended.
+    val keys = DeltaUpsert.latest(logCompact).count()
+    assert(logCompact.count() == keys,
+      s"compacted log should hold one version per key " +
+        s"(${logCompact.count()} vs $keys)")
+    assert(logPlain.count() > keys,
+      "the uncompacted twin should have accumulated history")
+  }
+
   test("latestView collapse is idempotent") {
     val (adv, camp, imps, clks) = oltp(7L, Generators.DefaultNow)
     val totals = InitialLoad.campaignTotals(adv, camp, imps, clks)

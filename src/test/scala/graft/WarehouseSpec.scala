@@ -107,6 +107,55 @@ class WarehouseSpec extends SparkSpec {
       .compareTo(new java.math.BigDecimal("61.50")) == 0)
   }
 
+  test("compact bounds the log, preserves latestView and retained snapshots") {
+    import spark.implicits._
+    val dir = tmp()
+    val log = s"$dir/log"
+    // 5 appends of one version row per key = 5 versions × 3 keys, one
+    // parquet write (≥1 file) each — the unbounded-growth shape.
+    (1 to 5).foreach { v =>
+      Seq(("k1", v.toLong, s"k1v$v"), ("k2", v.toLong, s"k2v$v"),
+        ("k3", v.toLong, s"k3v$v"))
+        .toDF("key", "ver", "payload")
+        .write.mode("append").parquet(log)
+    }
+    val filesBefore = new java.io.File(log).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val full = Warehouse.read(spark, log).persist()
+    val latestFull = graft.ops.Core.latestView(full, Seq("key"), "ver").collect()
+    val snapAt3 = graft.ops.Core.snapshotView(full, Seq("key"), "ver", lit(3L))
+      .collect()
+    full.unpersist()
+
+    Warehouse.compact(spark, log, Seq("key"), "ver", retainVersions = 3)
+    val compacted = Warehouse.read(spark, log).persist()
+    try {
+      // Contract 1: keep-latest is unchanged.
+      assertSameRows(graft.ops.Core.latestView(compacted, Seq("key"), "ver"),
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(latestFull.toIndexedSeq), compacted.schema),
+        "latestView after compact")
+      // Contract 2: snapshots within the retained horizon are unchanged
+      // (retain 3 of 5 keeps versions 3..5; cutoff 3 lands on a kept row).
+      assertSameRows(
+        graft.ops.Core.snapshotView(compacted, Seq("key"), "ver", lit(3L)),
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(snapAt3.toIndexedSeq), compacted.schema),
+        "snapshot at retained version")
+      // Contract 3: the log is bounded — 9 rows (3 keys × 3 retained), and
+      // fewer files than the 5 appends left behind.
+      assert(compacted.count() == 9, s"expected 9 rows, got ${compacted.count()}")
+      val filesAfter = new java.io.File(log).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(filesAfter < filesBefore,
+        s"compaction should shrink the file count ($filesBefore -> $filesAfter)")
+      // A cutoff OLDER than the horizon degrades to the oldest retained
+      // version (documented trade): version 1 is gone, version 3 answers.
+      val old = graft.ops.Core.snapshotView(compacted, Seq("key"), "ver", lit(1L))
+      assert(old.count() == 0, "pre-horizon versions are compacted away")
+    } finally compacted.unpersist()
+  }
+
   test("additive schema evolution: merged read NULL-fills pre-column files") {
     import spark.implicits._
     val dir = tmp()
