@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Stats <base> clicks       --campaign-id 1 --ratio 0.12
   *   runMain graft.cli.Stats <base> batch        (seed batch defaults)
   *   runMain graft.cli.Stats <base> stats        (counts + per-campaign CTR)
-  *   runMain graft.cli.Stats <base> ingest       (stream-drain impressions → daily log)
+  *   runMain graft.cli.Stats <base> ingest       (stream-drain impressions + clicks → daily logs)
   *   runMain graft.cli.Stats <base> service      --cycles 3 --interval "5 minutes"
   *   runMain graft.cli.Stats <base> reset        (empty all OLTP tables)
   * }}}
@@ -83,15 +83,21 @@ object Stats {
         Main.seed(spark, p, nowArg(rest), seedArg(rest))
         Seq("Seeded batch defaults (2 advertisers x 3 campaigns x 100 impressions).")
       case "ingest" =>
-        // Drain the impressions store through the Structured Streaming
-        // file source into the streamed daily log (exactly-once via the
-        // checkpoint — re-running without new files appends nothing).
-        val log = s"$base/olap/impressions_daily_stream"
-        graft.streaming.FileIngest.ingestDaily(spark, p.impressions, log,
+        // Drain BOTH fact stores through the Structured Streaming file
+        // source into their streamed daily logs (exactly-once via the
+        // checkpoints — re-running without new files appends nothing).
+        val impsLog = s"$base/olap/impressions_daily_stream"
+        val clksLog = s"$base/olap/clicks_daily_stream"
+        graft.streaming.FileIngest.ingestDaily(spark, p.impressions, impsLog,
           s"$base/_checkpoints/impressions_daily")
+        graft.streaming.FileIngest.ingestDaily(spark, p.clicks, clksLog,
+          s"$base/_checkpoints/clicks_daily")
         val n = graft.streaming.FileIngest
-          .latestDaily(Warehouse.read(spark, log)).count()
-        Seq(s"Ingested impressions; streamed daily log holds $n (campaign, day) rows.")
+          .latestDaily(Warehouse.read(spark, impsLog)).count()
+        val nc = graft.streaming.FileIngest
+          .latestDaily(Warehouse.read(spark, clksLog)).count()
+        Seq(s"Ingested impressions + clicks; streamed daily logs hold " +
+          s"$n / $nc (campaign, day) rows.")
       case "service" =>
         // Always-on mode from the CLI: generate+delta cycles run while
         // the processing-time ingester streams the store; graceful

@@ -47,6 +47,10 @@ object Main {
     val clksDaily = s"$base/olap/clicks_daily"
     val totalsReport = s"$base/reports/campaign_totals_report"
     val dailyCtrReport = s"$base/reports/campaign_daily_ctr_report"
+    val impsStreamLog = s"$base/olap/impressions_daily_stream"
+    val clksStreamLog = s"$base/olap/clicks_daily_stream"
+    val impsStreamCkpt = s"$base/ckpt/imps_stream"
+    val clksStreamCkpt = s"$base/ckpt/clks_stream"
     def oltpAll: Seq[String] = Seq(advertiser, campaign, impressions, clicks)
   }
 
@@ -224,42 +228,57 @@ object Main {
     * generate DAG every 3 minutes (generate_new_data.py:34) and a delta
     * DAG every 5 (track_delta.py:617-624) — not a run-N-cycles batch.
     * This composition runs the same lifecycle as one long-lived service:
-    * a processing-time streaming ingester continuously drains the
-    * impressions dir into a streamed daily log WHILE the generate +
-    * track-delta cycle appends to the OLTP store and maintains the
-    * reports. Shutdown is graceful: drain every file already committed
-    * to the store, then stop — the streaming checkpoint resumes
-    * exactly-once on the next start, so stop/start loses nothing.
+    * TWO processing-time streaming ingesters continuously drain the
+    * impressions AND clicks dirs into streamed daily logs (the reference
+    * tracks both fact tables through the identical delta machinery,
+    * track_delta.py:327-427) WHILE the generate + track-delta cycle
+    * appends to the OLTP store and maintains the reports. Shutdown is
+    * graceful: drain every file already committed to the store, then
+    * stop — each stream's checkpoint resumes exactly-once on the next
+    * start, so stop/start loses nothing.
     *
-    * The streamed log (`olap/impressions_daily_stream`) complements the
-    * batch daily log (the exact-parity path): FileIngestSpec pins that
-    * its keep-latest view converges to the batch recompute of the final
-    * store. `interval` is the trigger cadence (the reference's 5-minute
-    * schedule; seconds in tests). */
+    * The streamed logs complement the batch daily logs (the exact-parity
+    * path): FileIngestSpec pins that both keep-latest views converge to
+    * the batch recompute of the final store, and
+    * `FileIngest.streamedDailyCtr` joins them into the continuously-
+    * maintained form of the daily CTR report. `interval` is the trigger
+    * cadence (the reference's 5-minute schedule; seconds in tests). */
   def runService(spark: SparkSession, base: String, cycles: Int,
                  seedVal: Long, interval: String = "5 minutes",
-                 now: String = Generators.DefaultNow): Seq[String] = {
+                 now: String = Generators.DefaultNow, compactEvery: Int = 0,
+                 retainVersions: Int = 1): Seq[String] = {
     val p = Paths(base)
     val t0 = LocalDateTime.parse(now, NowFmt)
     val today = now.take(10)
     if (!p.oltpAll.forall(hasData(spark, _))) seed(spark, p, now, seedVal)
     if (!hasData(spark, p.totalsLog)) initialLoad(spark, p, today)
-    val q = graft.streaming.FileIngest.startDailyIngest(spark, p.impressions,
-      s"$base/olap/impressions_daily_stream", s"$base/ckpt/imps_stream",
-      interval = interval)
+    val qImps = graft.streaming.FileIngest.startDailyIngest(spark,
+      p.impressions, p.impsStreamLog, p.impsStreamCkpt, interval = interval)
+    val qClks = graft.streaming.FileIngest.startDailyIngest(spark,
+      p.clicks, p.clksStreamLog, p.clksStreamCkpt, interval = interval)
     try {
       val rng = new scala.util.Random(seedVal)
       (1 to cycles).map { i =>
         val nowI = t0.plusMinutes(3L * i).format(NowFmt)
-        cycle(spark, p, nowI, today, rng)
+        val a = cycle(spark, p, nowI, today, rng)
+        if (compactEvery > 0 && i % compactEvery == 0)
+          Warehouse.compact(spark, p.totalsLog, DeltaUpsert.Keys, "rtm_delta",
+            retainVersions, tiebreak = DeltaUpsert.Tiebreak)
+        a
       }
     } finally {
-      // Drain-then-stop, with stop() in its own finally: if the query
-      // already failed, processAllAvailable() rethrows its exception —
-      // which must not mask the cycle loop's error NOR leak a live query
-      // registered on the shared session.
-      try q.processAllAvailable()
-      finally q.stop()
+      // Drain-then-stop per stream, each stop() in its own finally: if a
+      // query already failed, processAllAvailable() rethrows its
+      // exception — which must not mask the cycle loop's error, skip the
+      // other stream's shutdown, NOR leak a live query registered on the
+      // shared session.
+      try {
+        try qImps.processAllAvailable()
+        finally qImps.stop()
+      } finally {
+        try qClks.processAllAvailable()
+        finally qClks.stop()
+      }
     }
   }
 

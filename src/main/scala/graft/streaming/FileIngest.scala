@@ -4,7 +4,7 @@ import graft.jobs.Warehouse
 import graft.ops.Core
 import graft.schema.Schemas
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.streaming.Trigger
 
 /** End-to-end streaming ingestion of the OLTP store: the parquet dir the
@@ -78,4 +78,27 @@ object FileIngest {
   def latestDaily(log: DataFrame): DataFrame =
     Core.latestView(log, Seq("campaign_id", "date"), "rtm_delta",
       tiebreak = Seq("daily_count"))
+
+  /** The continuously-maintained daily CTR: the keep-latest views of the
+    * two streamed logs joined per (campaign, day). Full outer with
+    * zero-fill, because either stream can be ahead of the other for a
+    * day (a click lands 1–120 s after its impression and can cross
+    * midnight — seed.py:86-106; or one trigger fired before the other).
+    * Day-grain join of two day-grain views: |campaigns|·|days| rows a
+    * side, broadcastable at any event volume. */
+  def streamedDailyCtr(impsLog: DataFrame, clicksLog: DataFrame): DataFrame = {
+    val i = latestDaily(impsLog)
+      .select(col("campaign_id"), col("date"),
+        col("daily_count").as("daily_impressions"))
+    val c = latestDaily(clicksLog)
+      .select(col("campaign_id"), col("date"),
+        col("daily_count").as("daily_clicks"))
+    i.join(c, Seq("campaign_id", "date"), "full_outer")
+      .select(col("campaign_id"), col("date"),
+        coalesce(col("daily_impressions"), lit(0L)).as("daily_impressions"),
+        coalesce(col("daily_clicks"), lit(0L)).as("daily_clicks"))
+      .withColumn("daily_ctr",
+        Core.round2p(Core.safeDiv(col("daily_clicks"),
+          col("daily_impressions")) * 100))
+  }
 }

@@ -42,7 +42,9 @@ class CliSpec extends SparkSpec {
       "--interval", "1 second").head
     assert(out.startsWith("Service ran 2 cycles"), out)
     assert(new java.io.File(s"$base/ckpt/imps_stream/offsets").exists,
-      "service left no streaming checkpoint")
+      "service left no impressions streaming checkpoint")
+    assert(new java.io.File(s"$base/ckpt/clks_stream/offsets").exists,
+      "service left no clicks streaming checkpoint")
   }
 
   test("ingest drains impressions into the streamed daily log, exactly once") {

@@ -80,15 +80,44 @@ class FileIngestSpec extends SparkSpec {
     val offsets1 = committedBatches(s"$base/ckpt/imps_stream")
     assert(offsets1 >= 1, s"expected >=1 committed micro-batch, got $offsets1")
 
-    // Convergence: the streamed log's keep-latest view equals the batch
-    // recompute over the FINAL store (whatever the cycles appended).
+    // Convergence, BOTH streams: each streamed log's keep-latest view
+    // equals the batch recompute over its FINAL store (whatever the
+    // cycles appended — the reference tracks clicks through the same
+    // delta machinery as impressions).
     val imps = spark.read.schema(graft.schema.Schemas.event)
       .parquet(s"$base/oltp/impressions")
     assertSameRows(
       FileIngest.latestDaily(
         Warehouse.read(spark, s"$base/olap/impressions_daily_stream"))
         .drop("rtm_delta"),
-      dailyRecompute(imps), "streamed log vs final-store recompute")
+      dailyRecompute(imps), "streamed imps log vs final-store recompute")
+    val clks = spark.read.schema(graft.schema.Schemas.event)
+      .parquet(s"$base/oltp/clicks")
+    assertSameRows(
+      FileIngest.latestDaily(
+        Warehouse.read(spark, s"$base/olap/clicks_daily_stream"))
+        .drop("rtm_delta"),
+      dailyRecompute(clks), "streamed clicks log vs final-store recompute")
+
+    // The continuously-maintained CTR view equals the same join computed
+    // from the batch recomputes (zero-filled full outer — either stream
+    // can own a (campaign, day) the other lacks).
+    val ctrExpected = dailyRecompute(imps)
+      .withColumnRenamed("daily_count", "daily_impressions")
+      .join(dailyRecompute(clks)
+          .withColumnRenamed("daily_count", "daily_clicks"),
+        Seq("campaign_id", "date"), "full_outer")
+      .select(col("campaign_id"), col("date"),
+        coalesce(col("daily_impressions"), lit(0L)).as("daily_impressions"),
+        coalesce(col("daily_clicks"), lit(0L)).as("daily_clicks"))
+      .withColumn("daily_ctr",
+        graft.ops.Core.round2p(graft.ops.Core.safeDiv(col("daily_clicks"),
+          col("daily_impressions")) * 100))
+    assertSameRows(
+      FileIngest.streamedDailyCtr(
+        Warehouse.read(spark, s"$base/olap/impressions_daily_stream"),
+        Warehouse.read(spark, s"$base/olap/clicks_daily_stream")),
+      ctrExpected, "streamed daily CTR vs batch-recompute join")
 
     // Graceful stop + checkpoint: a RESTART of the service picks up where
     // the stop left off (exactly-once), not from scratch. An impressions
@@ -106,10 +135,17 @@ class FileIngestSpec extends SparkSpec {
       s"restart with new input must commit a new micro-batch ($offsets1 -> $offsets2)")
     val impsAfter = spark.read.schema(graft.schema.Schemas.event)
       .parquet(s"$base/oltp/impressions")
+    val clksAfter = spark.read.schema(graft.schema.Schemas.event)
+      .parquet(s"$base/oltp/clicks")
     assertSameRows(
       FileIngest.latestDaily(
         Warehouse.read(spark, s"$base/olap/impressions_daily_stream"))
         .drop("rtm_delta"),
-      dailyRecompute(impsAfter), "streamed log after service restart")
+      dailyRecompute(impsAfter), "streamed imps log after service restart")
+    assertSameRows(
+      FileIngest.latestDaily(
+        Warehouse.read(spark, s"$base/olap/clicks_daily_stream"))
+        .drop("rtm_delta"),
+      dailyRecompute(clksAfter), "streamed clicks log after service restart")
   }
 }
