@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Stats <base> stats        (counts + per-campaign CTR)
   *   runMain graft.cli.Stats <base> ingest       (stream-drain impressions + clicks → daily logs)
   *   runMain graft.cli.Stats <base> service      --cycles 3 --interval "5 minutes"
+  *   runMain graft.cli.Stats <base> schedule     --for-secs 10 --gen-every-secs 3 --delta-every-secs 5
   *   runMain graft.cli.Stats <base> reset        (empty all OLTP tables)
   * }}}
   *
@@ -108,6 +109,34 @@ object Stats {
           interval, nowArg(rest))
         Seq(s"Service ran $cycles cycles (${actions.mkString(", ")}); " +
           "streaming ingest drained and stopped.")
+      case "schedule" =>
+        // Wall-clock scheduled mode off the REAL system clock: generate
+        // and delta fire on their own cadences until --for elapses
+        // (the deployment shape runs without --for until killed;
+        // defaults are the reference's 3-min/5-min crons).
+        val genEvery = java.time.Duration.ofSeconds(
+          opt(rest, "--gen-every-secs", "180").toLong)
+        val deltaEvery = java.time.Duration.ofSeconds(
+          opt(rest, "--delta-every-secs", "300").toLong)
+        val runFor = opt(rest, "--for-secs", "").trim
+        val deadline = if (runFor.isEmpty) None
+          else Some(System.nanoTime() + runFor.toLong * 1000000000L)
+        // Sleep is capped at the --for deadline so a long inter-tick gap
+        // can't overshoot the requested runtime.
+        val cappedSleep: java.time.Duration => Unit = d => {
+          val ms = deadline.fold(d.toMillis) { dl =>
+            math.min(d.toMillis, math.max(0L, (dl - System.nanoTime()) / 1000000L))
+          }
+          if (ms > 0) Thread.sleep(ms)
+        }
+        val stats = Main.runScheduled(spark, base,
+          stop = () => deadline.exists(System.nanoTime() >= _),
+          generateEvery = genEvery, deltaEvery = deltaEvery,
+          interval = opt(rest, "--interval", "5 minutes"),
+          seedVal = seedArg(rest), sleep = cappedSleep)
+        Seq(s"Scheduled run: ${stats.actions.size} generate ticks " +
+          s"(${stats.actions.mkString(", ")}), ${stats.deltaTicks} delta " +
+          "ticks; streaming ingest drained and stopped.")
       case "reset" =>
         Warehouse.reset(spark, p.clicks, Schemas.event)
         Warehouse.reset(spark, p.impressions, Schemas.event)
@@ -150,7 +179,7 @@ object Stats {
         header ++ Seq("", "=== Campaign Details ===") ++ detail
       case other =>
         Seq(s"Unknown command: $other. " +
-          "Use advertisers|campaigns|impressions|clicks|batch|stats|ingest|service|reset.")
+          "Use advertisers|campaigns|impressions|clicks|batch|stats|ingest|service|schedule|reset.")
     }
   }
 

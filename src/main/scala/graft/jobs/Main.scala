@@ -110,7 +110,16 @@ object Main {
   /** One generate + track-delta cycle. Returns the action name taken. */
   def cycle(spark: SparkSession, p: Paths, now: String, today: String,
             rng: scala.util.Random): String = {
-    // generate_new_data: one random action appended to the OLTP store.
+    val a = generateStep(spark, p, now, rng)
+    deltaStep(spark, p, today)
+    a
+  }
+
+  /** generate_new_data: one random action appended to the OLTP store.
+    * Split from deltaStep so the wall-clock scheduler can run the two
+    * DAGs at the reference's DIFFERENT cadences (3 min vs 5 min). */
+  def generateStep(spark: SparkSession, p: Paths, now: String,
+                   rng: scala.util.Random): String = {
     val delta = DeltaActions.step(spark, oltp(spark, p), now, rng)
     val target = delta.table match {
       case "advertiser" => p.advertiser
@@ -119,9 +128,12 @@ object Main {
       case _ => p.clicks
     }
     delta.rows.write.mode(SaveMode.Append).parquet(target)
+    delta.action
+  }
 
-    // track_delta: recompute totals at key grain, append only changed-key
-    // version rows, then maintain the reports.
+  /** track_delta: recompute totals at key grain, append only changed-key
+    * version rows, then maintain the reports. */
+  def deltaStep(spark: SparkSession, p: Paths, today: String): Unit = {
     val st = oltp(spark, p)
     val totalsNow = InitialLoad.campaignTotals(st.advertiser, st.campaign,
       st.impressions, st.clicks)
@@ -160,7 +172,6 @@ object Main {
       .withColumnRenamed("campaign_clicks_date", "campaign_impressions_date")
     Warehouse.overwriteReport(
       Reports.dailyCtrReport(dim, impsDaily, clksDaily), p.dailyCtrReport)
-    delta.action
   }
 
   /** Keep-latest daily rows; ties on rtm_delta break by the (monotone)
@@ -280,6 +291,79 @@ object Main {
         finally qClks.stop()
       }
     }
+  }
+
+  /** The counts a scheduled run reports: every generate action taken and
+    * how many delta ticks ran. */
+  final case class ScheduleStats(actions: Seq[String], deltaTicks: Int)
+
+  /** TRUE wall-clock scheduled mode: the reference's actual operation —
+    * a generate DAG on one cadence (every-3rd-minute cron,
+    * generate_new_data.py:34) and a track-delta DAG on another (every
+    * 5th minute, track_delta.py:617-624) — run off the clock until `stop()`
+    * returns true, with both streaming ingesters live throughout.
+    * runService is the run-N-cycles composition for converged-state
+    * tests; this is the run-until-stopped deployment shape.
+    *
+    * Scheduling is fixed-rate with catch-up: each tick's next fire time
+    * advances by exactly its period (no drift from work duration), and a
+    * clock jump runs one missed tick per loop pass until caught up —
+    * Airflow's catchup behavior. Both DAGs fire immediately at start
+    * (the reference's first scheduled run), and ticks due at the same
+    * instant run generate-then-delta, preserving cycle()'s ordering.
+    *
+    * `clock` and `sleep` are injectable so tests drive days of schedule
+    * in milliseconds (CliSpec drives the REAL clock at second cadences);
+    * production callers pass nothing and get system time. */
+  def runScheduled(spark: SparkSession, base: String, stop: () => Boolean,
+                   generateEvery: java.time.Duration = java.time.Duration.ofMinutes(3),
+                   deltaEvery: java.time.Duration = java.time.Duration.ofMinutes(5),
+                   interval: String = "5 minutes", seedVal: Long = 42L,
+                   clock: () => LocalDateTime = () => LocalDateTime.now(),
+                   sleep: java.time.Duration => Unit = d => Thread.sleep(d.toMillis))
+      : ScheduleStats = {
+    val p = Paths(base)
+    val t0 = clock()
+    val today = t0.format(NowFmt).take(10)
+    if (!p.oltpAll.forall(hasData(spark, _))) seed(spark, p,
+      t0.format(NowFmt), seedVal)
+    if (!hasData(spark, p.totalsLog)) initialLoad(spark, p, today)
+    val qImps = graft.streaming.FileIngest.startDailyIngest(spark,
+      p.impressions, p.impsStreamLog, p.impsStreamCkpt, interval = interval)
+    val qClks = graft.streaming.FileIngest.startDailyIngest(spark,
+      p.clicks, p.clksStreamLog, p.clksStreamCkpt, interval = interval)
+    val rng = new scala.util.Random(seedVal)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    var deltaTicks = 0
+    var nextGen = t0
+    var nextDelta = t0
+    try {
+      while (!stop()) {
+        val now = clock()
+        if (!now.isBefore(nextGen)) {
+          actions += generateStep(spark, p, now.format(NowFmt), rng)
+          nextGen = nextGen.plus(generateEvery)
+        }
+        if (!now.isBefore(nextDelta)) {
+          deltaStep(spark, p, today)
+          deltaTicks += 1
+          nextDelta = nextDelta.plus(deltaEvery)
+        }
+        val wake = if (nextGen.isBefore(nextDelta)) nextGen else nextDelta
+        val d = java.time.Duration.between(clock(), wake)
+        if (!d.isNegative && !stop()) sleep(d)
+      }
+    } finally {
+      // Same per-stream drain-then-stop discipline as runService.
+      try {
+        try qImps.processAllAvailable()
+        finally qImps.stop()
+      } finally {
+        try qClks.processAllAvailable()
+        finally qClks.stop()
+      }
+    }
+    ScheduleStats(actions.toSeq, deltaTicks)
   }
 
   def main(args: Array[String]): Unit = {

@@ -47,6 +47,27 @@ class CliSpec extends SparkSpec {
       "service left no clicks streaming checkpoint")
   }
 
+  test("schedule subcommand runs real-clock ticks and stops at the deadline") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cli6").toString
+    // Pre-seed so the scheduled run's first pass doesn't pay seed +
+    // initial-load inside its deadline; a priming service cycle builds
+    // the OLAP log too.
+    lines(base, "service", "--cycles", "1", "--interval", "1 second")
+    // Real system clock at second cadences: both crons fire immediately
+    // at start, and catch-up fires a missed generate tick on every loop
+    // pass — so even when one delta step takes seconds of real work,
+    // 10 s of wall time yields >=2 generate and >=1 delta ticks.
+    val out = lines(base, "schedule", "--for-secs", "10",
+      "--gen-every-secs", "1", "--delta-every-secs", "4",
+      "--interval", "1 second").head
+    assert(out.startsWith("Scheduled run: "), out)
+    val gens = "Scheduled run: (\\d+) generate".r
+      .findFirstMatchIn(out).get.group(1).toInt
+    val deltas = ", (\\d+) delta".r.findFirstMatchIn(out).get.group(1).toInt
+    assert(gens >= 2, s"expected >=2 real-clock generate ticks, got $gens")
+    assert(deltas >= 1, s"expected >=1 real-clock delta ticks, got $deltas")
+  }
+
   test("ingest drains impressions into the streamed daily log, exactly once") {
     val base = java.nio.file.Files.createTempDirectory("graft-cli4").toString
     lines(base, "batch")

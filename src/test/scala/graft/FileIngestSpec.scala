@@ -148,4 +148,40 @@ class FileIngestSpec extends SparkSpec {
         .drop("rtm_delta"),
       dailyRecompute(clksAfter), "streamed clicks log after service restart")
   }
+
+  test("wall-clock scheduler fires generate and delta on their own cadences") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sched").toString
+    // Injected clock: sleep() advances fake time, so 10 minutes of the
+    // reference's 3-min/5-min schedule run in milliseconds. Expected
+    // firings before the clock passes t0+10min: generate at 0,3,6,9
+    // (4 ticks), delta at 0,5,10 (3 ticks).
+    val t0 = java.time.LocalDateTime.parse("2024-06-01T12:00:00")
+    var fakeNow = t0
+    val stats = graft.jobs.Main.runScheduled(spark, base,
+      stop = () => fakeNow.isAfter(t0.plusMinutes(10)),
+      interval = "1 second", seedVal = 31L,
+      clock = () => fakeNow,
+      sleep = d => fakeNow = fakeNow.plus(d))
+    assert(stats.actions.size == 4,
+      s"expected 4 generate ticks over 10 min, got ${stats.actions.size}")
+    assert(stats.deltaTicks == 3,
+      s"expected 3 delta ticks over 10 min, got ${stats.deltaTicks}")
+
+    // The scheduled path maintains the same invariants as the cycle path:
+    // keep-latest totals converge to the one-shot recompute of the final
+    // OLTP state, and the streamed logs converge to the store.
+    val p = graft.jobs.Main.Paths(base)
+    val st = graft.jobs.Main.oltp(spark, p)
+    val recompute = graft.jobs.InitialLoad.campaignTotals(st.advertiser,
+      st.campaign, st.impressions, st.clicks)
+    assertSameRows(
+      graft.jobs.DeltaUpsert.latest(Warehouse.read(spark, p.totalsLog)),
+      recompute, "scheduled totals vs one-shot recompute")
+    val imps = spark.read.schema(graft.schema.Schemas.event)
+      .parquet(s"$base/oltp/impressions")
+    assertSameRows(
+      FileIngest.latestDaily(Warehouse.read(spark, p.impsStreamLog))
+        .drop("rtm_delta"),
+      dailyRecompute(imps), "scheduled-mode streamed imps log")
+  }
 }
