@@ -13,7 +13,17 @@ import org.apache.spark.sql.SparkSession
   * Each query runs SPARK_GRAFT_ITERS times (default 3) and reports the
   * MEDIAN: a single shot in a shared JVM cannot tell a plan regression
   * from a GC pause or a codegen-cache eviction — medians over ≥3 runs
-  * make per-query comparisons across rounds meaningful.
+  * make per-query comparisons across rounds meaningful. SUB-SECOND
+  * queries get extra iterations (to SPARK_GRAFT_ITERS_SUB1 total,
+  * default 7): at that scale per-job scheduling noise is the same order
+  * as the measurement, and a 3-sample median still swings 2-3× across
+  * rounds on an unchanged plan — a wider median is the fix, applied
+  * only where it's cheap by construction (the query is sub-second).
+  *
+  * Output formatting is part of the contract: per-query seconds are
+  * rounded to milliseconds so the single JSON line stays small enough
+  * for tail-windowed log capture (sub-ms digits are pure noise here),
+  * and the line is the LAST stdout write.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,11 +54,13 @@ object Bench {
     // invalid); a query failing on SOME iterations keeps its positive
     // median but is surfaced in a "flaky" object (name → failed-iteration
     // count) so partial failures can't hide behind a good median.
+    val subSecIters = sys.env.getOrElse("SPARK_GRAFT_ITERS_SUB1", "7")
+      .toInt.max(iters)
     var errors = Vector.empty[(String, String)]
     var flaky = Vector.empty[(String, Int)]
     val results = SparkEntry.specs.map { spec =>
       var firstErr: Option[String] = None
-      val times = (1 to iters).map { _ =>
+      def runOnce(): Double = {
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -65,21 +77,30 @@ object Bench {
         val elapsed = (System.nanoTime() - t0) / 1e9
         if (ok) elapsed else -elapsed
       }
+      def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+      val base = (1 to iters).map(_ => runOnce())
+      val baseGood = base.filter(_ >= 0)
+      // Sub-second and not erroring → widen the sample before judging.
+      val times =
+        if (baseGood.nonEmpty && median(baseGood) < 1.0)
+          base ++ (1 to (subSecIters - iters)).map(_ => runOnce())
+        else base
       // Median of the successful runs; if every run failed, the negated
       // first attempt survives as the error sentinel.
-      val good = times.filter(_ >= 0).sorted
+      val good = times.filter(_ >= 0)
       if (good.isEmpty) firstErr.foreach(m => errors :+= (spec.name -> m))
       else if (good.size < times.size)
         flaky :+= (spec.name -> (times.size - good.size))
-      spec.name -> (if (good.isEmpty) times.head else good(good.size / 2))
+      spec.name -> (if (good.isEmpty) times.head else median(good))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val flakyJson = flaky.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
     spark.stop()
   }
