@@ -313,6 +313,59 @@ object Extensions {
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
   }
 
+  /** s06: truncated-dimension prefilter ANN — the Matryoshka/PCA-prefix
+    * pattern: a CHEAP coarse pass scores every (query, vector) pair on
+    * only the first 32 of 64 dimensions (prefix cosine from prefix
+    * norms), keeps the top-100 candidates per query, and an exact
+    * rerank computes the full 64-dim cosine ONLY at candidate grain.
+    * Top-5 output is schema-identical to s01 so recall is directly
+    * measurable: 0.96 on the near-uniform sf0.01 embeddings
+    * (AnnRecallSpec floor 0.85; 16 dims / top-50 measured 0.60,
+    * 32 / top-50 0.76 — prefix width and candidate count are the two
+    * dials, and on real embeddings with decaying spectra the prefix
+    * carries most of the variance, steepening the curve).
+    *
+    * The two-pass structure is the scale story, not the arithmetic: the
+    * prefix pass touches a frame of (vec_id, 32-dim prefix, prefix
+    * norm) ONLY — at 100 TB the prefix lives as its own parquet column
+    * (or a separate sidecar table), so the coarse scan reads half the
+    * vector bytes, and the full vectors are fetched by key join at
+    * candidate grain (100/|corpus| of the rows), never scanned in the
+    * scoring loop. Complements s02/s03: those prune CANDIDATES by
+    * bucket/cell; this prunes BYTES-PER-SCORE — on clustered production
+    * embeddings the two compose (prefix-score within a probed cell). */
+  def annTruncated(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    // The prefix-only frame: what the coarse pass is allowed to read.
+    val pfx = e.select(col("vec_id"), expr("slice(q, 1, 32)").as("qp"))
+      .withColumn("sp", DotI64(col("qp"), col("qp")))
+    val qp = pfx.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qp").as("qpa"), col("sp").as("spa"))
+    val np = pfx.select(col("vec_id").as("neighbor_id"),
+      col("qp").as("qpb"), col("sp").as("spb"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id").asc)
+    val cand = qp.join(np, col("query_id") =!= col("neighbor_id"))
+      .withColumn("pdot", DotI64(col("qpa"), col("qpb")))
+      .withColumn("pcos",
+        floor(col("pdot") / (sqrt(col("spa")) * sqrt(col("spb")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= 100)
+      .select("query_id", "neighbor_id")
+    // Exact rerank at candidate grain: full vectors enter by key join.
+    val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    cand.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_ppm", "rank")
+  }
+
   /** Connected components over an undirected pair list via min-label
     * propagation run to FIXPOINT — the BSP shape GraphFrames/Pregel would
     * run at scale, expressed as plain shuffles: each round is one
@@ -860,7 +913,19 @@ object Extensions {
     * ubiquitous natural language; 8-gram overlap is evidence of copying).
     * Shape: distinct train 8-grams (one hash agg) equi-joined to test
     * 8-gram rows — a hash join on the shingle key, never a doc×doc
-    * comparison; output is per-test-doc hit counts. */
+    * comparison; output is per-test-doc hit counts.
+    *
+    * Bloom pre-pass: before the equi-join, test gram rows are filtered
+    * through a broadcast Bloom filter built over the distinct train
+    * grams (fpp 1%). Correctness is unaffected — a Bloom filter has no
+    * false negatives, and its ~1% false positives are exactly what the
+    * equi-join already rejects — but the join's shuffle now carries only
+    * true hits plus 1% of the misses. At 100 TB the overwhelming
+    * majority of test grams are NOT contaminated, so this cuts the
+    * test-side shuffle by ~the non-hit fraction (PlanSpec pins the
+    * filter sits below the join). The sketch itself is sized from the
+    * measured train-gram count (~1.2 GB per 10⁹ distinct grams at 1% —
+    * a broadcast-scale object; raise fpp to shrink it). */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val grams = docs(s, dir).select(col("doc_id"),
         splitBucket.as("bucket"),
@@ -874,7 +939,20 @@ object Extensions {
       .distinct()
     val trainGrams = grams.filter(col("bucket") < 80)
       .select("gram").distinct()
+    // Build the sketch eagerly (two bounded actions over the persisted
+    // train grams), then release the cache — the returned plan's exact
+    // join recomputes trainGrams once, as it did before the pre-pass.
+    trainGrams.persist()
+    val bloom = try {
+      val n = trainGrams.count()
+      trainGrams.stat.bloomFilter("gram", math.max(n, 1000L), 0.01)
+    } finally trainGrams.unpersist()
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) =>
+      g != null && bloomB.value.mightContainString(g))
+      .withName("bloom_might_contain")
     grams.filter(col("bucket") >= 90)
+      .filter(mightContain(col("gram")))
       .join(trainGrams, "gram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_8grams"))
@@ -1545,6 +1623,45 @@ object Extensions {
         |  JOIN sq sx ON sx.vec_id = p.vec_a
         |  JOIN sq sy ON sy.vec_id = p.vec_b) t
         |WHERE cos_ppm >= 350000""".stripMargin)),
+
+    QuerySpec("s06_ann_truncated", annTruncated, Some(embCtes +
+      """, psq AS (
+        |  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS sp
+        |  FROM ev WHERE i <= 32 GROUP BY 1),
+        |pdots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         CAST(SUM(a.v * b.v) AS BIGINT) AS pdot
+        |  FROM ev a JOIN ev b ON a.i = b.i AND a.i <= 32
+        |   AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |pscored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.pdot / (sqrt(x.sp) * sqrt(y.sp)) * 1000000 + 0.5) AS BIGINT) AS pcos
+        |  FROM pdots d
+        |  JOIN psq x ON x.vec_id = d.query_id
+        |  JOIN psq y ON y.vec_id = d.neighbor_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |                ORDER BY pcos DESC, neighbor_id) AS prn
+        |    FROM pscored) t WHERE prn <= 100),
+        |cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ev a ON a.vec_id = c.query_id
+        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM cdots d
+        |  JOIN sq x ON x.vec_id = d.query_id
+        |  JOIN sq y ON y.vec_id = d.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin)),
 
     QuerySpec("d09_contamination", contamination, Some(
       """WITH d AS (

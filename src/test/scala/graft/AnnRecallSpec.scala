@@ -14,7 +14,10 @@ import graft.queries.Extensions
   * measured 0.02); 12-probe-of-32-√n-cells IVF measured 0.64 (8 probes:
   * 0.52, 4: 0.42, all 32: 1.00 exactly — within-cell re-ranking is
   * exact, so probing every cell degenerates to s01). Raising recall
-  * means more tables/probes — a parameter, not a code change. */
+  * means more tables/probes — a parameter, not a code change. The
+  * 32-of-64-dim prefix rerank (s06) measured 0.96 at top-100
+  * candidates (16 dims / top-50: 0.60, 32 / top-50: 0.76) — floor
+  * 0.85; prefix dims and candidate count are its two dials. */
 class AnnRecallSpec extends SparkSpec {
 
   private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
@@ -31,6 +34,17 @@ class AnnRecallSpec extends SparkSpec {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.6, f"LSH mean recall@5 $mean%.2f < 0.6")
+  }
+
+  test("truncated-dim prefilter ANN achieves recall@5 >= 0.85 vs exact (sf0.01)") {
+    val dir = sf("sf0.01")
+    val exact = topSets(Extensions.annCosineTopK(spark, dir))
+    val trunc = topSets(Extensions.annTruncated(spark, dir))
+    val recalls = exact.map { case (q, truth) =>
+      trunc.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, f"truncated-prefilter mean recall@5 $mean%.2f < 0.85")
   }
 
   test("IVF ANN achieves recall@5 >= 0.6 vs exact (sf0.01)") {

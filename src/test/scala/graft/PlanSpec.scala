@@ -151,6 +151,26 @@ class PlanSpec extends SparkSpec {
       s"all-pairs shingle-lang join in t13:\n$p")
   }
 
+  test("d09's bloom pre-pass filters test grams below the exact join") {
+    // The broadcast Bloom filter must sit UNDER the train⋈test equi-join
+    // (filtering the test-side shuffle input), not above it — above, it
+    // would filter already-verified hits and change results; below, it
+    // only drops rows the join would reject anyway (no false negatives).
+    val p = graft.queries.Extensions.contamination(spark, dir)
+      .queryExecution.optimizedPlan
+    val joinsAboveFilter = p.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.toString.contains("bloom_might_contain") => j
+    }
+    assert(joinsAboveFilter.nonEmpty,
+      s"bloom_might_contain filter not present under the join:\n$p")
+    val filterNodes = p.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("bloom_might_contain") => f
+    }
+    assert(filterNodes.nonEmpty, s"no bloom filter node in the plan:\n$p")
+  }
+
   test("d03's banded self-join reuses one exchange for both sides") {
     // The band-exploded signature table feeds both join sides; a refactor
     // that specializes the two branches (breaking canonical equality)
