@@ -45,15 +45,21 @@ object Extensions {
       .select(col("doc_id"), col("lang"), (col("pos") + 1).as("pos"),
         col("col").as("tok"))
 
-  /** Distinct 3-gram word shingles per doc (same-lang blocking key kept). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    toks(s, dir).select(col("doc_id"), col("lang"),
+  /** Distinct 3-gram word shingles per doc (same-lang blocking key kept).
+    * Frame-grain so the streaming dedup path can shingle a micro-batch
+    * (streaming.StreamingDedup) with the identical definition. */
+  private[graft] def shinglesOfDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("lang"),
         explode(expr(
           """CASE WHEN size(t) < 3 THEN CAST(array() AS array<string>)
             |ELSE transform(sequence(0, size(t) - 3),
             |               i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END"""
             .stripMargin)).as("shingle"))
       .distinct()
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOfDocs(docs(s, dir))
 
   private def shingleCounts(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -65,7 +71,7 @@ object Extensions {
   /** Exact-Jaccard verification of candidate pairs against the true
     * shingle sets — the shared tail of d03 and d10 (column names of the
     * pair frame differ, arithmetic does not). */
-  private def verifiedJaccard(cand: DataFrame, sh: DataFrame,
+  private[graft] def verifiedJaccard(cand: DataFrame, sh: DataFrame,
                               aCol: String, bCol: String): DataFrame = {
     val common = cand
       .join(sh.as("a"), col(aCol) === col("a.doc_id"))
@@ -192,7 +198,7 @@ object Extensions {
     * over the shingle rows (map-side combinable) instead of a 16×
     * row-multiplying cross join — same values, 1/16th the shuffled rows.
     * Shared by d03 (full self-join) and d10 (delta-vs-corpus join). */
-  private def bandedSignatures(sh: DataFrame): DataFrame = {
+  private[graft] def bandedSignatures(sh: DataFrame): DataFrame = {
     val shh = sh.withColumn("h", h32(col("shingle")))
     val sigCols = (0 until 16).map { k =>
       min((col("h") * lit(2L * k + 1) + lit(1000003L * k)) % lit(P)).as(s"m$k")
@@ -205,7 +211,7 @@ object Extensions {
     }.reduce(_ union _)
   }
 
-  private val bandEq = Seq("band", "b0", "b1", "b2", "b3")
+  private[graft] val bandEq = Seq("band", "b0", "b1", "b2", "b3")
     .map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.queries.Extensions
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Continuous near-dup detection AT INGEST — the streaming twin of d10's
+  * incremental batch dedup: the corpus parquet dir is itself the stream
+  * source (each appended file of new documents = one micro-batch), and
+  * every batch runs the probe shape whose cost is O(batch + collisions),
+  * never a corpus self-join:
+  *
+  *   1. shingle + minhash-band the batch (Extensions' exact definitions,
+  *      so streaming and batch agree bit-for-bit);
+  *   2. banded equi-join of batch signatures against the persisted
+  *      signature TABLE (every doc ever ingested) plus the batch itself
+  *      (new-new pairs emitted once via id order);
+  *   3. exact-Jaccard verification of the candidates — partner shingle
+  *      sets are rebuilt from the corpus store restricted to the
+  *      candidate partner ids (a key-grain semi-join fetch, not a scan);
+  *   4. append verified pairs (>= the d03/d10 0.8 threshold) to the pair
+  *      log, THEN append the batch's signatures to the table.
+  *
+  * A near-dup pair (a, b) is discovered exactly when its LATER member
+  * arrives, so after any sequence of batches the pair log holds the same
+  * pair set the one-shot batch LSH (lshPairs) computes on the full
+  * corpus — StreamingDedupSpec pins that equivalence, plus exactly-once
+  * across restarts via the checkpoint.
+  *
+  * Crash between the two appends (pairs committed, signatures not) makes
+  * the replayed batch re-emit the same pairs — both sinks are append-only
+  * logs read through `distinct`-style views (pairsView/sigTable), the
+  * same idempotent-append posture Warehouse.appendVersions documents.
+  *
+  * 100 TB posture: the signature table is 4 band rows × 5 longs per doc
+  * (fixed bytes per document, orders below the corpus), the banded join
+  * shuffles by (band, signature) — collision-grain — and the corpus
+  * fetch for verification is semi-joined to candidate ids. Nothing in
+  * the cycle touches more than the batch, its collisions, and their
+  * partners. */
+object StreamingDedup {
+
+  /** documents-table schema subset the dedup needs. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** One micro-batch of the cycle (also the unit StreamingDedupSpec
+    * drives directly): batch docs in, pairs + signatures appended. */
+  def processBatch(spark: SparkSession, batch: DataFrame, corpusDir: String,
+                   sigDir: String, pairsDir: String): Unit = {
+    if (batch.isEmpty) return
+    val b = batch.select(col("doc_id"), col("text"), col("lang")).persist()
+    val bSh = Extensions.shinglesOfDocs(b).persist()
+    try {
+      val bSig = Extensions.bandedSignatures(bSh)
+        .withColumn("is_new", lit(true))
+      val tSig = sigTable(spark, sigDir).withColumn("is_new", lit(false))
+      // Probe: batch vs (table ∪ batch). An old partner always pairs; a
+      // new-new pair only in id order, so it is emitted exactly once.
+      val cand = bSig.as("a")
+        .join(tSig.unionByName(bSig).as("b"),
+          Extensions.bandEq && col("a.doc_id") =!= col("b.doc_id") &&
+            (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
+        .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("other_doc"))
+        .distinct()
+      // Exact verification needs partner shingles: rebuild them from the
+      // corpus store at candidate grain (semi-join fetch). Batch shingles
+      // are already in hand; union covers new-new partners too.
+      val partnerIds = cand.select(col("other_doc").as("doc_id")).distinct()
+      val partnerSh = Extensions.shinglesOfDocs(
+        spark.read.schema(docSchema).parquet(corpusDir)
+          .join(partnerIds, "doc_id", "left_semi"))
+      val verified = Extensions.verifiedJaccard(cand,
+          bSh.unionByName(partnerSh), "new_doc", "other_doc")
+        .filter(col("jaccard_ppm") >= 800000)
+        .select("new_doc", "other_doc", "jaccard_ppm")
+      // Order is load-bearing (recache-by-path): the pair plan reads the
+      // signature table lazily, so it must be fully consumed by its write
+      // BEFORE the batch signatures are appended to that same path.
+      verified.write.mode(SaveMode.Append).parquet(pairsDir)
+      bSig.drop("is_new").write.mode(SaveMode.Append).parquet(sigDir)
+    } finally { bSh.unpersist(); b.unpersist() }
+  }
+
+  /** Start the continuous dedup over `corpusDir` (the document store the
+    * pipeline appends to). AvailableNow = drain-and-stop (tests, catch-up
+    * runs); a processing-time trigger makes it the always-on form. */
+  def start(spark: SparkSession, corpusDir: String, sigDir: String,
+            pairsDir: String, checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(corpusDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(spark, batch, corpusDir, sigDir, pairsDir)
+      }
+      .start()
+
+  /** Drain all currently-available document files and stop. */
+  def ingestAvailable(spark: SparkSession, corpusDir: String, sigDir: String,
+                      pairsDir: String, checkpointDir: String): Unit =
+    start(spark, corpusDir, sigDir, pairsDir, checkpointDir)
+      .awaitTermination()
+
+  /** The signature table view (empty-safe before the first batch). */
+  def sigTable(spark: SparkSession, sigDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(sigDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(sigDir).distinct()
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("band", org.apache.spark.sql.types.IntegerType, false),
+        StructField("doc_id", LongType),
+        StructField("b0", LongType), StructField("b1", LongType),
+        StructField("b2", LongType), StructField("b3", LongType))))
+  }
+
+  /** Canonicalized keep-once view of the pair log (smaller id first;
+    * distinct absorbs any crash-replay double append). */
+  def pairsView(spark: SparkSession, pairsDir: String): DataFrame =
+    spark.read.parquet(pairsDir)
+      .select(least(col("new_doc"), col("other_doc")).as("doc_a"),
+        greatest(col("new_doc"), col("other_doc")).as("doc_b"))
+      .distinct()
+}
