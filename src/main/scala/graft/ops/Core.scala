@@ -56,6 +56,32 @@ object Core {
                    cutoff: Column, tiebreak: Seq[String] = Nil): DataFrame =
     latestView(df.filter(col(version) <= cutoff), keys, version, tiebreak)
 
+  /** Snapshot DIFF — the audit query time travel exists for: classify
+    * every key by how its keep-latest row changed between two historical
+    * cutoffs (`added` — absent as of A; `changed` — a different row wins
+    * as of B; `unchanged`). In an append-only log keys never vanish from
+    * a later snapshot, so B's keyset ⊇ A's and a left join from B
+    * covers all classes ("removed" cannot exist — deletion is a new
+    * version, which is `changed`). Two snapshot views + one key-grain
+    * join: both sides prune their version filter below the window, so
+    * at 100 TB the diff reads only the partitions up to each cutoff and
+    * joins at key grain. The winning row's identity = (version,
+    * tiebreak) tuple, compared null-safely. */
+  def snapshotDiff(df: DataFrame, keys: Seq[String], version: String,
+                   cutoffA: Column, cutoffB: Column,
+                   tiebreak: Seq[String] = Nil): DataFrame = {
+    val idCols = version +: tiebreak
+    def side(cut: Column, tag: String) =
+      snapshotView(df, keys, version, cut, tiebreak)
+        .select((keys.map(col) ++ idCols.map(c => col(c).as(s"${c}_$tag"))): _*)
+    side(cutoffB, "b").join(side(cutoffA, "a"), keys, "left")
+      .withColumn("change",
+        when(col(s"${version}_a").isNull, lit("added"))
+          .when(idCols.map(c => col(s"${c}_a") <=> col(s"${c}_b"))
+            .reduce(_ && _), lit("unchanged"))
+          .otherwise(lit("changed")))
+  }
+
   /** Per-key change-version: GREATEST over nullable timestamps (SURVEY P3,
     * track_delta.py:78). Both PG and Spark skip NULLs. */
   def changeVersion(cols: Column*): Column = greatest(cols: _*)

@@ -150,6 +150,21 @@ object Parity {
       "created_at", to_date(lit("1998-06-01")), tiebreak = Seq("id"))
       .select("campaign_id", "id", "created_at")
 
+  /** q33: snapshot DIFF — what changed between two historical states
+    * (Core.snapshotDiff): every campaign classified added / changed /
+    * unchanged between the June and September snapshots of the
+    * keep-latest view. The warehouse audit query the reference cannot
+    * ask at all (its reports overwrite in place, so past states — let
+    * alone their difference — are gone). NULL-free output by
+    * construction: the absent side's id is a -1 sentinel. */
+  def snapshotDiffQ(s: SparkSession, dir: String): DataFrame =
+    Core.snapshotDiff(Adtech.impressions(s, dir), Seq("campaign_id"),
+        "created_at", to_date(lit("1998-06-01")), to_date(lit("1998-09-01")),
+        tiebreak = Seq("id"))
+      .select(col("campaign_id"), col("change"),
+        coalesce(col("id_a"), lit(-1L)).as("id_asof_a"),
+        col("id_b").as("id_asof_b"))
+
   /** Per-campaign change-version keyset, optionally from a stale snapshot
     * (facts truncated at `cutoff`) — the two sides of the CDC diff.
     *
@@ -1044,6 +1059,32 @@ object Parity {
         |           ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
         |  FROM lineitem WHERE l_shipdate <= DATE '1998-06-01') t
         |WHERE rn = 1""".stripMargin)),
+
+    QuerySpec("q33_snapshot_diff", snapshotDiffQ, Some(
+      """WITH va AS (
+        |  SELECT campaign_id, created_at, id FROM (
+        |    SELECT l_orderkey AS campaign_id, l_linenumber AS id,
+        |           l_shipdate AS created_at,
+        |           row_number() OVER (PARTITION BY l_orderkey
+        |             ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        |    FROM lineitem WHERE l_shipdate <= DATE '1998-06-01') t
+        |  WHERE rn = 1),
+        |vb AS (
+        |  SELECT campaign_id, created_at, id FROM (
+        |    SELECT l_orderkey AS campaign_id, l_linenumber AS id,
+        |           l_shipdate AS created_at,
+        |           row_number() OVER (PARTITION BY l_orderkey
+        |             ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        |    FROM lineitem WHERE l_shipdate <= DATE '1998-09-01') t
+        |  WHERE rn = 1)
+        |SELECT b.campaign_id,
+        |       CASE WHEN a.campaign_id IS NULL THEN 'added'
+        |            WHEN a.created_at = b.created_at AND a.id = b.id
+        |              THEN 'unchanged'
+        |            ELSE 'changed' END AS change,
+        |       COALESCE(a.id, -1) AS id_asof_a,
+        |       b.id AS id_asof_b
+        |FROM vb b LEFT JOIN va a ON a.campaign_id = b.campaign_id""".stripMargin)),
 
     QuerySpec("q25_topk_days", topkDaysPerCampaign, Some(
       """WITH daily AS (

@@ -23,6 +23,18 @@ class CoreSpec extends SparkSpec {
     assert(got == List("b")) // max payload wins on equal version
   }
 
+  test("snapshotDiff classifies added / changed / unchanged between cutoffs") {
+    // Key 1: new version between the cutoffs → changed. Key 2: only old
+    // versions → unchanged. Key 3: first version after cutoff A → added.
+    val log = Seq(
+      (1L, 10L, "old"), (1L, 30L, "new"),
+      (2L, 15L, "same"),
+      (3L, 25L, "late")).toDF("k", "ver", "payload")
+    val got = Core.snapshotDiff(log, Seq("k"), "ver", lit(20L), lit(40L))
+      .select("k", "change").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "changed", 2L -> "unchanged", 3L -> "added"))
+  }
+
   test("safeDiv returns NULL on zero denominator (not inf/nan like CH)") {
     val df = Seq((10.0, 2.0), (10.0, 0.0)).toDF("n", "d")
       .select(Core.safeDiv(col("n"), col("d")).as("q"))
