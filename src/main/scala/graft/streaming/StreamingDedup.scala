@@ -68,9 +68,15 @@ object StreamingDedup {
         .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("other_doc"))
         .distinct()
       // Exact verification needs partner shingles: rebuild them from the
-      // corpus store at candidate grain (semi-join fetch). Batch shingles
-      // are already in hand; union covers new-new partners too.
+      // corpus store at candidate grain (semi-join fetch). Batch docs are
+      // EXCLUDED from the fetch — the corpus dir already contains the
+      // batch's file, so refetching a new-new partner would put its
+      // shingle rows in the frame twice (once via bSh, once via
+      // partnerSh), quadrupling verifiedJaccard's intersection count and
+      // doubling each n_sh — inflated jaccard_ppm, false pairs past the
+      // 0.8 gate. bSh already covers them.
       val partnerIds = cand.select(col("other_doc").as("doc_id")).distinct()
+        .join(b.select("doc_id"), Seq("doc_id"), "left_anti")
       val partnerSh = Extensions.shinglesOfDocs(
         spark.read.schema(docSchema).parquet(corpusDir)
           .join(partnerIds, "doc_id", "left_semi"))

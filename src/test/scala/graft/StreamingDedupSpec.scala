@@ -48,4 +48,43 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(pairs).count() == rawBefore,
       "re-run without new documents must not re-append pairs")
   }
+
+  test("mid-similarity new-new band collisions are not falsely emitted") {
+    // Pins the partner-fetch anti-join: a new-new candidate pair whose
+    // true Jaccard t is well below the 0.8 gate but which collides in an
+    // LSH band. Without the anti-join the partner's shingles enter the
+    // verification frame twice (batch + corpus refetch), which inflates
+    // measured Jaccard to 2t/(1-t) — for t ≈ 0.57 that is ≈ 2.67, far
+    // past the gate — so such pairs were falsely emitted.
+    val base = java.nio.file.Files.createTempDirectory("graft-sdedup2").toString
+    val corpus = s"$base/documents.parquet"
+    val (sig, pairs, ckpt) = (s"$base/sigs", s"$base/pairs", s"$base/ckpt")
+    import spark.implicits._
+    // 20 disjoint-vocabulary pairs, all in ONE batch (new-new): B_i
+    // extends A_i's 10 tokens by 6 → shingle sets 8 ⊂ 14, true Jaccard
+    // 8/14 ≈ 0.571 — mid-similarity by construction.
+    val docs = (0 until 20).flatMap { i =>
+      val baseToks = (0 until 10).map(j => s"w${i}_$j")
+      val extToks = (10 until 16).map(j => s"w${i}_$j")
+      Seq((2L * i, baseToks.mkString(" "), "en"),
+        (2L * i + 1, (baseToks ++ extToks).mkString(" "), "en"))
+    }.toDF("doc_id", "text", "lang")
+    docs.write.mode("append").parquet(corpus)
+
+    // The construction must actually band-collide, or this test pins
+    // nothing (prefix-containment makes collisions likely, not certain —
+    // the hash is deterministic, so once observed it stays observed).
+    val sh = Extensions.shinglesOfDocs(docs)
+    val banded = Extensions.bandedSignatures(sh)
+    val collisions = banded.as("a")
+      .join(banded.as("b"),
+        Extensions.bandEq && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(collisions > 0, "construction must band-collide at least once")
+
+    StreamingDedup.ingestAvailable(spark, corpus, sig, pairs, ckpt)
+    val emitted = StreamingDedup.pairsView(spark, pairs).count()
+    assert(emitted == 0,
+      s"no pair has true Jaccard >= 0.8, but $emitted were emitted")
+  }
 }
