@@ -10,22 +10,69 @@ import org.apache.spark.sql.SparkSession
   * under-measures report-style queries. One trivial warm-up job runs first
   * so JIT/codegen compilation isn't billed to the first query.
   *
+  * MEASUREMENT ISOLATION — each query starts from the same JVM posture:
+  * the catalog cache is cleared and a GC is forced before its first
+  * iteration, so a predecessor's lingering cached blocks / garbage can't
+  * be billed to it. Two consecutive rounds showed 2-11× swings on
+  * queries whose plans had not changed; shared-JVM carry-over state was
+  * the only remaining suspect.
+  *
   * Each query runs SPARK_GRAFT_ITERS times (default 3) and reports the
-  * MEDIAN: a single shot in a shared JVM cannot tell a plan regression
-  * from a GC pause or a codegen-cache eviction — medians over ≥3 runs
-  * make per-query comparisons across rounds meaningful. SUB-SECOND
-  * queries get extra iterations (to SPARK_GRAFT_ITERS_SUB1 total,
-  * default 7): at that scale per-job scheduling noise is the same order
-  * as the measurement, and a 3-sample median still swings 2-3× across
-  * rounds on an unchanged plan — a wider median is the fix, applied
-  * only where it's cheap by construction (the query is sub-second).
+  * MEDIAN plus the MIN and the successful-iteration count: a single shot
+  * in a shared JVM cannot tell a plan regression from a GC pause, and
+  * min-vs-median divergence in the artifact is how noise is diagnosed
+  * WITHOUT re-running (a plan regression moves both; a pause moves only
+  * the median).
+  *
+  * SAMPLING WIDTH is keyed off the PRIOR round's artifact, not the
+  * current median: a query widens to SPARK_GRAFT_ITERS_SUB1 total
+  * iterations (default 7) when its prior-round median was sub-second
+  * (per-job scheduling noise is the same order as the measurement there)
+  * OR when the current median exceeds 1.5× its prior-round time (the
+  * suspected-drift case — exactly the one a current-median gate misses,
+  * because the drifted query is no longer sub-second). The prior artifact
+  * is the highest-numbered BENCH_r*.json in the working directory
+  * (override with SPARK_GRAFT_PRIOR_JSON; queries absent from it fall
+  * back to the current-median-sub-second rule).
   *
   * Output formatting is part of the contract: per-query seconds are
   * rounded to milliseconds so the single JSON line stays small enough
   * for tail-windowed log capture (sub-ms digits are pure noise here),
-  * and the line is the LAST stdout write.
+  * and the line is the LAST stdout write. "queries" stays a flat
+  * name→median map (the shape every prior round's artifact has); min
+  * and iteration count ride in the parallel "mins" / "iters" maps.
   */
 object Bench {
+
+  /** Per-query medians from the prior round's bench JSON (empty when no
+    * artifact exists — first round, or running outside the repo root).
+    * Works on both the flat `"name":sec` shape and this round's, since
+    * "queries" is a flat map in each. */
+  private[graft] def priorTimes(): Map[String, Double] = {
+    val path = sys.env.get("SPARK_GRAFT_PRIOR_JSON").orElse {
+      val rx = "BENCH_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => f.getName match {
+          case rx(n) => Some(n.toInt -> f.getPath)
+          case _     => None
+        })
+        .sortBy(_._1).lastOption.map(_._2)
+    }
+    path.fold(Map.empty[String, Double]) { p =>
+      try {
+        val text = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+        val qStart = text.indexOf("\"queries\":{")
+        if (qStart < 0) Map.empty
+        else {
+          val body = text.substring(qStart + 11, text.indexOf('}', qStart))
+          "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Exception => Map.empty }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -47,6 +94,8 @@ object Bench {
       .groupBy("n_regionkey").count()
       .write.format("noop").mode("overwrite").save()
 
+    val prior = priorTimes()
+
     // A failed query must be visible IN the JSON (not only stderr): its
     // per-query seconds are negated as a sentinel and its message goes into
     // an "errors" object. A query enters "errors" only when EVERY iteration
@@ -59,6 +108,12 @@ object Bench {
     var errors = Vector.empty[(String, String)]
     var flaky = Vector.empty[(String, Int)]
     val results = SparkEntry.specs.map { spec =>
+      // Isolation: every query starts from a cleared cache and a
+      // just-collected heap, so cross-query carry-over can't masquerade
+      // as drift. (Queries manage their own persist/unpersist; anything
+      // still cached here is a leak by definition.)
+      spark.catalog.clearCache()
+      System.gc()
       var firstErr: Option[String] = None
       def runOnce(): Double = {
         val t0 = System.nanoTime()
@@ -80,10 +135,18 @@ object Bench {
       def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
       val base = (1 to iters).map(_ => runOnce())
       val baseGood = base.filter(_ >= 0)
-      // Sub-second and not erroring → widen the sample before judging.
+      // Widen the sample before judging, keyed off the PRIOR round where
+      // one exists: prior sub-second (noise-dominated) or current median
+      // >1.5× prior (suspected drift — re-measure, don't re-report).
+      val widen = baseGood.nonEmpty && {
+        val m = median(baseGood)
+        prior.get(spec.name) match {
+          case Some(p) if p > 0 => p < 1.0 || m > 1.5 * p
+          case _                => m < 1.0
+        }
+      }
       val times =
-        if (baseGood.nonEmpty && median(baseGood) < 1.0)
-          base ++ (1 to (subSecIters - iters)).map(_ => runOnce())
+        if (widen) base ++ (1 to (subSecIters - iters)).map(_ => runOnce())
         else base
       // Median of the successful runs; if every run failed, the negated
       // first attempt survives as the error sentinel.
@@ -91,17 +154,23 @@ object Bench {
       if (good.isEmpty) firstErr.foreach(m => errors :+= (spec.name -> m))
       else if (good.size < times.size)
         flaky :+= (spec.name -> (times.size - good.size))
-      spec.name -> (if (good.isEmpty) times.head else median(good))
+      val med = if (good.isEmpty) times.head else median(good)
+      val mn = if (good.isEmpty) times.head else good.min
+      (spec.name, med, mn, good.size)
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + r3(med) }
+      .mkString("{", ",", "}")
+    val mins = results.map { case (k, _, mn, _) => "\"" + k + "\":" + r3(mn) }
+      .mkString("{", ",", "}")
+    val ns = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val flakyJson = flaky.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
+    val total = r3(results.collect { case (_, med, _, _) if med >= 0 => med }.sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"iters":$ns,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
