@@ -206,16 +206,54 @@ object Main {
       path, dateCol, DeltaUpsert.Keys)
   }
 
+  /** Compact EVERY version log the batch cycle writes — the totals log
+    * plus both daily logs (date-partitioned rewrite, so reader pruning
+    * survives). The reference's background merges collapse ALL its
+    * MergeTree tables (initial_load_generate_postgres_data.py:97-119),
+    * not one: a compactor that bounds only the totals log leaves the
+    * daily logs growing without bound, the exact defect compaction
+    * exists to fix. Runs at the quiescent point of the cycle loop —
+    * single writer, no live cached reader. */
+  def compactBatchLogs(spark: SparkSession, p: Paths,
+                       retainVersions: Int = 1): Unit = {
+    Warehouse.compact(spark, p.totalsLog, DeltaUpsert.Keys, "rtm_delta",
+      retainVersions, tiebreak = DeltaUpsert.Tiebreak)
+    Warehouse.compact(spark, p.impsDaily,
+      Seq("rtm_advertiser_id", "rtm_campaign_id", "campaign_impressions_date"),
+      "rtm_delta", retainVersions,
+      tiebreak = Seq("campaign_impressions_daily_count"),
+      partitionCol = Some("campaign_impressions_date"))
+    Warehouse.compact(spark, p.clksDaily,
+      Seq("rtm_advertiser_id", "rtm_campaign_id", "campaign_clicks_date"),
+      "rtm_delta", retainVersions,
+      tiebreak = Seq("campaign_clicks_daily_count"),
+      partitionCol = Some("campaign_clicks_date"))
+  }
+
+  /** The streamed daily logs have a LIVE writer (the two ingesters), so
+    * their compaction is the optimistic non-throwing form: a trigger that
+    * races the rewrite skips the swap cleanly (tryCompact returns false)
+    * and the next compaction tick retries — the log is never wrong, only
+    * briefly uncompacted. Empty-safe before a stream's first commit. */
+  def tryCompactStreamedLogs(spark: SparkSession, p: Paths,
+                             retainVersions: Int = 1): Unit =
+    Seq(p.impsStreamLog, p.clksStreamLog).foreach { log =>
+      if (hasData(spark, log))
+        Warehouse.tryCompact(spark, log, Seq("campaign_id", "date"),
+          "rtm_delta", retainVersions, tiebreak = Seq("daily_count"))
+    }
+
   /** Full lifecycle. Idempotent branch points mirror the reference:
     * seeds only when OLTP is empty, initial-loads only when the OLAP log
     * is absent, then runs `cycles` generate+delta rounds with the clock
     * advancing 3 minutes per cycle (the reference's schedule_interval).
     *
-    * `compactEvery` > 0 compacts the totals version log every that many
-    * cycles (Warehouse.compact, keeping `retainVersions` versions per
-    * key) — the scheduled stand-in for ClickHouse's background merges,
-    * run at the one point in the loop where the log has no other writer
-    * and no live cached reader (the delta cycle has fully consumed it). */
+    * `compactEvery` > 0 compacts every batch-side version log (totals +
+    * both dailies, compactBatchLogs) every that many cycles, keeping
+    * `retainVersions` versions per key — the scheduled stand-in for
+    * ClickHouse's background merges, run at the one point in the loop
+    * where the logs have no other writer and no live cached reader (the
+    * delta cycle has fully consumed them). */
   def run(spark: SparkSession, base: String, cycles: Int, seedVal: Long,
           now: String = Generators.DefaultNow, compactEvery: Int = 0,
           retainVersions: Int = 1): Seq[String] = {
@@ -229,8 +267,7 @@ object Main {
       val nowI = t0.plusMinutes(3L * i).format(NowFmt)
       val a = cycle(spark, p, nowI, today, rng)
       if (compactEvery > 0 && i % compactEvery == 0)
-        Warehouse.compact(spark, p.totalsLog, DeltaUpsert.Keys, "rtm_delta",
-          retainVersions, tiebreak = DeltaUpsert.Tiebreak)
+        compactBatchLogs(spark, p, retainVersions)
       a
     }
   }
@@ -272,9 +309,10 @@ object Main {
       (1 to cycles).map { i =>
         val nowI = t0.plusMinutes(3L * i).format(NowFmt)
         val a = cycle(spark, p, nowI, today, rng)
-        if (compactEvery > 0 && i % compactEvery == 0)
-          Warehouse.compact(spark, p.totalsLog, DeltaUpsert.Keys, "rtm_delta",
-            retainVersions, tiebreak = DeltaUpsert.Tiebreak)
+        if (compactEvery > 0 && i % compactEvery == 0) {
+          compactBatchLogs(spark, p, retainVersions)
+          tryCompactStreamedLogs(spark, p, retainVersions)
+        }
         a
       }
     } finally {
@@ -293,9 +331,10 @@ object Main {
     }
   }
 
-  /** The counts a scheduled run reports: every generate action taken and
-    * how many delta ticks ran. */
-  final case class ScheduleStats(actions: Seq[String], deltaTicks: Int)
+  /** The counts a scheduled run reports: every generate action taken,
+    * how many delta ticks ran, and how many compaction passes ran. */
+  final case class ScheduleStats(actions: Seq[String], deltaTicks: Int,
+                                 compactTicks: Int = 0)
 
   /** TRUE wall-clock scheduled mode: the reference's actual operation —
     * a generate DAG on one cadence (every-3rd-minute cron,
@@ -312,6 +351,14 @@ object Main {
     * (the reference's first scheduled run), and ticks due at the same
     * instant run generate-then-delta, preserving cycle()'s ordering.
     *
+    * Compaction rides the delta cadence: every `compactEvery` delta
+    * ticks (default 12 — hourly at the reference's 5-minute delta), all
+    * batch-side logs compact and the streamed logs try to (optimistic —
+    * a racing trigger skips that pass, tryCompactStreamedLogs). The
+    * run-until-stopped mode is exactly where unbounded log growth bites,
+    * so unlike the test-shaped run/runService the hook is ON by default;
+    * 0 disables.
+    *
     * `clock` and `sleep` are injectable so tests drive days of schedule
     * in milliseconds (CliSpec drives the REAL clock at second cadences);
     * production callers pass nothing and get system time. */
@@ -319,6 +366,7 @@ object Main {
                    generateEvery: java.time.Duration = java.time.Duration.ofMinutes(3),
                    deltaEvery: java.time.Duration = java.time.Duration.ofMinutes(5),
                    interval: String = "5 minutes", seedVal: Long = 42L,
+                   compactEvery: Int = 12, retainVersions: Int = 1,
                    clock: () => LocalDateTime = () => LocalDateTime.now(),
                    sleep: java.time.Duration => Unit = d => Thread.sleep(d.toMillis))
       : ScheduleStats = {
@@ -335,6 +383,7 @@ object Main {
     val rng = new scala.util.Random(seedVal)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     var deltaTicks = 0
+    var compactTicks = 0
     var nextGen = t0
     var nextDelta = t0
     try {
@@ -348,6 +397,15 @@ object Main {
           deltaStep(spark, p, today)
           deltaTicks += 1
           nextDelta = nextDelta.plus(deltaEvery)
+          // Compaction immediately after a delta tick: the batch logs
+          // have just been fully consumed (no live cached reader) and
+          // their next writer is the next delta tick — the quiescent
+          // window the staged swap wants.
+          if (compactEvery > 0 && deltaTicks % compactEvery == 0) {
+            compactBatchLogs(spark, p, retainVersions)
+            tryCompactStreamedLogs(spark, p, retainVersions)
+            compactTicks += 1
+          }
         }
         val wake = if (nextGen.isBefore(nextDelta)) nextGen else nextDelta
         val d = java.time.Duration.between(clock(), wake)
@@ -363,7 +421,7 @@ object Main {
         finally qClks.stop()
       }
     }
-    ScheduleStats(actions.toSeq, deltaTicks)
+    ScheduleStats(actions.toSeq, deltaTicks, compactTicks)
   }
 
   def main(args: Array[String]): Unit = {

@@ -71,6 +71,36 @@ object Warehouse {
     else fs.listStatus(dir)
       .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
 
+  /** The staged-rewrite skeleton every log-rewriting operation shares:
+    * fingerprint the log, materialize the rewrite into `path__stage`,
+    * RE-fingerprint immediately before the destructive delete (so the
+    * unguarded window is just the delete+rename itself, not the whole
+    * expensive write), then swap. Returns false — leaving the log
+    * untouched and the rewrite parked in the stage dir for inspection —
+    * when a concurrent append landed during the write; single-writer
+    * callers escalate that to an error, callers that knowingly race a
+    * live writer (runService's streamed logs) skip and retry on a later
+    * tick.
+    *
+    * RESIDUAL WINDOW, explicit: an append that lands between the second
+    * fingerprint and the rename is lost, and a reader can observe a
+    * missing directory mid-swap (delete→rename is two operations).
+    * Callers own serialization — run at a quiescent point of their loop
+    * or accept the documented race; the guard makes the window one
+    * filesystem round-trip wide, it cannot make it zero without a lock
+    * service the engine deliberately doesn't require. */
+  private def guardedRewrite(spark: SparkSession, path: String)
+                            (write: String => Unit): Boolean = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val stage = new org.apache.hadoop.fs.Path(path + "__stage")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = dirFingerprint(fs, target)
+    write(stage.toString)
+    val after = dirFingerprint(fs, target)
+    if (before != after) false
+    else { swapStageInto(fs, stage, target); true }
+  }
+
   /** S8: reset — overwrite with an empty frame of the same schema. */
   def reset(spark: SparkSession, path: String, schema: StructType): Unit =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -109,22 +139,17 @@ object Warehouse {
     * dir remains for inspection). */
   def migrateLog(spark: SparkSession, path: String,
                  target: StructType): Unit = {
-    val targetPath = new org.apache.hadoop.fs.Path(path)
-    val stage = new org.apache.hadoop.fs.Path(path + "__stage")
-    val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val before = dirFingerprint(fs, targetPath)
     val old = readEvolved(spark, path)
     val casted = old.select(target.fields.map { f =>
       (if (old.columns.contains(f.name)) col(f.name)
        else org.apache.spark.sql.functions.lit(null))
         .cast(f.dataType).as(f.name)
     }.toSeq: _*)
-    casted.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    val after = dirFingerprint(fs, targetPath)
-    require(before == after,
+    require(guardedRewrite(spark, path) { stage =>
+        casted.write.mode(SaveMode.Overwrite).parquet(stage)
+      },
       s"migrateLog: $path changed during migration (concurrent writer?) — " +
-        s"aborting before the swap; rewrite is parked in $stage")
-    swapStageInto(fs, stage, targetPath)
+        s"aborting before the swap; rewrite is parked in ${path}__stage")
   }
 
   /** §2.9's operational other half: version-log compaction — the engine's
@@ -141,35 +166,81 @@ object Warehouse {
     * Contract (WarehouseSpec-pinned):
     *  - latestView(compacted) ≡ latestView(original) for any retain ≥ 1;
     *  - snapshotView at any cutoff that lands within a key's RETAINED
-    *    versions is preserved; cutoffs older than the retention horizon
-    *    lose resolution to the oldest retained version — exactly the
-    *    trade the reference's merges make, here with an explicit dial;
+    *    versions is preserved; a cutoff OLDER than the retention horizon
+    *    returns NO rows for compacted keys (every version ≤ the cutoff
+    *    was rewritten away and snapshotView filters version ≤ cutoff —
+    *    keys vanish from pre-horizon snapshots entirely, they do not
+    *    degrade to the oldest retained version). Callers that need
+    *    pre-horizon audits must snapshot BEFORE compacting;
     *  - file count after compaction is the shuffle's output (AQE-coalesced
     *    — small logs become a handful of files), independent of how many
     *    appends built the log.
     *
+    * `partitionCol` preserves a hive-partitioned layout (the daily logs
+    * appendDaily writes): the rewrite repartitions by that column and
+    * writes one file per live partition, keeping the reader's
+    * partition-pruning intact.
+    *
     * Scale posture: one hash shuffle on `keys` — the same shape every
     * latestView read already pays, run once off the hot path instead of
     * on every read. Run it between delta cycles (single-writer window;
-    * the guard aborts pre-swap if an append races it). */
+    * the guard aborts pre-swap if an append races it — see
+    * guardedRewrite for the residual delete+rename window). */
   def compact(spark: SparkSession, path: String, keys: Seq[String],
               version: String, retainVersions: Int = 1,
               tiebreak: Seq[String] = Nil,
-              clusterKeys: Seq[String] = Nil): Unit = {
-    val target = new org.apache.hadoop.fs.Path(path)
-    val stage = new org.apache.hadoop.fs.Path(path + "__stage")
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val before = dirFingerprint(fs, target)
-    val kept = graft.ops.Core.recentVersions(
-      read(spark, path), keys, version, retainVersions, tiebreak)
-    val sortKeys = if (clusterKeys.nonEmpty) clusterKeys else keys
-    kept.sortWithinPartitions(sortKeys.map(col): _*)
-      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    val after = dirFingerprint(fs, target)
-    require(before == after,
+              clusterKeys: Seq[String] = Nil,
+              partitionCol: Option[String] = None): Unit =
+    require(tryCompact(spark, path, keys, version, retainVersions, tiebreak,
+        clusterKeys, partitionCol),
       s"compact: $path changed during compaction (concurrent writer?) — " +
-        s"aborting before the swap; rewrite is parked in $stage")
-    swapStageInto(fs, stage, target)
+        s"aborting before the swap; rewrite is parked in ${path}__stage")
+
+  /** compact's non-throwing form for logs with a LIVE writer (runService's
+    * streamed daily logs): a concurrent append during the rewrite skips
+    * the swap and returns false — the log is untouched and strictly
+    * consistent, and the caller retries on a later tick. The streaming
+    * checkpoint tracks the SOURCE dir, not this sink, so rewriting the
+    * sink never confuses the stream. */
+  def tryCompact(spark: SparkSession, path: String, keys: Seq[String],
+                 version: String, retainVersions: Int = 1,
+                 tiebreak: Seq[String] = Nil,
+                 clusterKeys: Seq[String] = Nil,
+                 partitionCol: Option[String] = None): Boolean =
+    guardedRewrite(spark, path) { stage =>
+      val kept = graft.ops.Core.recentVersions(
+        read(spark, path), keys, version, retainVersions, tiebreak)
+      val sortKeys = if (clusterKeys.nonEmpty) clusterKeys else keys
+      partitionCol match {
+        case Some(pc) =>
+          kept.repartition(col(pc))
+            .sortWithinPartitions(sortKeys.map(col): _*)
+            .write.mode(SaveMode.Overwrite).partitionBy(pc).parquet(stage)
+        case None =>
+          kept.sortWithinPartitions(sortKeys.map(col): _*)
+            .write.mode(SaveMode.Overwrite).parquet(stage)
+      }
+    }
+
+  /** File-coalescing compaction for append-only logs whose rows are ALL
+    * live (no version to collapse — StreamingDedup's signature and pair
+    * logs): rewrites the same row set into `files` files so the file
+    * count stops tracking the append count. `dedupRows` additionally
+    * drops exact-duplicate rows — safe exactly when every reader goes
+    * through a distinct view (both dedup logs do), where it also absorbs
+    * crash-replay double appends physically instead of at read time.
+    * Same staged swap + concurrent-writer guard as tryCompact; `files`
+    * is the caller's size dial (at 100 TB pick bytes/file, not 1). */
+  def tryCoalesceLog(spark: SparkSession, path: String,
+                     dedupRows: Boolean = false, files: Int = 4): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) true  // nothing ever appended — vacuously compact
+    else guardedRewrite(spark, path) { stage =>
+      val df0 = read(spark, path)
+      val df = if (dedupRows) df0.distinct() else df0
+      df.repartition(files).write.mode(SaveMode.Overwrite).parquet(stage)
+    }
   }
 
   /** Bucketed table layout: pre-shuffle the data ONCE at write time into

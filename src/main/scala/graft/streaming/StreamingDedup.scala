@@ -128,6 +128,25 @@ object StreamingDedup {
         StructField("b2", LongType), StructField("b3", LongType))))
   }
 
+  /** Bound the dedup's two append-only logs — the "explicitly
+    * append-only" growth the rest of the engine's compaction story was
+    * missing. Signatures are immutable per doc and BOTH logs are read
+    * through distinct views (sigTable, pairsView), so compaction here is
+    * file coalescing + physical distinct: row content never changes, and
+    * crash-replay double appends are absorbed on disk instead of at
+    * every read. Run BETWEEN ingest cycles; a live micro-batch that
+    * appends mid-rewrite makes that log's pass skip cleanly (false) and
+    * the next call retries — same optimistic posture as the streamed
+    * daily logs. Returns true when both logs compacted. */
+  def compactLogs(spark: SparkSession, sigDir: String, pairsDir: String,
+                  files: Int = 4): Boolean = {
+    val sigOk = graft.jobs.Warehouse.tryCoalesceLog(
+      spark, sigDir, dedupRows = true, files)
+    val pairsOk = graft.jobs.Warehouse.tryCoalesceLog(
+      spark, pairsDir, dedupRows = true, files)
+    sigOk && pairsOk
+  }
+
   /** Canonicalized keep-once view of the pair log (smaller id first;
     * distinct absorbs any crash-replay double append). */
   def pairsView(spark: SparkSession, pairsDir: String): DataFrame =

@@ -149,6 +149,56 @@ class FileIngestSpec extends SparkSpec {
       dailyRecompute(clksAfter), "streamed clicks log after service restart")
   }
 
+  test("compaction bounds EVERY service log; views unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cmp").toString
+    // 4 cycles with compactEvery=2: compactBatchLogs runs mid-service at
+    // cycles 2 and 4 (totals + both daily logs), tryCompactStreamedLogs
+    // races the live 1-second triggers (skip-on-race is fine mid-run).
+    graft.jobs.Main.runService(spark, base, cycles = 4, seedVal = 21L,
+      interval = "1 second", compactEvery = 2)
+    val p = graft.jobs.Main.Paths(base)
+    // Post-stop, one more streamed-log pass with no live writer MUST
+    // land — this is the deterministic bounded state the always-on
+    // service converges to at every quiet compaction window.
+    graft.jobs.Main.tryCompactStreamedLogs(spark, p)
+
+    def versionBounded(path: String, keys: Seq[String]): Unit = {
+      val log = Warehouse.read(spark, path)
+      val rows = log.count()
+      val keyCount = log.select(keys.map(col): _*).distinct().count()
+      assert(rows == keyCount,
+        s"$path: $rows rows for $keyCount keys — compaction left " +
+          "multiple versions (retain=1)")
+    }
+    // ALL five logs the service writes are version-bounded: the last
+    // compaction at cycle 4 is the loop's final log write (batch side),
+    // and the post-stop pass bounds the streamed side.
+    versionBounded(p.totalsLog, graft.jobs.DeltaUpsert.Keys)
+    versionBounded(p.impsDaily,
+      Seq("rtm_advertiser_id", "rtm_campaign_id", "campaign_impressions_date"))
+    versionBounded(p.clksDaily,
+      Seq("rtm_advertiser_id", "rtm_campaign_id", "campaign_clicks_date"))
+    versionBounded(p.impsStreamLog, Seq("campaign_id", "date"))
+    versionBounded(p.clksStreamLog, Seq("campaign_id", "date"))
+
+    // Views unchanged: every keep-latest view still equals the batch
+    // recompute of the final OLTP store.
+    val st = graft.jobs.Main.oltp(spark, p)
+    assertSameRows(
+      graft.jobs.DeltaUpsert.latest(Warehouse.read(spark, p.totalsLog)),
+      graft.jobs.InitialLoad.campaignTotals(st.advertiser, st.campaign,
+        st.impressions, st.clicks),
+      "compacted totals log vs one-shot recompute")
+    assertSameRows(
+      FileIngest.latestDaily(Warehouse.read(spark, p.impsStreamLog))
+        .drop("rtm_delta"),
+      dailyRecompute(st.impressions), "compacted streamed imps log")
+    assertSameRows(
+      FileIngest.latestDaily(Warehouse.read(spark, p.clksStreamLog))
+        .drop("rtm_delta"),
+      dailyRecompute(st.clicks), "compacted streamed clicks log")
+  }
+
   test("wall-clock scheduler fires generate and delta on their own cadences") {
     val base = java.nio.file.Files.createTempDirectory("graft-sched").toString
     // Injected clock: sleep() advances fake time, so 10 minutes of the
@@ -159,13 +209,24 @@ class FileIngestSpec extends SparkSpec {
     var fakeNow = t0
     val stats = graft.jobs.Main.runScheduled(spark, base,
       stop = () => fakeNow.isAfter(t0.plusMinutes(10)),
-      interval = "1 second", seedVal = 31L,
+      interval = "1 second", seedVal = 31L, compactEvery = 1,
       clock = () => fakeNow,
       sleep = d => fakeNow = fakeNow.plus(d))
     assert(stats.actions.size == 4,
       s"expected 4 generate ticks over 10 min, got ${stats.actions.size}")
     assert(stats.deltaTicks == 3,
       s"expected 3 delta ticks over 10 min, got ${stats.deltaTicks}")
+    // compactEvery=1 → a compaction pass interleaves after EVERY delta
+    // tick; the convergence assertions below then prove the interleaved
+    // compactions lost no appends, and the boundedness check that the
+    // final pass (the loop's last log write) left retain=1 per key.
+    assert(stats.compactTicks == 3,
+      s"expected 3 compaction ticks, got ${stats.compactTicks}")
+    val totalsLog = Warehouse.read(spark,
+      graft.jobs.Main.Paths(base).totalsLog)
+    assert(totalsLog.count() == totalsLog
+        .select(graft.jobs.DeltaUpsert.Keys.map(col): _*).distinct().count(),
+      "scheduled-mode totals log must be version-bounded after the run")
 
     // The scheduled path maintains the same invariants as the cycle path:
     // keep-latest totals converge to the one-shot recompute of the final

@@ -26,6 +26,23 @@ class StreamingDedupSpec extends SparkSpec {
     StreamingDedup.ingestAvailable(spark, corpus, sig, pairs, ckpt)
     val afterWave1 = StreamingDedup.pairsView(spark, pairs).count()
 
+    // Compact both logs BETWEEN waves: file counts become bounded (the
+    // coalesce target, not the append count), the views are unchanged,
+    // and — proven by the final equivalence below — ingestion continues
+    // correctly on top of the compacted logs.
+    def dataFiles(dir: String): Int = new java.io.File(dir)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val sigRowsBefore = StreamingDedup.sigTable(spark, sig).count()
+    assert(StreamingDedup.compactLogs(spark, sig, pairs, files = 2),
+      "no live writer between waves — both logs must compact")
+    assert(dataFiles(sig) <= 2 && dataFiles(pairs) <= 2,
+      s"compaction must bound file counts, got sig=${dataFiles(sig)} " +
+        s"pairs=${dataFiles(pairs)}")
+    assert(StreamingDedup.sigTable(spark, sig).count() == sigRowsBefore,
+      "signature view unchanged by compaction")
+    assert(StreamingDedup.pairsView(spark, pairs).count() == afterWave1,
+      "pair view unchanged by compaction")
+
     docs.filter(col("doc_id") % 5 >= 3).write.mode("append").parquet(corpus)
     StreamingDedup.ingestAvailable(spark, corpus, sig, pairs, ckpt)
 
