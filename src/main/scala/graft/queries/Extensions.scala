@@ -90,12 +90,16 @@ object Extensions {
 
   /** Embeddings quantized to integer parts-per-million so every sum is
     * exact and order-free (float accumulation order differs between
-    * engines; integer sums cannot). */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "embeddings").select(col("vec_id"),
+    * engines; integer sums cannot). Frame form shared with the streaming
+    * semantic-dedup path so batch and stream agree bit-for-bit. */
+  private[graft] def quantizeFrame(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
       expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
         .as("q"))
       .withColumn("s2", DotI64(col("q"), col("q")))
+
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    quantizeFrame(Tables.t(s, dir, "embeddings"))
 
   /** Integer dot product via the native codegen Expression (DotI64):
     * higher-order functions (zip_with/aggregate) fall out of whole-stage
@@ -127,13 +131,29 @@ object Extensions {
     *
     * The centroid frame is √n rows of d ints: ~32k centroids × 768 dims
     * × 8 B ≈ 200 MB at a billion vectors — still a broadcastable dim
-    * table, where the linear policy's 20M × 768 × 8 B ≈ 123 GB is not. */
-  private def coarseCentroids(e: DataFrame): DataFrame = {
-    val n = e.count()
+    * table, where the linear policy's 20M × 768 × 8 B ≈ 123 GB is not.
+    *
+    * The √n stride needs ONE count per directory, memoized: counting at
+    * every plan CONSTRUCTION (s03/s05/s07 and each spec/bench iteration
+    * re-construct plans) ran a full count job each time — and through
+    * the quantized() projection at that, not the raw scan. The memoized
+    * count runs over the bare embeddings table column-pruned to nothing,
+    * which parquet row-group metadata answers without a data scan. */
+  private val corpusCount =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def coarseCentroids(s: SparkSession, dir: String,
+                              e: DataFrame): DataFrame = {
+    val n: Long = corpusCount.computeIfAbsent(dir,
+      _ => Tables.t(s, dir, "embeddings").count())
     val stride = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
     e.filter(h32(col("vec_id").cast("string")) % stride === 0)
       .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("s2").as("sc"))
   }
+
+  /** One Bloom sketch broadcast per table dir (d09) — see contamination. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]()
 
   /** DuckDB twin of coarseCentroids' sampling predicate (shared by the
     * s03/s05 oracles): same hash, same √n stride, same scalar-subquery
@@ -146,10 +166,19 @@ object Extensions {
       |           FROM embeddings) = 0),
       |""".stripMargin
 
+  /** The coarse quantizer's TRAINED state as a writable frame — what an
+    * offline quantizer-training job materializes for the streaming
+    * semantic-dedup path to probe against (IVF systems train the
+    * quantizer offline and stream assignments against it). Same
+    * hash-sampling rule as coarseCentroids, so a stream probing this
+    * table and a one-shot s05 over the same corpus agree exactly. */
+  private[graft] def trainedCentroids(s: SparkSession, dir: String): DataFrame =
+    coarseCentroids(s, dir, quantized(s, dir))
+
   /** Per-(vector, centroid) cosine with rank 1 = nearest cell: a narrow
     * map over the corpus (broadcast centroids, integer dot) — no shuffle
     * until whatever the caller does with the cells. */
-  private def centroidRank(v: DataFrame, cents: DataFrame,
+  private[graft] def centroidRank(v: DataFrame, cents: DataFrame,
                            idCol: String): DataFrame =
     v.crossJoin(broadcast(cents))
       .withColumn("dot", DotI64(col("q"), col("qc")))
@@ -397,9 +426,12 @@ object Extensions {
     * `maxRounds` bounds the worst case (rounds needed = component
     * diameter). */
   /** Frees a localCheckpoint's materialized blocks (df.unpersist is a
-    * CacheManager no-op for them; the blocks belong to the LogicalRDD). */
+    * CacheManager no-op for them; the blocks belong to the LogicalRDD).
+    * Walks EVERY LogicalRDD in the plan, not just the first: a caller
+    * that checkpoints a multi-source frame (a union of two checkpointed
+    * inputs, say) would otherwise leak every RDD after the first. */
   private def freeCkpt(df: DataFrame): Unit =
-    df.queryExecution.logical.collectFirst {
+    df.queryExecution.logical.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
@@ -545,7 +577,7 @@ object Extensions {
     * a narrow map over the corpus (no shuffle until the per-cell top-k). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val cents = coarseCentroids(e)
+    val cents = coarseCentroids(s, dir, e)
     val assigned = centroidRank(e, cents, "vec_id")
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
@@ -562,6 +594,66 @@ object Extensions {
       .withColumn("dot", dot)
       .withColumn("cos_ppm", cosPpm)
       .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_ppm", "rank")
+  }
+
+  /** s07: IVF ∘ prefix ANN — the composition the s06 scaladoc promises,
+    * now as an operator: s03's coarse quantizer prunes CANDIDATES (each
+    * query probes its 12 nearest of √n cells), s06's truncated-dimension
+    * pass prunes BYTES-PER-SCORE within those cells (prefix cosine over
+    * the 32-of-64-dim slice keeps top-100 per query), and the exact
+    * 64-dim rerank runs at the doubly-pruned grain. This is the
+    * production ANN shape: at 100 TB a query scores |probes|/|cells| of
+    * the corpus from the PREFIX sidecar (half the vector bytes), then
+    * fetches ~100 full vectors by key join — full vectors are never
+    * scanned in a scoring loop. PlanSpec pins the composition order
+    * (cell equi-join below the prefix top-100 filter below the rerank
+    * window); AnnRecallSpec pins recall@5 ≥ 0.6 (s03's floor) — the
+    * prefix pass can only drop candidates s03 kept, and measured on
+    * sf0.01 it drops none: composed recall 0.640, identical to s03's
+    * (the ~12·√n cell candidates per query shrink to 100, and the true
+    * top-5 all survive the prefix cut — consistent with s06's 0.96
+    * global prefix-retention). */
+  def annIvfPrefix(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val cents = coarseCentroids(s, dir, e)
+    val assigned = centroidRank(e, cents, "vec_id")
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
+    val probes = centroidRank(e.filter(col("vec_id") < 10), cents, "vec_id")
+      .filter(col("rn") <= 12)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    val cellCand = probes.join(assigned, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    // Prefix coarse pass at cell-candidate grain: scores read ONLY the
+    // 32-dim prefix frame (the sidecar column at scale).
+    val pfx = e.select(col("vec_id"), expr("slice(q, 1, 32)").as("qp"))
+      .withColumn("sp", DotI64(col("qp"), col("qp")))
+    val qp = pfx.select(col("vec_id").as("query_id"),
+      col("qp").as("qpa"), col("sp").as("spa"))
+    val np = pfx.select(col("vec_id").as("neighbor_id"),
+      col("qp").as("qpb"), col("sp").as("spb"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id").asc)
+    val cand = cellCand.join(qp, "query_id").join(np, "neighbor_id")
+      .withColumn("pdot", DotI64(col("qpa"), col("qpb")))
+      .withColumn("pcos",
+        floor(col("pdot") / (sqrt(col("spa")) * sqrt(col("spb")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= 100)
+      .select("query_id", "neighbor_id")
+    // Exact rerank at the doubly-pruned candidate grain.
+    val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    cand.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
   }
@@ -893,7 +985,7 @@ object Extensions {
     * so the two operators' outputs are directly comparable. */
   def semdedupCells(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val assigned = centroidRank(e, coarseCentroids(e), "vec_id")
+    val assigned = centroidRank(e, coarseCentroids(s, dir, e), "vec_id")
       .filter(col("rn") <= 4)
       .select(col("vec_id"), col("cent_id").as("cell"))
     val cand = assigned.as("a")
@@ -945,15 +1037,22 @@ object Extensions {
       .distinct()
     val trainGrams = grams.filter(col("bucket") < 80)
       .select("gram").distinct()
-    // Build the sketch eagerly (two bounded actions over the persisted
-    // train grams), then release the cache — the returned plan's exact
-    // join recomputes trainGrams once, as it did before the pre-pass.
-    trainGrams.persist()
-    val bloom = try {
-      val n = trainGrams.count()
-      trainGrams.stat.bloomFilter("gram", math.max(n, 1000L), 0.01)
-    } finally trainGrams.unpersist()
-    val bloomB = s.sparkContext.broadcast(bloom)
+    // The sketch is a pure function of `dir`'s (static) train split, so
+    // it is built ONCE per dir and memoized: rebuilding per invocation
+    // cost three driver actions per bench iteration and leaked a new
+    // session-lifetime broadcast each time (the deployed shape builds
+    // the sketch once per corpus refresh too). Build = two bounded
+    // actions over the persisted train grams, then the cache releases —
+    // the returned plan's exact join recomputes trainGrams once, as it
+    // did before the pre-pass.
+    val bloomB = bloomCache.computeIfAbsent(dir, { _ =>
+      trainGrams.persist()
+      val bloom = try {
+        val n = trainGrams.count()
+        trainGrams.stat.bloomFilter("gram", math.max(n, 1000L), 0.01)
+      } finally trainGrams.unpersist()
+      s.sparkContext.broadcast(bloom)
+    })
     val mightContain = udf((g: String) =>
       g != null && bloomB.value.mightContainString(g))
       .withName("bloom_might_contain")
@@ -1639,6 +1738,69 @@ object Extensions {
         |         CAST(SUM(a.v * b.v) AS BIGINT) AS pdot
         |  FROM ev a JOIN ev b ON a.i = b.i AND a.i <= 32
         |   AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |pscored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.pdot / (sqrt(x.sp) * sqrt(y.sp)) * 1000000 + 0.5) AS BIGINT) AS pcos
+        |  FROM pdots d
+        |  JOIN psq x ON x.vec_id = d.query_id
+        |  JOIN psq y ON y.vec_id = d.neighbor_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |                ORDER BY pcos DESC, neighbor_id) AS prn
+        |    FROM pscored) t WHERE prn <= 100),
+        |cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ev a ON a.vec_id = c.query_id
+        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM cdots d
+        |  JOIN sq x ON x.vec_id = d.query_id
+        |  JOIN sq y ON y.vec_id = d.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin)),
+
+    QuerySpec("s07_ann_ivf_prefix", annIvfPrefix, Some(embCtes + ", " + centsCte +
+      """adots AS (
+        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |ascore AS (
+        |  SELECT d.vec_id, d.cent_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM adots d
+        |  JOIN sq x ON x.vec_id = d.vec_id
+        |  JOIN sq y ON y.vec_id = d.cent_id),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 12),
+        |ccand AS (
+        |  SELECT DISTINCT p.query_id, a.neighbor_id
+        |  FROM probes p JOIN assigned a ON a.cell = p.cell
+        |  WHERE a.neighbor_id <> p.query_id),
+        |psq AS (
+        |  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS sp
+        |  FROM ev WHERE i <= 32 GROUP BY 1),
+        |pdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS pdot
+        |  FROM ccand c
+        |  JOIN ev a ON a.vec_id = c.query_id AND a.i <= 32
+        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
         |  GROUP BY 1, 2),
         |pscored AS (
         |  SELECT d.query_id, d.neighbor_id,

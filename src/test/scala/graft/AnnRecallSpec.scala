@@ -57,4 +57,20 @@ class AnnRecallSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.6, f"IVF mean recall@5 $mean%.2f < 0.6")
   }
+
+  test("IVF∘prefix composition keeps s03's recall floor (sf0.01)") {
+    // s07 = s03's candidate pruning + s06's byte pruning. Its rerank set
+    // is a subset of s03's (prefix top-100 within the probed cells), so
+    // its recall is bounded above by s03's — the floor asserts the
+    // prefix pass costs almost nothing of it (s06 measured the prefix
+    // top-100 keeping 0.96 of the true top-5).
+    val dir = sf("sf0.01")
+    val exact = topSets(Extensions.annCosineTopK(spark, dir))
+    val composed = topSets(Extensions.annIvfPrefix(spark, dir))
+    val recalls = exact.map { case (q, truth) =>
+      composed.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, f"IVF-prefix mean recall@5 $mean%.2f < 0.6")
+  }
 }

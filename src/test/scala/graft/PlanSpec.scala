@@ -185,6 +185,42 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("s07 composes cell pruning below the prefix pass below the rerank") {
+    // The production-ANN composition order, pinned structurally: the
+    // exact-rerank window consumes candidates that already passed (a)
+    // the cell equi-join (s03's candidate pruning) and (b) the prefix
+    // top-100 filter computed on the 32-dim slice (s06's byte pruning).
+    // A refactor that reranks cell candidates directly (dropping the
+    // prefix pass) or prefix-scores the whole corpus (dropping the cell
+    // join) breaks one of these pins.
+    val df = graft.queries.Extensions.annIvfPrefix(spark, dir)
+    val phys = planOf(df)
+    assert(!phys.contains("CartesianProduct"),
+      s"cartesian product in s07 plan:\n$phys")
+    // Centroid assignment IS a broadcast cross against the √n centroid
+    // table (the intended IVF shape, same as s03); any non-broadcast
+    // nested-loop join would be the scale bug this pin watches for.
+    val nlj = "(\\w*)NestedLoopJoin".r.findAllMatchIn(phys)
+      .map(_.group(1)).toSeq
+    assert(nlj.forall(_ == "Broadcast"),
+      s"non-broadcast nested-loop join in s07 plan:\n$phys")
+    val p = df.queryExecution.optimizedPlan.toString
+    // After column pruning the quantized column inlines, so the prefix
+    // projection prints as slice(transform(embedding, ...), 1, 32).
+    assert(p.contains("slice("), s"prefix pass not computed on a slice:\n$p")
+    assert("cell#\\d+L? = cell#\\d+L?".r.findFirstIn(p).isDefined,
+      s"no cell equi-join (candidate pruning) in:\n$p")
+    assert("prn#\\d+ <= 100".r.findFirstIn(p).isDefined,
+      s"no prefix top-100 filter (byte pruning) in:\n$p")
+    // Plan strings print parents first: the rerank's rank window must sit
+    // ABOVE the prefix filter, which must sit ABOVE the cell join.
+    val (rankAt, prnAt, cellAt) =
+      (p.indexOf("rank#"), p.indexOf("prn#"), "cell#\\d+L? = cell#\\d+L?".r
+        .findFirstMatchIn(p).map(_.start).getOrElse(-1))
+    assert(rankAt >= 0 && rankAt < prnAt && prnAt < cellAt,
+      s"composition order broken (rank@$rankAt prn@$prnAt cell@$cellAt):\n$p")
+  }
+
   test("json extraction prunes the events scan to the used columns") {
     val p = planOf(Parity.jsonProps(spark, dir))
     assert(!p.contains("user_id"), s"events scan reads unused columns:\n$p")
