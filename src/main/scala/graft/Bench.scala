@@ -46,8 +46,12 @@ object Bench {
 
   /** Per-query medians from the prior round's bench JSON (empty when no
     * artifact exists — first round, or running outside the repo root).
-    * Works on both the flat `"name":sec` shape and this round's, since
-    * "queries" is a flat map in each. */
+    * The driver's per-round artifact WRAPS this program's JSON line
+    * inside a JSON string field ("tail"), so every quote arrives
+    * backslash-escaped — unescape before anchoring on the first
+    * "queries" object (always the median map; "mins"/"iters" come
+    * later). Works on the raw line, the wrapped form, and any
+    * whitespace-pretty variant. */
   private[graft] def priorTimes(): Map[String, Double] = {
     val path = sys.env.get("SPARK_GRAFT_PRIOR_JSON").orElse {
       val rx = "BENCH_r(\\d+)\\.json".r
@@ -58,19 +62,24 @@ object Bench {
         })
         .sortBy(_._1).lastOption.map(_._2)
     }
-    path.fold(Map.empty[String, Double]) { p =>
-      try {
-        val text = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
-        val qStart = text.indexOf("\"queries\":{")
-        if (qStart < 0) Map.empty
-        else {
-          val body = text.substring(qStart + 11, text.indexOf('}', qStart))
-          "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      } catch { case _: Exception => Map.empty }
-    }
+    path.fold(Map.empty[String, Double])(p => parsePrior {
+      try new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+      catch { case _: Exception => "" }
+    })
+  }
+
+  private[graft] def parsePrior(raw: String): Map[String, Double] = {
+    val text = raw.replace("\\\"", "\"")
+    """"queries"\s*:\s*\{""".r.findFirstMatchIn(text)
+      .fold(Map.empty[String, Double]) { m =>
+        val start = m.end
+        val end = text.indexOf('}', start)
+        val body = if (end < 0) text.substring(start)
+                   else text.substring(start, end)
+        "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+          .map(x => x.group(1) -> x.group(2).toDouble).toMap
+      }
   }
 
   def main(args: Array[String]): Unit = {
