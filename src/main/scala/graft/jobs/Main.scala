@@ -131,6 +131,13 @@ object Main {
     delta.action
   }
 
+  /** Frees a localCheckpoint's blocks (the key-set frames below; tiny,
+    * but an always-on service must not leak one per delta tick). */
+  private def freeCkpt(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** track_delta: recompute totals at key grain, append only changed-key
     * version rows, then maintain the reports. */
   def deltaStep(spark: SparkSession, p: Paths, today: String): Unit = {
@@ -140,11 +147,20 @@ object Main {
     val log = Warehouse.read(spark, p.totalsLog)
     val deltaRows = DeltaUpsert.deltaRows(totalsNow, log).persist()
     deltaRows.count()
+    // The touched campaign keys survive PAST the log appends below, so
+    // they are localCheckpoint-ed (eager, lineage truncated): a merely
+    // persisted diff would be refreshed by Spark's recache-by-path when
+    // its input log is appended to, and re-read as empty.
+    val touchedTotals = deltaRows
+      .select(col("rtm_advertiser_id"), col("rtm_campaign_id")).distinct()
+      .localCheckpoint()
 
     // Daily logs: append day-grain rows whose (key, day, rtm_delta) is new
     // — the same CDC diff at daily grain (track_delta get_delta_impressions).
-    appendDailyDelta(spark, st, p.impsDaily, st.impressions, "impressions")
-    appendDailyDelta(spark, st, p.clksDaily, st.clicks, "clicks")
+    val touchedImps =
+      appendDailyDelta(spark, st, p.impsDaily, st.impressions, "impressions")
+    val touchedClks =
+      appendDailyDelta(spark, st, p.clksDaily, st.clicks, "clicks")
 
     // Totals report: O(changed) incremental maintenance — only the delta
     // keys' rows re-derive, merged keep-latest over the previous report
@@ -170,8 +186,19 @@ object Main {
     val clksDaily = latestDaily(Warehouse.read(spark, p.clksDaily),
       "campaign_clicks_date", "campaign_clicks_daily_count")
       .withColumnRenamed("campaign_clicks_date", "campaign_impressions_date")
-    Warehouse.overwriteReport(
-      Reports.dailyCtrReport(dim, impsDaily, clksDaily), p.dailyCtrReport)
+    // Daily report: O(changed campaigns) incremental maintenance at
+    // CAMPAIGN grain (the report's per-campaign day ordinal forbids
+    // day-grain patching — Reports.incrementalDailyCtrReport). Touched =
+    // totals delta keys ∪ both day-grain CDC key sets, so the cover
+    // holds even if a day row changed without a totals change.
+    val touched = touchedTotals.unionByName(touchedImps)
+      .unionByName(touchedClks)
+    Warehouse.replaceReport(spark,
+      Reports.incrementalDailyCtrReport(
+        Warehouse.read(spark, p.dailyCtrReport), touched,
+        dim, impsDaily, clksDaily),
+      p.dailyCtrReport)
+    Seq(touchedTotals, touchedImps, touchedClks).foreach(freeCkpt)
   }
 
   /** Keep-latest daily rows; ties on rtm_delta break by the (monotone)
@@ -187,10 +214,13 @@ object Main {
   /** Day-grain CDC: append daily rows whose FULL (key, day, count, delta)
     * tuple is new — a (key, day, rtm_delta) diff alone misses a count
     * change from a fact landing at-or-before its day's max timestamp
-    * (same late-arrival blind spot DeltaUpsert.changedKeys documents). */
+    * (same late-arrival blind spot DeltaUpsert.changedKeys documents).
+    * Returns the changed CAMPAIGN keys (localCheckpoint-ed BEFORE the
+    * append — the diff's lineage reads the log being appended to), the
+    * input to the daily report's incremental maintenance. */
   private def appendDailyDelta(spark: SparkSession, st: OltpState,
                                path: String, facts: DataFrame,
-                               what: String): Unit = {
+                               what: String): DataFrame = {
     val dateCol = s"campaign_${what}_date"
     val cntCol = s"campaign_${what}_daily_count"
     val diffCols = Seq("rtm_advertiser_id", "rtm_campaign_id", dateCol,
@@ -200,10 +230,14 @@ object Main {
       .select(diffCols.map(col): _*)
     val changed = graft.ops.Joins.deltaKeys(
       fresh.select(diffCols.map(col): _*), existing, diffCols)
+    val touchedKeys = changed
+      .select(col("rtm_advertiser_id"), col("rtm_campaign_id")).distinct()
+      .localCheckpoint()
     Warehouse.appendDaily(
       graft.ops.Joins.restrictToChanged(fresh, changed,
         Seq("rtm_advertiser_id", "rtm_campaign_id", dateCol)),
       path, dateCol, DeltaUpsert.Keys)
+    touchedKeys
   }
 
   /** Compact EVERY version log the batch cycle writes — the totals log

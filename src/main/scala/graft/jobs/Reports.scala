@@ -104,6 +104,36 @@ object Reports {
       tiebreak = Seq("__fresh"))
       .drop("__fresh")
 
+  /** Incremental daily-CTR maintenance — the daily twin of
+    * incrementalTotalsReport, beyond the reference's every-cycle full
+    * rebuild (track_delta.py:548). The maintenance grain is the
+    * CAMPAIGN, not the day: the report carries a per-campaign day
+    * ordinal (`campaign_day` = row_number over its dates), so one
+    * changed day re-ranks every row of its campaign — day-grain
+    * patching would corrupt the ordinal. Campaigns in `touchedKeys`
+    * re-derive in full (their daily views restricted by semi-join);
+    * every other campaign's rows pass through untouched. Cost is
+    * O(changed campaigns' days + |report|) with no full log collapse —
+    * at 100 TB a 5-minute delta touches a handful of campaigns, not
+    * the fleet. Identical to a full rebuild (WarehouseSpec pins it;
+    * PipelineSpec pins the lifecycle-level form).
+    *
+    * `touchedKeys` must cover every campaign whose report could change:
+    * the totals delta keys qualify — any daily-count change moves the
+    * lifetime count, and a name change versions the totals row — but
+    * callers union the day-grain CDC keys in too, making the cover
+    * independent of that inference. */
+  def incrementalDailyCtrReport(prevReport: DataFrame, touchedKeys: DataFrame,
+                                dim: DataFrame, impsDaily: DataFrame,
+                                clksDaily: DataFrame): DataFrame = {
+    val keys = Seq("rtm_advertiser_id", "rtm_campaign_id")
+    val touched = touchedKeys.select(keys.map(col): _*).distinct()
+    prevReport.join(touched, keys, "left_anti")
+      .unionByName(dailyCtrReport(dim,
+        impsDaily.join(touched, keys, "left_semi"),
+        clksDaily.join(touched, keys, "left_semi")))
+  }
+
   /** W1+J5+J6 daily CTR report: `dim` is the distinct (advertiser, campaign,
     * names) lookup; daily click rows are date-aligned onto daily impression
     * rows (days with clicks but no impressions drop, by reference design —

@@ -95,7 +95,26 @@ class PipelineSpec extends SparkSpec {
     assertSameRows(jobs.Warehouse.read(spark, p.totalsReport),
       jobs.Reports.totalsReport(latest, "2024-06-01"),
       "incremental report vs full derive")
-    assert(jobs.Warehouse.read(spark, p.dailyCtrReport).count() > 0)
+    // The incrementally-maintained DAILY report (campaign-grain
+    // maintenance, Reports.incrementalDailyCtrReport) equals a full
+    // derivation from the keep-latest daily views.
+    def dailyEquivalence(totalsLatest: DataFrame, hint: String): Unit = {
+      val dim = totalsLatest.select(col("rtm_advertiser_id"),
+        col("rtm_campaign_id"), col("advertiser_name"),
+        col("campaign_name")).distinct()
+      def dailyView(path: String, what: String) = graft.ops.Core.latestView(
+          jobs.Warehouse.read(spark, path),
+          Seq("rtm_advertiser_id", "rtm_campaign_id", s"campaign_${what}_date"),
+          "rtm_delta", tiebreak = Seq(s"campaign_${what}_daily_count"))
+        .select(col("rtm_advertiser_id"), col("rtm_campaign_id"),
+          col(s"campaign_${what}_date"), col(s"campaign_${what}_daily_count"))
+      val clksD = dailyView(p.clksDaily, "clicks")
+        .withColumnRenamed("campaign_clicks_date", "campaign_impressions_date")
+      assertSameRows(jobs.Warehouse.read(spark, p.dailyCtrReport),
+        jobs.Reports.dailyCtrReport(dim,
+          dailyView(p.impsDaily, "impressions"), clksD), hint)
+    }
+    dailyEquivalence(latest, "incremental daily report vs full derive")
     // Re-running does NOT re-seed or re-initial-load (branch-on-empty):
     // the log row count only grows by the new cycles' deltas, and the
     // invariant still holds.
@@ -105,6 +124,9 @@ class PipelineSpec extends SparkSpec {
     assertSameRows(latest2,
       InitialLoad.campaignTotals(st2.advertiser, st2.campaign,
         st2.impressions, st2.clicks), "after second run")
+    // The daily report stays equivalent across the process-like boundary
+    // (second run maintains the first run's report incrementally).
+    dailyEquivalence(latest2, "daily report after second run")
   }
 
   test("periodic compaction bounds the log without changing the pipeline") {

@@ -232,4 +232,36 @@ class WarehouseSpec extends SparkSpec {
       graft.jobs.Reports.totalsReport(t0, today), changed, today)
     assertSameRows(incremental, full, "incremental vs full rebuild")
   }
+
+  test("incremental daily CTR report equals a full rebuild") {
+    import spark.implicits._
+    val dim = Seq((1L, 10L, "A", "C10"), (1L, 20L, "A", "C20"))
+      .toDF("rtm_advertiser_id", "rtm_campaign_id",
+        "advertiser_name", "campaign_name")
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val impsCols = Seq("rtm_advertiser_id", "rtm_campaign_id",
+      "campaign_impressions_date", "campaign_impressions_daily_count")
+    val imps1 = Seq(
+      (1L, 10L, d("2024-06-01"), 100L), (1L, 10L, d("2024-06-02"), 50L),
+      (1L, 20L, d("2024-06-01"), 80L)).toDF(impsCols: _*)
+    val clks = Seq(
+      (1L, 10L, d("2024-06-01"), 7L), (1L, 20L, d("2024-06-01"), 3L))
+      .toDF("rtm_advertiser_id", "rtm_campaign_id",
+        "campaign_impressions_date", "campaign_clicks_daily_count")
+    val prev = graft.jobs.Reports.dailyCtrReport(dim, imps1, clks)
+    // Campaign 10 changes: day-2 count grows and day 3 appears — which
+    // re-ranks EVERY campaign_day ordinal of campaign 10 (the reason
+    // maintenance runs at campaign grain). Campaign 20 is untouched.
+    val imps2 = Seq(
+      (1L, 10L, d("2024-06-01"), 100L), (1L, 10L, d("2024-06-02"), 60L),
+      (1L, 10L, d("2024-06-03"), 30L), (1L, 20L, d("2024-06-01"), 80L))
+      .toDF(impsCols: _*)
+    val touched = Seq((1L, 10L))
+      .toDF("rtm_advertiser_id", "rtm_campaign_id")
+    assertSameRows(
+      graft.jobs.Reports.incrementalDailyCtrReport(prev, touched, dim,
+        imps2, clks),
+      graft.jobs.Reports.dailyCtrReport(dim, imps2, clks),
+      "incremental daily vs full rebuild")
+  }
 }
