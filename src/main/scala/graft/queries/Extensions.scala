@@ -150,10 +150,26 @@ object Extensions {
       .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("s2").as("sc"))
   }
 
-  /** One Bloom sketch broadcast per table dir (d09) — see contamination. */
+  /** One Bloom sketch broadcast per cache key (d09: dir; t16:
+    * dir + "#test8") — see contamination / corpusDecontaminated. */
   private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
     String,
     org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]()
+
+  /** The distinct (doc, split-bucket, 8-gram) frame d09 and t16 share:
+    * every verbatim 8-token window of every document, tagged with the
+    * document's deterministic train/valid/test bucket. */
+  private def grams8(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        splitBucket.as("bucket"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("bucket"), explode(expr(
+        """CASE WHEN size(t) < 8 THEN CAST(array() AS array<string>)
+          |ELSE transform(sequence(0, size(t) - 8),
+          |  i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+          |                 t[i+4], t[i+5], t[i+6], t[i+7])) END"""
+          .stripMargin)).as("gram"))
+      .distinct()
 
   /** DuckDB twin of coarseCentroids' sampling predicate (shared by the
     * s03/s05 oracles): same hash, same √n stride, same scalar-subquery
@@ -915,6 +931,56 @@ object Extensions {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
   }
 
+  /** t16: DECONTAMINATED corpus materialization — t13's capstone with
+    * d09's leakage machinery pointed the production direction: TRAINING
+    * documents sharing ANY verbatim 8-gram with the held-out test split
+    * are dropped before the (lang, split) totals. d09 AUDITS test docs
+    * against train grams; decontamination REMOVES train docs against
+    * test grams — the eval suite must stay meaningful, so the train
+    * side pays.
+    *
+    * Scale shape, and why the Bloom asymmetry flips here: the TEST
+    * split is the SMALL side (10% of this corpus; a fixed eval suite in
+    * production), so its distinct grams build the broadcast Bloom
+    * (memoized per dir, same machinery as d09) and the unboundedly
+    * large TRAIN gram stream is filtered below the exact join — the
+    * sketch is sized to the eval corpus, not the 100 TB side. No false
+    * negatives (Bloom never rejects a member); false positives are
+    * rejected by the exact gram join above it. */
+  def corpusDecontaminated(s: SparkSession, dir: String): DataFrame = {
+    val g = grams8(s, dir)
+    val testGrams = g.filter(col("bucket") >= 90).select("gram").distinct()
+    val bloomB = bloomCache.computeIfAbsent(dir + "#test8", { _ =>
+      testGrams.persist()
+      val bloom = try {
+        val n = testGrams.count()
+        testGrams.stat.bloomFilter("gram", math.max(n, 1000L), 0.01)
+      } finally testGrams.unpersist()
+      s.sparkContext.broadcast(bloom)
+    })
+    val mightContain = udf((gr: String) =>
+      gr != null && bloomB.value.mightContainString(gr))
+      .withName("bloom_might_contain")
+    val contaminatedTrain = g.filter(col("bucket") < 80)
+      .filter(mightContain(col("gram")))
+      .join(testGrams, "gram")
+      .select("doc_id").distinct()
+    val kept = canonicalCorpus(s, dir)
+      .filter(col("is_kept") === 1).select("doc_id")
+    val quality = qualityScore(s, dir)
+      .filter(col("quality_ok") === 1).select("doc_id")
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        when(splitBucket < 80, "train").when(splitBucket < 90, "valid")
+          .otherwise("test").as("split"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .join(kept, Seq("doc_id"), "left_semi")
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(contaminatedTrain, Seq("doc_id"), "left_anti")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+  }
+
   /** d10: INCREMENTAL near-dup detection — the shape a growing corpus
     * actually runs every ingest cycle: only the NEW batch's banded
     * signatures probe the full signature table (new×all: catches
@@ -1025,16 +1091,7 @@ object Extensions {
     * measured train-gram count (~1.2 GB per 10⁹ distinct grams at 1% —
     * a broadcast-scale object; raise fpp to shrink it). */
   def contamination(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir).select(col("doc_id"),
-        splitBucket.as("bucket"),
-        split(col("text"), " ").as("t"))
-      .select(col("doc_id"), col("bucket"), explode(expr(
-        """CASE WHEN size(t) < 8 THEN CAST(array() AS array<string>)
-          |ELSE transform(sequence(0, size(t) - 8),
-          |  i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
-          |                 t[i+4], t[i+5], t[i+6], t[i+7])) END"""
-          .stripMargin)).as("gram"))
-      .distinct()
+    val grams = grams8(s, dir)
     val trainGrams = grams.filter(col("bucket") < 80)
       .select("gram").distinct()
     // The sketch is a pure function of `dir`'s (static) train split, so
@@ -1579,6 +1636,45 @@ object Extensions {
         |FROM documents d
         |JOIN kept k ON k.doc_id = d.doc_id
         |JOIN quality q ON q.doc_id = d.doc_id
+        |GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec("t16_decontaminated_corpus", corpusDecontaminated,
+      Some(ccCtes +
+      """, kept AS (
+        |  SELECT d.doc_id FROM documents d
+        |  LEFT JOIN labels l ON l.doc_id = d.doc_id
+        |  WHERE COALESCE(l.cluster_id, d.doc_id) = d.doc_id),
+        |quality AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS t FROM documents) q
+        |  WHERE len(t) >= 20
+        |    AND (len(list_filter(t, x -> x IN ('a', 'the'))) * 1000000) // len(t) < 300000),
+        |gd AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
+        |         string_split(text, ' ') AS t
+        |  FROM documents),
+        |grams16 AS (
+        |  SELECT DISTINCT doc_id, bucket,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |         t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS gram
+        |  FROM gd, UNNEST(range(1, greatest(len(t) - 6, 1))) u(i)),
+        |testg AS (SELECT DISTINCT gram FROM grams16 WHERE bucket >= 90),
+        |badtrain AS (
+        |  SELECT DISTINCT g.doc_id
+        |  FROM grams16 g JOIN testg tg ON tg.gram = g.gram
+        |  WHERE g.bucket < 80)
+        |SELECT d.lang,
+        |  CASE WHEN ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents d
+        |JOIN kept k ON k.doc_id = d.doc_id
+        |JOIN quality q ON q.doc_id = d.doc_id
+        |LEFT JOIN badtrain b ON b.doc_id = d.doc_id
+        |WHERE b.doc_id IS NULL
         |GROUP BY 1, 2""".stripMargin)),
 
     QuerySpec("t11_temperature_sample", temperatureSample, Some(
