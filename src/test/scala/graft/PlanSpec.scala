@@ -171,6 +171,26 @@ class PlanSpec extends SparkSpec {
     assert(filterNodes.nonEmpty, s"no bloom filter node in the plan:\n$p")
   }
 
+  test("t16's test-gram bloom filters train grams below the exact join") {
+    // Same contract as d09's pin, with the sides flipped: the sketch is
+    // built on the TEST grams (small side) and must filter the TRAIN
+    // gram stream BELOW the train⋈test equi-join — below, it only drops
+    // rows the join would reject anyway (no false negatives).
+    val p = graft.queries.Extensions.corpusDecontaminated(spark, dir)
+      .queryExecution.optimizedPlan
+    val joinsAboveFilter = p.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.toString.contains("bloom_might_contain") => j
+    }
+    assert(joinsAboveFilter.nonEmpty,
+      s"bloom_might_contain filter not present under a join:\n$p")
+    val filterNodes = p.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("bloom_might_contain") => f
+    }
+    assert(filterNodes.nonEmpty, s"no bloom filter node in the plan:\n$p")
+  }
+
   test("d03's banded self-join reuses one exchange for both sides") {
     // The band-exploded signature table feeds both join sides; a refactor
     // that specializes the two branches (breaking canonical equality)
