@@ -291,6 +291,44 @@ object Extensions {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** d12: SimHash near-dup PAIRS — the consumer d04's signatures exist
+    * for: document pairs within Hamming distance ≤ 3 on the 32-bit
+    * signature. Banded pigeonhole join — the d03 band pattern on bit
+    * signatures: the signature splits into 4 bytes, and hamming ≤ 3 < 4
+    * guarantees at least one byte is EQUAL, so candidates come from one
+    * union'd byte-keyed self-join (shuffled by (band, byte) — never
+    * all-pairs), verified by exact popcount of the XOR. Unlike MinHash
+    * banding the pigeonhole is a certainty, not a probability: recall
+    * within the Hamming radius is exact, which is why 4-bytes-radius-3
+    * is the standard production pairing (Manku et al.'s near-duplicate
+    * web crawl setup uses the same block-permute pigeonhole).
+    *
+    * Precision honesty: a 32-bit signature is coarse — short documents
+    * drawn from one vocabulary cluster within radius 3 far more often
+    * than they share 0.8 Jaccard (725 pairs here vs d03's 33 at
+    * sf0.01), which is WHY production SimHash uses 64 bits. The bit
+    * width is d04's dial; the pairing shape is identical at any width
+    * (8 bytes → radius ≤ 7 still pigeonholes on one equal byte). */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = dedupSimhash(s, dir)
+    val banded = (0 until 4).map { b =>
+      sig.select(lit(b).as("band"),
+        (shiftright(col("simhash"), 8 * b) % 256).as("bkey"),
+        col("doc_id"), col("simhash"))
+    }.reduce(_ unionAll _)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("int"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** d05: embedding near-dup pairs by quantized cosine ≥ 0.35. Brute-force
     * all-pairs (exact baseline); s02 is the bucketed scale path. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
@@ -1637,6 +1675,33 @@ object Extensions {
         |JOIN kept k ON k.doc_id = d.doc_id
         |JOIN quality q ON q.doc_id = d.doc_id
         |GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec("d12_simhash_pairs", dedupSimhashPairs, Some(docCtes +
+      """, tokc AS (
+        |  SELECT doc_id, tok, count(*) AS c,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        |  FROM tokrows GROUP BY doc_id, tok),
+        |bitsum AS (
+        |  SELECT doc_id, bit, (1::BIGINT << CAST(bit AS INT)) AS p2,
+        |         SUM(c * (2 * ((h // (1::BIGINT << CAST(bit AS INT))) % 2) - 1)) AS sgn
+        |  FROM tokc, UNNEST(range(0, 32)) u(bit) GROUP BY 1, 2, 3),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN sgn > 0 THEN p2 ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bitsum GROUP BY 1),
+        |banded AS (
+        |  SELECT b.band,
+        |         (s.simhash // (1::BIGINT << CAST(8 * b.band AS INT))) % 256 AS bkey,
+        |         s.doc_id, s.simhash
+        |  FROM sigs s, UNNEST(range(0, 4)) b(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.simhash AS sig_a, b.simhash AS sig_b
+        |  FROM banded a JOIN banded b
+        |    ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin)),
 
     QuerySpec("t16_decontaminated_corpus", corpusDecontaminated,
       Some(ccCtes +
