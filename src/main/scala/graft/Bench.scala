@@ -117,14 +117,19 @@ object Bench {
     var errors = Vector.empty[(String, String)]
     var flaky = Vector.empty[(String, Int)]
     val results = SparkEntry.specs.map { spec =>
-      // Isolation: every query starts from a cleared cache and a
-      // just-collected heap, so cross-query carry-over can't masquerade
-      // as drift. (Queries manage their own persist/unpersist; anything
-      // still cached here is a leak by definition.)
+      // Isolation: every query starts from a cleared cache (queries
+      // manage their own persist/unpersist; anything still cached here
+      // is a leak by definition). Heap isolation is per-ITERATION, in
+      // runOnce.
       spark.catalog.clearCache()
-      System.gc()
       var firstErr: Option[String] = None
       def runOnce(): Double = {
+        // GC before EVERY iteration, outside the timed section: late in
+        // the suite the heap carries tens of queries' floating garbage,
+        // and a shuffle-heavy query otherwise pays its predecessors'
+        // collections inside its own measurement (observed: t13 steady
+        // at 3.5 s in a fresh JVM vs ~11 s as query #50 of this one).
+        System.gc()
         val t0 = System.nanoTime()
         val ok =
           try {
