@@ -62,6 +62,20 @@ object Main {
     fs.exists(p) && fs.listStatus(p).exists(f => f.getPath.getName.endsWith(".parquet"))
   }
 
+  /** hasData's recursive form for HIVE-PARTITIONED dirs, whose top level
+    * holds only `col=value` subdirectories (the flat probe would read
+    * them as empty and silently skip, e.g., daily-log compaction). */
+  private def hasDataRecursive(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    }
+    false
+  }
+
   /** Read the OLTP store with the declared schemas; a missing table dir
     * reads as an empty frame (so the CLI works on a fresh base). */
   def oltp(spark: SparkSession, p: Paths): OltpState = {
@@ -250,18 +264,25 @@ object Main {
     * single writer, no live cached reader. */
   def compactBatchLogs(spark: SparkSession, p: Paths,
                        retainVersions: Int = 1): Unit = {
-    Warehouse.compact(spark, p.totalsLog, DeltaUpsert.Keys, "rtm_delta",
-      retainVersions, tiebreak = DeltaUpsert.Tiebreak)
-    Warehouse.compact(spark, p.impsDaily,
-      Seq("rtm_advertiser_id", "rtm_campaign_id", "campaign_impressions_date"),
-      "rtm_delta", retainVersions,
-      tiebreak = Seq("campaign_impressions_daily_count"),
-      partitionCol = Some("campaign_impressions_date"))
-    Warehouse.compact(spark, p.clksDaily,
-      Seq("rtm_advertiser_id", "rtm_campaign_id", "campaign_clicks_date"),
-      "rtm_delta", retainVersions,
-      tiebreak = Seq("campaign_clicks_daily_count"),
-      partitionCol = Some("campaign_clicks_date"))
+    // Guarded per log: a log that never received a row (a corpus whose
+    // seeded clicks happen to be empty, or a caller compacting a fresh
+    // base) has nothing to bound — compacting it would only turn a
+    // vacuous state into a read error.
+    if (hasData(spark, p.totalsLog))
+      Warehouse.compact(spark, p.totalsLog, DeltaUpsert.Keys, "rtm_delta",
+        retainVersions, tiebreak = DeltaUpsert.Tiebreak)
+    if (hasDataRecursive(spark, p.impsDaily))
+      Warehouse.compact(spark, p.impsDaily,
+        Seq("rtm_advertiser_id", "rtm_campaign_id", "campaign_impressions_date"),
+        "rtm_delta", retainVersions,
+        tiebreak = Seq("campaign_impressions_daily_count"),
+        partitionCol = Some("campaign_impressions_date"))
+    if (hasDataRecursive(spark, p.clksDaily))
+      Warehouse.compact(spark, p.clksDaily,
+        Seq("rtm_advertiser_id", "rtm_campaign_id", "campaign_clicks_date"),
+        "rtm_delta", retainVersions,
+        tiebreak = Seq("campaign_clicks_daily_count"),
+        partitionCol = Some("campaign_clicks_date"))
   }
 
   /** The streamed daily logs have a LIVE writer (the two ingesters), so
