@@ -70,7 +70,20 @@ object Extensions {
 
   /** Exact-Jaccard verification of candidate pairs against the true
     * shingle sets — the shared tail of d03 and d10 (column names of the
-    * pair frame differ, arithmetic does not). */
+    * pair frame differ, arithmetic does not).
+    *
+    * The set-size aggregation (shingleCounts) deliberately runs over the
+    * FULL shingle frame, not a candidate-restricted one. It looks like a
+    * scale smell, but it is map-side combinable — the shuffle carries
+    * one row per document, and the scan it rides is shared with the
+    * pair-join branches — whereas restricting it needs the candidate id
+    * set, whose derivation re-evaluates the banded-join subtree (the
+    * heaviest stage here) two more times: measured +35% on t13 at sf0.1
+    * for a second-order shuffle saving. Candidate-grain restriction is
+    * the wrong trade as long as candidates come from a join over the
+    * same lineage; it becomes right only when the candidate set arrives
+    * MATERIALIZED (the streaming path's batch frame — which already
+    * passes only batch + partner shingles in). */
   private[graft] def verifiedJaccard(cand: DataFrame, sh: DataFrame,
                               aCol: String, bCol: String): DataFrame = {
     val common = cand
