@@ -63,6 +63,41 @@ object CorpusService {
     }
   }
 
+  /** The two live ingest queries of an always-on corpus service. */
+  final case class Running(
+      docs: org.apache.spark.sql.streaming.StreamingQuery,
+      embeddings: org.apache.spark.sql.streaming.StreamingQuery) {
+    /** Graceful shutdown: drain whatever both stores already hold, then
+      * stop — same per-stream discipline as jobs.Main.runService (a
+      * failed stream's rethrow must not mask the other's shutdown), and
+      * the checkpoints resume exactly-once on the next start. */
+    def drainAndStop(): Unit =
+      try {
+        try docs.processAllAvailable()
+        finally docs.stop()
+      } finally {
+        try embeddings.processAllAvailable()
+        finally embeddings.stop()
+      }
+  }
+
+  /** ALWAYS-ON form: both dedup ingesters live on a processing-time
+    * trigger — every `interval`, files appended to either store since
+    * the last trigger become that side's micro-batch. The caller owns
+    * the lifecycle (`Running.drainAndStop`); compaction is the caller's
+    * tick too (tryCoalesceLog skips cleanly if a trigger races it —
+    * StreamingDedup.compactLogs / StreamingSemanticDedup.compactLogs
+    * are safe to call between any two triggers). */
+  def start(spark: SparkSession, p: Paths,
+            interval: String = "5 minutes"): Running = {
+    import org.apache.spark.sql.streaming.Trigger
+    Running(
+      docs = StreamingDedup.start(spark, p.docs, p.sigs, p.pairs, p.docsCkpt,
+        Trigger.ProcessingTime(interval)),
+      embeddings = StreamingSemanticDedup.start(spark, p.embeddings, p.cents,
+        p.assigns, p.semPairs, p.embCkpt, Trigger.ProcessingTime(interval)))
+  }
+
   /** The unified near-dup report: every discovered pair, labeled by the
     * modality that caught it ('verbatim' = shared shingles at the
     * Jaccard threshold, 'semantic' = cosine at the d05 threshold,

@@ -73,4 +73,45 @@ class CorpusServiceSpec extends SparkSpec {
       assert(dataFiles(d) <= 4, s"$d not compacted: ${dataFiles(d)} files")
     }
   }
+
+  test("always-on corpus service ingests live appends, stops gracefully") {
+    val srcDir = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-corpsvc").toString
+    val p = CorpusService.Paths(base)
+    val docs = graft.Tables.t(spark, srcDir, "documents")
+      .select("doc_id", "text", "lang")
+    val emb = graft.Tables.t(spark, srcDir, "embeddings")
+      .select("vec_id", "embedding")
+    // Full corpus on disk before the quantizer trains and the service
+    // starts; a LIVE append lands mid-flight on the documents side.
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(p.docs)
+    emb.write.mode("append").parquet(p.embeddings)
+    CorpusService.trainQuantizer(spark, p)
+
+    val running = CorpusService.start(spark, p, interval = "1 second")
+    try {
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(p.docs)
+    } finally running.drainAndStop()
+
+    // The drain-then-stop saw BOTH document waves and all embeddings:
+    // state equals the one-shot batch operators on the full corpus.
+    assertSameRows(
+      StreamingDedup.pairsView(spark, p.pairs),
+      Extensions.lshPairs(spark, base)
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .distinct(),
+      "live-service shingle pairs vs one-shot LSH")
+    assertSameRows(
+      StreamingSemanticDedup.pairsView(spark, p.semPairs),
+      Extensions.semdedupCells(spark, base)
+        .select("vec_a", "vec_b", "cos_ppm"),
+      "live-service semantic pairs vs one-shot s05")
+
+    // A restart picks up exactly-once: nothing new → nothing re-appended.
+    val rawPairs = spark.read.parquet(p.pairs).count()
+    CorpusService.start(spark, p, interval = "1 second").drainAndStop()
+    assert(spark.read.parquet(p.pairs).count() == rawPairs,
+      "restart without new input must not re-append")
+  }
 }
