@@ -154,6 +154,14 @@ object Extensions {
     * which parquet row-group metadata answers without a data scan. */
   private val corpusCount =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Drop the memoized corpus count for `dir` — REQUIRED before
+    * re-deriving the quantizer over a corpus that has GROWN since the
+    * count was taken (the memo assumes static table dirs; a stale count
+    * silently freezes the √n stride). StreamingSemanticDedup.retrain
+    * calls this; static-testdata callers never need to. */
+  private[graft] def invalidateCorpusCount(dir: String): Unit =
+    corpusCount.remove(dir)
   private def coarseCentroids(s: SparkSession, dir: String,
                               e: DataFrame): DataFrame = {
     val n: Long = corpusCount.computeIfAbsent(dir,

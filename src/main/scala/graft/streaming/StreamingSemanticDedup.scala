@@ -57,6 +57,39 @@ object StreamingSemanticDedup {
     Extensions.trainedCentroids(spark, corpusTableDir)
       .write.mode(SaveMode.Overwrite).parquet(centDir)
 
+  /** Quantizer STALENESS story — the operational other half of offline
+    * training: as the corpus grows, the frozen centroid set drifts from
+    * the data (√n itself grows), degrading cell co-location and with it
+    * the probe's recall. `retrain` re-derives the quantizer from the
+    * CURRENT corpus (first invalidating the memoized corpus count — a
+    * stale count silently freezes the √n stride) and REBUILDS the
+    * assignment table to match, via a staged swap. Run in a quiesced
+    * window (no live trigger mid-rebuild — same single-writer contract
+    * as Warehouse.migrateLog).
+    *
+    * Epoch semantics, spec-pinned: the PAIR LOG is retained across
+    * retrains — logged pairs are exact-cosine facts, true at any
+    * quantizer ("soundness across epochs": pairsView ⊆ the exact d05
+    * pair set of the grown corpus). Completeness is per-epoch: a pair
+    * is caught when its later member arrives IF the current epoch's
+    * cells co-locate it — the same contract s05 itself carries. */
+  def retrain(spark: SparkSession, corpusTableDir: String, centDir: String,
+              assignDir: String): Unit = {
+    Extensions.invalidateCorpusCount(corpusTableDir)
+    trainQuantizer(spark, corpusTableDir, centDir)
+    val cents = spark.read.parquet(centDir)
+    val all = Extensions.quantizeFrame(
+      graft.Tables.t(spark, corpusTableDir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+    val assigned = Extensions.centroidRank(all, cents, "vec_id")
+      .filter(col("rn") <= 4)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    // Staged write + swap (replaceReport's machinery): the rebuilt table
+    // must replace the old atomically-enough that a crashed retrain
+    // leaves either the old complete table or the new one, never a mix.
+    graft.jobs.Warehouse.replaceReport(spark, assigned, assignDir)
+  }
+
   /** One micro-batch of the cycle (the unit the spec also drives):
     * batch embeddings in, verified pairs + assignments appended. */
   def processBatch(spark: SparkSession, batch: DataFrame, corpusDir: String,

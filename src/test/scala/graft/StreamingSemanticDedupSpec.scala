@@ -69,4 +69,61 @@ class StreamingSemanticDedupSpec extends SparkSpec {
     assertSameRows(StreamingSemanticDedup.pairsView(spark, pairs), oneShot,
       "pair view unchanged by compaction")
   }
+
+  test("retrain rebuilds assignments for a grown corpus; epoch semantics hold") {
+    val srcDir = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-retrain").toString
+    val corpus = s"$base/embeddings.parquet"
+    val (cent, assign, pairs, ckpt) =
+      (s"$base/cents", s"$base/assigns", s"$base/pairs", s"$base/ckpt")
+    val emb = graft.Tables.t(spark, srcDir, "embeddings")
+      .select("vec_id", "embedding")
+
+    // Epoch 1: two thirds of the corpus — train, ingest.
+    emb.filter(pmod(col("vec_id"), lit(3)) < 2)
+      .coalesce(1).write.mode("append").parquet(corpus)
+    StreamingSemanticDedup.trainQuantizer(spark, base, cent)
+    StreamingSemanticDedup.ingestAvailable(spark, corpus, cent, assign,
+      pairs, ckpt)
+
+    // The corpus grows; retrain re-derives the quantizer over the FULL
+    // corpus (memoized count invalidated — a stale count would freeze
+    // the sqrt(n) stride) and rebuilds the assignment table; then the
+    // new files ingest against the rebuilt state.
+    emb.filter(pmod(col("vec_id"), lit(3)) === 2)
+      .coalesce(1).write.mode("append").parquet(corpus)
+    StreamingSemanticDedup.retrain(spark, base, cent, assign)
+    StreamingSemanticDedup.ingestAvailable(spark, corpus, cent, assign,
+      pairs, ckpt)
+
+    // Assignment table ≡ the full-corpus top-4 assignment under the NEW
+    // quantizer (the re-ingested batch's duplicate appends collapse in
+    // the distinct view — identical rows under identical centroids).
+    val cents = spark.read.parquet(cent)
+    val expected = Extensions.centroidRank(
+        Extensions.quantizeFrame(emb), cents, "vec_id")
+      .filter(col("rn") <= 4)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    assertSameRows(StreamingSemanticDedup.assignTable(spark, assign),
+      expected, "rebuilt assignment table vs full-corpus recompute")
+
+    // Soundness ACROSS epochs: every logged pair is a true >= threshold
+    // near-dup (subset of the exact d05 pair set of the grown corpus).
+    val streamed = StreamingSemanticDedup.pairsView(spark, pairs)
+      .select("vec_a", "vec_b")
+    val exact = Extensions.dedupEmbedding(spark, base)
+      .select("vec_a", "vec_b")
+    assert(streamed.join(exact, Seq("vec_a", "vec_b"), "left_anti").count() == 0,
+      "a logged pair is not an exact near-dup — soundness broken")
+
+    // Completeness FOR THE NEW EPOCH: every one-shot s05 pair (new
+    // quantizer) whose later member arrived after the retrain must be
+    // in the log — the batch probed the rebuilt table.
+    val newEpochDue = Extensions.semdedupCells(spark, base)
+      .select("vec_a", "vec_b")
+      .filter(pmod(col("vec_a"), lit(3)) === 2 || pmod(col("vec_b"), lit(3)) === 2)
+    assert(newEpochDue.join(streamed, Seq("vec_a", "vec_b"), "left_anti")
+        .count() == 0,
+      "a new-epoch s05 pair is missing from the log — completeness broken")
+  }
 }
