@@ -45,6 +45,13 @@ object CorpusService {
   def trainQuantizer(spark: SparkSession, p: Paths): Unit =
     StreamingSemanticDedup.trainQuantizer(spark, p.base, p.cents)
 
+  /** Quantizer refresh for a GROWN corpus: re-derive the centroid set
+    * and rebuild the assignment table (StreamingSemanticDedup.retrain's
+    * epoch semantics — pair log retained, sound across epochs). Run in
+    * a quiesced window: no live trigger, no concurrent drain. */
+  def retrainQuantizer(spark: SparkSession, p: Paths): Unit =
+    StreamingSemanticDedup.retrain(spark, p.base, p.cents, p.assigns)
+
   /** Drain everything currently in both stores through both dedup
     * cycles, then compact every dedup log (no live writer remains after
     * the drains, so the compaction passes must land — `require`d).
