@@ -35,38 +35,65 @@ import org.apache.spark.sql.SparkSession
   * (override with SPARK_GRAFT_PRIOR_JSON; queries absent from it fall
   * back to the current-median-sub-second rule).
   *
-  * Output formatting is part of the contract: per-query seconds are
-  * rounded to milliseconds so the single JSON line stays small enough
-  * for tail-windowed log capture (sub-ms digits are pure noise here),
-  * and the line is the LAST stdout write. "queries" stays a flat
-  * name→median map (the shape every prior round's artifact has); min
-  * and iteration count ride in the parallel "mins" / "iters" maps.
+  * Output formatting is part of the contract — the driver captures only
+  * a ~2000-char TAIL of stdout, so the artifact layout is split:
+  *  - `BENCH_LOCAL.json` (written to the working directory) carries the
+  *    FULL result — millisecond medians plus the parallel "mins" /
+  *    "iters" maps and errors/flaky — and is what `priorTimes` prefers
+  *    next round. Stdout truncation can never cost it data.
+  *  - stdout's LAST line is the driver contract
+  *    (metric/value/unit/queries/sf) with the complete median map in
+  *    compact form (centiseconds, trailing zeros stripped; errors and
+  *    flaky only when non-empty) so it fits whole inside the tail
+  *    window — `stdoutLineFits` in BenchSpec pins the budget against
+  *    the real registered-query names.
+  *  - "mins"/"iters" print on an EARLIER stdout line: diagnostics that
+  *    may be clipped by the tail window without losing anything the
+  *    repo file doesn't already hold.
   */
 object Bench {
 
-  /** Per-query medians from the prior round's bench JSON (empty when no
-    * artifact exists — first round, or running outside the repo root).
-    * The driver's per-round artifact WRAPS this program's JSON line
+  /** Driver-side stdout capture window (chars). The final stdout line
+    * must fit inside it WHOLE, or the median map is sliced mid-entry —
+    * round 6 lost its medians exactly this way when mins/iters pushed
+    * the single line to ~5.6 KB. */
+  private[graft] val TailWindow = 2000
+
+  /** Per-query medians from the best available prior artifact (empty
+    * when none exists — first round, or running outside the repo root).
+    * Preference order: the SPARK_GRAFT_PRIOR_JSON override, then
+    * `BENCH_LOCAL.json` (this program's own full-fidelity file from the
+    * previous run — never truncated), then the highest-numbered driver
+    * artifact BENCH_r*.json. A driver artifact WRAPS the stdout tail
     * inside a JSON string field ("tail"), so every quote arrives
     * backslash-escaped — unescape before anchoring on the first
     * "queries" object (always the median map; "mins"/"iters" come
     * later). Works on the raw line, the wrapped form, and any
     * whitespace-pretty variant. */
-  private[graft] def priorTimes(): Map[String, Double] = {
-    val path = sys.env.get("SPARK_GRAFT_PRIOR_JSON").orElse {
+  private[graft] def priorTimes(dir: String = "."): Map[String, Double] = {
+    def readAll(p: String): String =
+      try new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+      catch { case _: Exception => "" }
+    val local = new java.io.File(dir, "BENCH_LOCAL.json")
+    val driverArtifact = {
       val rx = "BENCH_r(\\d+)\\.json".r
-      Option(new java.io.File(".").listFiles()).toSeq.flatten
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .flatMap(f => f.getName match {
           case rx(n) => Some(n.toInt -> f.getPath)
           case _     => None
         })
         .sortBy(_._1).lastOption.map(_._2)
     }
-    path.fold(Map.empty[String, Double])(p => parsePrior {
-      try new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
-      catch { case _: Exception => "" }
-    })
+    // First candidate whose parse yields medians wins — a present but
+    // corrupt/empty BENCH_LOCAL.json must not mask a usable driver
+    // artifact (an empty prior silently downgrades the widen rule).
+    val candidates =
+      sys.env.get("SPARK_GRAFT_PRIOR_JSON").toSeq ++
+        Option(local.getPath).filter(_ => local.isFile).toSeq ++
+        driverArtifact.toSeq
+    candidates.iterator.map(p => parsePrior(readAll(p)))
+      .find(_.nonEmpty).getOrElse(Map.empty)
   }
 
   private[graft] def parsePrior(raw: String): Map[String, Double] = {
@@ -152,13 +179,8 @@ object Bench {
       // Widen the sample before judging, keyed off the PRIOR round where
       // one exists: prior sub-second (noise-dominated) or current median
       // >1.5× prior (suspected drift — re-measure, don't re-report).
-      val widen = baseGood.nonEmpty && {
-        val m = median(baseGood)
-        prior.get(spec.name) match {
-          case Some(p) if p > 0 => p < 1.0 || m > 1.5 * p
-          case _                => m < 1.0
-        }
-      }
+      val widen = baseGood.nonEmpty &&
+        widenRule(prior.get(spec.name), median(baseGood))
       val times =
         if (widen) base ++ (1 to (subSecIters - iters)).map(_ => runOnce())
         else base
@@ -184,7 +206,74 @@ object Bench {
     val flakyJson = flaky.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = r3(results.collect { case (_, med, _, _) if med >= 0 => med }.sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"iters":$ns,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"iters":$ns,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    // Full-fidelity artifact, immune to stdout-tail truncation; next
+    // round's priorTimes reads it first.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch {
+      case e: Exception =>
+        System.err.println(s"[bench] BENCH_LOCAL.json not written: ${e.getMessage}")
+    }
+    // Diagnostics first (clipped harmlessly by the tail window), the
+    // driver-contract line LAST — and it must fit the window whole.
+    println(s"""{"mins":$mins,"iters":$ns}""")
+    println(stdoutLine(total, results.map { case (k, med, _, _) => k -> med },
+      errors, flaky, sfDir))
     spark.stop()
+  }
+
+  /** Whether a query's sample should widen past the base iteration
+    * count. Keyed off the PRIOR round's median where one exists: prior
+    * sub-second (scheduling noise is the same order as the measurement),
+    * current median sub-second (a query that got FASTER is
+    * noise-dominated now — with prior ≥1 s and median below 1.5× prior,
+    * neither prior-keyed clause would fire, reporting a 3-sample median
+    * in the exact regime the original current-median gate existed for),
+    * or current median >1.5× prior (suspected drift — re-measure, don't
+    * re-report). */
+  private[graft] def widenRule(prior: Option[Double], m: Double): Boolean =
+    prior match {
+      case Some(p) if p > 0 => p < 1.0 || m < 1.0 || m > 1.5 * p
+      case _                => m < 1.0
+    }
+
+  /** The driver-contract final stdout line. Complete median map in
+    * compact form: centisecond precision below 10 s, decisecond above
+    * (at most 4 value chars for any sane local runtime — both regimes
+    * are far inside this harness's noise band; millisecond medians live
+    * in BENCH_LOCAL.json), trailing zeros stripped, errors/flaky
+    * objects only when non-empty with error messages clipped to 60
+    * chars (full text in BENCH_LOCAL.json and on stderr — and an
+    * all-fail query is ALSO visible here as its negated median), sf as
+    * its basename. BenchSpec pins the whole line under [[TailWindow]]
+    * for the real query registry. */
+  private[graft] def stdoutLine(
+      total: Double,
+      medians: Seq[(String, Double)],
+      errors: Seq[(String, String)],
+      flaky: Seq[(String, Int)],
+      sfDir: String): String = {
+    def c2(v: Double): String = {
+      val r =
+        if (math.abs(v) < 10) math.rint(v * 100) / 100
+        else math.rint(v * 10) / 10
+      val s = java.math.BigDecimal.valueOf(r).stripTrailingZeros.toPlainString
+      if (s == "-0") "0" else s
+    }
+    val qs = medians.map { case (k, m) => "\"" + k + "\":" + c2(m) }
+      .mkString("{", ",", "}")
+    val err =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, m) => "\"" + k + "\":\"" + m.take(60) + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
+    val flk =
+      if (flaky.isEmpty) ""
+      else flaky.map { case (k, n) => "\"" + k + "\":" + n }
+        .mkString(",\"flaky\":{", ",", "}")
+    val sf = new java.io.File(sfDir).getName
+    s"""{"metric":"total","value":${c2(total)},"unit":"sec","queries":$qs$err$flk,"sf":"$sf"}"""
   }
 }

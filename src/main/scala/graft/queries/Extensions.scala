@@ -172,10 +172,32 @@ object Extensions {
   }
 
   /** One Bloom sketch broadcast per cache key (d09: dir; t16:
-    * dir + "#test8") — see contamination / corpusDecontaminated. */
+    * dir + "#test8") — see contamination / corpusDecontaminated. Keys
+    * are PREFIXED with the owning SparkContext's applicationId: a
+    * session stopped and rebuilt in the same JVM must not serve a dead
+    * context's broadcast to its executors (it fails remotely, long
+    * after the cause). */
   private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
     String,
     org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]()
+
+  private def bloomKey(s: SparkSession, key: String): String =
+    s.sparkContext.applicationId + "@@" + key
+
+  /** Drop every memoized Bloom sketch for `dir` (across contexts and
+    * the d09/t16 key variants) — REQUIRED before querying a corpus that
+    * has grown since the sketch was built: a stale sketch silently
+    * drops NEW grams below the exact join, and Bloom false negatives
+    * are MISSED CONTAMINATION (the one error class the pre-pass
+    * contract forbids). Mirror of invalidateCorpusCount; any
+    * corpus-refresh path should call both (plus invalidateAnnIndex). */
+  private[graft] def invalidateBloom(dir: String): Unit =
+    bloomCache.keySet.removeIf(k => k.split("@@", 2).last.startsWith(dir))
+
+  private[graft] def bloomCacheKeys: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    bloomCache.keySet.asScala.toSet
+  }
 
   /** The distinct (doc, split-bucket, 8-gram) frame d09 and t16 share:
     * every verbatim 8-token window of every document, tagged with the
@@ -294,47 +316,59 @@ object Extensions {
     verifiedJaccard(cand, sh, "doc_a", "doc_b")
   }
 
-  /** d04: 32-bit SimHash per document from token-frequency-weighted hash
-    * bits. All 32 signed bit-sums come out of ONE hash aggregation over the
-    * (doc, token) counts — 32 conditional-sum columns instead of a 32×
-    * row-multiplying bit cross join (same values, 1/32nd the aggregated
-    * rows and one less shuffle; at sf0.1 this was a 4× win). */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  /** Token-frequency SimHash at `bits` width (32 or 64). All signed
+    * bit-sums come out of ONE hash aggregation over the (doc, token)
+    * counts — `bits` conditional-sum columns instead of a row-multiplying
+    * bit cross join (same values, 1/bits the aggregated rows and one
+    * less shuffle; at sf0.1 this was a 4× win).
+    *
+    * Bits beyond 31 come from a SECOND salted 32-bit token hash, not a
+    * 64-bit hash: the DuckDB twin's hex→BIGINT conversion cannot carry a
+    * sign bit, and two independent md5-derived words are exactly as
+    * random as one 64-bit word. Bit 63's power-of-two is Long.MinValue —
+    * legal in two's complement on both engines (the disjoint-bit sum
+    * is a bitwise OR), but the ORACLE must write it as
+    * (-9223372036854775807 - 1): DuckDB refuses both `1 << 63` and the
+    * raw negative literal. */
+  private def simhashSig(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    require(bits == 32 || bits == 64, s"simhash width $bits")
     val tokc = tokRows(s, dir).groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("h", h32(col("tok")))
-    val bitSums = (0 until 32).map { k =>
-      sum(col("c") * (shiftright(col("h"), k) % 2 * 2 - 1)).as(s"s$k")
+      .withColumn("h0", h32(col("tok")))
+      .withColumn("h1", h32(concat(lit("w1#"), col("tok"))))
+    val bitSums = (0 until bits).map { k =>
+      val h = if (k < 32) col("h0") else col("h1")
+      sum(col("c") * (shiftright(h, k % 32) % 2 * 2 - 1)).as(s"s$k")
     }
     tokc.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(k => when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+        (0 until bits).map(k => when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
-  /** d12: SimHash near-dup PAIRS — the consumer d04's signatures exist
-    * for: document pairs within Hamming distance ≤ 3 on the 32-bit
-    * signature. Banded pigeonhole join — the d03 band pattern on bit
-    * signatures: the signature splits into 4 bytes, and hamming ≤ 3 < 4
+  /** d04: 32-bit SimHash per document (the signature table; d12 pairs at
+    * the 64-bit production width — see dedupSimhashPairs). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashSig(s, dir, 32)
+
+  /** SimHash near-dup pairs at `bits` width, Hamming radius ≤ `radius`.
+    * Banded pigeonhole join — the d03 band pattern on bit signatures:
+    * the signature splits into bits/8 bytes, and radius < #bytes
     * guarantees at least one byte is EQUAL, so candidates come from one
     * union'd byte-keyed self-join (shuffled by (band, byte) — never
     * all-pairs), verified by exact popcount of the XOR. Unlike MinHash
     * banding the pigeonhole is a certainty, not a probability: recall
-    * within the Hamming radius is exact, which is why 4-bytes-radius-3
-    * is the standard production pairing (Manku et al.'s near-duplicate
-    * web crawl setup uses the same block-permute pigeonhole).
-    *
-    * Precision honesty: a 32-bit signature is coarse — short documents
-    * drawn from one vocabulary cluster within radius 3 far more often
-    * than they share 0.8 Jaccard (725 pairs here vs d03's 33 at
-    * sf0.01), which is WHY production SimHash uses 64 bits. The bit
-    * width is d04's dial; the pairing shape is identical at any width
-    * (8 bytes → radius ≤ 7 still pigeonholes on one equal byte). */
-  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = dedupSimhash(s, dir)
-    val banded = (0 until 4).map { b =>
+    * within the Hamming radius is exact. Byte extraction is
+    * (sig >> 8k) & 255 — sign-safe at 64 bits on both engines (the
+    * arithmetic shift's sign-extension is masked off). */
+  private[graft] def simhashPairsAt(s: SparkSession, dir: String,
+                                    bits: Int, radius: Int): DataFrame = {
+    val nBands = bits / 8
+    require(radius < nBands, s"radius $radius >= $nBands bands: pigeonhole broken")
+    val sig = simhashSig(s, dir, bits)
+    val banded = (0 until nBands).map { b =>
       sig.select(lit(b).as("band"),
-        (shiftright(col("simhash"), 8 * b) % 256).as("bkey"),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bkey"),
         col("doc_id"), col("simhash"))
     }.reduce(_ unionAll _)
     val cand = banded.as("a")
@@ -346,9 +380,22 @@ object Extensions {
       .distinct()
     cand
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("int"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= radius)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** d12: SimHash near-dup PAIRS at the PRODUCTION setting — 64-bit
+    * signature, Hamming ≤ 3, 8-byte pigeonhole (Manku et al.'s
+    * near-duplicate web-crawl configuration). Round 6 shipped this at
+    * 32 bits and documented the precision cost honestly (725 pairs at
+    * sf0.01 — short same-vocabulary documents land within radius 3 of
+    * each other constantly on a coarse signature); doubling the width
+    * squares the chance-collision odds per bit and DedupSpec pins the
+    * measured effect: the 64-bit pair set is a small fraction of the
+    * 32-bit one, in line with d03's verified near-dup count. 32-bit
+    * remains available as the comparison dial (simhashPairsAt). */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsAt(s, dir, bits = 64, radius = 3)
 
   /** d05: embedding near-dup pairs by quantized cosine ≥ 0.35. Brute-force
     * all-pairs (exact baseline); s02 is the bucketed scale path. */
@@ -612,19 +659,26 @@ object Extensions {
     * recursive transitive closure over the same banded candidates, so
     * both sides compute the component minimum exactly, whatever the
     * component diameter). */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    // Materialize the verified pair graph ONCE (eager localCheckpoint)
-    // before handing it to the fixpoint: connectedComponents references
-    // `pairs` in both union orientations, and every downstream stage of
-    // the terminal composition (d07's left join, t13's semi-joins) would
-    // otherwise carry the full shingle → signature → banded-join →
-    // exact-verify chain in its lineage and re-derive it per reference —
-    // at sf0.1 that made d06 cost 2.6× d03 (7.8 s vs 3.0 s) for a loop
-    // over a few-hundred-row graph. The pair frame itself is tiny (one
-    // row per verified near-dup pair), so the checkpoint is cheap at any
-    // corpus size; its blocks are freed once the component labels (their
-    // own checkpoint) exist.
-    val pairs = lshPairs(s, dir).localCheckpoint()
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterPairs(lshPairs(s, dir))
+
+  /** d06's resolution at FRAME grain — cluster an arbitrary (doc_a,
+    * doc_b) pair frame; streaming callers hand in their accumulated
+    * pair log (CorpusService.refreshCanonicalCorpus), the batch path
+    * hands in lshPairs.
+    *
+    * Materializes the pair frame ONCE (eager localCheckpoint) before
+    * the fixpoint: connectedComponents references it in both union
+    * orientations, and every downstream stage of the terminal
+    * composition (d07's left join, t13's semi-joins) would otherwise
+    * carry the full candidate-generation chain in its lineage and
+    * re-derive it per reference — at sf0.1 that made d06 cost 2.6× d03
+    * (7.8 s vs 3.0 s) for a loop over a few-hundred-row graph. The pair
+    * frame itself is tiny (one row per verified near-dup pair), so the
+    * checkpoint is cheap at any corpus size; its blocks are freed once
+    * the component labels (their own checkpoint) exist. */
+  private[graft] def clusterPairs(pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.select("doc_a", "doc_b").localCheckpoint()
     val out = connectedComponents(pairs)
     freeCkpt(pairs)
     out
@@ -721,6 +775,111 @@ object Extensions {
       .filter(col("prn") <= 100)
       .select("query_id", "neighbor_id")
     // Exact rerank at the doubly-pruned candidate grain.
+    val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    cand.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_ppm", "rank")
+  }
+
+  /** Materialized ANN index locations, one per corpus dir (built once
+    * per JVM; the build is the offline indexing job, the queries read).
+    * Mirror of the corpusCount/bloomCache memos, with the same
+    * invalidation contract for corpora that grow. */
+  private val annIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop the memoized index for `dir` — REQUIRED before querying a
+    * corpus that has grown since the index was built (a stale index
+    * silently misses every vector ingested after the build; same
+    * staleness contract as invalidateCorpusCount/invalidateBloom). */
+  private[graft] def invalidateAnnIndex(dir: String): Unit =
+    annIndexCache.remove(dir)
+
+  /** s08's storage half: materialize the IVF index as a warehouse
+    * layout — one row per corpus vector holding its 32-dim prefix `qp`,
+    * prefix norm `sp`, and full norm `s2`, hive-partitioned by the
+    * vector's nearest-centroid `cell`. This is the engine's analogue of
+    * the reference's ORDER-BY-key read locality
+    * (initial_load_generate_postgres_data.py:98,109,119): the linear
+    * assignment work s03/s07 re-derive per invocation becomes storage,
+    * and an ANN query reads |probed cells| / |cells| of the index files
+    * via partition pruning instead of scanning and re-assigning the
+    * corpus. Full vectors are NOT in the index — the rerank fetches
+    * them by key join, so index bytes stay half the corpus bytes. */
+  private[graft] def buildAnnIndex(s: SparkSession, dir: String,
+                                   path: String): Unit = {
+    val e = quantized(s, dir)
+    val cents = coarseCentroids(s, dir, e)
+    val assigned = centroidRank(e, cents, "vec_id")
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val pfx = e.select(col("vec_id"), expr("slice(q, 1, 32)").as("qp"),
+        col("s2"))
+      .withColumn("sp", DotI64(col("qp"), col("qp")))
+    assigned.join(pfx, "vec_id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  private def annIndex(s: SparkSession, dir: String): DataFrame = {
+    val path = annIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-annidx")
+        .toFile.getAbsolutePath
+      buildAnnIndex(s, dir, p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** s08: ANN served off the STORED index — semantically ≡ s07 (same
+    * probes, same prefix cut, same exact rerank; AnnIndexSpec pins the
+    * outputs identical), but the corpus-wide cell assignment is READ,
+    * not recomputed. The probe→index join is on the index's hive
+    * partition column, so Catalyst inserts a dynamic partition-pruning
+    * filter on the index scan (PlanSpec pins it): only probed cells'
+    * files are opened — at 100 TB an ANN query touches
+    * |probes|/|cells| ≈ 12/√n of the index, reads prefix bytes only,
+    * and fetches ~100 full vectors per query by key join. The once-per-
+    * corpus build is the offline indexing job every IVF system runs;
+    * queries amortize it. */
+  def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val idx = annIndex(s, dir)
+    val e = quantized(s, dir)
+    val cents = coarseCentroids(s, dir, e)
+    // Hive partition values round-trip through directory names; cast the
+    // probe side to the scan's inferred type so the join key is the bare
+    // partition attribute (a cast on the scan side would defeat pruning).
+    val cellT = idx.schema(idx.schema.fieldIndex("cell")).dataType
+    val probes = centroidRank(e.filter(col("vec_id") < 10), cents, "vec_id")
+      .filter(col("rn") <= 12)
+      .select(col("vec_id").as("query_id"),
+        col("cent_id").cast(cellT).as("cell"))
+    // Candidate generation reads the index: neighbor prefixes and norms
+    // come from the pruned index rows, not a corpus scan.
+    val qp = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), expr("slice(q, 1, 32)").as("qpa"))
+      .withColumn("spa", DotI64(col("qpa"), col("qpa")))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id").asc)
+    val cand = idx.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qp").as("qpb"), col("sp").as("spb"))
+      .join(broadcast(qp), "query_id")
+      .withColumn("pdot", DotI64(col("qpa"), col("qpb")))
+      .withColumn("pcos",
+        floor(col("pdot") / (sqrt(col("spa")) * sqrt(col("spb")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= 100)
+      .select("query_id", "neighbor_id")
+    // Exact rerank at the doubly-pruned grain: full vectors by key join.
     val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
     val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
     val w = Window.partitionBy(col("query_id"))
@@ -959,8 +1118,18 @@ object Extensions {
     * keep/drop decision. This is the row-level operator a pipeline
     * actually applies before training; d01–d06 are its machinery. */
   def canonicalCorpus(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), col("lang"))
-      .join(dedupClusters(s, dir), Seq("doc_id"), "left")
+    canonicalResolution(docs(s, dir).select(col("doc_id"), col("lang")),
+      dedupClusters(s, dir))
+
+  /** d07's keep/drop rule at FRAME grain: docs ⟕ cluster labels, keep a
+    * doc iff it is its component's minimum (docs in no pair are their
+    * own canonical). Shared with the streamed canonical-corpus artifact
+    * (CorpusService.refreshCanonicalCorpus) so both resolutions are the
+    * same code path by construction. */
+  private[graft] def canonicalResolution(docsIdLang: DataFrame,
+                                         labels: DataFrame): DataFrame =
+    docsIdLang
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
       .withColumn("is_kept",
@@ -1009,7 +1178,7 @@ object Extensions {
   def corpusDecontaminated(s: SparkSession, dir: String): DataFrame = {
     val g = grams8(s, dir)
     val testGrams = g.filter(col("bucket") >= 90).select("gram").distinct()
-    val bloomB = bloomCache.computeIfAbsent(dir + "#test8", { _ =>
+    val bloomB = bloomCache.computeIfAbsent(bloomKey(s, dir + "#test8"), { _ =>
       testGrams.persist()
       val bloom = try {
         val n = testGrams.count()
@@ -1161,7 +1330,7 @@ object Extensions {
     // actions over the persisted train grams, then the cache releases —
     // the returned plan's exact join recomputes trainGrams once, as it
     // did before the pre-pass.
-    val bloomB = bloomCache.computeIfAbsent(dir, { _ =>
+    val bloomB = bloomCache.computeIfAbsent(bloomKey(s, dir), { _ =>
       trainGrams.persist()
       val bloom = try {
         val n = trainGrams.count()
@@ -1435,6 +1604,73 @@ object Extensions {
       |sq AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS s2 FROM ev GROUP BY 1)
       |""".stripMargin
 
+  /** The IVF ∘ prefix oracle, shared by s07 (assignment recomputed per
+    * invocation) and s08 (assignment read from the materialized index):
+    * the two strategies answer the same query and must agree
+    * row-for-row, so one SQL text serves both. */
+  private val ivfPrefixOracle: String = embCtes + ", " + centsCte +
+    """adots AS (
+      |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
+      |  GROUP BY 1, 2),
+      |ascore AS (
+      |  SELECT d.vec_id, d.cent_id,
+      |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+      |  FROM adots d
+      |  JOIN sq x ON x.vec_id = d.vec_id
+      |  JOIN sq y ON y.vec_id = d.cent_id),
+      |assigned AS (
+      |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+      |    FROM ascore) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+      |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 12),
+      |ccand AS (
+      |  SELECT DISTINCT p.query_id, a.neighbor_id
+      |  FROM probes p JOIN assigned a ON a.cell = p.cell
+      |  WHERE a.neighbor_id <> p.query_id),
+      |psq AS (
+      |  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS sp
+      |  FROM ev WHERE i <= 32 GROUP BY 1),
+      |pdots AS (
+      |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS pdot
+      |  FROM ccand c
+      |  JOIN ev a ON a.vec_id = c.query_id AND a.i <= 32
+      |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+      |  GROUP BY 1, 2),
+      |pscored AS (
+      |  SELECT d.query_id, d.neighbor_id,
+      |         CAST(floor(d.pdot / (sqrt(x.sp) * sqrt(y.sp)) * 1000000 + 0.5) AS BIGINT) AS pcos
+      |  FROM pdots d
+      |  JOIN psq x ON x.vec_id = d.query_id
+      |  JOIN psq y ON y.vec_id = d.neighbor_id),
+      |cand AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |                ORDER BY pcos DESC, neighbor_id) AS prn
+      |    FROM pscored) t WHERE prn <= 100),
+      |cdots AS (
+      |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      |  FROM cand c
+      |  JOIN ev a ON a.vec_id = c.query_id
+      |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.query_id, d.neighbor_id,
+      |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+      |  FROM cdots d
+      |  JOIN sq x ON x.vec_id = d.query_id
+      |  JOIN sq y ON y.vec_id = d.neighbor_id)
+      |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5""".stripMargin
+
   // ------------------------------------------------------------------- specs
 
   val specs: Seq[QuerySpec] = Seq(
@@ -1697,24 +1933,34 @@ object Extensions {
         |JOIN quality q ON q.doc_id = d.doc_id
         |GROUP BY 1, 2""".stripMargin)),
 
+    // 64-bit twin of d04's 32-bit signature SQL: bits 32..63 from the
+    // salted second hash; bit 63's power-of-two spelled as INT64 min
+    // (DuckDB refuses both `1 << 63` and the raw negative literal); byte
+    // keys via (sig >> 8k) & 255, which is sign-safe where the 32-bit
+    // form's `// 2^8k % 256` would diverge on negative signatures
+    // (integer division truncates toward zero, the shift toward -inf).
     QuerySpec("d12_simhash_pairs", dedupSimhashPairs, Some(docCtes +
       """, tokc AS (
         |  SELECT doc_id, tok, count(*) AS c,
-        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h0,
+        |         ('0x' || substr(md5('w1#' || tok), 1, 8))::BIGINT AS h1
         |  FROM tokrows GROUP BY doc_id, tok),
         |bitsum AS (
-        |  SELECT doc_id, bit, (1::BIGINT << CAST(bit AS INT)) AS p2,
-        |         SUM(c * (2 * ((h // (1::BIGINT << CAST(bit AS INT))) % 2) - 1)) AS sgn
-        |  FROM tokc, UNNEST(range(0, 32)) u(bit) GROUP BY 1, 2, 3),
+        |  SELECT doc_id, bit,
+        |         CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)
+        |              ELSE (1::BIGINT << CAST(bit AS INT)) END AS p2,
+        |         SUM(c * (2 * (((CASE WHEN bit < 32 THEN h0 ELSE h1 END)
+        |                        // (1::BIGINT << CAST(bit % 32 AS INT))) % 2) - 1)) AS sgn
+        |  FROM tokc, UNNEST(range(0, 64)) u(bit) GROUP BY 1, 2, 3),
         |sigs AS (
         |  SELECT doc_id,
         |         CAST(SUM(CASE WHEN sgn > 0 THEN p2 ELSE 0 END) AS BIGINT) AS simhash
         |  FROM bitsum GROUP BY 1),
         |banded AS (
         |  SELECT b.band,
-        |         (s.simhash // (1::BIGINT << CAST(8 * b.band AS INT))) % 256 AS bkey,
+        |         ((s.simhash >> CAST(8 * b.band AS INT)) & 255) AS bkey,
         |         s.doc_id, s.simhash
-        |  FROM sigs s, UNNEST(range(0, 4)) b(band)),
+        |  FROM sigs s, UNNEST(range(0, 8)) b(band)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         a.simhash AS sig_a, b.simhash AS sig_b
@@ -1950,68 +2196,12 @@ object Extensions {
         |  FROM scored) t
         |WHERE rank <= 5""".stripMargin)),
 
-    QuerySpec("s07_ann_ivf_prefix", annIvfPrefix, Some(embCtes + ", " + centsCte +
-      """adots AS (
-        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
-        |  GROUP BY 1, 2),
-        |ascore AS (
-        |  SELECT d.vec_id, d.cent_id,
-        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM adots d
-        |  JOIN sq x ON x.vec_id = d.vec_id
-        |  JOIN sq y ON y.vec_id = d.cent_id),
-        |assigned AS (
-        |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore) t WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 12),
-        |ccand AS (
-        |  SELECT DISTINCT p.query_id, a.neighbor_id
-        |  FROM probes p JOIN assigned a ON a.cell = p.cell
-        |  WHERE a.neighbor_id <> p.query_id),
-        |psq AS (
-        |  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS sp
-        |  FROM ev WHERE i <= 32 GROUP BY 1),
-        |pdots AS (
-        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS pdot
-        |  FROM ccand c
-        |  JOIN ev a ON a.vec_id = c.query_id AND a.i <= 32
-        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
-        |  GROUP BY 1, 2),
-        |pscored AS (
-        |  SELECT d.query_id, d.neighbor_id,
-        |         CAST(floor(d.pdot / (sqrt(x.sp) * sqrt(y.sp)) * 1000000 + 0.5) AS BIGINT) AS pcos
-        |  FROM pdots d
-        |  JOIN psq x ON x.vec_id = d.query_id
-        |  JOIN psq y ON y.vec_id = d.neighbor_id),
-        |cand AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |                ORDER BY pcos DESC, neighbor_id) AS prn
-        |    FROM pscored) t WHERE prn <= 100),
-        |cdots AS (
-        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM cand c
-        |  JOIN ev a ON a.vec_id = c.query_id
-        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
-        |  GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT d.query_id, d.neighbor_id,
-        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM cdots d
-        |  JOIN sq x ON x.vec_id = d.query_id
-        |  JOIN sq y ON y.vec_id = d.neighbor_id)
-        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 5""".stripMargin)),
+    QuerySpec("s07_ann_ivf_prefix", annIvfPrefix, Some(ivfPrefixOracle)),
+
+    // s08 answers the SAME query as s07 from the materialized index —
+    // one oracle text, two engine-side strategies that must agree
+    // row-for-row (AnnIndexSpec pins the frames identical too).
+    QuerySpec("s08_ann_ivf_indexed", annIvfIndexed, Some(ivfPrefixOracle)),
 
     QuerySpec("d09_contamination", contamination, Some(
       """WITH d AS (

@@ -37,20 +37,73 @@ object CorpusService {
     val assigns = s"$base/dedup/assigns"
     val semPairs = s"$base/dedup/sem_pairs"
     val embCkpt = s"$base/ckpt/emb_dedup"
+    /** Corpus size at quantizer training — the growth trigger's anchor. */
+    val quantMeta = s"$base/dedup/quant_meta"
+    /** The maintained canonical-corpus artifact (streamed d07). */
+    val canon = s"$base/dedup/canonical"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
-    * quantizer from the current corpus. Run before the first embedding
-    * drain; the stream only reads the result. */
-  def trainQuantizer(spark: SparkSession, p: Paths): Unit =
+    * quantizer from the current corpus, recording the corpus size it
+    * was trained at (maybeRetrain's growth anchor). Run before the
+    * first embedding drain; the stream only reads the result. */
+  def trainQuantizer(spark: SparkSession, p: Paths): Unit = {
     StreamingSemanticDedup.trainQuantizer(spark, p.base, p.cents)
+    recordTrainedCount(spark, p)
+  }
 
   /** Quantizer refresh for a GROWN corpus: re-derive the centroid set
     * and rebuild the assignment table (StreamingSemanticDedup.retrain's
-    * epoch semantics — pair log retained, sound across epochs). Run in
+    * epoch semantics — pair log retained, sound across epochs), then
+    * drop every batch-side memo for the corpus dir (count, Bloom
+    * sketches, ANN index — all keyed to the pre-growth corpus). Run in
     * a quiesced window: no live trigger, no concurrent drain. */
-  def retrainQuantizer(spark: SparkSession, p: Paths): Unit =
+  def retrainQuantizer(spark: SparkSession, p: Paths): Unit = {
     StreamingSemanticDedup.retrain(spark, p.base, p.cents, p.assigns)
+    graft.queries.Extensions.invalidateBloom(p.base)
+    graft.queries.Extensions.invalidateAnnIndex(p.base)
+    recordTrainedCount(spark, p)
+  }
+
+  private def embeddingCount(spark: SparkSession, p: Paths): Long =
+    graft.Tables.t(spark, p.base, "embeddings")
+      .select(col("vec_id")).count()
+
+  private def recordTrainedCount(spark: SparkSession, p: Paths): Unit = {
+    import spark.implicits._
+    Seq(embeddingCount(spark, p)).toDF("trained_count")
+      .coalesce(1).write.mode("overwrite").parquet(p.quantMeta)
+  }
+
+  private[graft] def trainedCount(spark: SparkSession, p: Paths): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(p.quantMeta)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else Some(spark.read.parquet(p.quantMeta).head.getLong(0))
+  }
+
+  /** The growth-keyed retrain trigger — the piece that closes the
+    * quantizer-staleness loop for the always-on form: when the
+    * embedding corpus has grown to ≥ `factor`× the size the quantizer
+    * was trained at, quiesce both ingesters, retrain (epoch semantics —
+    * the pair log stays sound; completeness restarts on the new cells),
+    * and resume on the same checkpoints. Below the threshold it is a
+    * metadata count + one parquet-row read — cheap enough to call on
+    * the compaction cadence (cf. runScheduled's compactEvery ticks).
+    * Returns the possibly-new handle; callers must adopt it. */
+  def maybeRetrain(spark: SparkSession, p: Paths, r: Running,
+                   factor: Double = 2.0,
+                   interval: String = "5 minutes"): Running = {
+    val grown = trainedCount(spark, p).exists { trained =>
+      trained > 0 && embeddingCount(spark, p) >= factor * trained
+    }
+    if (!grown) r
+    else {
+      r.drainAndStop()
+      retrainQuantizer(spark, p)
+      start(spark, p, interval)
+    }
+  }
 
   /** Drain everything currently in both stores through both dedup
     * cycles, then compact every dedup log (no live writer remains after
@@ -58,7 +111,8 @@ object CorpusService {
     * `maxFilesPerTrigger` bounds micro-batch size for backlogs. */
   def drainAvailable(spark: SparkSession, p: Paths,
                      maxFilesPerTrigger: Option[Int] = None,
-                     compact: Boolean = true): Unit = {
+                     compact: Boolean = true,
+                     canonical: Boolean = true): Unit = {
     StreamingDedup.ingestAvailable(spark, p.docs, p.sigs, p.pairs, p.docsCkpt)
     StreamingSemanticDedup.ingestAvailable(spark, p.embeddings, p.cents,
       p.assigns, p.semPairs, p.embCkpt, maxFilesPerTrigger)
@@ -68,7 +122,48 @@ object CorpusService {
       require(StreamingSemanticDedup.compactLogs(spark, p.assigns, p.semPairs),
         "corpus service: semantic dedup logs failed to compact post-drain")
     }
+    if (canonical) refreshCanonicalCorpus(spark, p)
   }
+
+  /** The MAINTAINED canonical-corpus artifact — the streaming twin of
+    * d07's resolution: the accumulated verbatim pair log clusters
+    * (connected components) and resolves to keep/drop, materialized at
+    * `p.canon` via a staged swap so readers never see a half-written
+    * table. drainAvailable refreshes it per drain; always-on callers
+    * refresh on their own cadence (the pair log is a point-in-time
+    * snapshot either way). Because the streamed pair log ≡ the one-shot
+    * LSH pair set (CorpusServiceSpec) and the resolution is the SAME
+    * code path as d07 (Extensions.canonicalResolution), the artifact
+    * after any wave sequence equals one-shot canonicalCorpus on the
+    * final corpus — and t13's materialization over it follows.
+    *
+    * Scale: the pair log is collision-grain (≪ corpus), the CC loop is
+    * label-grain, and the only corpus-wide touch is the (doc_id, lang)
+    * projection — one narrow scan per refresh. */
+  def refreshCanonicalCorpus(spark: SparkSession, p: Paths): Unit = {
+    val pairsPath = new org.apache.hadoop.fs.Path(p.pairs)
+    val fs = pairsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val labels =
+      if (!fs.exists(pairsPath))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cluster_id",
+              org.apache.spark.sql.types.LongType))))
+      else graft.queries.Extensions.clusterPairs(
+        StreamingDedup.pairsView(spark, p.pairs))
+    val canon = graft.queries.Extensions.canonicalResolution(
+      graft.Tables.t(spark, p.base, "documents")
+        .select(col("doc_id"), col("lang")),
+      labels)
+    graft.jobs.Warehouse.replaceReport(spark, canon, p.canon)
+  }
+
+  /** Read the maintained artifact (refreshCanonicalCorpus's output). */
+  def canonicalCorpusView(spark: SparkSession, p: Paths): DataFrame =
+    spark.read.parquet(p.canon)
 
   /** The two live ingest queries of an always-on corpus service. */
   final case class Running(
@@ -91,10 +186,21 @@ object CorpusService {
   /** ALWAYS-ON form: both dedup ingesters live on a processing-time
     * trigger — every `interval`, files appended to either store since
     * the last trigger become that side's micro-batch. The caller owns
-    * the lifecycle (`Running.drainAndStop`); compaction is the caller's
-    * tick too (tryCoalesceLog skips cleanly if a trigger races it —
-    * StreamingDedup.compactLogs / StreamingSemanticDedup.compactLogs
-    * are safe to call between any two triggers). */
+    * the lifecycle (`Running.drainAndStop`).
+    *
+    * Compaction is NOT safe against live triggers here — use
+    * [[compactQuiesced]]. The staged-swap guard narrows the race to one
+    * filesystem round-trip but cannot close it (guardedRewrite's
+    * documented residual window): an ingester appending to the
+    * ASSIGNMENT log between the re-fingerprint and the rename would be
+    * silently lost — and unlike a dropped pair row (re-discoverable),
+    * a dropped assignment permanently costs every FUTURE pair that cell
+    * membership would have caught. The delete+rename swap can also
+    * leave a mid-planning micro-batch read (assignTable / pairsView)
+    * staring at a missing directory. jobs.Main.runService accepts the
+    * same race on its streamed DAILY logs deliberately — those rows are
+    * idempotently re-derivable from the source log; the dedup state
+    * tables are not. */
   def start(spark: SparkSession, p: Paths,
             interval: String = "5 minutes"): Running = {
     import org.apache.spark.sql.streaming.Trigger
@@ -103,6 +209,22 @@ object CorpusService {
         Trigger.ProcessingTime(interval)),
       embeddings = StreamingSemanticDedup.start(spark, p.embeddings, p.cents,
         p.assigns, p.semPairs, p.embCkpt, Trigger.ProcessingTime(interval)))
+  }
+
+  /** Compaction point for the always-on form: quiesce both ingesters
+    * (drain + stop), compact every dedup log — with no live writer the
+    * guarded swaps must land, so failures are `require`d loud — and
+    * restart on the same checkpoints. Periodic compaction of an
+    * always-on service = periodic calls of this, at whatever cadence
+    * the log file counts warrant (cf. runScheduled's compactEvery). */
+  def compactQuiesced(spark: SparkSession, p: Paths, r: Running,
+                      interval: String = "5 minutes"): Running = {
+    r.drainAndStop()
+    require(StreamingDedup.compactLogs(spark, p.sigs, p.pairs),
+      "corpus service: shingle dedup logs failed to compact while quiesced")
+    require(StreamingSemanticDedup.compactLogs(spark, p.assigns, p.semPairs),
+      "corpus service: semantic dedup logs failed to compact while quiesced")
+    start(spark, p, interval)
   }
 
   /** The unified near-dup report: every discovered pair, labeled by the
@@ -124,9 +246,17 @@ object CorpusService {
         .join(m.select(col("vec_id").as("vec_b"), col("doc_id").as("db")), "vec_b")
         .select(col("da").as("vec_a"), col("db").as("vec_b"), col("cos_ppm"))
     }
+    // A many-to-one semIdMap can send two vec_ids of the SAME document
+    // into one pair (doc_a = doc_b after mapping — a self-pair, not a
+    // duplicate) and several embedding pairs onto one doc pair; both
+    // must collapse here or the report's each-pair-once property only
+    // holds for the identity mapping (CorpusServiceSpec pins the
+    // many-to-one case).
     val semantic = sem0
       .select(least(col("vec_a"), col("vec_b")).as("doc_a"),
         greatest(col("vec_a"), col("vec_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
       .withColumn("semantic", lit(true))
     verbatim.join(semantic, Seq("doc_a", "doc_b"), "full_outer")
       .select(col("doc_a"), col("doc_b"),

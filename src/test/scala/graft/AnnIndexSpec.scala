@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.Extensions
+
+/** The materialized ANN index (s08) must be a pure STORAGE change:
+  * same probes, same prefix cut, same exact rerank as s07 — only where
+  * the corpus-wide cell assignment comes from differs (read vs
+  * recomputed). Row-for-row equality pins that; if it holds, s08
+  * inherits s07's measured recall (0.640 on sf0.01) by construction.
+  * The partition-pruning shape of the index scan is pinned in PlanSpec. */
+class AnnIndexSpec extends SparkSpec {
+
+  test("s08 (indexed) ≡ s07 (recomputed) row-for-row (sf0.001)") {
+    val dir = sf("sf0.001")
+    Extensions.invalidateAnnIndex(dir)
+    assertSameRows(
+      Extensions.annIvfPrefix(spark, dir),
+      Extensions.annIvfIndexed(spark, dir),
+      "s08 vs s07 at sf0.001")
+  }
+
+  test("s08 (indexed) ≡ s07 (recomputed) row-for-row (sf0.01)") {
+    val dir = sf("sf0.01")
+    Extensions.invalidateAnnIndex(dir)
+    assertSameRows(
+      Extensions.annIvfPrefix(spark, dir),
+      Extensions.annIvfIndexed(spark, dir),
+      "s08 vs s07 at sf0.01")
+  }
+
+  test("invalidateAnnIndex + invalidateCorpusCount rebuild sees corpus growth") {
+    // Grow a copy of the corpus after the index is built, then exercise
+    // the documented refresh contract (both memos dropped before
+    // querying a grown corpus): the rebuilt index must contain the new
+    // vectors. Each appended vector is an exact copy of an original at
+    // a shifted id, so post-growth the true top-5 of every query
+    // CONTAINS shifted ids (cos = 1.0 with the twin) — their absence
+    // would prove the rebuild served stale assignments.
+    val src = sf("sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-anngrow").toString
+    val emb = Tables.t(spark, src, "embeddings")
+    emb.write.parquet(s"$dir/embeddings.parquet")
+    Extensions.invalidateAnnIndex(dir)
+    val before = Extensions.annIvfIndexed(spark, dir).count()
+    emb.withColumn("vec_id",
+        org.apache.spark.sql.functions.col("vec_id") + 100000)
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    Extensions.invalidateAnnIndex(dir)
+    Extensions.invalidateCorpusCount(dir)
+    val grownDf = Extensions.annIvfIndexed(spark, dir)
+    assert(grownDf.count() == before,
+      "top-5-per-query grain changed across the rebuild")
+    val shifted = grownDf
+      .filter(org.apache.spark.sql.functions.col("neighbor_id") >= 100000)
+      .count()
+    assert(shifted > 0,
+      "rebuilt index returned no post-growth neighbors — rebuild is stale")
+  }
+}

@@ -36,4 +36,81 @@ class BenchSpec extends AnyFunSuite {
     val line = """{"queries":{"a":2.0},"mins":{"a":1.0},"iters":{"a":7}}"""
     assert(Bench.parsePrior(line) == Map("a" -> 2.0))
   }
+
+  // --- round-7 layout: the final stdout line must survive the driver's
+  // tail-window capture WHOLE, and BENCH_LOCAL.json is the preferred,
+  // truncation-immune prior. ---
+
+  /** The real registered names at the widest value c2 emits for any
+    * sane local runtime: "9.99" and "99.9" are both 4 chars (the
+    * adaptive precision caps value width at 4 up to 999.9 s/query). */
+  private def worstCaseLine: String =
+    Bench.stdoutLine(
+      total = 999.9,
+      medians = SparkEntry.specs.zipWithIndex.map { case (s, i) =>
+        s.name -> (if (i % 2 == 0) 9.99 else 99.94)
+      },
+      errors = Nil, flaky = Nil,
+      sfDir = "/root/testdata/sf0.1")
+
+  test("final stdout line fits the driver tail window for the REAL registry") {
+    val line = worstCaseLine
+    // Hard bound plus explicit headroom: each future query costs ~30
+    // chars, so demand room for at least two more before this pin
+    // forces the layout to shrink again.
+    assert(line.length < Bench.TailWindow - 60,
+      s"stdout line ${line.length} chars >= ${Bench.TailWindow - 60}: the " +
+        "median map is at risk of being sliced by the driver capture")
+    // and it still carries every median
+    assert(Bench.parsePrior(line).keySet == SparkEntry.specs.map(_.name).toSet)
+  }
+
+  test("all medians survive a driver-style wrap + 2000-char tail truncation") {
+    val line = worstCaseLine
+    // The driver keeps the LAST TailWindow chars of stdout (an earlier
+    // diagnostics line may precede the final line), escapes quotes, and
+    // embeds them in a "tail" string field.
+    val stdout = "{\"mins\":{\"x\":1.0}}\n" + line + "\n"
+    val tail = stdout.takeRight(Bench.TailWindow)
+    val wrapped =
+      s"""{"n": 7, "rc": 0, "tail": "${tail.replace("\"", "\\\"").replace("\n", " ")}", "parsed": null}"""
+    assert(Bench.parsePrior(wrapped).keySet ==
+      SparkEntry.specs.map(_.name).toSet)
+  }
+
+  test("compact medians keep centisecond precision and strip zeros") {
+    val line = Bench.stdoutLine(1.5, Seq("a" -> 0.279, "b" -> 1.5, "c" -> 12.0),
+      Nil, Nil, "/x/sf0.1")
+    assert(line.contains("\"a\":0.28"))
+    assert(line.contains("\"b\":1.5"))
+    assert(line.contains("\"c\":12"))
+    assert(!line.contains("errors") && !line.contains("flaky"))
+    assert(line.contains("\"sf\":\"sf0.1\""))
+    val withErr = Bench.stdoutLine(1.5, Seq("a" -> 1.0),
+      Seq("b" -> "boom"), Seq("c" -> 2), "/x/sf0.1")
+    assert(withErr.contains("\"errors\":{\"b\":\"boom\"}"))
+    assert(withErr.contains("\"flaky\":{\"c\":2}"))
+  }
+
+  test("priorTimes prefers BENCH_LOCAL.json over the driver artifact") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    def put(name: String, body: String): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        body.getBytes("UTF-8"))
+    put("BENCH_r98.json", """{"tail": "\"queries\":{\"a\":9.0}", "parsed": null}""")
+    put("BENCH_LOCAL.json", """{"metric":"total","value":1,"unit":"sec","queries":{"a":1.25,"b":0.5},"mins":{"a":1.1},"sf":"x"}""")
+    assert(Bench.priorTimes(dir.getPath) == Map("a" -> 1.25, "b" -> 0.5))
+    // a corrupt/empty local file must NOT mask the driver artifact
+    put("BENCH_LOCAL.json", "not json at all")
+    assert(Bench.priorTimes(dir.getPath) == Map("a" -> 9.0))
+  }
+
+  test("widen rule fires on prior-sub-second, got-faster, and drift") {
+    assert(Bench.widenRule(Some(0.5), 0.6))   // prior sub-second
+    assert(Bench.widenRule(Some(2.0), 0.7))   // got faster: now noise-dominated
+    assert(Bench.widenRule(Some(2.0), 3.5))   // drift: >1.5x prior
+    assert(!Bench.widenRule(Some(2.0), 2.2))  // steady multi-second: base iters
+    assert(Bench.widenRule(None, 0.8))        // no prior: current-median gate
+    assert(!Bench.widenRule(None, 1.8))
+  }
 }

@@ -72,6 +72,15 @@ class CorpusServiceSpec extends SparkSpec {
     Seq(p.sigs, p.pairs, p.assigns, p.semPairs).foreach { d =>
       assert(dataFiles(d) <= 4, s"$d not compacted: ${dataFiles(d)} files")
     }
+
+    // The MAINTAINED canonical-corpus artifact (refreshed per drain) ≡
+    // the one-shot d07 resolution on the final corpus. t13's
+    // materialization equality follows: it consumes d07's kept set,
+    // which this equality pins row-for-row.
+    assertSameRows(
+      CorpusService.canonicalCorpusView(spark, p),
+      Extensions.canonicalCorpus(spark, base),
+      "maintained canonical artifact vs one-shot d07")
   }
 
   test("always-on corpus service ingests live appends, stops gracefully") {
@@ -89,9 +98,23 @@ class CorpusServiceSpec extends SparkSpec {
     CorpusService.trainQuantizer(spark, p)
 
     val running = CorpusService.start(spark, p, interval = "1 second")
-    try {
-      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(p.docs)
-    } finally running.drainAndStop()
+    // A live append lands, then the QUIESCED compaction cycle runs: the
+    // only compaction point the always-on form documents as safe
+    // (drain + stop → guarded swaps must land → restart).
+    val running2 =
+      try {
+        docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(p.docs)
+        CorpusService.compactQuiesced(spark, p, running, interval = "1 second")
+      } catch { case e: Throwable => running.drainAndStop(); throw e }
+    running2.drainAndStop()
+
+    // The quiesced compaction bounded every log's file count even with
+    // the service logically "always on" around it.
+    def dataFiles(dir: String): Int = new java.io.File(dir)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    Seq(p.sigs, p.pairs, p.assigns, p.semPairs).foreach { d =>
+      assert(dataFiles(d) <= 4, s"$d not compacted: ${dataFiles(d)} files")
+    }
 
     // The drain-then-stop saw BOTH document waves and all embeddings:
     // state equals the one-shot batch operators on the full corpus.
@@ -113,5 +136,110 @@ class CorpusServiceSpec extends SparkSpec {
     CorpusService.start(spark, p, interval = "1 second").drainAndStop()
     assert(spark.read.parquet(p.pairs).count() == rawPairs,
       "restart without new input must not re-append")
+  }
+
+  test("growth-keyed maybeRetrain quiesces, retrains, and resumes") {
+    val srcDir = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-svcgrow").toString
+    val p = CorpusService.Paths(base)
+    val docs = graft.Tables.t(spark, srcDir, "documents")
+      .select("doc_id", "text", "lang")
+    val emb = graft.Tables.t(spark, srcDir, "embeddings")
+      .select("vec_id", "embedding")
+    def wave(k: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === k)
+
+    // Epoch 1: a third of the embeddings — train (records the growth
+    // anchor), start the always-on service.
+    docs.write.mode("append").parquet(p.docs)
+    wave(0).coalesce(1).write.mode("append").parquet(p.embeddings)
+    CorpusService.trainQuantizer(spark, p)
+    val anchor1 = CorpusService.trainedCount(spark, p)
+    assert(anchor1.exists(_ > 0), s"no trained-count anchor: $anchor1")
+
+    var r = CorpusService.start(spark, p, interval = "1 second")
+    // Below the threshold the trigger is a no-op returning the SAME
+    // handle — the streams are never touched.
+    assert(CorpusService.maybeRetrain(spark, p, r, factor = 1.8,
+      interval = "1 second").docs eq r.docs)
+
+    // The corpus doubles: the trigger must fire — quiesce (draining
+    // wave 2, whichever epoch its micro-batches landed in), retrain,
+    // re-anchor, restart.
+    wave(1).coalesce(1).write.mode("append").parquet(p.embeddings)
+    r = CorpusService.maybeRetrain(spark, p, r, factor = 1.8,
+      interval = "1 second")
+    val anchor2 = CorpusService.trainedCount(spark, p)
+    assert(anchor2.exists(_ > anchor1.get), s"anchor not re-recorded: $anchor2")
+
+    // Epoch 2 ingest: wave 3 arrives against the rebuilt state.
+    wave(2).coalesce(1).write.mode("append").parquet(p.embeddings)
+    r.drainAndStop()
+    // Growth since the retrain is 1.5x < 1.8 — no further retrain, and
+    // on an already-stopped handle the no-op must not throw.
+    assert(CorpusService.maybeRetrain(spark, p, r, factor = 1.8,
+      interval = "1 second").docs eq r.docs)
+
+    // The retrain rebuilt the assignment table under the NEW quantizer:
+    // wave-3 batch assignments extend it to the full corpus.
+    val cents = spark.read.parquet(p.cents)
+    val assignAll = Extensions.centroidRank(
+        Extensions.quantizeFrame(emb), cents, "vec_id")
+      .filter(col("rn") <= 4)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    assertSameRows(StreamingSemanticDedup.assignTable(spark, p.assigns),
+      assignAll, "assignment table vs full-corpus recompute under new cents")
+
+    // Soundness across the epoch boundary: every logged pair is an
+    // exact >= threshold near-dup of the final corpus.
+    val streamed = StreamingSemanticDedup.pairsView(spark, p.semPairs)
+      .select("vec_a", "vec_b").persist()
+    val exact = Extensions.dedupEmbedding(spark, base)
+      .select("vec_a", "vec_b").persist()
+    try {
+      assert(streamed.join(exact, Seq("vec_a", "vec_b"), "left_anti")
+        .count() == 0, "a logged pair is not an exact near-dup")
+
+      // Completeness for the NEW epoch ≡ one-shot s05 under the NEW
+      // (service's own) quantizer: every exact pair that the new cells
+      // co-locate and whose later member arrived post-retrain (wave 3)
+      // must be in the log — wave 3 probed the rebuilt table, which
+      // already held waves 1-2 under the new cells.
+      val colocated = assignAll.as("a")
+        .join(assignAll.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val dueNewEpoch = exact
+        .join(colocated, Seq("vec_a", "vec_b"), "left_semi")
+        .filter(pmod(col("vec_a"), lit(3)) === 2 ||
+          pmod(col("vec_b"), lit(3)) === 2)
+      assert(dueNewEpoch.join(streamed, Seq("vec_a", "vec_b"), "left_anti")
+        .count() == 0, "a new-epoch co-located pair is missing from the log")
+    } finally { streamed.unpersist(); exact.unpersist() }
+  }
+
+  test("dedupReport with a many-to-one semIdMap: no self-pairs, no dup rows") {
+    // Synthetic pair logs drive the mapping edge cases directly: two
+    // vec_ids of one document collapsing to a self-pair (must vanish)
+    // and two embedding pairs collapsing onto one doc pair (must emit
+    // once).
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-semmap").toString
+    val p = CorpusService.Paths(base)
+    Seq((10L, 11L)).toDF("new_doc", "other_doc")
+      .write.parquet(p.pairs)
+    Seq((1L, 2L, 400000L), (3L, 4L, 400000L), (5L, 6L, 400000L))
+      .toDF("new_vec", "other_vec", "cos_ppm")
+      .write.parquet(p.semPairs)
+    val semIdMap = Seq(
+      1L -> 100L, 2L -> 100L,          // same doc twice -> self-pair
+      3L -> 200L, 4L -> 201L,          // two embedding pairs ...
+      5L -> 200L, 6L -> 201L           // ... one doc pair
+    ).toDF("vec_id", "doc_id")
+    val report = CorpusService.dedupReport(spark, p, Some(semIdMap))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(report == Set((10L, 11L, "verbatim"), (200L, 201L, "semantic")),
+      s"unexpected report rows: $report")
   }
 }

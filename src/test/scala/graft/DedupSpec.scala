@@ -97,4 +97,46 @@ class DedupSpec extends SparkSpec {
       Extensions.lshPairs(spark, dir))
     assertSameRows(fromOp, direct, "d06 vs CC(lshPairs)")
   }
+
+  test("invalidateBloom drops both per-dir sketch memos (d09 + t16 keys)") {
+    // The staleness hook for growing corpora: a sketch memoized before
+    // an append silently drops NEW grams below the exact join (Bloom
+    // false negatives = missed contamination), so corpus-refresh paths
+    // must be able to drop every key for the dir — the bare d09 key and
+    // t16's '#test8' variant, whatever SparkContext built them.
+    val dir = sf("sf0.001")
+    Extensions.invalidateBloom(dir)
+    assert(!Extensions.bloomCacheKeys.exists(_.contains(dir)))
+    Extensions.contamination(spark, dir)         // builds + memoizes d09's
+    Extensions.corpusDecontaminated(spark, dir)  // ... and t16's
+    assert(Extensions.bloomCacheKeys.count(_.contains(dir)) == 2,
+      s"expected both sketch keys for $dir in ${Extensions.bloomCacheKeys}")
+    Extensions.invalidateBloom(dir)
+    assert(!Extensions.bloomCacheKeys.exists(_.contains(dir)))
+  }
+
+  test("d12 at 64 bits is a small precise subset of the 32-bit pair flood") {
+    // Doubling the signature width squares the per-bit chance-collision
+    // odds: the 32-bit radius-3 pairing floods (short same-vocabulary
+    // docs collide constantly — the round-6 precision note), the 64-bit
+    // production setting keeps an order of magnitude fewer pairs. Both
+    // sets are exact within their own radius, so this is a PRECISION
+    // claim (agreement with d03's verified near-dups), not recall.
+    val dir = sf("sf0.01")
+    val p32 = Extensions.simhashPairsAt(spark, dir, bits = 32, radius = 3)
+      .select("doc_a", "doc_b").persist()
+    val p64 = Extensions.dedupSimhashPairs(spark, dir)
+      .select("doc_a", "doc_b").persist()
+    try {
+      val (n32, n64) = (p32.count(), p64.count())
+      assert(n64 * 10 <= n32,
+        s"64-bit pairing kept $n64 of $n32 32-bit pairs — no precision gain")
+      // d03's LSH+verified 0.8-Jaccard near-dups: the 64-bit pair count
+      // must land within the same order of magnitude (the 32-bit flood
+      // is ~20x d03's set at this SF).
+      val d03 = Extensions.dedupMinhashLsh(spark, dir).count()
+      assert(n64 <= 3 * d03 + 10,
+        s"64-bit pair count $n64 still floods vs d03's verified $d03")
+    } finally { p32.unpersist(); p64.unpersist() }
+  }
 }

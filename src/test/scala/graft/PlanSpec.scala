@@ -245,4 +245,24 @@ class PlanSpec extends SparkSpec {
     val p = planOf(Parity.jsonProps(spark, dir))
     assert(!p.contains("user_id"), s"events scan reads unused columns:\n$p")
   }
+
+  test("s08's index scan is partition-pruned by the probe cells") {
+    // The materialized-index contract at 100 TB: an ANN query opens only
+    // the probed cells' files. The probe→index join is on the index's
+    // hive partition column, so Catalyst must plan the index scan with a
+    // dynamic partition-pruning filter (probe cells aren't literals —
+    // they come from the query vectors — so DPP, not static pruning, is
+    // the correct mechanism). A full-index scan here is the exact
+    // linear-work bug the stored index exists to remove.
+    graft.queries.Extensions.invalidateAnnIndex(dir)
+    val df = graft.queries.Extensions.annIvfIndexed(spark, dir)
+    val p = planOf(df)
+    val idxScans = p.linesIterator
+      .filter(l => l.contains("graft-annidx") && l.contains("FileScan"))
+      .toSeq
+    assert(idxScans.nonEmpty, s"no index FileScan in plan:\n$p")
+    assert(idxScans.forall(l => l.contains("dynamicpruning")),
+      s"index scan not partition-pruned (no dynamicpruning expression " +
+        s"on its PartitionFilters):\n${idxScans.mkString("\n")}")
+  }
 }
