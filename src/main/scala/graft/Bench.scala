@@ -179,8 +179,12 @@ object Bench {
       // Widen the sample before judging, keyed off the PRIOR round where
       // one exists: prior sub-second (noise-dominated) or current median
       // >1.5× prior (suspected drift — re-measure, don't re-report).
+      // Prior artifacts key by full name (BENCH_LOCAL.json) or by the
+      // stdout line's short key (a driver-captured BENCH_r*.json) —
+      // accept either.
       val widen = baseGood.nonEmpty &&
-        widenRule(prior.get(spec.name), median(baseGood))
+        widenRule(prior.get(spec.name)
+          .orElse(prior.get(shortName(spec.name))), median(baseGood))
       val times =
         if (widen) base ++ (1 to (subSecIters - iters)).map(_ => runOnce())
         else base
@@ -240,22 +244,39 @@ object Bench {
       case _                => m < 1.0
     }
 
+  /** A query's short key for the stdout line: the operator id up to the
+    * first underscore ("q01_campaign_totals" → "q01") — unique across
+    * the registry by the naming scheme (BenchSpec pins it), and the
+    * same shape the driver contract's own example uses ("q1": sec).
+    * Full names ↔ short keys map by prefix; BENCH_LOCAL.json keys by
+    * full name. */
+  private[graft] def shortName(full: String): String =
+    full.takeWhile(_ != '_')
+
   /** The driver-contract final stdout line. Complete median map in
-    * compact form: centisecond precision below 10 s, decisecond above
-    * (at most 4 value chars for any sane local runtime — both regimes
-    * are far inside this harness's noise band; millisecond medians live
-    * in BENCH_LOCAL.json), trailing zeros stripped, errors/flaky
+    * compact form — SHORT query keys (shortName; at ~11 chars/entry the
+    * 72-query registry uses under half the tail window, where full
+    * names overflowed it at exactly this size in round 6), centisecond
+    * precision below 10 s and decisecond above (both regimes far inside
+    * this harness's noise band; millisecond medians under full names
+    * live in BENCH_LOCAL.json), trailing zeros stripped, errors/flaky
     * objects only when non-empty with error messages clipped to 60
     * chars (full text in BENCH_LOCAL.json and on stderr — and an
     * all-fail query is ALSO visible here as its negated median), sf as
-    * its basename. BenchSpec pins the whole line under [[TailWindow]]
-    * for the real query registry. */
+    * its basename. Falls back to full names if the short forms ever
+    * collide (correct beats compact). BenchSpec pins the whole line
+    * under [[TailWindow]] for the real query registry. */
   private[graft] def stdoutLine(
       total: Double,
-      medians: Seq[(String, Double)],
+      medians0: Seq[(String, Double)],
       errors: Seq[(String, String)],
       flaky: Seq[(String, Int)],
       sfDir: String): String = {
+    val shorts = medians0.map { case (k, _) => shortName(k) }
+    val medians =
+      if (shorts.distinct.size == shorts.size)
+        medians0.map { case (k, v) => shortName(k) -> v }
+      else medians0
     def c2(v: Double): String = {
       val r =
         if (math.abs(v) < 10) math.rint(v * 100) / 100

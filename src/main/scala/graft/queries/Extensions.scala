@@ -353,39 +353,62 @@ object Extensions {
 
   /** SimHash near-dup pairs at `bits` width, Hamming radius ≤ `radius`.
     * Banded pigeonhole join — the d03 band pattern on bit signatures:
-    * the signature splits into bits/8 bytes, and radius < #bytes
-    * guarantees at least one byte is EQUAL, so candidates come from one
-    * union'd byte-keyed self-join (shuffled by (band, byte) — never
-    * all-pairs), verified by exact popcount of the XOR. Unlike MinHash
-    * banding the pigeonhole is a certainty, not a probability: recall
-    * within the Hamming radius is exact. Byte extraction is
-    * (sig >> 8k) & 255 — sign-safe at 64 bits on both engines (the
-    * arithmetic shift's sign-extension is masked off). */
+    * the signature splits into radius+1 equal blocks, and ≤ radius
+    * differing bits cannot touch ALL of them, so at least one block is
+    * EQUAL and candidates come from one union'd block-keyed self-join
+    * (shuffled by (band, block) — never all-pairs), verified by exact
+    * popcount of the XOR. Unlike MinHash banding the pigeonhole is a
+    * certainty, not a probability: recall within the Hamming radius is
+    * exact.
+    *
+    * THE BAND COUNT IS THE COST DIAL, AND MINIMUM IS OPTIMAL: radius+1
+    * bands is the fewest the pigeonhole allows, which makes each block
+    * key as WIDE as possible. At 64 bits / radius 3 that is 4 bands of
+    * 16 bits — 65536 buckets per band, expected bucket size < 1 at
+    * sf0.1's 50k docs — where a byte-per-band split (8 bands × 256
+    * buckets, ~195 docs each) pays Σ|bucket|² ≈ tens of millions of
+    * candidate pairs over near-uniform signature bytes: measured 6.5 s
+    * vs 1.8 s steady at sf0.1 for the SAME 373 output rows — the
+    * pigeonhole guarantee does not depend on the split. Extra bands
+    * would only buy probabilistic recall BEYOND the radius, which d12
+    * does not claim. Block extraction is
+    * (sig >> bandBits·k) & (2^bandBits − 1) — sign-safe at 64 bits on
+    * both engines (the arithmetic shift's sign-extension is masked
+    * off); the popcount filter is row-local below the pair-grain
+    * distinct, so the only pair-grain shuffle carries radius survivors. */
   private[graft] def simhashPairsAt(s: SparkSession, dir: String,
                                     bits: Int, radius: Int): DataFrame = {
-    val nBands = bits / 8
-    require(radius < nBands, s"radius $radius >= $nBands bands: pigeonhole broken")
+    val nBands = radius + 1
+    val bandBits = bits / nBands
+    require(bandBits * nBands == bits,
+      s"$bits bits do not split into $nBands equal blocks")
+    val mask = (1L << bandBits) - 1L
     val sig = simhashSig(s, dir, bits)
-    val banded = (0 until nBands).map { b =>
-      sig.select(lit(b).as("band"),
-        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bkey"),
-        col("doc_id"), col("simhash"))
-    }.reduce(_ unionAll _)
-    val cand = banded.as("a")
+    // Bands via EXPLODE, not a union of per-band projections: union
+    // branches do not share work, so a 4-branch union re-evaluated the
+    // 64-column signature aggregation once PER BAND per join side —
+    // after the banding fix this was the remaining dominant cost
+    // (measured 3.5 s → 1.8 s at sf0.1 from this alone). The explode is
+    // a narrow row fan-out above ONE aggregation, and the self-join's
+    // two sides then share it through exchange reuse (the d03 pattern).
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
+      .withColumn("bkey",
+        expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
-      .distinct()
-    cand
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("int"))
       .filter(col("hamming") <= radius)
       .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 
   /** d12: SimHash near-dup PAIRS at the PRODUCTION setting — 64-bit
-    * signature, Hamming ≤ 3, 8-byte pigeonhole (Manku et al.'s
+    * signature, Hamming ≤ 3, 4-block pigeonhole (Manku et al.'s
     * near-duplicate web-crawl configuration). Round 6 shipped this at
     * 32 bits and documented the precision cost honestly (725 pairs at
     * sf0.01 — short same-vocabulary documents land within radius 3 of
@@ -1090,7 +1113,19 @@ object Extensions {
     * unordered pair matches exactly once: a cross-bucket pair only with
     * the lower-bucket doc as the probe (its successor block = the
     * other's own bucket), an equal-bucket pair gated by id order — both
-    * row-local predicates, no dedup shuffle over the candidate set. */
+    * row-local predicates, no dedup shuffle over the candidate set.
+    *
+    * COST DECOMPOSITION (sf0.1, local[32], 900k candidate pairs,
+    * medians of 3): the blocked join alone (literal payload) runs in
+    * 0.50 s; with the thresholded levenshtein it is 3.28 s (3.68 s
+    * unthresholded — the 20-char prefix keeps both constants small).
+    * 85% of d08's time is therefore the verification payload itself at
+    * ~3 µs/pair — irreducible without changing the output: every
+    * candidate must be exactly verified, the join machinery is already
+    * the minor term, and any candidate cap (top-N by length proximity)
+    * would drop true ≤10-edit pairs from the report. The cost dial that
+    * PRESERVES semantics is the block width (50 chars), which trades
+    * Σ|block|² volume against the |len diff| ≥ 100 recall bound. */
   def dedupEditDistance(s: SparkSession, dir: String): DataFrame =
     editDistancePairs(docs(s, dir))
 
@@ -1935,8 +1970,9 @@ object Extensions {
 
     // 64-bit twin of d04's 32-bit signature SQL: bits 32..63 from the
     // salted second hash; bit 63's power-of-two spelled as INT64 min
-    // (DuckDB refuses both `1 << 63` and the raw negative literal); byte
-    // keys via (sig >> 8k) & 255, which is sign-safe where the 32-bit
+    // (DuckDB refuses both `1 << 63` and the raw negative literal);
+    // 4 × 16-bit block keys (the radius+1 minimum — see simhashPairsAt)
+    // via (sig >> 16k) & 65535, which is sign-safe where the 32-bit
     // form's `// 2^8k % 256` would diverge on negative signatures
     // (integer division truncates toward zero, the shift toward -inf).
     QuerySpec("d12_simhash_pairs", dedupSimhashPairs, Some(docCtes +
@@ -1958,9 +1994,9 @@ object Extensions {
         |  FROM bitsum GROUP BY 1),
         |banded AS (
         |  SELECT b.band,
-        |         ((s.simhash >> CAST(8 * b.band AS INT)) & 255) AS bkey,
+        |         ((s.simhash >> CAST(16 * b.band AS INT)) & 65535) AS bkey,
         |         s.doc_id, s.simhash
-        |  FROM sigs s, UNNEST(range(0, 8)) b(band)),
+        |  FROM sigs s, UNNEST(range(0, 4)) b(band)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         a.simhash AS sig_a, b.simhash AS sig_b

@@ -79,7 +79,7 @@ object CorpusService {
     val path = new org.apache.hadoop.fs.Path(p.quantMeta)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) None
-    else Some(spark.read.parquet(p.quantMeta).head.getLong(0))
+    else Some(spark.read.parquet(p.quantMeta).head().getLong(0))
   }
 
   /** The growth-keyed retrain trigger — the piece that closes the

@@ -47,22 +47,34 @@ class BenchSpec extends AnyFunSuite {
   private def worstCaseLine: String =
     Bench.stdoutLine(
       total = 999.9,
-      medians = SparkEntry.specs.zipWithIndex.map { case (s, i) =>
+      medians0 = SparkEntry.specs.zipWithIndex.map { case (s, i) =>
         s.name -> (if (i % 2 == 0) 9.99 else 99.94)
       },
       errors = Nil, flaky = Nil,
       sfDir = "/root/testdata/sf0.1")
 
+  test("short query keys are unique across the real registry") {
+    // The stdout line keys medians by the operator id prefix; a
+    // collision would silently drop a median from the map (stdoutLine
+    // falls back to full names, which round 6 proved overflow the tail
+    // window at this registry size — so a collision must be renamed,
+    // not papered over).
+    val shorts = SparkEntry.specs.map(s => Bench.shortName(s.name))
+    assert(shorts.distinct.size == shorts.size,
+      s"colliding short query keys: ${shorts.diff(shorts.distinct)}")
+  }
+
   test("final stdout line fits the driver tail window for the REAL registry") {
     val line = worstCaseLine
-    // Hard bound plus explicit headroom: each future query costs ~30
-    // chars, so demand room for at least two more before this pin
-    // forces the layout to shrink again.
-    assert(line.length < Bench.TailWindow - 60,
-      s"stdout line ${line.length} chars >= ${Bench.TailWindow - 60}: the " +
+    // Hard bound plus explicit headroom: at ~11 chars per short-keyed
+    // entry there must be room for dozens of future queries before
+    // this pin forces the layout to shrink again.
+    assert(line.length < Bench.TailWindow - 600,
+      s"stdout line ${line.length} chars >= ${Bench.TailWindow - 600}: the " +
         "median map is at risk of being sliced by the driver capture")
-    // and it still carries every median
-    assert(Bench.parsePrior(line).keySet == SparkEntry.specs.map(_.name).toSet)
+    // and it still carries every median, under its short key
+    assert(Bench.parsePrior(line).keySet ==
+      SparkEntry.specs.map(s => Bench.shortName(s.name)).toSet)
   }
 
   test("all medians survive a driver-style wrap + 2000-char tail truncation") {
@@ -75,7 +87,16 @@ class BenchSpec extends AnyFunSuite {
     val wrapped =
       s"""{"n": 7, "rc": 0, "tail": "${tail.replace("\"", "\\\"").replace("\n", " ")}", "parsed": null}"""
     assert(Bench.parsePrior(wrapped).keySet ==
-      SparkEntry.specs.map(_.name).toSet)
+      SparkEntry.specs.map(s => Bench.shortName(s.name)).toSet)
+  }
+
+  test("widen lookup accepts a short-keyed prior artifact") {
+    // A driver-captured prior keys by short name; the widen rule must
+    // still find the query's prior by its full registry name.
+    val prior = Bench.parsePrior("""{"queries":{"q01":2.5,"d03":0.4}}""")
+    assert(prior.get("q01_campaign_totals").isEmpty) // full-name miss...
+    assert(prior.get(Bench.shortName("q01_campaign_totals"))
+      .contains(2.5))                                // ...short-name hit
   }
 
   test("compact medians keep centisecond precision and strip zeros") {
