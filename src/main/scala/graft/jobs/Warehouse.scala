@@ -43,11 +43,21 @@ object Warehouse {
     * delete + rename (rename is atomic on HDFS-class filesystems; the
     * delete→rename gap is the same visibility gap the reference's
     * DROP TABLE + CREATE has, track_delta.py:438). */
-  def replaceReport(spark: SparkSession, df: DataFrame, path: String): Unit = {
+  def replaceReport(spark: SparkSession, df: DataFrame, path: String): Unit =
+    replaceVia(spark, path)(stage =>
+      df.write.mode(SaveMode.Overwrite).parquet(stage))
+
+  /** replaceReport's staged swap for writers that need a custom layout
+    * (hive-partitioned dirs, sidecar files): the caller writes a
+    * COMPLETE artifact into the staged location it is handed, and the
+    * swap into place is shared — a crashed write leaves the old
+    * artifact intact, a crashed swap leaves the stage for inspection
+    * (the rename failure is loud). */
+  def replaceVia(spark: SparkSession, path: String)(write: String => Unit): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val stage = new org.apache.hadoop.fs.Path(path + "__stage")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    write(stage.toString)
     swapStageInto(fs, stage, target)
   }
 

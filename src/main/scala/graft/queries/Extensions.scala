@@ -824,41 +824,106 @@ object Extensions {
   private[graft] def invalidateAnnIndex(dir: String): Unit =
     annIndexCache.remove(dir)
 
-  /** s08's storage half: materialize the IVF index as a warehouse
-    * layout — one row per corpus vector holding its 32-dim prefix `qp`,
-    * prefix norm `sp`, and full norm `s2`, hive-partitioned by the
-    * vector's nearest-centroid `cell`. This is the engine's analogue of
-    * the reference's ORDER-BY-key read locality
-    * (initial_load_generate_postgres_data.py:98,109,119): the linear
-    * assignment work s03/s07 re-derive per invocation becomes storage,
-    * and an ANN query reads |probed cells| / |cells| of the index files
-    * via partition pruning instead of scanning and re-assigning the
-    * corpus. Full vectors are NOT in the index — the rerank fetches
-    * them by key join, so index bytes stay half the corpus bytes. */
+  /** s08/s09's storage half: materialize the IVF layout as ONE
+    * self-describing warehouse artifact, hive-partitioned by `cell` —
+    * the engine's analogue of the reference's ORDER-BY-key read
+    * locality (initial_load_generate_postgres_data.py:98,109,119): the
+    * linear assignment work s03/s05/s07 re-derive per invocation
+    * becomes storage, and queries read |touched cells| / |cells| of the
+    * index files via partition pruning instead of scanning and
+    * re-assigning the corpus.
+    *
+    * Layout: one row per (vector, top-4 cell) with the assignment rank
+    * `rn` — rn=1 rows carry the ANN serving payload (32-dim prefix
+    * `qp`, prefix norm `sp`, full norm `s2`); rn>1 rows carry NULLs
+    * there (parquet nulls cost ~nothing), existing only as thin
+    * (cell, vec_id) membership rows. One artifact thus serves BOTH
+    * consumers: s08 reads rn=1 + prefix bytes under partition pruning,
+    * s09/the dedup family read the thin top-4 membership (s05's
+    * multi-assignment, exactly). Full vectors are NOT in the index —
+    * reranks fetch them by key join, so index bytes stay ~half the
+    * corpus bytes plus the thin membership rows.
+    *
+    * The quantizer that assigned the rows is persisted WITH them
+    * (`_quantizer` sidecar — underscore dirs are invisible to the
+    * parquet read): index rows are only meaningful relative to their
+    * centroid set, serving must probe the SAME set (a probe against a
+    * re-derived quantizer could disagree with stored cells), and the
+    * append path must extend under it. Epoch contract mirrors
+    * StreamingSemanticDedup.retrain: within an epoch the quantizer is
+    * immutable; a retrain is a REBUILD, never an append. */
   private[graft] def buildAnnIndex(s: SparkSession, dir: String,
                                    path: String): Unit = {
     val e = quantized(s, dir)
-    val cents = coarseCentroids(s, dir, e)
+    buildAnnIndexFrom(e, coarseCentroids(s, dir, e), path)
+  }
+
+  /** Core of the build, parameterized by the quantizer frame — callers
+    * that own a persisted quantizer epoch (CorpusService) pass it here;
+    * the batch memo path derives it from the corpus. */
+  private[graft] def buildAnnIndexFrom(e: DataFrame, cents: DataFrame,
+                                       path: String): Unit = {
+    indexRows(e, cents)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // After the data write: overwrite mode clears `path` first, which
+    // would take a pre-written sidecar with it.
+    cents.write.mode("overwrite").parquet(path + "/_quantizer")
+  }
+
+  private def indexRows(e: DataFrame, cents: DataFrame): DataFrame = {
     val assigned = centroidRank(e, cents, "vec_id")
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+      .filter(col("rn") <= 4)
+      .select(col("vec_id"), col("rn"), col("cent_id").as("cell"))
     val pfx = e.select(col("vec_id"), expr("slice(q, 1, 32)").as("qp"),
         col("s2"))
       .withColumn("sp", DotI64(col("qp"), col("qp")))
     assigned.join(pfx, "vec_id")
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .select(col("vec_id"), col("rn"),
+        when(col("rn") === 1, col("qp")).as("qp"),
+        when(col("rn") === 1, col("sp")).as("sp"),
+        when(col("rn") === 1, col("s2")).as("s2"),
+        col("cell"))
   }
 
-  private def annIndex(s: SparkSession, dir: String): DataFrame = {
-    val path = annIndexCache.computeIfAbsent(dir, _ => {
+  /** Incremental index maintenance — the append path a growing corpus
+    * needs (rebuilding n rows to admit a batch of b is O(n) wasted work
+    * at 100 TB): assign ONLY not-yet-indexed vectors, under the index's
+    * own frozen sidecar quantizer, and append their rows as new files
+    * inside the hive-partitioned layout — no existing file is touched,
+    * so concurrent index readers see the old row set or the new one
+    * per their plan-time file listing, never a torn row (the append-only
+    * log contract the dedup pair logs already carry).
+    *
+    * `newVectors` (vec_id, embedding): callers that track their ingest
+    * batch pass it directly — O(batch) work, the per-wave maintenance
+    * cost. When absent, new ids are discovered by anti-joining the
+    * corpus against the index's id column (a column-pruned scan of the
+    * index: no prefix bytes are read). */
+  private[graft] def appendAnnIndex(s: SparkSession, dir: String,
+                                    path: String,
+                                    newVectors: Option[DataFrame] = None)
+      : Unit = {
+    val cents = s.read.parquet(path + "/_quantizer")
+    val newQ = newVectors
+      .map(f => quantizeFrame(f.select(col("vec_id"), col("embedding"))))
+      .getOrElse(quantized(s, dir)
+        .join(s.read.parquet(path).select("vec_id"), Seq("vec_id"), "left_anti"))
+    indexRows(newQ, cents)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  private def annIndexPath(s: SparkSession, dir: String): String =
+    annIndexCache.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-annidx")
         .toFile.getAbsolutePath
       buildAnnIndex(s, dir, p)
       p
     })
-    s.read.parquet(path)
-  }
+
+  private def annIndex(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(annIndexPath(s, dir))
 
   /** s08: ANN served off the STORED index — semantically ≡ s07 (same
     * probes, same prefix cut, same exact rerank; AnnIndexSpec pins the
@@ -871,10 +936,21 @@ object Extensions {
     * and fetches ~100 full vectors per query by key join. The once-per-
     * corpus build is the offline indexing job every IVF system runs;
     * queries amortize it. */
-  def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
-    val idx = annIndex(s, dir)
+  def annIvfIndexed(s: SparkSession, dir: String): DataFrame =
+    annIvfIndexedAt(s, dir, annIndexPath(s, dir))
+
+  /** s08's read path over an EXPLICIT index location — the serving
+    * entry for callers that maintain the index as a warehouse artifact
+    * (CorpusService.refreshAnnIndex) rather than through the per-JVM
+    * memo. Probes score against the index's own sidecar quantizer, so
+    * serving is always consistent with the epoch that assigned the
+    * stored rows — probes and assignments cannot disagree, whatever
+    * grew or retrained in between. */
+  def annIvfIndexedAt(s: SparkSession, dir: String,
+                      indexPath: String): DataFrame = {
+    val idx = s.read.parquet(indexPath).filter(col("rn") === 1)
     val e = quantized(s, dir)
-    val cents = coarseCentroids(s, dir, e)
+    val cents = s.read.parquet(indexPath + "/_quantizer")
     // Hive partition values round-trip through directory names; cast the
     // probe side to the scan's inferred type so the join key is the bare
     // partition attribute (a cast on the scan side would defeat pruning).
@@ -1170,6 +1246,32 @@ object Extensions {
       .withColumn("is_kept",
         when(col("doc_id") === col("canonical_id"), 1).otherwise(0))
 
+  /** d13: SEMANTIC canonical-corpus resolution — SemDeDup's actual
+    * keep/drop decision, which s05 alone stops short of: s05 emits the
+    * ≥-threshold cosine PAIRS, d13 clusters them (connected components,
+    * d06's machinery) and resolves every document to its semantic
+    * cluster's canonical (d07's rule — the component minimum; documents
+    * in no pair keep themselves). This is the row-level filter a
+    * SemDeDup pipeline applies before training, the semantic twin of
+    * d07's verbatim resolution — same clusterPairs / canonicalResolution
+    * code paths, only the pair graph differs. Embedding i embeds
+    * document i in this corpus, so vec ids ARE doc ids; deployments
+    * with distinct id spaces map them first (cf.
+    * CorpusService.dedupReport's semIdMap).
+    *
+    * Scale posture is inherited: the pair graph is cell-collision
+    * grain (≪ corpus), the CC loop label grain, the resolution one
+    * key-grain left join — and the pair source is s09 (the stored-index
+    * form of s05, row-for-row identical by SemDedupIndexSpec), so the
+    * corpus-wide assignment is READ, not recomputed: the index build is
+    * amortized across every consumer of the cell structure (s05's
+    * pairs, this resolution, s08's ANN serving). */
+  def semanticCanonical(s: SparkSession, dir: String): DataFrame =
+    canonicalResolution(
+      docs(s, dir).select(col("doc_id"), col("lang")),
+      clusterPairs(semdedupIndexed(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
+
   /** t13: the CAPSTONE composition — materialize the training corpus the
     * way a pipeline actually would: keep a document iff it is its
     * near-dup cluster's canonical (d07) AND it passes quality gating
@@ -1321,6 +1423,41 @@ object Extensions {
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+        col("s2").as("sa")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+        col("s2").as("sb")), "vec_b")
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .filter(col("cos_ppm") >= 350000)
+      .select("vec_a", "vec_b", "cos_ppm")
+  }
+
+  /** s09: s05's semantic dedup served off the STORED index — the same
+    * storage-for-recompute swap s08 makes for ANN serving, applied to
+    * the dedup modality. Candidate generation self-joins the index's
+    * thin (cell, vec_id) membership rows — ALL top-4 assignments,
+    * exactly s05's multi-assignment — instead of re-deriving the
+    * corpus-wide assignment per invocation; exact cosine verification
+    * at candidate grain is unchanged (full vectors by key join). Output
+    * ≡ s05 row-for-row (SemDedupIndexSpec; same oracle SQL).
+    *
+    * At 100 TB the per-invocation cost drops from assign-the-corpus
+    * (n·√n dot products through the broadcast-quantizer cross join —
+    * the one deliberate non-equi join in s05's plan) to a two-column
+    * scan of the index plus the collision-grain self-join: the
+    * assignment work is paid once at build/append time and amortized
+    * across every consumer of the cell structure (s05's pairs, d13's
+    * resolution, s08's serving). PlanSpec pins the difference: s09's
+    * plan contains NO nested-loop join at all. */
+  def semdedupIndexed(s: SparkSession, dir: String): DataFrame = {
+    val a = annIndex(s, dir).select(col("cell"), col("vec_id"))
+    val e = quantized(s, dir)
+    val cand = a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"),
@@ -1706,6 +1843,46 @@ object Extensions {
       |  FROM scored) t
       |WHERE rank <= 5""".stripMargin
 
+  /** The cell-blocked semantic-dedup oracle, shared by s05 (assignment
+    * recomputed per invocation) and s09 (assignment read from the
+    * materialized index): the two strategies answer the same query and
+    * must agree row-for-row, so one SQL text serves both — the same
+    * contract the s07/s08 pair carries via ivfPrefixOracle. */
+  private val semdedupOracleSql: String = embCtes + ", " + centsCte +
+    """adots AS (
+      |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
+      |  GROUP BY 1, 2),
+      |ascore AS (
+      |  SELECT d.vec_id, d.cent_id,
+      |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+      |  FROM adots d
+      |  JOIN sq x ON x.vec_id = d.vec_id
+      |  JOIN sq y ON y.vec_id = d.cent_id),
+      |assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cent_id AS cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+      |    FROM ascore) t WHERE rn <= 4),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |  FROM assigned x
+      |  JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id),
+      |pdots AS (
+      |  SELECT c.vec_a, c.vec_b, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      |  FROM cand c
+      |  JOIN ev a ON a.vec_id = c.vec_a
+      |  JOIN ev b ON b.vec_id = c.vec_b AND b.i = a.i
+      |  GROUP BY 1, 2)
+      |SELECT vec_a, vec_b, cos_ppm FROM (
+      |  SELECT p.vec_a, p.vec_b,
+      |         CAST(floor(p.dot / (sqrt(sx.s2) * sqrt(sy.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+      |  FROM pdots p
+      |  JOIN sq sx ON sx.vec_id = p.vec_a
+      |  JOIN sq sy ON sy.vec_id = p.vec_b) t
+      |WHERE cos_ppm >= 350000""".stripMargin
+
   // ------------------------------------------------------------------- specs
 
   val specs: Seq[QuerySpec] = Seq(
@@ -2006,6 +2183,58 @@ object Extensions {
         |       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin)),
 
+    // d13's oracle = s05's cell-blocked pair chain feeding d06's
+    // recursive transitive closure and d07's resolution tail — the same
+    // composition the Spark side makes out of shared code paths.
+    QuerySpec("d13_semantic_canonical", semanticCanonical,
+      Some(embCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " + centsCte +
+      """adots AS (
+        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |ascore AS (
+        |  SELECT d.vec_id, d.cent_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM adots d
+        |  JOIN sq x ON x.vec_id = d.vec_id
+        |  JOIN sq y ON y.vec_id = d.cent_id),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cent_id AS cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore) t WHERE rn <= 4),
+        |scand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM assigned x
+        |  JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id),
+        |sdots AS (
+        |  SELECT c.vec_a, c.vec_b, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM scand c
+        |  JOIN ev a ON a.vec_id = c.vec_a
+        |  JOIN ev b ON b.vec_id = c.vec_b AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |spairs AS (
+        |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+        |    SELECT p.vec_a, p.vec_b,
+        |           CAST(floor(p.dot / (sqrt(sx.s2) * sqrt(sy.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |    FROM sdots p
+        |    JOIN sq sx ON sx.vec_id = p.vec_a
+        |    JOIN sq sy ON sy.vec_id = p.vec_b) t
+        |  WHERE cos_ppm >= 350000),
+        |e AS (SELECT doc_a, doc_b FROM spairs
+        |      UNION ALL SELECT doc_b, doc_a FROM spairs),
+        |reach(doc_id, lab) AS (
+        |  SELECT doc_a, doc_a FROM e
+        |  UNION
+        |  SELECT e.doc_a, r.lab FROM e JOIN reach r ON r.doc_id = e.doc_b),
+        |labels AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(l.cluster_id, d.doc_id) AS canonical_id,
+        |  CASE WHEN COALESCE(l.cluster_id, d.doc_id) = d.doc_id
+        |       THEN 1 ELSE 0 END AS is_kept
+        |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id""".stripMargin)),
+
     QuerySpec("t16_decontaminated_corpus", corpusDecontaminated,
       Some(ccCtes +
       """, kept AS (
@@ -2158,40 +2387,13 @@ object Extensions {
         |      FROM documents) m,
         |  UNNEST(range(0, m.n_frames, 3)) u(frame_id)""".stripMargin)),
 
-    QuerySpec("s05_semdedup_cells", semdedupCells, Some(embCtes + ", " + centsCte +
-      """adots AS (
-        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
-        |  GROUP BY 1, 2),
-        |ascore AS (
-        |  SELECT d.vec_id, d.cent_id,
-        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM adots d
-        |  JOIN sq x ON x.vec_id = d.vec_id
-        |  JOIN sq y ON y.vec_id = d.cent_id),
-        |assigned AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cent_id AS cell,
-        |           row_number() OVER (PARTITION BY vec_id
-        |             ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore) t WHERE rn <= 4),
-        |cand AS (
-        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |  FROM assigned x
-        |  JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id),
-        |pdots AS (
-        |  SELECT c.vec_a, c.vec_b, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM cand c
-        |  JOIN ev a ON a.vec_id = c.vec_a
-        |  JOIN ev b ON b.vec_id = c.vec_b AND b.i = a.i
-        |  GROUP BY 1, 2)
-        |SELECT vec_a, vec_b, cos_ppm FROM (
-        |  SELECT p.vec_a, p.vec_b,
-        |         CAST(floor(p.dot / (sqrt(sx.s2) * sqrt(sy.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM pdots p
-        |  JOIN sq sx ON sx.vec_id = p.vec_a
-        |  JOIN sq sy ON sy.vec_id = p.vec_b) t
-        |WHERE cos_ppm >= 350000""".stripMargin)),
+    QuerySpec("s05_semdedup_cells", semdedupCells, Some(semdedupOracleSql)),
+
+    // s09 is s05 with the assignment READ from the stored index instead
+    // of recomputed — semantically identical by contract, so it is
+    // checked against the IDENTICAL oracle SQL (and SemDedupIndexSpec
+    // pins the two Spark plans row-for-row equal).
+    QuerySpec("s09_semdedup_indexed", semdedupIndexed, Some(semdedupOracleSql)),
 
     QuerySpec("s06_ann_truncated", annTruncated, Some(embCtes +
       """, psq AS (

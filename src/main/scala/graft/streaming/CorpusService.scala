@@ -41,6 +41,8 @@ object CorpusService {
     val quantMeta = s"$base/dedup/quant_meta"
     /** The maintained canonical-corpus artifact (streamed d07). */
     val canon = s"$base/dedup/canonical"
+    /** The maintained serving index (s08/s09's layout). */
+    val annIndex = s"$base/dedup/ann_index"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -62,8 +64,52 @@ object CorpusService {
     StreamingSemanticDedup.retrain(spark, p.base, p.cents, p.assigns)
     graft.queries.Extensions.invalidateBloom(p.base)
     graft.queries.Extensions.invalidateAnnIndex(p.base)
+    // A new quantizer is a new EPOCH: every stored index row's cell is
+    // assigned under the old centroid set, so a maintained serving
+    // index is REBUILT here (staged swap — readers see old or new,
+    // never a mix); the append path is only sound within an epoch.
+    if (exists(spark, p.annIndex)) rebuildIndex(spark, p)
     recordTrainedCount(spark, p)
   }
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  private def rebuildIndex(spark: SparkSession, p: Paths): Unit =
+    graft.jobs.Warehouse.replaceVia(spark, p.annIndex) { stage =>
+      graft.queries.Extensions.buildAnnIndexFrom(
+        graft.queries.Extensions.quantizeFrame(
+          graft.Tables.t(spark, p.base, "embeddings")),
+        spark.read.parquet(p.cents), stage)
+    }
+
+  /** Maintain the SERVING index (s08/s09's warehouse layout) over the
+    * growing corpus: the first call builds it under the service's own
+    * offline-trained quantizer (p.cents — the same epoch the streaming
+    * assignment table uses, persisted again in the index's sidecar);
+    * later calls append only not-yet-indexed vectors under that frozen
+    * sidecar quantizer — O(new vectors) per wave, never a rebuild. Call
+    * post-drain or in any quiesced window. The build is staged-swapped;
+    * appends add files without touching existing ones, so index readers
+    * are safe against both. Serving goes through [[annTopK]], which
+    * probes the sidecar quantizer — the epoch that assigned the rows,
+    * whatever retrained since. (The index's thin membership rows
+    * duplicate the streaming ASSIGNMENT log's content by design: the
+    * log is probe state — append-only, compacted, read every
+    * micro-batch; the index is the serving artifact — cell-partitioned
+    * with the prefix payload, read by queries. They serve different
+    * access paths off the same epoch.) */
+  def refreshAnnIndex(spark: SparkSession, p: Paths): Unit =
+    if (exists(spark, p.annIndex))
+      graft.queries.Extensions.appendAnnIndex(spark, p.base, p.annIndex)
+    else rebuildIndex(spark, p)
+
+  /** ANN top-k served off the maintained index — s08's read path at the
+    * service's index location. */
+  def annTopK(spark: SparkSession, p: Paths): DataFrame =
+    graft.queries.Extensions.annIvfIndexedAt(spark, p.base, p.annIndex)
 
   private def embeddingCount(spark: SparkSession, p: Paths): Long =
     graft.Tables.t(spark, p.base, "embeddings")
@@ -112,7 +158,8 @@ object CorpusService {
   def drainAvailable(spark: SparkSession, p: Paths,
                      maxFilesPerTrigger: Option[Int] = None,
                      compact: Boolean = true,
-                     canonical: Boolean = true): Unit = {
+                     canonical: Boolean = true,
+                     index: Boolean = false): Unit = {
     StreamingDedup.ingestAvailable(spark, p.docs, p.sigs, p.pairs, p.docsCkpt)
     StreamingSemanticDedup.ingestAvailable(spark, p.embeddings, p.cents,
       p.assigns, p.semPairs, p.embCkpt, maxFilesPerTrigger)
@@ -123,6 +170,7 @@ object CorpusService {
         "corpus service: semantic dedup logs failed to compact post-drain")
     }
     if (canonical) refreshCanonicalCorpus(spark, p)
+    if (index) refreshAnnIndex(spark, p)
   }
 
   /** The MAINTAINED canonical-corpus artifact — the streaming twin of
@@ -137,23 +185,43 @@ object CorpusService {
     * after any wave sequence equals one-shot canonicalCorpus on the
     * final corpus — and t13's materialization over it follows.
     *
-    * Scale: the pair log is collision-grain (≪ corpus), the CC loop is
-    * label-grain, and the only corpus-wide touch is the (doc_id, lang)
-    * projection — one narrow scan per refresh. */
-  def refreshCanonicalCorpus(spark: SparkSession, p: Paths): Unit = {
-    val pairsPath = new org.apache.hadoop.fs.Path(p.pairs)
-    val fs = pairsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val labels =
-      if (!fs.exists(pairsPath))
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("doc_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("cluster_id",
-              org.apache.spark.sql.types.LongType))))
-      else graft.queries.Extensions.clusterPairs(
-        StreamingDedup.pairsView(spark, p.pairs))
+    * `includeSemantic` also merges the SEMANTIC pair log into the
+    * cluster graph before resolving (vec ids mapped 1:1 onto doc ids,
+    * this corpus's id contract — cf. dedupReport's semIdMap for
+    * deployments where they differ): the artifact then carries the
+    * keep/drop decision across BOTH dedup modalities — the training-set
+    * endpoint where a verbatim copy and a paraphrase-grade near-dup
+    * both resolve to one canonical. Its one-shot twin is the resolution
+    * over lshPairs ∪ s05's pairs (spec-pinned).
+    *
+    * Scale: the pair logs are collision-grain (≪ corpus), the CC loop
+    * is label-grain, and the only corpus-wide touch is the
+    * (doc_id, lang) projection — one narrow scan per refresh. */
+  def refreshCanonicalCorpus(spark: SparkSession, p: Paths,
+                             includeSemantic: Boolean = false): Unit = {
+    def ifPresent(dir: String)(view: => DataFrame): Option[DataFrame] = {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) Some(view) else None
+    }
+    val verbatim = ifPresent(p.pairs)(
+      StreamingDedup.pairsView(spark, p.pairs).select("doc_a", "doc_b"))
+    val semantic =
+      if (!includeSemantic) None
+      else ifPresent(p.semPairs)(
+        StreamingSemanticDedup.pairsView(spark, p.semPairs)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val allPairs = (verbatim.toSeq ++ semantic.toSeq)
+      .reduceOption(_ unionByName _)
+    val labels = allPairs
+      .map(graft.queries.Extensions.clusterPairs)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType)))))
     val canon = graft.queries.Extensions.canonicalResolution(
       graft.Tables.t(spark, p.base, "documents")
         .select(col("doc_id"), col("lang")),

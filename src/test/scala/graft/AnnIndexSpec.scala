@@ -28,6 +28,47 @@ class AnnIndexSpec extends SparkSpec {
       "s08 vs s07 at sf0.01")
   }
 
+  test("append-maintained index ≡ rebuild under the frozen quantizer; s08 serves identically") {
+    import org.apache.spark.sql.functions.col
+    // Build the index over HALF the corpus, grow the corpus, then extend
+    // the index both ways the contract offers — explicit new-batch and
+    // anti-join discovery — and pin both against a ground-truth rebuild
+    // under the SAME sidecar quantizer (the epoch contract: append never
+    // changes the centroid set, so the maintained rows must equal what a
+    // from-scratch assignment under that set produces, row for row,
+    // including the rn>1 thin membership rows and their NULL payloads).
+    val src = sf("sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-annappend").toString
+    val emb = Tables.t(spark, src, "embeddings")
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$dir/embeddings.parquet")
+    Extensions.invalidateCorpusCount(dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-annidx-t").toString
+    val byDiscovery = s"$base/discovered"
+    val byBatch = s"$base/batch"
+    val rebuilt = s"$base/rebuilt"
+    Extensions.buildAnnIndex(spark, dir, byDiscovery)
+    Extensions.buildAnnIndex(spark, dir, byBatch)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    odds.write.mode("append").parquet(s"$dir/embeddings.parquet")
+    Extensions.appendAnnIndex(spark, dir, byDiscovery)
+    Extensions.appendAnnIndex(spark, dir, byBatch, newVectors = Some(odds))
+    Extensions.buildAnnIndexFrom(
+      Extensions.quantizeFrame(Tables.t(spark, dir, "embeddings")),
+      spark.read.parquet(byDiscovery + "/_quantizer"), rebuilt)
+    val expected = spark.read.parquet(rebuilt)
+    assert(expected.columns.sorted.toSeq ==
+      Seq("cell", "qp", "rn", "s2", "sp", "vec_id"),
+      "the _quantizer sidecar leaked into the index read")
+    assertSameRows(spark.read.parquet(byDiscovery), expected,
+      "anti-join-appended index vs frozen-quantizer rebuild")
+    assertSameRows(spark.read.parquet(byBatch), expected,
+      "batch-appended index vs frozen-quantizer rebuild")
+    assertSameRows(
+      Extensions.annIvfIndexedAt(spark, dir, byDiscovery),
+      Extensions.annIvfIndexedAt(spark, dir, rebuilt),
+      "s08 served off the appended index vs off the rebuild")
+  }
+
   test("invalidateAnnIndex + invalidateCorpusCount rebuild sees corpus growth") {
     // Grow a copy of the corpus after the index is built, then exercise
     // the documented refresh contract (both memos dropped before

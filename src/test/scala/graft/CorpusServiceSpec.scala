@@ -81,6 +81,23 @@ class CorpusServiceSpec extends SparkSpec {
       CorpusService.canonicalCorpusView(spark, p),
       Extensions.canonicalCorpus(spark, base),
       "maintained canonical artifact vs one-shot d07")
+
+    // The BOTH-modality artifact: verbatim ∪ semantic pair logs feed one
+    // cluster graph, ≡ the one-shot resolution over lshPairs ∪ s05 pairs
+    // (a verbatim copy and a paraphrase-grade near-dup of one document
+    // resolve to the same canonical).
+    CorpusService.refreshCanonicalCorpus(spark, p, includeSemantic = true)
+    val unionPairs = Extensions.lshPairs(spark, base)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .unionByName(Extensions.semdedupCells(spark, base)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    assertSameRows(
+      CorpusService.canonicalCorpusView(spark, p),
+      Extensions.canonicalResolution(
+        graft.Tables.t(spark, base, "documents").select("doc_id", "lang"),
+        Extensions.clusterPairs(unionPairs)),
+      "unified-modality canonical artifact vs one-shot union twin")
   }
 
   test("always-on corpus service ingests live appends, stops gracefully") {
@@ -217,6 +234,61 @@ class CorpusServiceSpec extends SparkSpec {
       assert(dueNewEpoch.join(streamed, Seq("vec_a", "vec_b"), "left_anti")
         .count() == 0, "a new-epoch co-located pair is missing from the log")
     } finally { streamed.unpersist(); exact.unpersist() }
+  }
+
+  test("maintained serving index: builds, appends per wave, rebuilds on retrain") {
+    val srcDir = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-svcidx").toString
+    val p = CorpusService.Paths(base)
+    val docs = graft.Tables.t(spark, srcDir, "documents")
+      .select("doc_id", "text", "lang")
+    val emb = graft.Tables.t(spark, srcDir, "embeddings")
+      .select("vec_id", "embedding")
+    def wave(k: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === k)
+    def rebuildAt(path: String): String = {
+      Extensions.buildAnnIndexFrom(
+        Extensions.quantizeFrame(graft.Tables.t(spark, base, "embeddings")),
+        spark.read.parquet(p.cents), path)
+      path
+    }
+
+    // Epoch 1: train on wave 0, drain with index maintenance on — the
+    // first refresh BUILDS the index under the service quantizer.
+    docs.write.mode("append").parquet(p.docs)
+    wave(0).coalesce(1).write.mode("append").parquet(p.embeddings)
+    CorpusService.trainQuantizer(spark, p)
+    CorpusService.drainAvailable(spark, p, index = true)
+
+    // Wave 1 arrives; the next refresh APPENDS only the new vectors
+    // (anti-join discovery) under the frozen sidecar quantizer.
+    wave(1).coalesce(1).write.mode("append").parquet(p.embeddings)
+    CorpusService.drainAvailable(spark, p, index = true)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-svcidx-gt").toString
+    assertSameRows(
+      spark.read.parquet(p.annIndex),
+      spark.read.parquet(rebuildAt(s"$scratch/epoch1")),
+      "append-maintained service index vs frozen-quantizer rebuild")
+    assertSameRows(
+      CorpusService.annTopK(spark, p),
+      Extensions.annIvfIndexedAt(spark, base, s"$scratch/epoch1"),
+      "serving off the maintained index vs off the rebuild")
+
+    // Epoch 2: the corpus grows past the retrain threshold; maybeRetrain
+    // quiesces, retrains, and — because a new quantizer voids every
+    // stored cell — REBUILDS the maintained index, not appends.
+    var r = CorpusService.start(spark, p, interval = "1 second")
+    wave(2).coalesce(1).write.mode("append").parquet(p.embeddings)
+    r = CorpusService.maybeRetrain(spark, p, r, factor = 1.4,
+      interval = "1 second")
+    r.drainAndStop()
+    assertSameRows(
+      spark.read.parquet(p.annIndex + "/_quantizer"),
+      spark.read.parquet(p.cents),
+      "index sidecar must track the retrained quantizer")
+    assertSameRows(
+      spark.read.parquet(p.annIndex),
+      spark.read.parquet(rebuildAt(s"$scratch/epoch2")),
+      "post-retrain index vs rebuild under the new quantizer")
   }
 
   test("dedupReport with a many-to-one semIdMap: no self-pairs, no dup rows") {

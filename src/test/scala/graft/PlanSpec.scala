@@ -258,11 +258,29 @@ class PlanSpec extends SparkSpec {
     val df = graft.queries.Extensions.annIvfIndexed(spark, dir)
     val p = planOf(df)
     val idxScans = p.linesIterator
-      .filter(l => l.contains("graft-annidx") && l.contains("FileScan"))
+      .filter(l => l.contains("graft-annidx") && l.contains("FileScan") &&
+        !l.contains("_quantizer"))
       .toSeq
     assert(idxScans.nonEmpty, s"no index FileScan in plan:\n$p")
     assert(idxScans.forall(l => l.contains("dynamicpruning")),
       s"index scan not partition-pruned (no dynamicpruning expression " +
         s"on its PartitionFilters):\n${idxScans.mkString("\n")}")
+  }
+
+  test("s09 reads the stored assignment: no quantizer join in its plan") {
+    // s05's one deliberate non-equi join is the broadcast quantizer
+    // cross join that re-assigns the corpus per invocation; s09 exists
+    // to remove exactly that work, so its plan must contain NO
+    // nested-loop join at all — candidates come from an equi self-join
+    // of the index's stored (cell, vec_id) rows, verification from key
+    // joins. (s08 keeps one legitimate broadcast NLJ: scoring the 10
+    // query vectors against the sidecar centroids.)
+    graft.queries.Extensions.invalidateAnnIndex(dir)
+    val p = planOf(graft.queries.Extensions.semdedupIndexed(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"s09 re-derives assignment (nested-loop quantizer join):\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("graft-annidx") && l.contains("FileScan")),
+      s"s09 does not read the stored index:\n$p")
   }
 }
