@@ -113,8 +113,8 @@ object Warehouse {
     * or accept the documented race; the guard makes the window one
     * filesystem round-trip wide, it cannot make it zero without a lock
     * service the engine deliberately doesn't require. */
-  private def guardedRewrite(spark: SparkSession, path: String)
-                            (write: String => Unit): Boolean = {
+  private[graft] def guardedRewrite(spark: SparkSession, path: String)
+                                   (write: String => Unit): Boolean = {
     val target = new org.apache.hadoop.fs.Path(path)
     val stage = new org.apache.hadoop.fs.Path(path + "__stage")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)

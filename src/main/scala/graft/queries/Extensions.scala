@@ -914,6 +914,30 @@ object Extensions {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** Compaction for the APPEND-MAINTAINED index: every append adds one
+    * file set per touched cell, so a long-lived index's file count
+    * tracks the append count — the same unbounded-growth failure the
+    * dedup logs have, paid at query PLANNING time (file listing) rather
+    * than read time. The rewrite collapses each cell back to the
+    * shuffle's output files, `distinct()` absorbing the one duplicate
+    * source appends can physically produce (a crash-replayed
+    * appendAnnIndex re-adding its batch — index rows are unique per
+    * (vec_id, rn) otherwise), and carries the `_quantizer` sidecar into
+    * the staged artifact unchanged: compaction is a FILE-layout
+    * operation, the epoch does not move. Same fingerprint guard +
+    * staged swap as the log compactions — a concurrent append parks the
+    * rewrite and returns false; run it in the same quiesced windows
+    * (CorpusService.compactQuiesced does). */
+  private[graft] def tryCompactAnnIndex(s: SparkSession,
+                                        path: String): Boolean =
+    graft.jobs.Warehouse.guardedRewrite(s, path) { stage =>
+      s.read.parquet(path).distinct()
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(stage)
+      s.read.parquet(path + "/_quantizer")
+        .write.mode("overwrite").parquet(stage + "/_quantizer")
+    }
+
   private def annIndexPath(s: SparkSession, dir: String): String =
     annIndexCache.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-annidx")
@@ -1118,6 +1142,39 @@ object Extensions {
       .agg(count(when(col("h") % 1000000 < col("p_ppm"), 1)).as("n_kept"))
   }
 
+  /** t18: token-budget mixture balancing — the data-mixing step between
+    * curation and training: given a per-language token TARGET (uniform
+    * here: total tokens // |langs| — in production the mixture weights
+    * are a config), compute each language's keep rate
+    * min(1, target/actual) in ppm and the mix that results. Languages
+    * under budget keep everything; over-budget languages are
+    * down-sampled by content-hash thresholding (t06/t11's deterministic
+    * decision — stable across runs, engines, partitionings; no RNG).
+    * Complements t11: temperature sampling reshapes by DOC counts with
+    * a power law, this hits an absolute TOKEN budget.
+    *
+    * Scale shape: one narrow scan to (lang, h, n_toks), a |langs|-row
+    * agg broadcast back, one final agg — no shuffle at data grain
+    * beyond the two-phase aggs. The ppm product caps the corpus at
+    * ~2^63/1e6 ≈ 9e12 tokens; beyond that widen to DECIMAL(38,0). */
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("lang"), h32(col("text")).as("h"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val counts = d.groupBy("lang").agg(sum(col("n_toks")).as("lang_toks"))
+    val budget = counts
+      .agg(idiv(sum(col("lang_toks")), count(lit(1))).as("budget_toks"))
+    val rates = counts.crossJoin(broadcast(budget))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        idiv(col("budget_toks") * lit(1000000L), col("lang_toks"))))
+    d.join(broadcast(rates), "lang")
+      .groupBy(col("lang"), col("lang_toks"), col("budget_toks"),
+        col("rate_ppm"))
+      .agg(count(when(col("h") % 1000000 < col("rate_ppm"), 1))
+        .as("n_docs_kept"),
+        coalesce(sum(when(col("h") % 1000000 < col("rate_ppm"),
+          col("n_toks"))), lit(0L)).as("n_toks_kept"))
+  }
+
   /** t12: fixed-size stratified sample — k=10 documents per language,
     * selected by content-hash order (deterministic "reservoir": the
     * sample is a pure function of the corpus, stable across runs,
@@ -1160,6 +1217,38 @@ object Extensions {
       .select(col("doc_id"), col("chunk_idx"),
         length(col("chunk")).cast("long").as("chunk_len"),
         h32(col("chunk")).as("checksum32"))
+
+  /** t17: line-level boilerplate removal (the CCNet/RefinedWeb scrub) —
+    * the WITHIN-corpus twin of line dedup: segments recurring across
+    * documents (headers, footers, navigation chrome, license blurbs)
+    * are dropped from every document, keeping the documents themselves.
+    * This is a different decision grain from the whole-doc families:
+    * d01–d08 drop DOCUMENTS; t17 drops SEGMENTS and reports what each
+    * document retains. Segmentation is deterministic 10-token windows
+    * (this corpus carries no newlines; on real text the split is '\n' —
+    * the pipeline shape is identical), a segment is boilerplate when it
+    * occurs verbatim in ≥ 2 distinct documents, and the same segment
+    * repeated WITHIN one document is untouched (that is t14's
+    * repetition signal, not boilerplate).
+    *
+    * Scale shape: explode to segment rows (narrow), ONE hash
+    * aggregation by segment for document frequency (map-side
+    * combinable, d01's cost class), join back at segment grain, one
+    * agg by doc — nothing pairwise, no window over the corpus. */
+  def boilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+    val segs = toks(s, dir).select(col("doc_id"), explode(expr(
+      """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
+        |          i -> concat_ws(' ', slice(t, i * 10 + 1, 10)))"""
+        .stripMargin)).as("seg"))
+    val df = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    segs.join(df, "seg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("df") < 2, size(split(col("seg"), " ")).cast("long"))
+          .otherwise(0L)).as("n_toks_kept"))
+  }
 
   /** d08: fuzzy dedup by edit distance — the modality the hash families
     * (d01–d06) can't see: small character-level edits (typos, OCR noise)
@@ -1280,21 +1369,39 @@ object Extensions {
     * semi-join onto the doc set — the operators compose without any new
     * shuffle shape, which is the point: d01–d08/t01–t12 are not demos,
     * they assemble. */
-  def corpusMaterialize(s: SparkSession, dir: String): DataFrame = {
-    val kept = canonicalCorpus(s, dir)
-      .filter(col("is_kept") === 1).select("doc_id")
-    val quality = qualityScore(s, dir)
-      .filter(col("quality_ok") === 1).select("doc_id")
+  def corpusMaterialize(s: SparkSession, dir: String): DataFrame =
+    materializeSummary(trainingManifest(s, dir,
+      canonicalCorpus(s, dir).filter(col("is_kept") === 1).select("doc_id")))
+
+  /** The doc-grain training-set manifest t13/t16 summarize and the
+    * corpus service materializes as its maintained artifact
+    * (CorpusService.refreshTrainingSet): every document that survives
+    * the canonical keep/drop (`keptDocs` — whichever resolution the
+    * caller maintains) AND the quality gate, with its deterministic
+    * split and token budget. Both gates are key-grain semi-joins; the
+    * only corpus-wide touches are the two narrow scans they ride. */
+  private[graft] def trainingManifest(s: SparkSession, dir: String,
+                                      keptDocs: DataFrame): DataFrame =
+    docSplitToks(s, dir)
+      .join(keptDocs, Seq("doc_id"), "left_semi")
+      .join(qualityScore(s, dir)
+        .filter(col("quality_ok") === 1).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+
+  /** (doc_id, lang, split, n_toks) — the manifest's corpus-wide frame:
+    * t06's content-hash split plus the whitespace token budget. */
+  private[graft] def docSplitToks(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), col("lang"),
         when(splitBucket < 80, "train").when(splitBucket < 90, "valid")
           .otherwise("test").as("split"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
-      .join(kept, Seq("doc_id"), "left_semi")
-      .join(quality, Seq("doc_id"), "left_semi")
-      .groupBy("lang", "split")
+
+  /** The (lang, split) doc/token mix of a manifest — t13/t16's report
+    * grain over any doc-grain manifest. */
+  private[graft] def materializeSummary(manifest: DataFrame): DataFrame =
+    manifest.groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-  }
 
   /** t16: DECONTAMINATED corpus materialization — t13's capstone with
     * d09's leakage machinery pointed the production direction: TRAINING
@@ -1312,7 +1419,18 @@ object Extensions {
     * sketch is sized to the eval corpus, not the 100 TB side. No false
     * negatives (Bloom never rejects a member); false positives are
     * rejected by the exact gram join above it. */
-  def corpusDecontaminated(s: SparkSession, dir: String): DataFrame = {
+  def corpusDecontaminated(s: SparkSession, dir: String): DataFrame =
+    materializeSummary(trainingManifest(s, dir,
+      canonicalCorpus(s, dir).filter(col("is_kept") === 1).select("doc_id"))
+      .join(contaminatedTrainDocs(s, dir), Seq("doc_id"), "left_anti"))
+
+  /** TRAIN documents sharing any verbatim 8-gram with the held-out test
+    * split — t16's drop set, factored so the corpus service's
+    * maintained manifest applies the identical decontamination. The
+    * broadcast Bloom is built on the TEST grams (the small side) and
+    * filters the train gram stream below the exact join. */
+  private[graft] def contaminatedTrainDocs(s: SparkSession,
+                                           dir: String): DataFrame = {
     val g = grams8(s, dir)
     val testGrams = g.filter(col("bucket") >= 90).select("gram").distinct()
     val bloomB = bloomCache.computeIfAbsent(bloomKey(s, dir + "#test8"), { _ =>
@@ -1326,24 +1444,10 @@ object Extensions {
     val mightContain = udf((gr: String) =>
       gr != null && bloomB.value.mightContainString(gr))
       .withName("bloom_might_contain")
-    val contaminatedTrain = g.filter(col("bucket") < 80)
+    g.filter(col("bucket") < 80)
       .filter(mightContain(col("gram")))
       .join(testGrams, "gram")
       .select("doc_id").distinct()
-    val kept = canonicalCorpus(s, dir)
-      .filter(col("is_kept") === 1).select("doc_id")
-    val quality = qualityScore(s, dir)
-      .filter(col("quality_ok") === 1).select("doc_id")
-    docs(s, dir)
-      .select(col("doc_id"), col("lang"),
-        when(splitBucket < 80, "train").when(splitBucket < 90, "valid")
-          .otherwise("test").as("split"),
-        size(split(col("text"), " ")).cast("long").as("n_toks"))
-      .join(kept, Seq("doc_id"), "left_semi")
-      .join(quality, Seq("doc_id"), "left_semi")
-      .join(contaminatedTrain, Seq("doc_id"), "left_anti")
-      .groupBy("lang", "split")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
   }
 
   /** d10: INCREMENTAL near-dup detection — the shape a growing corpus
@@ -2273,6 +2377,39 @@ object Extensions {
         |LEFT JOIN badtrain b ON b.doc_id = d.doc_id
         |WHERE b.doc_id IS NULL
         |GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec("t17_boilerplate_scrub", boilerplateScrub, Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |segs AS (
+        |  SELECT t.doc_id,
+        |         array_to_string(tk[(u.i * 10 + 1):(u.i * 10 + 10)], ' ') AS seg
+        |  FROM t, UNNEST(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) u(i)),
+        |f AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1)
+        |SELECT s.doc_id,
+        |  count(*) AS n_segments,
+        |  CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN f.df < 2 THEN len(string_split(s.seg, ' ')) ELSE 0 END) AS BIGINT) AS n_toks_kept
+        |FROM segs s JOIN f ON f.seg = s.seg
+        |GROUP BY 1""".stripMargin)),
+
+    QuerySpec("t18_token_budget_mix", tokenBudgetMix, Some(
+      """WITH d AS (
+        |  SELECT lang, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS lang_toks
+        |      FROM d GROUP BY 1),
+        |b AS (SELECT CAST(SUM(lang_toks) AS BIGINT) // count(*) AS budget_toks
+        |      FROM c),
+        |r AS (SELECT c.lang, c.lang_toks, b.budget_toks,
+        |        CAST(least(1000000, (b.budget_toks * 1000000) // c.lang_toks) AS BIGINT) AS rate_ppm
+        |      FROM c, b)
+        |SELECT r.lang, r.lang_toks, r.budget_toks, r.rate_ppm,
+        |  count(CASE WHEN d.h % 1000000 < r.rate_ppm THEN 1 END) AS n_docs_kept,
+        |  CAST(COALESCE(SUM(CASE WHEN d.h % 1000000 < r.rate_ppm THEN d.n_toks END), 0) AS BIGINT) AS n_toks_kept
+        |FROM d JOIN r ON r.lang = d.lang
+        |GROUP BY 1, 2, 3, 4""".stripMargin)),
 
     QuerySpec("t11_temperature_sample", temperatureSample, Some(
       """WITH d AS (

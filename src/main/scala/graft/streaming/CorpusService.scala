@@ -43,6 +43,8 @@ object CorpusService {
     val canon = s"$base/dedup/canonical"
     /** The maintained serving index (s08/s09's layout). */
     val annIndex = s"$base/dedup/ann_index"
+    /** The maintained training-set manifest (streamed t13/t16). */
+    val trainingSet = s"$base/dedup/training_set"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -233,6 +235,44 @@ object CorpusService {
   def canonicalCorpusView(spark: SparkSession, p: Paths): DataFrame =
     spark.read.parquet(p.canon)
 
+  /** The maintained TRAINING-SET manifest — the artifact the whole
+    * lifecycle exists to produce, materialized at doc grain
+    * (doc_id, lang, split, n_toks): every document that survives the
+    * maintained canonical keep/drop (p.canon — whichever modality mix
+    * the caller last refreshed it with) and the quality gate, minus —
+    * with `decontaminate` — train documents sharing any verbatim 8-gram
+    * with the held-out test split. This is the streamed twin of
+    * t13/t16: the same trainingManifest / contaminatedTrainDocs code
+    * paths, with the canonical source READ from the maintained artifact
+    * instead of recomputed (the storage-for-recompute swap the pair
+    * logs and the serving index already make), so its (lang, split)
+    * summary equals the one-shot operators on the final corpus
+    * (spec-pinned). Refresh after refreshCanonicalCorpus on whatever
+    * cadence the canonical refresh runs; the swap is staged, readers
+    * never see a half-written manifest.
+    *
+    * Scale: both gates are key-grain semi-joins; the decontamination
+    * anti-join reuses the memoized test-side Bloom (invalidated on
+    * corpus refresh like every per-dir memo). A trainer reads THIS
+    * table — the doc-grain manifest, not the summary — to enumerate
+    * its shards. */
+  def refreshTrainingSet(spark: SparkSession, p: Paths,
+                         decontaminate: Boolean = false): Unit = {
+    val kept = canonicalCorpusView(spark, p)
+      .filter(col("is_kept") === 1).select("doc_id")
+    val base = graft.queries.Extensions.trainingManifest(spark, p.base, kept)
+    val manifest =
+      if (!decontaminate) base
+      else base.join(
+        graft.queries.Extensions.contaminatedTrainDocs(spark, p.base),
+        Seq("doc_id"), "left_anti")
+    graft.jobs.Warehouse.replaceReport(spark, manifest, p.trainingSet)
+  }
+
+  /** Read the maintained manifest (refreshTrainingSet's output). */
+  def trainingSetView(spark: SparkSession, p: Paths): DataFrame =
+    spark.read.parquet(p.trainingSet)
+
   /** The two live ingest queries of an always-on corpus service. */
   final case class Running(
       docs: org.apache.spark.sql.streaming.StreamingQuery,
@@ -292,6 +332,13 @@ object CorpusService {
       "corpus service: shingle dedup logs failed to compact while quiesced")
     require(StreamingSemanticDedup.compactLogs(spark, p.assigns, p.semPairs),
       "corpus service: semantic dedup logs failed to compact while quiesced")
+    // The maintained index grows files with every per-drain append the
+    // same way the logs grow with every micro-batch; the quiesced
+    // window is its compaction point too (no refresh can race here —
+    // both come only from this driver's lifecycle calls).
+    if (exists(spark, p.annIndex))
+      require(graft.queries.Extensions.tryCompactAnnIndex(spark, p.annIndex),
+        "corpus service: ann index failed to compact while quiesced")
     start(spark, p, interval)
   }
 

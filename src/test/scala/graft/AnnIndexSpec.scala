@@ -67,6 +67,33 @@ class AnnIndexSpec extends SparkSpec {
       Extensions.annIvfIndexedAt(spark, dir, byDiscovery),
       Extensions.annIvfIndexedAt(spark, dir, rebuilt),
       "s08 served off the appended index vs off the rebuild")
+
+    // Compaction: a crash-replayed append physically duplicates its
+    // batch (the one duplicate source the layout admits); compaction
+    // must absorb it, collapse each cell's accumulated append files,
+    // keep the sidecar, and leave serving untouched.
+    Extensions.appendAnnIndex(spark, dir, byBatch, newVectors = Some(odds))
+    assert(spark.read.parquet(byBatch).count() > expected.count(),
+      "replayed append should physically duplicate rows pre-compaction")
+    assert(Extensions.tryCompactAnnIndex(spark, byBatch),
+      "quiesced index compaction must land")
+    assertSameRows(spark.read.parquet(byBatch), expected,
+      "compacted index vs frozen-quantizer rebuild (replay absorbed)")
+    assertSameRows(
+      spark.read.parquet(byBatch + "/_quantizer"),
+      spark.read.parquet(rebuilt + "/_quantizer"),
+      "compaction must carry the sidecar unchanged")
+    assertSameRows(
+      Extensions.annIvfIndexedAt(spark, dir, byBatch),
+      Extensions.annIvfIndexedAt(spark, dir, rebuilt),
+      "s08 served off the compacted index vs off the rebuild")
+    val cellDirs = new java.io.File(byBatch).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "compacted index lost its cell partitioning")
+    cellDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n <= 2, s"${d.getName}: $n files after compaction")
+    }
   }
 
   test("invalidateAnnIndex + invalidateCorpusCount rebuild sees corpus growth") {

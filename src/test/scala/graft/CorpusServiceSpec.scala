@@ -98,6 +98,32 @@ class CorpusServiceSpec extends SparkSpec {
         graft.Tables.t(spark, base, "documents").select("doc_id", "lang"),
         Extensions.clusterPairs(unionPairs)),
       "unified-modality canonical artifact vs one-shot union twin")
+
+    // The maintained TRAINING-SET manifest: canonical (restored to the
+    // verbatim-only resolution t13/t16 consume) ∧ quality ∧ split, at
+    // doc grain — its summary ≡ one-shot t13; with decontamination,
+    // ≡ one-shot t16.
+    CorpusService.refreshCanonicalCorpus(spark, p)
+    CorpusService.refreshTrainingSet(spark, p)
+    assertSameRows(
+      Extensions.materializeSummary(CorpusService.trainingSetView(spark, p)),
+      Extensions.corpusMaterialize(spark, base),
+      "maintained training-set summary vs one-shot t13")
+    CorpusService.refreshTrainingSet(spark, p, decontaminate = true)
+    assertSameRows(
+      Extensions.materializeSummary(CorpusService.trainingSetView(spark, p)),
+      Extensions.corpusDecontaminated(spark, base),
+      "decontaminated maintained training set vs one-shot t16")
+    // Doc grain, not just summary grain: the manifest IS the doc set a
+    // trainer enumerates.
+    assertSameRows(
+      CorpusService.trainingSetView(spark, p),
+      Extensions.trainingManifest(spark, base,
+        Extensions.canonicalCorpus(spark, base)
+          .filter(col("is_kept") === 1).select("doc_id"))
+        .join(Extensions.contaminatedTrainDocs(spark, base),
+          Seq("doc_id"), "left_anti"),
+      "maintained manifest vs one-shot doc-grain twin")
   }
 
   test("always-on corpus service ingests live appends, stops gracefully") {

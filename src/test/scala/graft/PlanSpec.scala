@@ -267,6 +267,27 @@ class PlanSpec extends SparkSpec {
         s"on its PartitionFilters):\n${idxScans.mkString("\n")}")
   }
 
+  test("t17 scrubs boilerplate with hash aggs only — no window, no pairwise join") {
+    // The CCNet-shape scrub must stay in d01's cost class: document
+    // frequency is ONE hash aggregation by segment, the flag-back is a
+    // segment-keyed equi-join — never a corpus-grain window (the
+    // single-reducer trap) or anything pairwise.
+    val p = planOf(graft.queries.Extensions.boilerplateScrub(spark, dir))
+    assert(!p.contains("Window"), s"t17 plans a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"t17 plans a non-equi join:\n$p")
+  }
+
+  test("t18 joins its |langs|-row rate table by broadcast only") {
+    // The mixture rates are |langs| rows; joining them back onto the
+    // corpus must broadcast — a sort-merge join here would shuffle the
+    // whole corpus on lang (skew-prone: language distributions are
+    // Zipfian) for a dimension that fits in one message.
+    val p = planOf(graft.queries.Extensions.tokenBudgetMix(spark, dir))
+    assert(!p.contains("SortMergeJoin"), s"t18 shuffles a corpus join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"t18 has no broadcast join:\n$p")
+  }
+
   test("s09 reads the stored assignment: no quantizer join in its plan") {
     // s05's one deliberate non-equi join is the broadcast quantizer
     // cross join that re-assigns the corpus per invocation; s09 exists
