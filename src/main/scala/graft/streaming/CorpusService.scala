@@ -266,7 +266,16 @@ object CorpusService {
       else base.join(
         graft.queries.Extensions.contaminatedTrainDocs(spark, p.base),
         Seq("doc_id"), "left_anti")
-    graft.jobs.Warehouse.replaceReport(spark, manifest, p.trainingSet)
+    // Hive-partitioned by split: the manifest's dominant read is a
+    // trainer enumerating ONE split (split=train at every epoch,
+    // split=valid on eval ticks) — partition pruning turns that into a
+    // directory-scoped listing instead of a full-manifest scan, the
+    // same layout decision the daily logs and the ANN index make.
+    graft.jobs.Warehouse.replaceVia(spark, p.trainingSet) { stage =>
+      manifest.repartition(col("split"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("split").parquet(stage)
+    }
   }
 
   /** Read the maintained manifest (refreshTrainingSet's output). */

@@ -124,6 +124,17 @@ class CorpusServiceSpec extends SparkSpec {
         .join(Extensions.contaminatedTrainDocs(spark, base),
           Seq("doc_id"), "left_anti"),
       "maintained manifest vs one-shot doc-grain twin")
+    // The manifest is laid out for its dominant read — one split per
+    // trainer pass: hive-partitioned by split, so split=train reads
+    // prune to one directory.
+    val splitDirs = new java.io.File(p.trainingSet).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("split="))
+    assert(splitDirs.nonEmpty, "manifest not partitioned by split")
+    val prunedPlan = CorpusService.trainingSetView(spark, p)
+      .filter(col("split") === "train")
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters: [isnotnull(split"),
+      s"split filter not pushed to partition pruning:\n$prunedPlan")
   }
 
   test("always-on corpus service ingests live appends, stops gracefully") {
