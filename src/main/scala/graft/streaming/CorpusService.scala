@@ -141,17 +141,18 @@ object CorpusService {
     * Returns the possibly-new handle; callers must adopt it. */
   def maybeRetrain(spark: SparkSession, p: Paths, r: Running,
                    factor: Double = 2.0,
-                   interval: String = "5 minutes"): Running = {
-    val grown = trainedCount(spark, p).exists { trained =>
-      trained > 0 && embeddingCount(spark, p) >= factor * trained
-    }
-    if (!grown) r
+                   interval: String = "5 minutes"): Running =
+    if (!grown(spark, p, factor)) r
     else {
       r.drainAndStop()
       retrainQuantizer(spark, p)
       start(spark, p, interval)
     }
-  }
+
+  private def grown(spark: SparkSession, p: Paths, factor: Double): Boolean =
+    trainedCount(spark, p).exists { trained =>
+      trained > 0 && embeddingCount(spark, p) >= factor * trained
+    }
 
   /** Drain everything currently in both stores through both dedup
     * cycles, then compact every dedup log (no live writer remains after
@@ -349,6 +350,79 @@ object CorpusService {
       require(graft.queries.Extensions.tryCompactAnnIndex(spark, p.annIndex),
         "corpus service: ann index failed to compact while quiesced")
     start(spark, p, interval)
+  }
+
+  /** What a [[runScheduled]] run did: drain ticks fired, quantizer
+    * retrains triggered, standalone index compactions (a retrain's
+    * rebuild supersedes compaction on its tick, so the two counts are
+    * disjoint). */
+  final case class CorpusScheduleStats(drainTicks: Int, retrains: Int,
+                                       indexCompactions: Int)
+
+  /** The deployable ENTRYPOINT of the corpus lifecycle — the
+    * CorpusService twin of jobs.Main.runScheduled: a wall-clock loop
+    * that, every `drainEvery`, drains both corpus stores through both
+    * dedup cycles (logs compacted post-drain, serving index appended)
+    * and refreshes the maintained artifacts (canonical corpus, then the
+    * training-set manifest over it); every `maintainEvery`-th tick it
+    * runs the heavier maintenance in the same between-drains window —
+    * the growth-keyed retrain check (quantizer + assignment table +
+    * index REBUILD when the corpus passed `retrainFactor`× its trained
+    * size) or, when no retrain fires, index file compaction. Everything
+    * the always-on form needs compactQuiesced/maybeRetrain for is safe
+    * here by construction: between drains NOTHING is live (AvailableNow
+    * drains own the only writers), so every swap must land — failures
+    * are loud, never skipped.
+    *
+    * The first tick trains the quantizer if none exists yet (the corpus
+    * store must already hold its first embedding wave — the same
+    * seed-before-schedule contract Main.runScheduled has). `clock` /
+    * `sleep` / `stop` are injectable for testing, like Main's. */
+  def runScheduled(spark: SparkSession, p: Paths, stop: () => Boolean,
+                   drainEvery: java.time.Duration =
+                     java.time.Duration.ofMinutes(5),
+                   maintainEvery: Int = 12,
+                   retrainFactor: Double = 2.0,
+                   includeSemantic: Boolean = true,
+                   decontaminate: Boolean = false,
+                   maxFilesPerTrigger: Option[Int] = None,
+                   clock: () => java.time.LocalDateTime =
+                     () => java.time.LocalDateTime.now(),
+                   sleep: java.time.Duration => Unit =
+                     d => Thread.sleep(d.toMillis)): CorpusScheduleStats = {
+    if (trainedCount(spark, p).isEmpty) trainQuantizer(spark, p)
+    var ticks = 0
+    var retrains = 0
+    var idxCompactions = 0
+    var next = clock()
+    while (!stop()) {
+      val now = clock()
+      if (!now.isBefore(next)) {
+        drainAvailable(spark, p, maxFilesPerTrigger,
+          compact = true, canonical = false, index = true)
+        refreshCanonicalCorpus(spark, p, includeSemantic)
+        refreshTrainingSet(spark, p, decontaminate)
+        ticks += 1
+        if (maintainEvery > 0 && ticks % maintainEvery == 0) {
+          if (grown(spark, p, retrainFactor)) {
+            // Rebuilds the index too — a retrain tick needs no separate
+            // compaction (the rebuild IS the most compact layout).
+            retrainQuantizer(spark, p)
+            retrains += 1
+          } else if (exists(spark, p.annIndex)) {
+            require(
+              graft.queries.Extensions.tryCompactAnnIndex(spark, p.annIndex),
+              "corpus service: scheduled index compaction failed to land " +
+                "(no writer should be live between drains)")
+            idxCompactions += 1
+          }
+        }
+        next = next.plus(drainEvery)
+      }
+      val d = java.time.Duration.between(clock(), next)
+      if (!d.isNegative && !stop()) sleep(d)
+    }
+    CorpusScheduleStats(ticks, retrains, idxCompactions)
   }
 
   /** The unified near-dup report: every discovered pair, labeled by the

@@ -328,6 +328,91 @@ class CorpusServiceSpec extends SparkSpec {
       "post-retrain index vs rebuild under the new quantizer")
   }
 
+  test("scheduled lifecycle: drains, maintains artifacts, retrains on growth") {
+    val srcDir = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-svcsched").toString
+    val p = CorpusService.Paths(base)
+    val docs = graft.Tables.t(spark, srcDir, "documents")
+      .select("doc_id", "text", "lang")
+    val emb = graft.Tables.t(spark, srcDir, "embeddings")
+      .select("vec_id", "embedding")
+    def wave(k: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === k)
+
+    // Seed-before-schedule contract: documents and the first embedding
+    // wave exist before the loop starts (the quantizer trains on them
+    // at the first tick).
+    docs.write.mode("append").parquet(p.docs)
+    wave(0).coalesce(1).write.mode("append").parquet(p.embeddings)
+
+    // Fake clock, 5-minute drains over 10 minutes → ticks at 0/5/10.
+    // Later waves arrive through the sleep hook, i.e. BETWEEN ticks —
+    // the shape a real deployment sees. maintainEvery=1 runs the
+    // maintenance check after every tick: tick 1 sees corpus = trained
+    // size (1.0× < 1.2 → index compaction), ticks 2 and 3 each see the
+    // corpus grown ≥1.2× past the last training (wave appended between
+    // ticks) → retrain, so the run must report exactly (3, 2, 1).
+    val t0 = java.time.LocalDateTime.parse("2024-06-01T12:00:00")
+    var fakeNow = t0
+    var appended = 1
+    val stats = CorpusService.runScheduled(spark, p,
+      stop = () => fakeNow.isAfter(t0.plusMinutes(10)),
+      maintainEvery = 1, retrainFactor = 1.2,
+      clock = () => fakeNow,
+      sleep = d => {
+        if (appended < 3) {
+          wave(appended).coalesce(1).write.mode("append").parquet(p.embeddings)
+          appended += 1
+        }
+        fakeNow = fakeNow.plus(d)
+      })
+    assert(stats == CorpusService.CorpusScheduleStats(3, 2, 1),
+      s"unexpected schedule stats: $stats")
+
+    // The streamed verbatim pair log converged to the one-shot LSH set.
+    assertSameRows(
+      StreamingDedup.pairsView(spark, p.pairs),
+      Extensions.lshPairs(spark, base)
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .distinct(),
+      "scheduled verbatim pairs vs one-shot LSH")
+
+    // The maintained artifacts reflect the FINAL tick's logs: the
+    // both-modality canonical over the accumulated pair logs, and the
+    // manifest over that canonical.
+    assertSameRows(
+      CorpusService.canonicalCorpusView(spark, p),
+      Extensions.canonicalResolution(
+        graft.Tables.t(spark, base, "documents").select("doc_id", "lang"),
+        Extensions.clusterPairs(
+          StreamingDedup.pairsView(spark, p.pairs).select("doc_a", "doc_b")
+            .unionByName(
+              StreamingSemanticDedup.pairsView(spark, p.semPairs)
+                .select(col("vec_a").as("doc_a"),
+                  col("vec_b").as("doc_b"))))),
+      "scheduled canonical artifact vs resolution over the final logs")
+    assertSameRows(
+      CorpusService.trainingSetView(spark, p),
+      Extensions.trainingManifest(spark, base,
+        CorpusService.canonicalCorpusView(spark, p)
+          .filter(col("is_kept") === 1).select("doc_id")),
+      "scheduled manifest vs one-shot over the maintained canonical")
+
+    // The serving index is the current epoch's rebuild over the full
+    // corpus (the last tick retrained AFTER its drain), sidecar included.
+    val gt = java.nio.file.Files.createTempDirectory("graft-svcsched-gt")
+      .toString
+    Extensions.buildAnnIndexFrom(
+      Extensions.quantizeFrame(graft.Tables.t(spark, base, "embeddings")),
+      spark.read.parquet(p.cents), gt)
+    assertSameRows(spark.read.parquet(p.annIndex), spark.read.parquet(gt),
+      "scheduled index vs current-epoch rebuild")
+    assertSameRows(
+      spark.read.parquet(p.annIndex + "/_quantizer"),
+      spark.read.parquet(p.cents),
+      "scheduled index sidecar vs service quantizer")
+  }
+
   test("dedupReport with a many-to-one semIdMap: no self-pairs, no dup rows") {
     // Synthetic pair logs drive the mapping edge cases directly: two
     // vec_ids of one document collapsing to a self-pair (must vanish)
