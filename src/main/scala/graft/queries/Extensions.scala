@@ -1033,6 +1033,42 @@ object Extensions {
         idiv(sum(col("v")), count(lit(1))).as("centroid_ppm"))
   }
 
+  /** s10: embedding-outlier quality filtering — the curation step that
+    * sits NEXT TO SemDeDup in an embedding-curated pipeline: SemDeDup
+    * (s05/d13) drops what is too CLOSE to a neighbor; this flags what
+    * is too FAR from its class — each document scored by the cosine of
+    * its embedding to its language's centroid direction, flagged when
+    * anti-aligned (cos < 0: mislabeled language, corrupt embedding, or
+    * off-distribution content). The centroid is the per-lang integer
+    * SUM vector, never the mean: cosine is scale-invariant, so the sum
+    * spans the same direction with exact integer arithmetic — the
+    * divisionless twin of the ppm-ratio trick, and why both engines
+    * agree bit-for-bit.
+    *
+    * Scale shape: the sum vectors are one dim-grain hash agg (map-side
+    * combinable integer sums, s04's shape) collapsed to |langs| array
+    * rows and BROADCAST back, so scoring is one codegen DotI64 per
+    * document riding the broadcast — the only corpus-grain shuffle is
+    * the standard docs⋈embeddings id join every embedding operator
+    * pays (co-partitioned at scale). */
+  def centroidOutliers(s: SparkSession, dir: String): DataFrame = {
+    val langs = docs(s, dir).select(col("doc_id").as("vec_id"), col("lang"))
+    val e = quantized(s, dir).join(langs, "vec_id")
+    val sumVecs = e.select(col("lang"), posexplode(col("q")))
+      .select(col("lang"), col("pos"), col("col").as("v"))
+      .groupBy("lang", "pos").agg(sum(col("v")).as("sv"))
+      .groupBy("lang")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+        x => x.getField("sv")).as("cq"))
+      .withColumn("cs2", DotI64(col("cq"), col("cq")))
+    e.join(broadcast(sumVecs), "lang")
+      .withColumn("dot", DotI64(col("q"), col("cq")))
+      .select(col("vec_id"), col("lang"),
+        floor(col("dot") / (sqrt(col("s2")) * sqrt(col("cs2")))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("cos_ppm"))
+      .withColumn("is_outlier", when(col("cos_ppm") < 0, 1).otherwise(0))
+  }
+
   // ------------------------------------------------------------ text analysis
 
   /** t01: token counting — whitespace + regex (BPE-ish) + distinct. */
@@ -2486,6 +2522,27 @@ object Extensions {
         |  CAST(SUM(e.v) AS BIGINT) // count(*) AS centroid_ppm
         |FROM ev e JOIN documents d ON d.doc_id = e.vec_id
         |GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec("s10_centroid_outliers", centroidOutliers, Some(embCtes +
+      """, el AS (
+        |  SELECT e.vec_id, e.i, e.v, d.lang
+        |  FROM ev e JOIN documents d ON d.doc_id = e.vec_id),
+        |cs AS (SELECT lang, i, CAST(SUM(v) AS BIGINT) AS sv
+        |       FROM el GROUP BY 1, 2),
+        |cs2 AS (SELECT lang, CAST(SUM(sv * sv) AS BIGINT) AS cs2
+        |        FROM cs GROUP BY 1),
+        |dots AS (
+        |  SELECT el.vec_id, el.lang, CAST(SUM(el.v * c.sv) AS BIGINT) AS dot
+        |  FROM el JOIN cs c ON c.lang = el.lang AND c.i = el.i
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, lang, cos_ppm,
+        |  CASE WHEN cos_ppm < 0 THEN 1 ELSE 0 END AS is_outlier
+        |FROM (
+        |  SELECT d.vec_id, d.lang,
+        |         CAST(floor(d.dot / (sqrt(s.s2) * sqrt(c.cs2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM dots d
+        |  JOIN sq s ON s.vec_id = d.vec_id
+        |  JOIN cs2 c ON c.lang = d.lang) t""".stripMargin)),
 
     QuerySpec("t08_vocab_topk", vocabTopK, Some(docCtes +
       """SELECT lang, rnk, tok, c FROM (

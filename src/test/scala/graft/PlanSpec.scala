@@ -288,6 +288,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"t18 has no broadcast join:\n$p")
   }
 
+  test("s10 scores against broadcast sum vectors — no non-equi join") {
+    // The per-lang centroid-direction table is |langs| array rows; it
+    // must come back onto the corpus as a broadcast hash join (the only
+    // corpus-grain shuffle allowed is the standard docs⋈embeddings id
+    // join), and nothing in the plan may fall back to a nested loop.
+    val p = planOf(graft.queries.Extensions.centroidOutliers(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"s10 has no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"s10 plans a non-equi join:\n$p")
+  }
+
   test("s09 reads the stored assignment: no quantizer join in its plan") {
     // s05's one deliberate non-equi join is the broadcast quantizer
     // cross join that re-assigns the corpus per invocation; s09 exists
