@@ -199,20 +199,75 @@ object Extensions {
     bloomCache.keySet.asScala.toSet
   }
 
-  /** The distinct (doc, split-bucket, 8-gram) frame d09 and t16 share:
-    * every verbatim 8-token window of every document, tagged with the
-    * document's deterministic train/valid/test bucket. */
-  private def grams8(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-        splitBucket.as("bucket"),
-        split(col("text"), " ").as("t"))
-      .select(col("doc_id"), col("bucket"), explode(expr(
+  /** Distinct verbatim 8-token windows of a document frame — the gram
+    * generator d09/t16 and the ingest-time contamination gate
+    * (streaming.StreamingContamination) share, so batch and stream
+    * agree bit-for-bit. Every non-`text` column is carried through
+    * (d09/t16 ride the split bucket alongside doc_id). */
+  private[graft] def grams8OfDocs(d: DataFrame): DataFrame = {
+    val keep = d.columns.filter(_ != "text").map(col).toSeq
+    d.withColumn("t", split(col("text"), " "))
+      .select(keep :+ explode(expr(
         """CASE WHEN size(t) < 8 THEN CAST(array() AS array<string>)
           |ELSE transform(sequence(0, size(t) - 8),
           |  i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
           |                 t[i+4], t[i+5], t[i+6], t[i+7])) END"""
-          .stripMargin)).as("gram"))
+          .stripMargin)).as("gram"): _*)
       .distinct()
+  }
+
+  /** The distinct (doc, split-bucket, 8-gram) frame d09 and t16 share:
+    * every verbatim 8-token window of every document, tagged with the
+    * document's deterministic train/valid/test bucket. */
+  private def grams8(s: SparkSession, dir: String): DataFrame =
+    grams8OfDocs(docs(s, dir)
+      .select(col("doc_id"), splitBucket.as("bucket"), col("text")))
+
+  /** Broadcast-Bloom pre-filter of a gram frame against a REFERENCE gram
+    * set: the sketch is built once on the reference side (the small
+    * side — an eval suite in production), memoized under `refKey`
+    * (application-scoped, invalidateBloom drops it), and `g`'s rows are
+    * filtered to possible members BELOW whatever exact join the caller
+    * puts above — no false negatives (Bloom never rejects a member),
+    * false positives rejected by that exact join. The d09/t16 asymmetry,
+    * factored for every consumer including the streaming gate. */
+  private[graft] def bloomFiltered(s: SparkSession, refKey: String,
+                                   refGrams: => DataFrame,
+                                   g: DataFrame): DataFrame = {
+    val bloomB = bloomCache.computeIfAbsent(bloomKey(s, refKey), { _ =>
+      val ref = refGrams.persist()
+      val bloom = try {
+        val n = ref.count()
+        ref.stat.bloomFilter("gram", math.max(n, 1000L), 0.01)
+      } finally ref.unpersist()
+      s.sparkContext.broadcast(bloom)
+    })
+    val mightContain = udf((gr: String) =>
+      gr != null && bloomB.value.mightContainString(gr))
+      .withName("bloom_might_contain")
+    g.filter(mightContain(col("gram")))
+  }
+
+  /** Per-document contamination of a corpus against an EXTERNAL
+    * reference suite (refDir — its own documents table, e.g. a held-out
+    * benchmark): documents sharing ≥1 verbatim 8-gram with any
+    * reference document, with the shared-gram count. d09 audits WITHIN
+    * one corpus (train vs test split); this is the cross-corpus form a
+    * deployment runs against each eval suite it must protect, and the
+    * one-shot twin of the ingest-time gate
+    * (streaming.StreamingContamination — spec-pinned ≡). Bloom on the
+    * reference side (fixed, small), exact gram join above it. */
+  def contaminationAgainst(s: SparkSession, corpusDir: String,
+                           refDir: String): DataFrame = {
+    val refGrams = grams8OfDocs(
+        Tables.t(s, refDir, "documents").select("doc_id", "text"))
+      .select("gram").distinct()
+    val g = grams8OfDocs(docs(s, corpusDir).select("doc_id", "text"))
+    bloomFiltered(s, refDir + "#refgrams", refGrams, g)
+      .join(refGrams, "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_hit_grams"))
+  }
 
   /** DuckDB twin of coarseCentroids' sampling predicate (shared by the
     * s03/s05 oracles): same hash, same √n stride, same scalar-subquery
@@ -1469,19 +1524,7 @@ object Extensions {
                                            dir: String): DataFrame = {
     val g = grams8(s, dir)
     val testGrams = g.filter(col("bucket") >= 90).select("gram").distinct()
-    val bloomB = bloomCache.computeIfAbsent(bloomKey(s, dir + "#test8"), { _ =>
-      testGrams.persist()
-      val bloom = try {
-        val n = testGrams.count()
-        testGrams.stat.bloomFilter("gram", math.max(n, 1000L), 0.01)
-      } finally testGrams.unpersist()
-      s.sparkContext.broadcast(bloom)
-    })
-    val mightContain = udf((gr: String) =>
-      gr != null && bloomB.value.mightContainString(gr))
-      .withName("bloom_might_contain")
-    g.filter(col("bucket") < 80)
-      .filter(mightContain(col("gram")))
+    bloomFiltered(s, dir + "#test8", testGrams, g.filter(col("bucket") < 80))
       .join(testGrams, "gram")
       .select("doc_id").distinct()
   }

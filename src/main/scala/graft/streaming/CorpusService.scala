@@ -45,6 +45,10 @@ object CorpusService {
     val annIndex = s"$base/dedup/ann_index"
     /** The maintained training-set manifest (streamed t13/t16). */
     val trainingSet = s"$base/dedup/training_set"
+    /** The ingest-time contamination drop list (streamed d09 vs an
+      * external eval suite). */
+    val contam = s"$base/dedup/contam"
+    val contamCkpt = s"$base/ckpt/contam"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -155,26 +159,42 @@ object CorpusService {
     }
 
   /** Drain everything currently in both stores through both dedup
-    * cycles, then compact every dedup log (no live writer remains after
-    * the drains, so the compaction passes must land — `require`d).
-    * `maxFilesPerTrigger` bounds micro-batch size for backlogs. */
+    * cycles — and, with `contaminationRef`, through the ingest-time
+    * leakage gate against that external eval suite — then compact every
+    * written log (no live writer remains after the drains, so the
+    * compaction passes must land — `require`d). `maxFilesPerTrigger`
+    * bounds micro-batch size for backlogs. */
   def drainAvailable(spark: SparkSession, p: Paths,
                      maxFilesPerTrigger: Option[Int] = None,
                      compact: Boolean = true,
                      canonical: Boolean = true,
-                     index: Boolean = false): Unit = {
+                     index: Boolean = false,
+                     contaminationRef: Option[String] = None): Unit = {
     StreamingDedup.ingestAvailable(spark, p.docs, p.sigs, p.pairs, p.docsCkpt)
     StreamingSemanticDedup.ingestAvailable(spark, p.embeddings, p.cents,
       p.assigns, p.semPairs, p.embCkpt, maxFilesPerTrigger)
+    contaminationRef.foreach { ref =>
+      StreamingContamination.ingestAvailable(spark, p.docs, ref,
+        p.contam, p.contamCkpt)
+    }
     if (compact) {
       require(StreamingDedup.compactLogs(spark, p.sigs, p.pairs),
         "corpus service: shingle dedup logs failed to compact post-drain")
       require(StreamingSemanticDedup.compactLogs(spark, p.assigns, p.semPairs),
         "corpus service: semantic dedup logs failed to compact post-drain")
+      if (contaminationRef.isDefined)
+        require(StreamingContamination.compactLog(spark, p.contam),
+          "corpus service: contamination log failed to compact post-drain")
     }
     if (canonical) refreshCanonicalCorpus(spark, p)
     if (index) refreshAnnIndex(spark, p)
   }
+
+  /** The ingest-time contamination drop list (empty-safe). A maintained
+    * training set that must exclude suite-leaked documents anti-joins
+    * this at materialization — the leak was already caught at arrival. */
+  def contaminationView(spark: SparkSession, p: Paths): DataFrame =
+    StreamingContamination.contamView(spark, p.contam)
 
   /** The MAINTAINED canonical-corpus artifact — the streaming twin of
     * d07's resolution: the accumulated verbatim pair log clusters
@@ -385,6 +405,7 @@ object CorpusService {
                    retrainFactor: Double = 2.0,
                    includeSemantic: Boolean = true,
                    decontaminate: Boolean = false,
+                   contaminationRef: Option[String] = None,
                    maxFilesPerTrigger: Option[Int] = None,
                    clock: () => java.time.LocalDateTime =
                      () => java.time.LocalDateTime.now(),
@@ -399,7 +420,8 @@ object CorpusService {
       val now = clock()
       if (!now.isBefore(next)) {
         drainAvailable(spark, p, maxFilesPerTrigger,
-          compact = true, canonical = false, index = true)
+          compact = true, canonical = false, index = true,
+          contaminationRef = contaminationRef)
         refreshCanonicalCorpus(spark, p, includeSemantic)
         refreshTrainingSet(spark, p, decontaminate)
         ticks += 1

@@ -20,6 +20,15 @@ class CorpusServiceSpec extends SparkSpec {
     val emb = graft.Tables.t(spark, srcDir, "embeddings")
       .select("vec_id", "embedding")
 
+    // A fixed external eval suite for the ingest-time leakage gate:
+    // every 50th corpus document verbatim under a disjoint id space.
+    val refDir = java.nio.file.Files.createTempDirectory("graft-svc-eval")
+      .toString
+    docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 900000).as("doc_id"), col("text"), col("lang"))
+      .coalesce(1).write.parquet(s"$refDir/documents.parquet")
+    Extensions.invalidateBloom(refDir)
+
     // Wave 1: ~60% of the corpus, both modalities.
     docs.filter(col("doc_id") % 5 < 3).write.mode("append").parquet(p.docs)
     emb.filter(col("vec_id") % 5 < 3).write.mode("append").parquet(p.embeddings)
@@ -30,11 +39,17 @@ class CorpusServiceSpec extends SparkSpec {
     CorpusService.trainQuantizer(spark, p)
     // Wave-1 drain: only wave-1 docs exist; embeddings drain fully
     // (either side may run ahead — the contract tolerates it).
-    CorpusService.drainAvailable(spark, p)
+    CorpusService.drainAvailable(spark, p, contaminationRef = Some(refDir))
 
     // Wave 2 (documents): the rest arrives and drains.
     docs.filter(col("doc_id") % 5 >= 3).write.mode("append").parquet(p.docs)
-    CorpusService.drainAvailable(spark, p)
+    CorpusService.drainAvailable(spark, p, contaminationRef = Some(refDir))
+
+    // The ingest-time leakage gate converged to the one-shot audit.
+    assertSameRows(
+      CorpusService.contaminationView(spark, p),
+      Extensions.contaminationAgainst(spark, base, refDir),
+      "service contamination log vs one-shot cross-corpus audit")
 
     // Equivalence with the one-shot batch operators on the full corpus.
     assertSameRows(
@@ -66,10 +81,11 @@ class CorpusServiceSpec extends SparkSpec {
         "report must hold each pair once")
     } finally report.unpersist()
 
-    // Post-drain compaction bounded every log.
+    // Post-drain compaction bounded every log, the contamination log
+    // included.
     def dataFiles(dir: String): Int = new java.io.File(dir)
       .listFiles().count(_.getName.endsWith(".parquet"))
-    Seq(p.sigs, p.pairs, p.assigns, p.semPairs).foreach { d =>
+    Seq(p.sigs, p.pairs, p.assigns, p.semPairs, p.contam).foreach { d =>
       assert(dataFiles(d) <= 4, s"$d not compacted: ${dataFiles(d)} files")
     }
 
