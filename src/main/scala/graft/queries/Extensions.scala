@@ -630,7 +630,7 @@ object Extensions {
     * Walks EVERY LogicalRDD in the plan, not just the first: a caller
     * that checkpoints a multi-source frame (a union of two checkpointed
     * inputs, say) would otherwise leak every RDD after the first. */
-  private def freeCkpt(df: DataFrame): Unit =
+  private[graft] def freeCkpt(df: DataFrame): Unit =
     df.queryExecution.logical.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
@@ -760,6 +760,54 @@ object Extensions {
     val out = connectedComponents(pairs)
     freeCkpt(pairs)
     out
+  }
+
+  /** Incremental maintenance of clusterPairs' labels: given the PREVIOUS
+    * label table and only the pairs appended since it was computed,
+    * produce labels equal to a full recompute over the whole pair set —
+    * without touching the components the delta never reaches.
+    *
+    * The equivalence argument: a label is the component's minimum doc id
+    * (connectedComponents initializes label := doc_id and propagates
+    * min), so every previous cluster collapses soundly to a STAR — an
+    * edge from each member to its label, which is itself a doc id inside
+    * that component. Components containing no endpoint of a new pair
+    * cannot change (no new edge reaches them), so their rows carry over
+    * verbatim; for the rest, the fixpoint reruns over (new pairs ∪ star
+    * edges of every touched cluster), and min over the merged member
+    * sets is the global min — exactly what the full recompute yields.
+    * A new pair may merge two old clusters, extend one, or create a
+    * brand-new component of previously-unpaired docs; all three are the
+    * same code path (IncrementalClustersSpec pins each, ≡ clusterPairs
+    * over the union).
+    *
+    * Scale: the delta-refresh cost is O(|new pairs| + |members of
+    * touched clusters|) plus a fixpoint whose edge set is that same
+    * frame — vs. the full recompute's O(|all pairs| × diameter). At
+    * 100 TB the pair log is collision-grain but LONG-LIVED; a steady
+    * trickle of arrivals touches a vanishing fraction of accumulated
+    * clusters, which is what makes a per-drain canonical refresh
+    * sustainable. */
+  private[graft] def incrementalClusters(prevLabels: DataFrame,
+                                         newPairs: DataFrame): DataFrame = {
+    val np = newPairs.select("doc_a", "doc_b").distinct().localCheckpoint()
+    val touched = np.select(col("doc_a").as("doc_id"))
+      .union(np.select(col("doc_b").as("doc_id"))).distinct()
+    // Checkpointed (it is |touched clusters|-grain — tiny) so the
+    // returned plan is self-contained once np's blocks are freed.
+    val affected = prevLabels.join(touched, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct().localCheckpoint()
+    // Every member of a touched cluster re-enters the fixpoint via its
+    // star edge (label-as-partner is a doc id of the same component);
+    // members equal to their label are covered as the stars' endpoints.
+    val stars = prevLabels.join(affected, Seq("cluster_id"), "left_semi")
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val relabeled = clusterPairs(np.unionByName(stars))
+    freeCkpt(np)
+    prevLabels.join(affected, Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+      .unionByName(relabeled)
   }
 
   /** s03: IVF-style ANN — √n hash-sampled coarse quantizer
@@ -1339,6 +1387,41 @@ object Extensions {
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dropped"),
         sum(when(col("df") < 2, size(split(col("seg"), " ")).cast("long"))
           .otherwise(0L)).as("n_toks_kept"))
+  }
+
+  /** t19: t17's scrub as a corpus TRANSFORM — the materialization a
+    * training run actually consumes. Where t17 REPORTS what each
+    * document would retain, t19 emits the retained text itself:
+    * boilerplate segments (verbatim in ≥ 2 distinct documents, t17's
+    * exact predicate and segmentation) are removed and the surviving
+    * segments are reassembled in original order into `clean_text`.
+    * Fully-boilerplate documents survive with empty text (the keep/drop
+    * decision on DOCUMENTS belongs to the dedup families, not the
+    * scrub), pinned by the left join back to the corpus spine.
+    *
+    * Scale shape: t17's cost class exactly — narrow segment explode,
+    * one map-side-combinable hash agg for document frequency, join back
+    * at segment grain, one agg by doc. The reassembly is a per-doc
+    * collect_list + array_sort at SEGMENT grain (≤ |doc|/10 rows, each
+    * carrying its pos) — bounded by document size, never a window over
+    * the corpus. */
+  def scrubbedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val segs = toks(s, dir).select(col("doc_id"), posexplode(expr(
+      """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
+        |          i -> concat_ws(' ', slice(t, i * 10 + 1, 10)))"""
+        .stripMargin)))
+      .select(col("doc_id"), col("pos"), col("col").as("seg"))
+    val df = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val kept = segs.join(df, "seg").filter(col("df") < 2)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("seg")))),
+        x => x.getField("seg")), " ").as("clean_text"))
+    docs(s, dir).select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** d08: fuzzy dedup by edit distance — the modality the hash families
@@ -2471,6 +2554,22 @@ object Extensions {
         |  CAST(SUM(CASE WHEN f.df < 2 THEN len(string_split(s.seg, ' ')) ELSE 0 END) AS BIGINT) AS n_toks_kept
         |FROM segs s JOIN f ON f.seg = s.seg
         |GROUP BY 1""".stripMargin)),
+
+    QuerySpec("t19_scrubbed_corpus", scrubbedCorpus, Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |segs AS (
+        |  SELECT t.doc_id, u.i,
+        |         array_to_string(tk[(u.i * 10 + 1):(u.i * 10 + 10)], ' ') AS seg
+        |  FROM t, UNNEST(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) u(i)),
+        |f AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1),
+        |k AS (
+        |  SELECT s.doc_id, string_agg(s.seg, ' ' ORDER BY s.i) AS clean_text
+        |  FROM segs s JOIN f ON f.seg = s.seg
+        |  WHERE f.df < 2
+        |  GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id""".stripMargin)),
 
     QuerySpec("t18_token_budget_mix", tokenBudgetMix, Some(
       """WITH d AS (

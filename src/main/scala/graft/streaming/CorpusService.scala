@@ -49,6 +49,10 @@ object CorpusService {
       * external eval suite). */
     val contam = s"$base/dedup/contam"
     val contamCkpt = s"$base/ckpt/contam"
+    /** The maintained cluster-label table (incremental d06) and the
+      * pair snapshot it has incorporated — the delta anchor. */
+    val clusters = s"$base/dedup/clusters"
+    val clustersPairs = s"$base/dedup/clusters_pairs"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -217,16 +221,30 @@ object CorpusService {
     * both resolve to one canonical. Its one-shot twin is the resolution
     * over lshPairs ∪ s05's pairs (spec-pinned).
     *
-    * Scale: the pair logs are collision-grain (≪ corpus), the CC loop
-    * is label-grain, and the only corpus-wide touch is the
-    * (doc_id, lang) projection — one narrow scan per refresh. */
+    * The cluster labels are maintained INCREMENTALLY: the label table
+    * (p.clusters) persists alongside the exact pair snapshot it has
+    * incorporated (p.clustersPairs), and each refresh anti-joins the
+    * current pair logs against that snapshot — only the delta and the
+    * clusters it touches re-enter the fixpoint
+    * (Extensions.incrementalClusters, spec-pinned ≡ full recompute);
+    * untouched components carry over verbatim. If the pair universe
+    * SHRANK (a caller narrowed includeSemantic after a wider refresh —
+    * un-merging is not expressible as edge addition) the labels rebuild
+    * from scratch, detected by a one-row probe of snapshot∖current.
+    *
+    * Scale: the pair logs are collision-grain (≪ corpus), the per-drain
+    * delta is a vanishing fraction of the accumulated log, the CC
+    * fixpoint runs only over that delta and its touched clusters, and
+    * the only corpus-wide touch is the (doc_id, lang) projection — one
+    * narrow scan per refresh. */
   def refreshCanonicalCorpus(spark: SparkSession, p: Paths,
                              includeSemantic: Boolean = false): Unit = {
-    def ifPresent(dir: String)(view: => DataFrame): Option[DataFrame] = {
+    def exists(dir: String): Boolean = {
       val path = new org.apache.hadoop.fs.Path(dir)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(path)) Some(view) else None
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
     }
+    def ifPresent(dir: String)(view: => DataFrame): Option[DataFrame] =
+      if (exists(dir)) Some(view) else None
     val verbatim = ifPresent(p.pairs)(
       StreamingDedup.pairsView(spark, p.pairs).select("doc_a", "doc_b"))
     val semantic =
@@ -235,16 +253,39 @@ object CorpusService {
         StreamingSemanticDedup.pairsView(spark, p.semPairs)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     val allPairs = (verbatim.toSeq ++ semantic.toSeq)
-      .reduceOption(_ unionByName _)
-    val labels = allPairs
-      .map(graft.queries.Extensions.clusterPairs)
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("cluster_id",
-            org.apache.spark.sql.types.LongType)))))
+      .reduceOption(_ unionByName _).map(_.distinct())
+    val emptyLabels = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType))))
+    val labels = allPairs match {
+      case None => emptyLabels
+      case Some(pairsNow0) =>
+        val pairsNow = pairsNow0.localCheckpoint()
+        val out =
+          if (!exists(p.clusters) || !exists(p.clustersPairs))
+            graft.queries.Extensions.clusterPairs(pairsNow)
+          else {
+            val prevPairs = spark.read.parquet(p.clustersPairs)
+            val shrank = !prevPairs
+              .join(pairsNow, Seq("doc_a", "doc_b"), "left_anti")
+              .isEmpty
+            if (shrank) graft.queries.Extensions.clusterPairs(pairsNow)
+            else graft.queries.Extensions.incrementalClusters(
+              spark.read.parquet(p.clusters),
+              pairsNow.join(prevPairs, Seq("doc_a", "doc_b"), "left_anti"))
+          }
+        // Labels first (its plan may read the OLD p.clusters — the swap
+        // inside replaceReport only lands after the stage write fully
+        // consumed it), then the snapshot that anchors the next delta.
+        graft.jobs.Warehouse.replaceReport(spark, out, p.clusters)
+        graft.jobs.Warehouse.replaceReport(spark, pairsNow, p.clustersPairs)
+        graft.queries.Extensions.freeCkpt(pairsNow)
+        spark.read.parquet(p.clusters)
+    }
     val canon = graft.queries.Extensions.canonicalResolution(
       graft.Tables.t(spark, p.base, "documents")
         .select(col("doc_id"), col("lang")),

@@ -97,6 +97,15 @@ class CorpusServiceSpec extends SparkSpec {
       CorpusService.canonicalCorpusView(spark, p),
       Extensions.canonicalCorpus(spark, base),
       "maintained canonical artifact vs one-shot d07")
+    // The underlying label table is maintained INCREMENTALLY (wave 2's
+    // refresh anti-joined the pair log against wave 1's snapshot and
+    // re-clustered only the touched components); it must equal a full
+    // recompute over the whole log regardless.
+    assertSameRows(
+      spark.read.parquet(p.clusters),
+      Extensions.clusterPairs(
+        StreamingDedup.pairsView(spark, p.pairs).select("doc_a", "doc_b")),
+      "incrementally maintained labels vs full recompute")
 
     // The BOTH-modality artifact: verbatim ∪ semantic pair logs feed one
     // cluster graph, ≡ the one-shot resolution over lshPairs ∪ s05 pairs
@@ -118,7 +127,9 @@ class CorpusServiceSpec extends SparkSpec {
     // The maintained TRAINING-SET manifest: canonical (restored to the
     // verbatim-only resolution t13/t16 consume) ∧ quality ∧ split, at
     // doc grain — its summary ≡ one-shot t13; with decontamination,
-    // ≡ one-shot t16.
+    // ≡ one-shot t16. Narrowing back from includeSemantic exercises the
+    // SHRINK path: the pair universe lost the semantic rows, so the
+    // label table rebuilds from scratch rather than patching.
     CorpusService.refreshCanonicalCorpus(spark, p)
     CorpusService.refreshTrainingSet(spark, p)
     assertSameRows(
