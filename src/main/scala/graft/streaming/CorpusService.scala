@@ -121,6 +121,15 @@ object CorpusService {
   def annTopK(spark: SparkSession, p: Paths): DataFrame =
     graft.queries.Extensions.annIvfIndexedAt(spark, p.base, p.annIndex)
 
+  /** ANN top-k for EXTERNAL query vectors ((vec_id, embedding) rows that
+    * are not part of the corpus — the request path a deployment actually
+    * serves) off the maintained index. No self-exclusion: external ids
+    * share no space with corpus ids, so a numeric collision must not
+    * drop a true neighbor. */
+  def annTopKFor(spark: SparkSession, p: Paths, queries: DataFrame): DataFrame =
+    graft.queries.Extensions.annIvfIndexedQueries(spark, p.base, queries,
+      p.annIndex)
+
   private def embeddingCount(spark: SparkSession, p: Paths): Long =
     graft.Tables.t(spark, p.base, "embeddings")
       .select(col("vec_id")).count()

@@ -96,6 +96,39 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("external-query serving: corpus parity with excludeSelf, twin-first without") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-annext")
+      .toString + "/idx"
+    Extensions.buildAnnIndex(spark, dir, idxPath)
+    val corpusQ = Tables.t(spark, dir, "embeddings").filter(col("vec_id") < 10)
+
+    // The corpus form is the general entry at (corpus rows, excludeSelf):
+    // the refactor must be a pure parameterization.
+    assertSameRows(
+      Extensions.annIvfIndexedQueries(spark, dir, corpusQ, idxPath,
+        excludeSelf = true),
+      Extensions.annIvfIndexedAt(spark, dir, idxPath),
+      "general entry at corpus queries vs corpus form")
+
+    // External queries: the same vectors under a disjoint id space. With
+    // no self-exclusion each query's nearest neighbor IS its corpus twin
+    // at exact cosine 1 — rank 1, cos_ppm 1e6 (the data has no exact
+    // duplicates among these ids, checked offline); its absence would
+    // mean external serving excluded or mis-scored a true neighbor.
+    val ext = corpusQ.select((col("vec_id") + 500000).as("vec_id"),
+      col("embedding"))
+    val r1 = Extensions.annIvfIndexedQueries(spark, dir, ext, idxPath)
+      .filter(col("rank") === 1).persist()
+    try {
+      assert(r1.count() == corpusQ.count(), "a query lost its rank-1 row")
+      assert(r1.filter(col("neighbor_id") =!= col("query_id") - 500000 ||
+          col("cos_ppm") =!= 1000000L).count() == 0,
+        "an external query did not rank its identical corpus twin first")
+    } finally r1.unpersist()
+  }
+
   test("invalidateAnnIndex + invalidateCorpusCount rebuild sees corpus growth") {
     // Grow a copy of the corpus after the index is built, then exercise
     // the documented refresh contract (both memos dropped before

@@ -278,6 +278,17 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"t17 plans a non-equi join:\n$p")
   }
 
+  test("t19 reassembles scrubbed text without a window or pairwise join") {
+    // The transform must stay in t17's cost class: reassembly is a
+    // per-doc collect_list inside the hash aggregation (array_sort is
+    // row-local) — never a corpus-grain window sorting segments, and
+    // nothing pairwise.
+    val p = planOf(graft.queries.Extensions.scrubbedCorpus(spark, dir))
+    assert(!p.contains("Window"), s"t19 plans a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"t19 plans a non-equi join:\n$p")
+  }
+
   test("t18 joins its |langs|-row rate table by broadcast only") {
     // The mixture rates are |langs| rows; joining them back onto the
     // corpus must broadcast — a sort-merge join here would shuffle the
