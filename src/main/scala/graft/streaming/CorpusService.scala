@@ -322,20 +322,33 @@ object CorpusService {
     * cadence the canonical refresh runs; the swap is staged, readers
     * never see a half-written manifest.
     *
-    * Scale: both gates are key-grain semi-joins; the decontamination
-    * anti-join reuses the memoized test-side Bloom (invalidated on
-    * corpus refresh like every per-dir memo). A trainer reads THIS
-    * table — the doc-grain manifest, not the summary — to enumerate
-    * its shards. */
+    * `excludeContaminated` additionally anti-joins the INGEST-TIME
+    * contamination drop list (StreamingContamination's log — leakage
+    * against an external eval suite, caught at arrival): where
+    * `decontaminate` protects the corpus's own held-out split, this
+    * protects the suites the deployment registered with the gate. The
+    * leak detection already happened per micro-batch; materialization
+    * only pays a key-grain anti-join against the (small) drop list.
+    *
+    * Scale: all three gates are key-grain semi-/anti-joins; the
+    * decontamination anti-join reuses the memoized test-side Bloom
+    * (invalidated on corpus refresh like every per-dir memo). A trainer
+    * reads THIS table — the doc-grain manifest, not the summary — to
+    * enumerate its shards. */
   def refreshTrainingSet(spark: SparkSession, p: Paths,
-                         decontaminate: Boolean = false): Unit = {
+                         decontaminate: Boolean = false,
+                         excludeContaminated: Boolean = false): Unit = {
     val kept = canonicalCorpusView(spark, p)
       .filter(col("is_kept") === 1).select("doc_id")
     val base = graft.queries.Extensions.trainingManifest(spark, p.base, kept)
-    val manifest =
+    val decon =
       if (!decontaminate) base
       else base.join(
         graft.queries.Extensions.contaminatedTrainDocs(spark, p.base),
+        Seq("doc_id"), "left_anti")
+    val manifest =
+      if (!excludeContaminated) decon
+      else decon.join(contaminationView(spark, p).select("doc_id"),
         Seq("doc_id"), "left_anti")
     // Hive-partitioned by split: the manifest's dominant read is a
     // trainer enumerating ONE split (split=train at every epoch,
@@ -473,7 +486,10 @@ object CorpusService {
           compact = true, canonical = false, index = true,
           contaminationRef = contaminationRef)
         refreshCanonicalCorpus(spark, p, includeSemantic)
-        refreshTrainingSet(spark, p, decontaminate)
+        // With a gate registered, its drop list flows into the manifest:
+        // suite-leaked docs were caught at arrival, excluded here.
+        refreshTrainingSet(spark, p, decontaminate,
+          excludeContaminated = contaminationRef.isDefined)
         ticks += 1
         if (maintainEvery > 0 && ticks % maintainEvery == 0) {
           if (grown(spark, p, retrainFactor)) {

@@ -151,6 +151,23 @@ class CorpusServiceSpec extends SparkSpec {
         .join(Extensions.contaminatedTrainDocs(spark, base),
           Seq("doc_id"), "left_anti"),
       "maintained manifest vs one-shot doc-grain twin")
+
+    // The ingest-time gate's drop list flows into the manifest: with
+    // excludeContaminated, every suite-leaked doc (caught at arrival)
+    // is anti-joined out — ≡ the one-shot cross-corpus audit applied
+    // to the one-shot manifest.
+    CorpusService.refreshTrainingSet(spark, p, decontaminate = true,
+      excludeContaminated = true)
+    val oneShotExcluded = Extensions.trainingManifest(spark, base,
+        Extensions.canonicalCorpus(spark, base)
+          .filter(col("is_kept") === 1).select("doc_id"))
+      .join(Extensions.contaminatedTrainDocs(spark, base),
+        Seq("doc_id"), "left_anti")
+      .join(Extensions.contaminationAgainst(spark, base, refDir)
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+    assertSameRows(
+      CorpusService.trainingSetView(spark, p), oneShotExcluded,
+      "suite-excluded maintained manifest vs one-shot twin")
     // The manifest is laid out for its dominant read — one split per
     // trainer pass: hive-partitioned by split, so split=train reads
     // prune to one directory.
