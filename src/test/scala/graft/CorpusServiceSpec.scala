@@ -388,6 +388,15 @@ class CorpusServiceSpec extends SparkSpec {
     docs.write.mode("append").parquet(p.docs)
     wave(0).coalesce(1).write.mode("append").parquet(p.embeddings)
 
+    // A registered eval suite: the loop runs the ingest-time leakage
+    // gate per tick and its drop list flows into the manifest.
+    val refDir = java.nio.file.Files
+      .createTempDirectory("graft-svcsched-eval").toString
+    docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 900000).as("doc_id"), col("text"), col("lang"))
+      .coalesce(1).write.parquet(s"$refDir/documents.parquet")
+    Extensions.invalidateBloom(refDir)
+
     // Fake clock, 5-minute drains over 10 minutes → ticks at 0/5/10.
     // Later waves arrive through the sleep hook, i.e. BETWEEN ticks —
     // the shape a real deployment sees. maintainEvery=1 runs the
@@ -401,6 +410,7 @@ class CorpusServiceSpec extends SparkSpec {
     val stats = CorpusService.runScheduled(spark, p,
       stop = () => fakeNow.isAfter(t0.plusMinutes(10)),
       maintainEvery = 1, retrainFactor = 1.2,
+      contaminationRef = Some(refDir),
       clock = () => fakeNow,
       sleep = d => {
         if (appended < 3) {
@@ -435,12 +445,22 @@ class CorpusServiceSpec extends SparkSpec {
                 .select(col("vec_a").as("doc_a"),
                   col("vec_b").as("doc_b"))))),
       "scheduled canonical artifact vs resolution over the final logs")
+    // The manifest: one-shot over the maintained canonical MINUS the
+    // gate's drop list (a contaminationRef was registered, so
+    // runScheduled excludes suite-leaked docs automatically).
     assertSameRows(
       CorpusService.trainingSetView(spark, p),
       Extensions.trainingManifest(spark, base,
         CorpusService.canonicalCorpusView(spark, p)
-          .filter(col("is_kept") === 1).select("doc_id")),
+          .filter(col("is_kept") === 1).select("doc_id"))
+        .join(Extensions.contaminationAgainst(spark, base, refDir)
+          .select("doc_id"), Seq("doc_id"), "left_anti"),
       "scheduled manifest vs one-shot over the maintained canonical")
+    // And the gate's log itself converged to the one-shot audit.
+    assertSameRows(
+      CorpusService.contaminationView(spark, p),
+      Extensions.contaminationAgainst(spark, base, refDir),
+      "scheduled contamination log vs one-shot cross-corpus audit")
 
     // The serving index is the current epoch's rebuild over the full
     // corpus (the last tick retrained AFTER its drain), sidecar included.
