@@ -53,6 +53,8 @@ object CorpusService {
       * pair snapshot it has incorporated — the delta anchor. */
     val clusters = s"$base/dedup/clusters"
     val clustersPairs = s"$base/dedup/clusters_pairs"
+    /** The maintained scrubbed-corpus payload (t19 over the manifest). */
+    val scrubbed = s"$base/dedup/scrubbed"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -365,6 +367,35 @@ object CorpusService {
   /** Read the maintained manifest (refreshTrainingSet's output). */
   def trainingSetView(spark: SparkSession, p: Paths): DataFrame =
     spark.read.parquet(p.trainingSet)
+
+  /** The maintained SCRUBBED-CORPUS payload — the text a trainer
+    * actually reads: t19's transform (boilerplate segments removed,
+    * survivors reassembled in order) materialized for exactly the
+    * manifest's documents, carried with their split and laid out like
+    * the manifest (hive-partitioned by split, so a training pass reads
+    * one directory). Boilerplate document-frequency is computed over
+    * the FULL corpus, not the kept subset — a segment whose other
+    * copies were dropped by dedup is still chrome, and restricting df
+    * to survivors would let it escape the scrub. Refresh AFTER
+    * refreshTrainingSet on whatever cadence text materialization runs
+    * (it is the heaviest per-refresh artifact — one full-corpus
+    * segment pass — so a deployment runs it on the training-handoff
+    * cadence, not per drain); the swap is staged. */
+  def refreshScrubbedCorpus(spark: SparkSession, p: Paths): Unit = {
+    val manifest = trainingSetView(spark, p).select("doc_id", "split")
+    val payload = graft.queries.Extensions.scrubbedCorpus(spark, p.base)
+      .join(manifest, "doc_id")
+    graft.jobs.Warehouse.replaceVia(spark, p.scrubbed) { stage =>
+      payload.repartition(col("split"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("split").parquet(stage)
+    }
+  }
+
+  /** Read the maintained scrubbed payload (refreshScrubbedCorpus's
+    * output). */
+  def scrubbedCorpusView(spark: SparkSession, p: Paths): DataFrame =
+    spark.read.parquet(p.scrubbed)
 
   /** The two live ingest queries of an always-on corpus service. */
   final case class Running(

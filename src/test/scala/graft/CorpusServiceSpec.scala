@@ -168,6 +168,19 @@ class CorpusServiceSpec extends SparkSpec {
     assertSameRows(
       CorpusService.trainingSetView(spark, p), oneShotExcluded,
       "suite-excluded maintained manifest vs one-shot twin")
+
+    // The scrubbed payload: t19's clean text for exactly the manifest's
+    // documents (df over the FULL corpus), split-partitioned like the
+    // manifest.
+    CorpusService.refreshScrubbedCorpus(spark, p)
+    assertSameRows(
+      CorpusService.scrubbedCorpusView(spark, p),
+      Extensions.scrubbedCorpus(spark, base)
+        .join(oneShotExcluded.select("doc_id", "split"), "doc_id"),
+      "maintained scrubbed payload vs one-shot t19 over the manifest")
+    assert(new java.io.File(p.scrubbed).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("split=")),
+      "scrubbed payload not partitioned by split")
     // The manifest is laid out for its dominant read — one split per
     // trainer pass: hive-partitioned by split, so split=train reads
     // prune to one directory.
