@@ -1428,23 +1428,42 @@ object Extensions {
     * collect_list + array_sort at SEGMENT grain (≤ |doc|/10 rows, each
     * carrying its pos) — bounded by document size, never a window over
     * the corpus. */
-  def scrubbedCorpus(s: SparkSession, dir: String): DataFrame = {
-    val segs = toks(s, dir).select(col("doc_id"), posexplode(expr(
-      """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
-        |          i -> concat_ws(' ', slice(t, i * 10 + 1, 10)))"""
-        .stripMargin)))
+  /** The scrub's positional segment frame — (doc_id, pos, seg), t17's
+    * exact 10-token segmentation with the ordinal the reassembly needs.
+    * Shared with the incremental maintenance path
+    * (streaming.IncrementalScrub) so one-shot and maintained scrubs
+    * agree bit-for-bit. `d` is (doc_id, text[, ...]). */
+  private[graft] def scrubSegments(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
+          |          i -> concat_ws(' ', slice(t, i * 10 + 1, 10)))"""
+          .stripMargin)))
       .select(col("doc_id"), col("pos"), col("col").as("seg"))
-    val df = segs.groupBy("seg")
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val kept = segs.join(df, "seg").filter(col("df") < 2)
+
+  /** The scrub's reassembly: surviving (df < 2) segments back into one
+    * `clean_text` per document, in original order, empty for docs whose
+    * every segment was boilerplate. `segsWithDf` is (doc_id, pos, seg,
+    * df); `spine` is the (doc_id) universe to emit. Row-local
+    * array_sort inside the hash agg — no corpus-grain window. */
+  private[graft] def reassembleClean(segsWithDf: DataFrame,
+                                     spine: DataFrame): DataFrame = {
+    val kept = segsWithDf.filter(col("df") < 2)
       .groupBy("doc_id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("seg")))),
         x => x.getField("seg")), " ").as("clean_text"))
-    docs(s, dir).select(col("doc_id"))
+    spine.select(col("doc_id"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def scrubbedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val segs = scrubSegments(docs(s, dir).select("doc_id", "text"))
+    val df = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    reassembleClean(segs.join(df, "seg"), docs(s, dir))
   }
 
   /** d08: fuzzy dedup by edit distance — the modality the hash families

@@ -55,6 +55,10 @@ object CorpusService {
     val clustersPairs = s"$base/dedup/clusters_pairs"
     /** The maintained scrubbed-corpus payload (t19 over the manifest). */
     val scrubbed = s"$base/dedup/scrubbed"
+    /** Incremental scrub state: the (seg, doc_id) inverted index and
+      * the versioned clean_text log (streaming.IncrementalScrub). */
+    val scrubPostings = s"$base/dedup/scrub_postings"
+    val scrubLog = s"$base/dedup/scrub_log"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -383,14 +387,33 @@ object CorpusService {
     * cadence, not per drain); the swap is staged. */
   def refreshScrubbedCorpus(spark: SparkSession, p: Paths): Unit = {
     val manifest = trainingSetView(spark, p).select("doc_id", "split")
-    val payload = graft.queries.Extensions.scrubbedCorpus(spark, p.base)
-      .join(manifest, "doc_id")
+    // Storage-for-recompute swap, same as the ANN index and canonical:
+    // when the incrementally maintained scrub table exists (the caller
+    // runs maintainScrub per drain), the payload is a key join into it
+    // — no segment pass at all; otherwise fall back to one-shot t19.
+    val clean =
+      if (exists(spark, p.scrubLog))
+        IncrementalScrub.scrubTable(spark, p.scrubLog)
+      else graft.queries.Extensions.scrubbedCorpus(spark, p.base)
+    val payload = clean.join(manifest, "doc_id")
     graft.jobs.Warehouse.replaceVia(spark, p.scrubbed) { stage =>
       payload.repartition(col("split"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("split").parquet(stage)
     }
   }
+
+  /** One incremental scrub refresh (delta-grain: new docs + docs whose
+    * segments crossed the boilerplate threshold — see
+    * streaming.IncrementalScrub). Run per drain; returns the number of
+    * documents (re)written. */
+  def maintainScrub(spark: SparkSession, p: Paths): Long =
+    IncrementalScrub.maintain(spark, p.base, p.scrubPostings, p.scrubLog)
+
+  /** The maintained full-corpus scrub table (latest clean_text per
+    * doc). */
+  def scrubTableView(spark: SparkSession, p: Paths): DataFrame =
+    IncrementalScrub.scrubTable(spark, p.scrubLog)
 
   /** Read the maintained scrubbed payload (refreshScrubbedCorpus's
     * output). */

@@ -173,14 +173,24 @@ class CorpusServiceSpec extends SparkSpec {
     // documents (df over the FULL corpus), split-partitioned like the
     // manifest.
     CorpusService.refreshScrubbedCorpus(spark, p)
-    assertSameRows(
-      CorpusService.scrubbedCorpusView(spark, p),
-      Extensions.scrubbedCorpus(spark, base)
-        .join(oneShotExcluded.select("doc_id", "split"), "doc_id"),
-      "maintained scrubbed payload vs one-shot t19 over the manifest")
-    assert(new java.io.File(p.scrubbed).listFiles()
-      .exists(f => f.isDirectory && f.getName.startsWith("split=")),
-      "scrubbed payload not partitioned by split")
+    val expectedPayload = Extensions.scrubbedCorpus(spark, base)
+      .join(oneShotExcluded.select("doc_id", "split"), "doc_id").persist()
+    try {
+      assertSameRows(CorpusService.scrubbedCorpusView(spark, p),
+        expectedPayload,
+        "scrubbed payload (one-shot branch) vs t19 over the manifest")
+      assert(new java.io.File(p.scrubbed).listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("split=")),
+        "scrubbed payload not partitioned by split")
+      // With the incrementally maintained scrub table in place, the
+      // refresh switches to the storage branch — same payload.
+      assert(CorpusService.maintainScrub(spark, p) > 0,
+        "first maintainScrub must process the corpus")
+      CorpusService.refreshScrubbedCorpus(spark, p)
+      assertSameRows(CorpusService.scrubbedCorpusView(spark, p),
+        expectedPayload,
+        "scrubbed payload (maintained branch) vs t19 over the manifest")
+    } finally expectedPayload.unpersist()
     // The manifest is laid out for its dominant read — one split per
     // trainer pass: hive-partitioned by split, so split=train reads
     // prune to one directory.
