@@ -182,13 +182,19 @@ object CorpusService {
     * leakage gate against that external eval suite — then compact every
     * written log (no live writer remains after the drains, so the
     * compaction passes must land — `require`d). `maxFilesPerTrigger`
-    * bounds micro-batch size for backlogs. */
+    * bounds micro-batch size for backlogs. With `scrub`, the
+    * incremental boilerplate-scrub state (IncrementalScrub) is
+    * maintained in the same post-drain window — delta-grain (new docs
+    * plus threshold-crossing-affected), and its two stores join the
+    * compaction set; the scrub logs also compact whenever they exist
+    * from an earlier maintainScrub, scrub flag or not. */
   def drainAvailable(spark: SparkSession, p: Paths,
                      maxFilesPerTrigger: Option[Int] = None,
                      compact: Boolean = true,
                      canonical: Boolean = true,
                      index: Boolean = false,
-                     contaminationRef: Option[String] = None): Unit = {
+                     contaminationRef: Option[String] = None,
+                     scrub: Boolean = false): Unit = {
     StreamingDedup.ingestAvailable(spark, p.docs, p.sigs, p.pairs, p.docsCkpt)
     StreamingSemanticDedup.ingestAvailable(spark, p.embeddings, p.cents,
       p.assigns, p.semPairs, p.embCkpt, maxFilesPerTrigger)
@@ -196,6 +202,7 @@ object CorpusService {
       StreamingContamination.ingestAvailable(spark, p.docs, ref,
         p.contam, p.contamCkpt)
     }
+    if (scrub) maintainScrub(spark, p)
     if (compact) {
       require(StreamingDedup.compactLogs(spark, p.sigs, p.pairs),
         "corpus service: shingle dedup logs failed to compact post-drain")
@@ -204,6 +211,9 @@ object CorpusService {
       if (contaminationRef.isDefined)
         require(StreamingContamination.compactLog(spark, p.contam),
           "corpus service: contamination log failed to compact post-drain")
+      if (exists(spark, p.scrubLog))
+        require(IncrementalScrub.compactLogs(spark, p.scrubPostings, p.scrubLog),
+          "corpus service: scrub logs failed to compact post-drain")
     }
     if (canonical) refreshCanonicalCorpus(spark, p)
     if (index) refreshAnnIndex(spark, p)
@@ -486,6 +496,11 @@ object CorpusService {
     if (exists(spark, p.annIndex))
       require(graft.queries.Extensions.tryCompactAnnIndex(spark, p.annIndex),
         "corpus service: ann index failed to compact while quiesced")
+    // Likewise the incremental scrub's postings + versioned log, when a
+    // caller maintains them alongside the always-on form.
+    if (exists(spark, p.scrubLog))
+      require(IncrementalScrub.compactLogs(spark, p.scrubPostings, p.scrubLog),
+        "corpus service: scrub logs failed to compact while quiesced")
     start(spark, p, interval)
   }
 
@@ -501,11 +516,17 @@ object CorpusService {
     * that, every `drainEvery`, drains both corpus stores through both
     * dedup cycles (logs compacted post-drain, serving index appended)
     * and refreshes the maintained artifacts (canonical corpus, then the
-    * training-set manifest over it); every `maintainEvery`-th tick it
-    * runs the heavier maintenance in the same between-drains window —
-    * the growth-keyed retrain check (quantizer + assignment table +
-    * index REBUILD when the corpus passed `retrainFactor`× its trained
-    * size) or, when no retrain fires, index file compaction. Everything
+    * training-set manifest over it; with `scrub`, default on, the
+    * incremental boilerplate-scrub table too — delta-grain per drain,
+    * logs in the post-drain compaction set); every `maintainEvery`-th
+    * tick it runs the heavier maintenance in the same between-drains
+    * window — the growth-keyed retrain check (quantizer + assignment
+    * table + index REBUILD when the corpus passed `retrainFactor`× its
+    * trained size) or, when no retrain fires, index file compaction —
+    * and (with `scrub`) refreshes the trainer-facing scrubbed payload,
+    * which the maintained scrub table turns from a full segment pass
+    * into a key join, making the training-handoff cadence affordable
+    * inside the loop. Everything
     * the always-on form needs compactQuiesced/maybeRetrain for is safe
     * here by construction: between drains NOTHING is live (AvailableNow
     * drains own the only writers), so every swap must land — failures
@@ -523,6 +544,7 @@ object CorpusService {
                    includeSemantic: Boolean = true,
                    decontaminate: Boolean = false,
                    contaminationRef: Option[String] = None,
+                   scrub: Boolean = true,
                    maxFilesPerTrigger: Option[Int] = None,
                    clock: () => java.time.LocalDateTime =
                      () => java.time.LocalDateTime.now(),
@@ -538,7 +560,7 @@ object CorpusService {
       if (!now.isBefore(next)) {
         drainAvailable(spark, p, maxFilesPerTrigger,
           compact = true, canonical = false, index = true,
-          contaminationRef = contaminationRef)
+          contaminationRef = contaminationRef, scrub = scrub)
         refreshCanonicalCorpus(spark, p, includeSemantic)
         // With a gate registered, its drop list flows into the manifest:
         // suite-leaked docs were caught at arrival, excluded here.
@@ -558,6 +580,9 @@ object CorpusService {
                 "(no writer should be live between drains)")
             idxCompactions += 1
           }
+          // Training handoff: the payload a trainer reads, re-cut to the
+          // freshest manifest off the per-drain-maintained scrub table.
+          if (scrub) refreshScrubbedCorpus(spark, p)
         }
         next = next.plus(drainEvery)
       }

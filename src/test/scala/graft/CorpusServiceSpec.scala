@@ -217,6 +217,10 @@ class CorpusServiceSpec extends SparkSpec {
     docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(p.docs)
     emb.write.mode("append").parquet(p.embeddings)
     CorpusService.trainQuantizer(spark, p)
+    // Scrub state maintained alongside the always-on form: its stores
+    // must join the quiesced compaction cycle below.
+    assert(CorpusService.maintainScrub(spark, p) > 0,
+      "maintainScrub must process the seeded wave")
 
     val running = CorpusService.start(spark, p, interval = "1 second")
     // A live append lands, then the QUIESCED compaction cycle runs: the
@@ -233,7 +237,8 @@ class CorpusServiceSpec extends SparkSpec {
     // the service logically "always on" around it.
     def dataFiles(dir: String): Int = new java.io.File(dir)
       .listFiles().count(_.getName.endsWith(".parquet"))
-    Seq(p.sigs, p.pairs, p.assigns, p.semPairs).foreach { d =>
+    Seq(p.sigs, p.pairs, p.assigns, p.semPairs,
+        p.scrubPostings, p.scrubLog).foreach { d =>
       assert(dataFiles(d) <= 4, s"$d not compacted: ${dataFiles(d)} files")
     }
 
@@ -498,6 +503,27 @@ class CorpusServiceSpec extends SparkSpec {
       spark.read.parquet(p.annIndex + "/_quantizer"),
       spark.read.parquet(p.cents),
       "scheduled index sidecar vs service quantizer")
+
+    // The scrub pipeline ran inside the loop (scrub defaults on):
+    // per-drain incremental maintenance converged the scrub table to
+    // the one-shot t19, the maintain-tick handoff cut the trainer
+    // payload from it against the freshest manifest, and the scrub
+    // stores joined the post-drain compaction set.
+    assertSameRows(
+      CorpusService.scrubTableView(spark, p),
+      Extensions.scrubbedCorpus(spark, base),
+      "scheduled scrub table vs one-shot t19")
+    assertSameRows(
+      CorpusService.scrubbedCorpusView(spark, p),
+      Extensions.scrubbedCorpus(spark, base)
+        .join(CorpusService.trainingSetView(spark, p)
+          .select("doc_id", "split"), "doc_id"),
+      "scheduled scrubbed payload vs t19 over the maintained manifest")
+    def dataFiles(dir: String): Int = new java.io.File(dir)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    Seq(p.scrubPostings, p.scrubLog).foreach { d =>
+      assert(dataFiles(d) <= 4, s"$d not compacted: ${dataFiles(d)} files")
+    }
   }
 
   test("dedupReport with a many-to-one semIdMap: no self-pairs, no dup rows") {
