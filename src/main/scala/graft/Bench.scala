@@ -133,8 +133,10 @@ object Bench {
     val prior = priorTimes()
 
     // A failed query must be visible IN the JSON (not only stderr): its
-    // per-query seconds are negated as a sentinel and its message goes into
-    // an "errors" object. A query enters "errors" only when EVERY iteration
+    // per-query entry becomes JSON `null` — never a numeric sentinel a
+    // consumer could sum — and its message goes into an "errors" object;
+    // the process then exits nonzero so the round gate can't pass on a
+    // partial run. A query enters "errors" only when EVERY iteration
     // failed (one entry, the first message — duplicate JSON keys are
     // invalid); a query failing on SOME iterations keeps its positive
     // median but is surfaced in a "flaky" object (name → failed-iteration
@@ -188,20 +190,24 @@ object Bench {
       val times =
         if (widen) base ++ (1 to (subSecIters - iters)).map(_ => runOnce())
         else base
-      // Median of the successful runs; if every run failed, the negated
-      // first attempt survives as the error sentinel.
+      // Median of the successful runs; an all-fail query carries NO
+      // number — `null` in every map, absent from the total — so no
+      // downstream consumer can mis-aggregate a sentinel as a timing
+      // (round 7's negative sentinels made a 7-query-short total look
+      // like a 12% speedup).
       val good = times.filter(_ >= 0)
       if (good.isEmpty) firstErr.foreach(m => errors :+= (spec.name -> m))
       else if (good.size < times.size)
         flaky :+= (spec.name -> (times.size - good.size))
-      val med = if (good.isEmpty) times.head else median(good)
-      val mn = if (good.isEmpty) times.head else good.min
+      val med = if (good.isEmpty) None else Some(median(good))
+      val mn = if (good.isEmpty) None else Some(good.min)
       (spec.name, med, mn, good.size)
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + r3(med) }
+    def j(v: Option[Double]): String = v.fold("null")(x => r3(x).toString)
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + j(med) }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, mn, _) => "\"" + k + "\":" + r3(mn) }
+    val mins = results.map { case (k, _, mn, _) => "\"" + k + "\":" + j(mn) }
       .mkString("{", ",", "}")
     val ns = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
@@ -209,7 +215,7 @@ object Bench {
       .mkString("{", ",", "}")
     val flakyJson = flaky.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val total = r3(results.collect { case (_, med, _, _) if med >= 0 => med }.sum)
+    val total = r3(results.flatMap { case (_, med, _, _) => med }.sum)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"iters":$ns,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
     // Full-fidelity artifact, immune to stdout-tail truncation; next
@@ -227,6 +233,12 @@ object Bench {
     println(stdoutLine(total, results.map { case (k, med, _, _) => k -> med },
       errors, flaky, sfDir))
     spark.stop()
+    // A bench with errored queries must not pass the round gate silently:
+    // the total covers only the queries that ran, so comparing it against
+    // a full prior round is meaningless. Nonzero exit makes the driver
+    // record the run as failed (round 7's rc:0 on 7 errors hid a real
+    // regression behind an apparent speedup).
+    if (errors.nonEmpty) sys.exit(1)
   }
 
   /** Whether a query's sample should widen past the base iteration
@@ -262,13 +274,13 @@ object Bench {
     * live in BENCH_LOCAL.json), trailing zeros stripped, errors/flaky
     * objects only when non-empty with error messages clipped to 60
     * chars (full text in BENCH_LOCAL.json and on stderr — and an
-    * all-fail query is ALSO visible here as its negated median), sf as
+    * all-fail query is ALSO visible here as a `null` median), sf as
     * its basename. Falls back to full names if the short forms ever
     * collide (correct beats compact). BenchSpec pins the whole line
     * under [[TailWindow]] for the real query registry. */
   private[graft] def stdoutLine(
       total: Double,
-      medians0: Seq[(String, Double)],
+      medians0: Seq[(String, Option[Double])],
       errors: Seq[(String, String)],
       flaky: Seq[(String, Int)],
       sfDir: String): String = {
@@ -284,8 +296,9 @@ object Bench {
       val s = java.math.BigDecimal.valueOf(r).stripTrailingZeros.toPlainString
       if (s == "-0") "0" else s
     }
-    val qs = medians.map { case (k, m) => "\"" + k + "\":" + c2(m) }
-      .mkString("{", ",", "}")
+    val qs = medians.map { case (k, m) =>
+      "\"" + k + "\":" + m.fold("null")(c2)
+    }.mkString("{", ",", "}")
     val err =
       if (errors.isEmpty) ""
       else errors.map { case (k, m) => "\"" + k + "\":\"" + m.take(60) + "\"" }

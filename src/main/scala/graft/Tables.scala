@@ -21,15 +21,30 @@ object Tables {
   private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf) and
-    * convert with integer division — ns→µs truncation, the same conversion
-    * DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP. Integer `div`
-    * (not `/`) because ns-since-epoch exceeds double's 2^53 exact range. */
+  /** events.ts normalized to session-tz TimestampType regardless of how
+    * the parquet file encodes it — the physical type has CHANGED across
+    * driver testdata generations (TIMESTAMP(NANOS) through round 6,
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) = TIMESTAMP_NTZ since),
+    * and a conversion hard-wired to one encoding broke 7 queries when
+    * the other appeared. Dispatch on the type Spark actually inferred:
+    *  - LongType (nanos via the legacy conf, which rejects NANOS
+    *    otherwise): ns→µs integer `div` truncation, the same conversion
+    *    DuckDB applies casting TIMESTAMP_NS→TIMESTAMP; `div` not `/`
+    *    because ns-since-epoch exceeds double's 2^53 exact range.
+    *  - TimestampNTZType: cast to TimestampType — wall-clock-preserving
+    *    under the UTC session tz, matching DuckDB's naive TIMESTAMP.
+    *  - TimestampType: already what every downstream query expects. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = raw(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` parity queries and

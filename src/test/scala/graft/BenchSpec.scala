@@ -48,7 +48,7 @@ class BenchSpec extends AnyFunSuite {
     Bench.stdoutLine(
       total = 999.9,
       medians0 = SparkEntry.specs.zipWithIndex.map { case (s, i) =>
-        s.name -> (if (i % 2 == 0) 9.99 else 99.94)
+        s.name -> Some(if (i % 2 == 0) 9.99 else 99.94)
       },
       errors = Nil, flaky = Nil,
       sfDir = "/root/testdata/sf0.1")
@@ -100,17 +100,31 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("compact medians keep centisecond precision and strip zeros") {
-    val line = Bench.stdoutLine(1.5, Seq("a" -> 0.279, "b" -> 1.5, "c" -> 12.0),
+    val line = Bench.stdoutLine(1.5,
+      Seq("a" -> Some(0.279), "b" -> Some(1.5), "c" -> Some(12.0)),
       Nil, Nil, "/x/sf0.1")
     assert(line.contains("\"a\":0.28"))
     assert(line.contains("\"b\":1.5"))
     assert(line.contains("\"c\":12"))
     assert(!line.contains("errors") && !line.contains("flaky"))
     assert(line.contains("\"sf\":\"sf0.1\""))
-    val withErr = Bench.stdoutLine(1.5, Seq("a" -> 1.0),
+    val withErr = Bench.stdoutLine(1.5, Seq("a" -> Some(1.0)),
       Seq("b" -> "boom"), Seq("c" -> 2), "/x/sf0.1")
     assert(withErr.contains("\"errors\":{\"b\":\"boom\"}"))
     assert(withErr.contains("\"flaky\":{\"c\":2}"))
+  }
+
+  test("an errored query carries null, never a numeric sentinel") {
+    // Round 7: negated-sentinel medians let a 7-query-short total read
+    // as a speedup, and downstream parsers could sum the negatives.
+    val line = Bench.stdoutLine(1.0,
+      Seq("a" -> Some(1.0), "q15_event_day_windows" -> None),
+      Seq("q15_event_day_windows" -> "DATATYPE_MISMATCH"), Nil, "/x/sf0.1")
+    assert(line.contains("\"q15\":null"))
+    assert(!line.contains("-"))
+    // and the prior-round parser skips it rather than recording a bogus
+    // prior median for the widen rule
+    assert(Bench.parsePrior(line) == Map("a" -> 1.0))
   }
 
   test("priorTimes prefers BENCH_LOCAL.json over the driver artifact") {
