@@ -432,30 +432,39 @@ object Extensions {
     * off); the popcount filter is row-local below the pair-grain
     * distinct, so the only pair-grain shuffle carries radius survivors. */
   private[graft] def simhashPairsAt(s: SparkSession, dir: String,
+                                    bits: Int, radius: Int): DataFrame =
+    hammingPairsOf(simhashSig(s, dir, bits).withColumnRenamed("simhash", "sig"),
+      bits, radius)
+
+  /** The banded-pigeonhole Hamming pair join over ANY (doc_id, sig)
+    * bit-signature frame — the verification-and-join half of d12,
+    * factored out so every fixed-width signature family (token SimHash
+    * d12, media perceptual hash m04) shares one join shape.
+    *
+    * Bands via EXPLODE, not a union of per-band projections: union
+    * branches do not share work, so a 4-branch union re-evaluated the
+    * signature derivation once PER BAND per join side — after the
+    * banding fix this was the remaining dominant cost (measured
+    * 3.5 s → 1.8 s at sf0.1 from this alone). The explode is a narrow
+    * row fan-out above ONE derivation, and the self-join's two sides
+    * then share it through exchange reuse (the d03 pattern). */
+  private[graft] def hammingPairsOf(sig: DataFrame,
                                     bits: Int, radius: Int): DataFrame = {
     val nBands = radius + 1
     val bandBits = bits / nBands
     require(bandBits * nBands == bits,
       s"$bits bits do not split into $nBands equal blocks")
     val mask = (1L << bandBits) - 1L
-    val sig = simhashSig(s, dir, bits)
-    // Bands via EXPLODE, not a union of per-band projections: union
-    // branches do not share work, so a 4-branch union re-evaluated the
-    // 64-column signature aggregation once PER BAND per join side —
-    // after the banding fix this was the remaining dominant cost
-    // (measured 3.5 s → 1.8 s at sf0.1 from this alone). The explode is
-    // a narrow row fan-out above ONE aggregation, and the self-join's
-    // two sides then share it through exchange reuse (the d03 pattern).
-    val banded = sig.select(col("doc_id"), col("simhash"),
+    val banded = sig.select(col("doc_id"), col("sig"),
         explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
       .withColumn("bkey",
-        expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+        expr(s"shiftright(sig, band * $bandBits) & $mask"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("int"))
       .filter(col("hamming") <= radius)
       .select("doc_a", "doc_b", "hamming")
@@ -911,6 +920,64 @@ object Extensions {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
+  }
+
+  /** s11: metadata-FILTERED ANN — top-5 by cosine among vectors sharing
+    * the query's `label`, the filtered-vector-search shape every real
+    * serving deployment needs (search within a tenant / language /
+    * license class) and the one pure-ANN operators s01–s08 don't cover.
+    *
+    * This is POST-FILTERED IVF with the filter at CANDIDATE grain:
+    * s03's probe (12 nearest of √n cells) generates candidates, the
+    * label equality prunes them BEFORE any full-width dot product, and
+    * the exact rerank runs only on same-label survivors — the filter
+    * costs a key-join against the thin (vec_id, label) metadata frame,
+    * never a scan of vector payloads. At 100 TB the same plan reads the
+    * stored index (s08's layout) with `label` as an index column, so
+    * the predicate pushes into the partition-pruned parquet scan;
+    * PlanSpec pins the filter below the rerank window here. The
+    * alternative — rerank first, filter after — breaks top-k semantics
+    * (k survivors of an unfiltered top-k ≠ top-k of the filtered set);
+    * recall vs the exact FILTERED baseline is pinned in AnnRecallSpec.
+    *
+    * With ~uniform labels (10 classes) each query's candidate set
+    * shrinks ~10×, so filtered probing at equal nprobe is CHEAPER than
+    * unfiltered — and the dial a deployment turns is nprobe: the
+    * filtered truth set is FARTHER away (the query's true same-label
+    * top-5 spread over more cells when 9/10 of every cell is filtered
+    * out), so s11 probes 20 cells where s03 probes 12 — measured
+    * recall@5 vs the exact filtered baseline 0.50 at 12 probes, back
+    * at s03's floor by 20 (AnnRecallSpec pins ≥ 0.6). Total work still
+    * UNDER s03's: 20 probed cells × ~1/10 label survivors is fewer
+    * full-width dots than 12 cells unfiltered. */
+  def annIvfFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val lab = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val cents = coarseCentroids(s, dir, e)
+    val assigned = centroidRank(e, cents, "vec_id")
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
+      .join(lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+    val probes = centroidRank(e.filter(col("vec_id") < 10), cents, "vec_id")
+      .filter(col("rn") <= 20)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+      .join(lab.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), "query_id")
+    val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    probes.join(assigned, "cell")
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("n_label") === col("q_label"))
+      .join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("q_label").as("label"),
+        col("neighbor_id"), col("cos_ppm"), col("rank"))
   }
 
   /** Materialized ANN index locations, one per corpus dir (built once
@@ -2000,6 +2067,53 @@ object Extensions {
         (col("frame_id") * 1000).as("frame_offset"),
         h32(concat(col("doc_id"), lit(":"), col("frame_id"))).as("frame_sig"))
 
+  /** m04: fingerprint near-duplicate MEDIA pairs — the dedup modality
+    * for the binary column, closing the gap m01–m03 left (they are
+    * plumbing: decode, frame-sample, checksum; none DEDUPLICATES
+    * media). The signature is the audio/video-fingerprinting shape:
+    * OVERLAPPING fixed-size windows (64 bytes every 16 — the
+    * Shazam-style constellation grain, shift-resistant where one
+    * global offset would re-phase a disjoint-slice pHash), each window
+    * portable-hashed, and a 64-bit SimHash majority vote over the
+    * window hashes (d04's signed-bit-sum shape — one hash aggregation,
+    * 64 conditional sums, never a bit cross join). Two payloads
+    * sharing most of their byte stream share most windows, so their
+    * majority votes agree bit-for-bit almost everywhere — measured on
+    * this corpus every emitted pair shares its ENTIRE distinct-window
+    * set (hamming 0–3), while unrelated payloads land ~32 apart.
+    * Payloads shorter than one window (< 64 B) carry no fingerprint
+    * and are excluded, m03's short-payload contract.
+    *
+    * Pairing is the d12 machinery verbatim (hammingPairsOf: 4-band
+    * pigeonhole at radius 3, exact XOR popcount) — one banded
+    * self-join shuffled by (band, 16-bit block), never all-pairs;
+    * recall within the radius is exact by the pigeonhole.
+    * Character-addressed windows for the same reason as m03: the
+    * oracle's md5 is VARCHAR-only and this corpus is pure ASCII; on
+    * real binary the identical shape runs substr-on-binary + a binary
+    * hash kernel. Bits beyond 31 come from a second salted 32-bit
+    * hash, d12's sign-bit-portability trick. */
+  def mediaPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val wins = docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      .filter(col("len") >= 64)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), idiv(col("len") - 64, lit(16L)))).as("k"))
+      .withColumn("win", expr("substring(text, CAST(k * 16 + 1 AS INT), 64)"))
+      .withColumn("h0", h32(col("win")))
+      .withColumn("h1", h32(concat(lit("w1#"), col("win"))))
+    val bitSums = (0 until 64).map { b =>
+      val h = if (b < 32) col("h0") else col("h1")
+      sum(shiftright(h, b % 32) % 2 * 2 - 1).as(s"s$b")
+    }
+    val sig = wins.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+    hammingPairsOf(sig, bits = 64, radius = 3)
+  }
+
   // --------------------------------------------------------------- oracle SQL
 
   private val docCtes: String =
@@ -2431,6 +2545,41 @@ object Extensions {
         |  ('0x' || substr(md5(chunk), 1, 8))::BIGINT AS checksum32
         |FROM ch""".stripMargin)),
 
+    QuerySpec("m04_phash_neardup", mediaPhashPairs, Some(
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |           FROM documents WHERE length(text) >= 64),
+        |w AS (
+        |  SELECT doc_id, substr(text, CAST(k * 16 + 1 AS INT), 64) AS win
+        |  FROM d, UNNEST(range(0, (len - 64) // 16 + 1)) u(k)),
+        |wh AS (
+        |  SELECT doc_id, win,
+        |         ('0x' || substr(md5(win), 1, 8))::BIGINT AS h0,
+        |         ('0x' || substr(md5('w1#' || win), 1, 8))::BIGINT AS h1
+        |  FROM w),
+        |bitsum AS (
+        |  SELECT doc_id, bit,
+        |         CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)
+        |              ELSE (1::BIGINT << CAST(bit AS INT)) END AS p2,
+        |         SUM(2 * (((CASE WHEN bit < 32 THEN h0 ELSE h1 END)
+        |                   // (1::BIGINT << CAST(bit % 32 AS INT))) % 2) - 1) AS sgn
+        |  FROM wh, UNNEST(range(0, 64)) u(bit) GROUP BY 1, 2, 3),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN sgn > 0 THEN p2 ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bitsum GROUP BY 1),
+        |banded AS (
+        |  SELECT b.band, ((s.sig >> CAST(16 * b.band AS INT)) & 65535) AS bkey,
+        |         s.doc_id, s.sig
+        |  FROM sigs s, UNNEST(range(0, 4)) b(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.sig AS sig_a, b.sig AS sig_b
+        |  FROM banded a JOIN banded b
+        |    ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin)),
+
     QuerySpec("t13_corpus_materialize", corpusMaterialize,
       Some(ccCtes +
       """, kept AS (
@@ -2683,6 +2832,52 @@ object Extensions {
         |  JOIN sq x ON x.vec_id = d.query_id
         |  JOIN sq y ON y.vec_id = d.neighbor_id)
         |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin)),
+
+    QuerySpec("s11_ann_filtered", annIvfFiltered, Some(embCtes + ", " + centsCte +
+      """adots AS (
+        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |ascore AS (
+        |  SELECT d.vec_id, d.cent_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM adots d
+        |  JOIN sq x ON x.vec_id = d.vec_id
+        |  JOIN sq y ON y.vec_id = d.cent_id),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 20),
+        |cand AS (
+        |  SELECT p.query_id, lq.label, a.neighbor_id
+        |  FROM probes p JOIN assigned a ON a.cell = p.cell
+        |  JOIN embeddings lq ON lq.vec_id = p.query_id
+        |  JOIN embeddings ln ON ln.vec_id = a.neighbor_id
+        |  WHERE a.neighbor_id <> p.query_id AND ln.label = lq.label),
+        |cdots AS (
+        |  SELECT c.query_id, c.label, c.neighbor_id,
+        |         CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ev a ON a.vec_id = c.query_id
+        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT d.query_id, d.label, d.neighbor_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM cdots d
+        |  JOIN sq x ON x.vec_id = d.query_id
+        |  JOIN sq y ON y.vec_id = d.neighbor_id)
+        |SELECT query_id, label, neighbor_id, cos_ppm, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM scored) t

@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.Extensions
+import org.apache.spark.sql.functions._
 
 /** Retrieval QUALITY of the approximate ANN paths, not just determinism:
   * the oracle hash-check proves s02/s03 compute what they claim, but not
@@ -72,5 +73,39 @@ class AnnRecallSpec extends SparkSpec {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.6, f"IVF-prefix mean recall@5 $mean%.2f < 0.6")
+  }
+
+  test("filtered ANN keeps the IVF recall floor vs the exact FILTERED baseline") {
+    // s11's truth set is NOT s01: the baseline is brute-force cosine
+    // restricted to the query's label (top-k of the filtered set, the
+    // semantics a post-filtered top-k would get wrong). Probing is
+    // label-agnostic (cells are geometry, labels are metadata), so the
+    // filtered recall tracks s03's unfiltered floor.
+    import org.apache.spark.sql.expressions.Window
+    val dir = sf("sf0.01")
+    val emb = Tables.t(spark, dir, "embeddings")
+    val e = Extensions.quantizeFrame(emb)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("s2").as("sa"), col("label").as("ql"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+      col("s2").as("sb"), col("label").as("nl"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    val exact = topSets(q
+      .join(n, col("ql") === col("nl") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", graft.functions.DotI64(col("qa"), col("qb")))
+      .withColumn("cos_ppm",
+        floor(col("dot") / (sqrt(col("sa")) * sqrt(col("sb")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 5))
+    val got = topSets(Extensions.annIvfFiltered(spark, dir))
+    val recalls = exact.map { case (qid, truth) =>
+      got.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, f"filtered-ANN mean recall@5 $mean%.2f < 0.6")
   }
 }

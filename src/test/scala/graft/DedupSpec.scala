@@ -139,4 +139,36 @@ class DedupSpec extends SparkSpec {
         s"64-bit pair count $n64 still floods vs d03's verified $d03")
     } finally { p32.unpersist(); p64.unpersist() }
   }
+
+  test("m04 fingerprint pairs share their window sets (true media near-dups)") {
+    // The precision claim behind the media fingerprint: an emitted pair
+    // is not a chance signature collision but a pair of payloads that
+    // genuinely share their byte stream. Recompute each doc's distinct
+    // 64-byte/stride-16 window set and require high containment for
+    // EVERY emitted pair (measured on this corpus: every pair shares
+    // its entire window set).
+    val dir = sf("sf0.01")
+    val pairs = Extensions.mediaPhashPairs(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length >= 10,
+      s"expected real fingerprint signal on sf0.01, got ${pairs.length} pairs")
+    val winSets = Tables.t(spark, dir, "documents")
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, CAST((length(text) - 64) div 16 AS INT)),
+          |          k -> substring(text, CAST(k * 16 + 1 AS INT), 64))"""
+          .stripMargin)).as("win"))
+      .groupBy("doc_id").agg(collect_set(col("win")).as("wins"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    pairs.foreach { case (a, b) =>
+      val (wa, wb) = (winSets(a), winSets(b))
+      val containment =
+        wa.intersect(wb).size.toDouble / math.min(wa.size, wb.size)
+      assert(containment >= 0.8,
+        f"pair ($a,$b) shares only $containment%.2f of its windows — " +
+          "chance collision, not a near-dup")
+    }
+  }
 }

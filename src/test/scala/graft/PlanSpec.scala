@@ -241,6 +241,49 @@ class PlanSpec extends SparkSpec {
       s"composition order broken (rank@$rankAt prn@$prnAt cell@$cellAt):\n$p")
   }
 
+  test("s11's label filter prunes candidates below the exact rerank") {
+    // Filtered ANN's cost claim: label equality is applied at CANDIDATE
+    // grain, so full-width dot products run only on same-label
+    // survivors. A refactor that reranks first and filters after both
+    // breaks top-k semantics (k survivors of an unfiltered top-k ≠
+    // top-k of the filtered set) and wastes the rerank on cross-label
+    // candidates.
+    val df = graft.queries.Extensions.annIvfFiltered(spark, dir)
+    val phys = planOf(df)
+    assert(!phys.contains("CartesianProduct"),
+      s"cartesian product in s11 plan:\n$phys")
+    val nlj = "(\\w*)NestedLoopJoin".r.findAllMatchIn(phys)
+      .map(_.group(1)).toSeq
+    assert(nlj.forall(_ == "Broadcast"),
+      s"non-broadcast nested-loop join in s11 plan:\n$phys")
+    val p = df.queryExecution.optimizedPlan.toString
+    val labelEq = "n_label#\\d+ = q_label#\\d+".r.findFirstMatchIn(p)
+    assert(labelEq.isDefined, s"no label equality in s11 plan:\n$p")
+    // Parents print first: the rerank's rank window must sit ABOVE the
+    // label condition (the filter is below the expensive pass).
+    val rankAt = p.indexOf("rank#")
+    assert(rankAt >= 0 && rankAt < labelEq.get.start,
+      s"label filter not below the rerank (rank@$rankAt " +
+        s"label@${labelEq.get.start}):\n$p")
+  }
+
+  test("m04's fingerprint pairing is banded — no all-pairs, one window agg") {
+    // The media-fingerprint pair join must stay in d12's cost class:
+    // candidates from the (band, 16-bit block) self-join, never a
+    // row-multiplying product, and the 64 signed bit-sums come out of
+    // ONE hash aggregation over the window rows.
+    val df = graft.queries.Extensions.mediaPhashPairs(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"row-multiplying join in m04 plan:\n$p")
+    // The signed bit-sums must be HASH-AGGREGATED with a map-side
+    // partial (the d04 shape); the 64 columns print truncated
+    // ("... 39 more fields"), so pin the visible partial_sum over the
+    // shifted window hash instead of the s63 alias.
+    assert(p.contains("partial_sum") && p.contains("shiftright(h0#"),
+      s"bit-sum hash aggregation missing from m04 plan:\n$p")
+  }
+
   test("json extraction prunes the events scan to the used columns") {
     val p = planOf(Parity.jsonProps(spark, dir))
     assert(!p.contains("user_id"), s"events scan reads unused columns:\n$p")
