@@ -450,15 +450,7 @@ object Extensions {
     * then share it through exchange reuse (the d03 pattern). */
   private[graft] def hammingPairsOf(sig: DataFrame,
                                     bits: Int, radius: Int): DataFrame = {
-    val nBands = radius + 1
-    val bandBits = bits / nBands
-    require(bandBits * nBands == bits,
-      s"$bits bits do not split into $nBands equal blocks")
-    val mask = (1L << bandBits) - 1L
-    val banded = sig.select(col("doc_id"), col("sig"),
-        explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
-      .withColumn("bkey",
-        expr(s"shiftright(sig, band * $bandBits) & $mask"))
+    val banded = bandedFingerprints(sig, bits, radius)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -1022,18 +1014,39 @@ object Extensions {
     * append path must extend under it. Epoch contract mirrors
     * StreamingSemanticDedup.retrain: within an epoch the quantizer is
     * immutable; a retrain is a REBUILD, never an append. */
+  /** The (vec_id, label) metadata frame of an embeddings source, when
+    * it carries one — the single rule every index build/append path
+    * shares, so a layout is labeled iff its corpus is and build, append
+    * and rebuild can never disagree about the schema (the streaming
+    * service ingests label-less (vec_id, embedding) waves → null label
+    * column; the batch testdata dirs carry labels → indexed labels). */
+  private[graft] def metaOf(src: DataFrame): Option[DataFrame] =
+    if (src.columns.contains("label"))
+      Some(src.select(col("vec_id"), col("label").cast("int")))
+    else None
+
   private[graft] def buildAnnIndex(s: SparkSession, dir: String,
                                    path: String): Unit = {
     val e = quantized(s, dir)
-    buildAnnIndexFrom(e, coarseCentroids(s, dir, e), path)
+    buildAnnIndexFrom(e, coarseCentroids(s, dir, e), path,
+      meta = metaOf(Tables.t(s, dir, "embeddings")))
   }
 
   /** Core of the build, parameterized by the quantizer frame — callers
     * that own a persisted quantizer epoch (CorpusService) pass it here;
-    * the batch memo path derives it from the corpus. */
+    * the batch memo path derives it from the corpus. `meta` is the
+    * optional (vec_id, label) metadata frame: filtered serving (s12)
+    * answers metadata predicates FROM the index rows, the way every
+    * production vector store co-locates filterable attributes with the
+    * index — a corpus-grain metadata join at query time is exactly the
+    * scan the index exists to avoid. Callers without metadata (the
+    * streaming service's label-less corpus) get a null label column, so
+    * the layout's schema — and therefore the append path — is identical
+    * either way. */
   private[graft] def buildAnnIndexFrom(e: DataFrame, cents: DataFrame,
-                                       path: String): Unit = {
-    indexRows(e, cents)
+                                       path: String,
+                                       meta: Option[DataFrame] = None): Unit = {
+    indexRows(e, cents, meta)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     // After the data write: overwrite mode clears `path` first, which
@@ -1041,18 +1054,28 @@ object Extensions {
     cents.write.mode("overwrite").parquet(path + "/_quantizer")
   }
 
-  private def indexRows(e: DataFrame, cents: DataFrame): DataFrame = {
+  private def indexRows(e: DataFrame, cents: DataFrame,
+                        meta: Option[DataFrame]): DataFrame = {
     val assigned = centroidRank(e, cents, "vec_id")
       .filter(col("rn") <= 4)
       .select(col("vec_id"), col("rn"), col("cent_id").as("cell"))
     val pfx = e.select(col("vec_id"), expr("slice(q, 1, 32)").as("qp"),
         col("s2"))
       .withColumn("sp", DotI64(col("qp"), col("qp")))
-    assigned.join(pfx, "vec_id")
+    val labeled = meta match {
+      // Metadata rides on EVERY row (membership rows included): the
+      // filtered candidate pass reads thin (cell, vec_id, label) rows,
+      // and 4 bytes per row is noise next to the rn=1 prefix payload.
+      case Some(m) => assigned.join(
+        m.select(col("vec_id"), col("label").cast("int")), Seq("vec_id"), "left")
+      case None    => assigned.withColumn("label", lit(null).cast("int"))
+    }
+    labeled.join(pfx, "vec_id")
       .select(col("vec_id"), col("rn"),
         when(col("rn") === 1, col("qp")).as("qp"),
         when(col("rn") === 1, col("sp")).as("sp"),
         when(col("rn") === 1, col("s2")).as("s2"),
+        col("label"),
         col("cell"))
   }
 
@@ -1079,7 +1102,12 @@ object Extensions {
       .map(f => quantizeFrame(f.select(col("vec_id"), col("embedding"))))
       .getOrElse(quantized(s, dir)
         .join(s.read.parquet(path).select("vec_id"), Seq("vec_id"), "left_anti"))
-    indexRows(newQ, cents)
+    // Metadata contract mirrors the build (metaOf's column-presence
+    // rule, applied to whichever frame supplies the new vectors): an
+    // append must not hide rows from the filtered read the build made
+    // visible, nor invent a label column the layout doesn't have.
+    val meta = metaOf(newVectors.getOrElse(Tables.t(s, dir, "embeddings")))
+    indexRows(newQ, cents, meta)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
   }
@@ -1206,6 +1234,57 @@ object Extensions {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
+  }
+
+  /** s12: FILTERED ANN served off the STORED index — s11's semantics
+    * (top-5 by cosine within the query's label) with both the
+    * corpus-wide cell assignment AND the label metadata READ from the
+    * index instead of recomputed/joined per invocation. This is how a
+    * production vector store answers filtered queries: the label rides
+    * in the index rows (indexRows co-locates it), so the candidate pass
+    * reads thin (cell, vec_id, label) tuples of the probed cells —
+    * partition-pruned on `cell`, label equality applied right at the
+    * pruned scan, full vectors fetched by key join only for same-label
+    * survivors. No corpus-grain metadata join exists at query time; the
+    * only corpus-grain work left is the rerank's key-join fetch.
+    *
+    * The query's OWN label comes from the query frame (a filtered
+    * request names its filter), probes score against the sidecar
+    * quantizer (the epoch that assigned the stored rows), and the
+    * result is row-for-row ≡ s11's recompute path — AnnIndexSpec pins
+    * the equivalence, and one oracle text serves both registrations
+    * (the s07/s08 sharing pattern). */
+  def annIvfFilteredIndexed(s: SparkSession, dir: String): DataFrame = {
+    val path = annIndexPath(s, dir)
+    val idx = s.read.parquet(path).filter(col("rn") === 1)
+    val queries = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 10)
+    val eq = quantizeFrame(queries)
+    val cents = s.read.parquet(path + "/_quantizer")
+    val cellT = idx.schema(idx.schema.fieldIndex("cell")).dataType
+    val qlab = queries.select(col("vec_id").as("query_id"),
+      col("label").cast("int").as("q_label"))
+    val probes = centroidRank(eq, cents, "vec_id")
+      .filter(col("rn") <= 20)
+      .select(col("vec_id").as("query_id"),
+        col("cent_id").cast(cellT).as("cell"))
+      .join(qlab, "query_id")
+    val hits = idx.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") === col("q_label"))
+      .select(col("query_id"), col("q_label"), col("vec_id").as("neighbor_id"))
+    val q = eq.select(col("vec_id").as("query_id"), col("q").as("qa"),
+      col("s2").as("sa"))
+    val n = quantized(s, dir).select(col("vec_id").as("neighbor_id"),
+      col("q").as("qb"), col("s2").as("sb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    hits.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("q_label").as("label"),
+        col("neighbor_id"), col("cos_ppm"), col("rank"))
   }
 
   /** s04: per-language embedding centroids — element-wise mean pooling
@@ -2093,8 +2172,19 @@ object Extensions {
     * real binary the identical shape runs substr-on-binary + a binary
     * hash kernel. Bits beyond 31 come from a second salted 32-bit
     * hash, d12's sign-bit-portability trick. */
-  def mediaPhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val wins = docs(s, dir)
+  def mediaPhashPairs(s: SparkSession, dir: String): DataFrame =
+    hammingPairsOf(mediaFingerprints(docs(s, dir)), bits = 64, radius = 3)
+
+  /** m04's signature half at FRAME grain — (doc_id, sig) per payload ≥
+    * one window. Factored out (the shinglesOfDocs pattern) so the batch
+    * operator and the ingest-time streaming cycle
+    * (streaming.StreamingFingerprint) derive identical signatures
+    * bit-for-bit: the fingerprint is a per-document pure function —
+    * unlike MinHash band COLLISIONS or cell assignments it references
+    * no corpus-wide state, which is what makes the streaming twin's
+    * pair log exactly ≡ the one-shot batch pairing. */
+  private[graft] def mediaFingerprints(documents: DataFrame): DataFrame = {
+    val wins = documents
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("len"))
       .filter(col("len") >= 64)
@@ -2107,11 +2197,27 @@ object Extensions {
       val h = if (b < 32) col("h0") else col("h1")
       sum(shiftright(h, b % 32) % 2 * 2 - 1).as(s"s$b")
     }
-    val sig = wins.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    wins.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
-    hammingPairsOf(sig, bits = 64, radius = 3)
+  }
+
+  /** Band-explode a (doc_id, sig) frame into (doc_id, sig, band, bkey)
+    * rows — the pigeonhole key derivation hammingPairsOf and the
+    * streaming probe share (radius+1 bands; see hammingPairsOf for why
+    * minimum bands = widest blocks is optimal). */
+  private[graft] def bandedFingerprints(sig: DataFrame,
+                                        bits: Int, radius: Int): DataFrame = {
+    val nBands = radius + 1
+    val bandBits = bits / nBands
+    require(bandBits * nBands == bits,
+      s"$bits bits do not split into $nBands equal blocks")
+    val mask = (1L << bandBits) - 1L
+    sig.select(col("doc_id"), col("sig"),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
+      .withColumn("bkey",
+        expr(s"shiftright(sig, band * $bandBits) & $mask"))
   }
 
   // --------------------------------------------------------------- oracle SQL
@@ -2264,6 +2370,57 @@ object Extensions {
       |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
       |  FROM scored) t
       |WHERE rank <= 5""".stripMargin
+
+  /** The filtered-IVF oracle, shared by s11 (assignment + label
+    * joined per invocation) and s12 (both read from the stored
+    * index): two strategies, one answer, one SQL text — the s07/s08
+    * sharing pattern. */
+  private val filteredIvfOracle: String = embCtes + ", " + centsCte +
+      """adots AS (
+        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |ascore AS (
+        |  SELECT d.vec_id, d.cent_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM adots d
+        |  JOIN sq x ON x.vec_id = d.vec_id
+        |  JOIN sq y ON y.vec_id = d.cent_id),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 20),
+        |cand AS (
+        |  SELECT p.query_id, lq.label, a.neighbor_id
+        |  FROM probes p JOIN assigned a ON a.cell = p.cell
+        |  JOIN embeddings lq ON lq.vec_id = p.query_id
+        |  JOIN embeddings ln ON ln.vec_id = a.neighbor_id
+        |  WHERE a.neighbor_id <> p.query_id AND ln.label = lq.label),
+        |cdots AS (
+        |  SELECT c.query_id, c.label, c.neighbor_id,
+        |         CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ev a ON a.vec_id = c.query_id
+        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT d.query_id, d.label, d.neighbor_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM cdots d
+        |  JOIN sq x ON x.vec_id = d.query_id
+        |  JOIN sq y ON y.vec_id = d.neighbor_id)
+        |SELECT query_id, label, neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin
+
 
   /** The cell-blocked semantic-dedup oracle, shared by s05 (assignment
     * recomputed per invocation) and s09 (assignment read from the
@@ -2837,51 +2994,11 @@ object Extensions {
         |  FROM scored) t
         |WHERE rank <= 5""".stripMargin)),
 
-    QuerySpec("s11_ann_filtered", annIvfFiltered, Some(embCtes + ", " + centsCte +
-      """adots AS (
-        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
-        |  GROUP BY 1, 2),
-        |ascore AS (
-        |  SELECT d.vec_id, d.cent_id,
-        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM adots d
-        |  JOIN sq x ON x.vec_id = d.vec_id
-        |  JOIN sq y ON y.vec_id = d.cent_id),
-        |assigned AS (
-        |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore) t WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 20),
-        |cand AS (
-        |  SELECT p.query_id, lq.label, a.neighbor_id
-        |  FROM probes p JOIN assigned a ON a.cell = p.cell
-        |  JOIN embeddings lq ON lq.vec_id = p.query_id
-        |  JOIN embeddings ln ON ln.vec_id = a.neighbor_id
-        |  WHERE a.neighbor_id <> p.query_id AND ln.label = lq.label),
-        |cdots AS (
-        |  SELECT c.query_id, c.label, c.neighbor_id,
-        |         CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM cand c
-        |  JOIN ev a ON a.vec_id = c.query_id
-        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
-        |  GROUP BY 1, 2, 3),
-        |scored AS (
-        |  SELECT d.query_id, d.label, d.neighbor_id,
-        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM cdots d
-        |  JOIN sq x ON x.vec_id = d.query_id
-        |  JOIN sq y ON y.vec_id = d.neighbor_id)
-        |SELECT query_id, label, neighbor_id, cos_ppm, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 5""".stripMargin)),
+    QuerySpec("s11_ann_filtered", annIvfFiltered,
+      Some(filteredIvfOracle)),
+
+    QuerySpec("s12_ann_filtered_indexed", annIvfFilteredIndexed,
+      Some(filteredIvfOracle)),
 
     QuerySpec("t06_stratified_split", stratifiedSplit, Some(
       """SELECT lang,

@@ -59,6 +59,11 @@ object CorpusService {
       * the versioned clean_text log (streaming.IncrementalScrub). */
     val scrubPostings = s"$base/dedup/scrub_postings"
     val scrubLog = s"$base/dedup/scrub_log"
+    /** Media-fingerprint dedup state (StreamingFingerprint — the third
+      * ingest-time modality): 16-byte signature rows + pair log. */
+    val fpSigs = s"$base/dedup/fp_sigs"
+    val fpPairs = s"$base/dedup/fp_pairs"
+    val fpCkpt = s"$base/ckpt/fp_dedup"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -95,10 +100,11 @@ object CorpusService {
 
   private def rebuildIndex(spark: SparkSession, p: Paths): Unit =
     graft.jobs.Warehouse.replaceVia(spark, p.annIndex) { stage =>
+      val emb = graft.Tables.t(spark, p.base, "embeddings")
       graft.queries.Extensions.buildAnnIndexFrom(
-        graft.queries.Extensions.quantizeFrame(
-          graft.Tables.t(spark, p.base, "embeddings")),
-        spark.read.parquet(p.cents), stage)
+        graft.queries.Extensions.quantizeFrame(emb),
+        spark.read.parquet(p.cents), stage,
+        meta = graft.queries.Extensions.metaOf(emb))
     }
 
   /** Maintain the SERVING index (s08/s09's warehouse layout) over the
@@ -194,7 +200,8 @@ object CorpusService {
                      canonical: Boolean = true,
                      index: Boolean = false,
                      contaminationRef: Option[String] = None,
-                     scrub: Boolean = false): Unit = {
+                     scrub: Boolean = false,
+                     fingerprint: Boolean = false): Unit = {
     StreamingDedup.ingestAvailable(spark, p.docs, p.sigs, p.pairs, p.docsCkpt)
     StreamingSemanticDedup.ingestAvailable(spark, p.embeddings, p.cents,
       p.assigns, p.semPairs, p.embCkpt, maxFilesPerTrigger)
@@ -202,6 +209,11 @@ object CorpusService {
       StreamingContamination.ingestAvailable(spark, p.docs, ref,
         p.contam, p.contamCkpt)
     }
+    // The media-fingerprint cycle reads the SAME document store on its
+    // own checkpoint — a third independent consumer of the corpus log.
+    if (fingerprint)
+      StreamingFingerprint.ingestAvailable(spark, p.docs, p.fpSigs,
+        p.fpPairs, p.fpCkpt)
     if (scrub) maintainScrub(spark, p)
     if (compact) {
       require(StreamingDedup.compactLogs(spark, p.sigs, p.pairs),
@@ -214,10 +226,24 @@ object CorpusService {
       if (exists(spark, p.scrubLog))
         require(IncrementalScrub.compactLogs(spark, p.scrubPostings, p.scrubLog),
           "corpus service: scrub logs failed to compact post-drain")
+      // Like the scrub logs: compact whenever they exist from an earlier
+      // fingerprint drain, flag or not.
+      if (exists(spark, p.fpPairs))
+        require(StreamingFingerprint.compactLogs(spark, p.fpSigs, p.fpPairs),
+          "corpus service: fingerprint dedup logs failed to compact post-drain")
     }
     if (canonical) refreshCanonicalCorpus(spark, p)
     if (index) refreshAnnIndex(spark, p)
   }
+
+  /** The media-fingerprint pair view (the third dedup axis —
+    * StreamingFingerprint's log; empty-safe only once a fingerprint
+    * drain ran). Reported separately from [[dedupReport]]: verbatim and
+    * semantic label the same text/meaning axes of one document, the
+    * fingerprint is the payload-bytes axis — a deployment resolves
+    * media copies with THIS view and text near-dups with the report. */
+  def fingerprintPairsView(spark: SparkSession, p: Paths): DataFrame =
+    StreamingFingerprint.pairsView(spark, p.fpPairs)
 
   /** The ingest-time contamination drop list (empty-safe). A maintained
     * training set that must exclude suite-leaked documents anti-joins
@@ -545,6 +571,7 @@ object CorpusService {
                    decontaminate: Boolean = false,
                    contaminationRef: Option[String] = None,
                    scrub: Boolean = true,
+                   fingerprint: Boolean = false,
                    maxFilesPerTrigger: Option[Int] = None,
                    clock: () => java.time.LocalDateTime =
                      () => java.time.LocalDateTime.now(),
@@ -560,7 +587,8 @@ object CorpusService {
       if (!now.isBefore(next)) {
         drainAvailable(spark, p, maxFilesPerTrigger,
           compact = true, canonical = false, index = true,
-          contaminationRef = contaminationRef, scrub = scrub)
+          contaminationRef = contaminationRef, scrub = scrub,
+          fingerprint = fingerprint)
         refreshCanonicalCorpus(spark, p, includeSemantic)
         // With a gate registered, its drop list flows into the manifest:
         // suite-leaked docs were caught at arrival, excluded here.

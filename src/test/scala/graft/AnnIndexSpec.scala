@@ -28,6 +28,23 @@ class AnnIndexSpec extends SparkSpec {
       "s08 vs s07 at sf0.01")
   }
 
+  test("s12 (filtered, index-served) ≡ s11 (recomputed) row-for-row") {
+    // Filtered serving must be a pure storage change too: s11 joins the
+    // corpus-grain label frame and recomputes assignment per invocation,
+    // s12 reads both from the index rows (label is an index column).
+    // Same probes (the sidecar quantizer IS the batch quantizer for the
+    // memoized dir index), same label filter at candidate grain, same
+    // rerank — so identical output, at both SFs.
+    for (d <- Seq("sf0.001", "sf0.01")) {
+      val dir = sf(d)
+      Extensions.invalidateAnnIndex(dir)
+      assertSameRows(
+        Extensions.annIvfFiltered(spark, dir),
+        Extensions.annIvfFilteredIndexed(spark, dir),
+        s"s12 vs s11 at $d")
+    }
+  }
+
   test("append-maintained index ≡ rebuild under the frozen quantizer; s08 serves identically") {
     import org.apache.spark.sql.functions.col
     // Build the index over HALF the corpus, grow the corpus, then extend
@@ -54,10 +71,11 @@ class AnnIndexSpec extends SparkSpec {
     Extensions.appendAnnIndex(spark, dir, byBatch, newVectors = Some(odds))
     Extensions.buildAnnIndexFrom(
       Extensions.quantizeFrame(Tables.t(spark, dir, "embeddings")),
-      spark.read.parquet(byDiscovery + "/_quantizer"), rebuilt)
+      spark.read.parquet(byDiscovery + "/_quantizer"), rebuilt,
+      meta = Extensions.metaOf(Tables.t(spark, dir, "embeddings")))
     val expected = spark.read.parquet(rebuilt)
     assert(expected.columns.sorted.toSeq ==
-      Seq("cell", "qp", "rn", "s2", "sp", "vec_id"),
+      Seq("cell", "label", "qp", "rn", "s2", "sp", "vec_id"),
       "the _quantizer sidecar leaked into the index read")
     assertSameRows(spark.read.parquet(byDiscovery), expected,
       "anti-join-appended index vs frozen-quantizer rebuild")

@@ -39,11 +39,13 @@ class CorpusServiceSpec extends SparkSpec {
     CorpusService.trainQuantizer(spark, p)
     // Wave-1 drain: only wave-1 docs exist; embeddings drain fully
     // (either side may run ahead — the contract tolerates it).
-    CorpusService.drainAvailable(spark, p, contaminationRef = Some(refDir))
+    CorpusService.drainAvailable(spark, p, contaminationRef = Some(refDir),
+      fingerprint = true)
 
     // Wave 2 (documents): the rest arrives and drains.
     docs.filter(col("doc_id") % 5 >= 3).write.mode("append").parquet(p.docs)
-    CorpusService.drainAvailable(spark, p, contaminationRef = Some(refDir))
+    CorpusService.drainAvailable(spark, p, contaminationRef = Some(refDir),
+      fingerprint = true)
 
     // The ingest-time leakage gate converged to the one-shot audit.
     assertSameRows(
@@ -64,6 +66,12 @@ class CorpusServiceSpec extends SparkSpec {
       Extensions.semdedupCells(spark, base)
         .select("vec_a", "vec_b", "cos_ppm"),
       "streamed semantic pairs vs one-shot s05")
+    // The third modality: ingest-time media fingerprints converge to the
+    // one-shot m04 pairing on the final corpus, row-for-row.
+    assertSameRows(
+      CorpusService.fingerprintPairsView(spark, p),
+      Extensions.mediaPhashPairs(spark, base),
+      "streamed fingerprint pairs vs one-shot m04")
 
     // The unified report covers both modalities' pairs exactly once.
     val report = CorpusService.dedupReport(spark, p).persist()
@@ -85,7 +93,8 @@ class CorpusServiceSpec extends SparkSpec {
     // included.
     def dataFiles(dir: String): Int = new java.io.File(dir)
       .listFiles().count(_.getName.endsWith(".parquet"))
-    Seq(p.sigs, p.pairs, p.assigns, p.semPairs, p.contam).foreach { d =>
+    Seq(p.sigs, p.pairs, p.assigns, p.semPairs, p.contam,
+        p.fpSigs, p.fpPairs).foreach { d =>
       assert(dataFiles(d) <= 4, s"$d not compacted: ${dataFiles(d)} files")
     }
 

@@ -267,6 +267,29 @@ class PlanSpec extends SparkSpec {
         s"label@${labelEq.get.start}):\n$p")
   }
 
+  test("s12's index scan is partition-pruned and label rides the index rows") {
+    // Filtered index serving: the candidate pass must read ONLY probed
+    // cells (dynamic partition pruning on the hive `cell` column, s08's
+    // pin) and resolve the label from the index row itself — a plan
+    // that joins a corpus-grain label frame at query time re-introduces
+    // the scan the index exists to avoid.
+    graft.queries.Extensions.invalidateAnnIndex(dir)
+    val df = graft.queries.Extensions.annIvfFilteredIndexed(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("dynamicpruning") || p.contains("PartitionFilters: [isnotnull(cell"),
+      s"index scan not partition-pruned by probe cells:\n$p")
+    // Corpus-GRAIN embeddings scans (no pushed vec_id<10 query-side
+    // predicate): exactly one — the rerank's full-vector key-join
+    // fetch. A second would be the corpus-grain label join the
+    // index-resident metadata exists to avoid; query-side scans are
+    // pruned to the 10 query rows and don't count.
+    val corpusScans = p.split("FileScan").count(c =>
+      c.contains("embeddings.parquet") && !c.contains("LessThan(vec_id,10)"))
+    assert(corpusScans <= 1,
+      s"filtered serving reads the corpus $corpusScans times — label not " +
+        s"served from the index:\n$p")
+  }
+
   test("m04's fingerprint pairing is banded — no all-pairs, one window agg") {
     // The media-fingerprint pair join must stay in d12's cost class:
     // candidates from the (band, 16-bit block) self-join, never a
