@@ -1254,12 +1254,29 @@ object Extensions {
     * result is row-for-row ≡ s11's recompute path — AnnIndexSpec pins
     * the equivalence, and one oracle text serves both registrations
     * (the s07/s08 sharing pattern). */
-  def annIvfFilteredIndexed(s: SparkSession, dir: String): DataFrame = {
-    val path = annIndexPath(s, dir)
-    val idx = s.read.parquet(path).filter(col("rn") === 1)
-    val queries = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 10)
+  def annIvfFilteredIndexed(s: SparkSession, dir: String): DataFrame =
+    annIvfFilteredQueries(s, dir,
+      Tables.t(s, dir, "embeddings").filter(col("vec_id") < 10),
+      annIndexPath(s, dir), excludeSelf = true)
+
+  /** s12's serving entry for an ARBITRARY filtered query frame — the
+    * request path of filtered vector search ("top-k within label L for
+    * this vector"): `queries` is (vec_id, embedding, label), where
+    * `label` names each request's filter — it need not be a label the
+    * query vector itself carries in the corpus. Everything else is s12
+    * exactly: probes score against the sidecar quantizer, candidates
+    * come from the partition-pruned index read with the label equality
+    * at the pruned scan, the rerank fetches full corpus vectors for
+    * same-label survivors only. The corpus form above is this with the
+    * benchmark's fixed corpus rows and `excludeSelf` on — external
+    * callers leave it off (their ids share no space with the corpus's;
+    * the annIvfIndexedQueries contract). */
+  def annIvfFilteredQueries(s: SparkSession, dir: String, queries: DataFrame,
+                            indexPath: String,
+                            excludeSelf: Boolean = false): DataFrame = {
+    val idx = s.read.parquet(indexPath).filter(col("rn") === 1)
     val eq = quantizeFrame(queries)
-    val cents = s.read.parquet(path + "/_quantizer")
+    val cents = s.read.parquet(indexPath + "/_quantizer")
     val cellT = idx.schema(idx.schema.fieldIndex("cell")).dataType
     val qlab = queries.select(col("vec_id").as("query_id"),
       col("label").cast("int").as("q_label"))
@@ -1268,9 +1285,10 @@ object Extensions {
       .select(col("vec_id").as("query_id"),
         col("cent_id").cast(cellT).as("cell"))
       .join(qlab, "query_id")
-    val hits = idx.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("query_id") &&
-        col("label") === col("q_label"))
+    val hits0 = idx.join(broadcast(probes), "cell")
+      .filter(col("label") === col("q_label"))
+    val hits = (if (excludeSelf) hits0.filter(col("vec_id") =!= col("query_id"))
+                else hits0)
       .select(col("query_id"), col("q_label"), col("vec_id").as("neighbor_id"))
     val q = eq.select(col("vec_id").as("query_id"), col("q").as("qa"),
       col("s2").as("sa"))

@@ -142,6 +142,18 @@ object CorpusService {
     graft.queries.Extensions.annIvfIndexedQueries(spark, p.base, queries,
       p.annIndex)
 
+  /** FILTERED ANN for external query vectors — the request names its
+    * metadata filter ((vec_id, embedding, label) rows) and neighbors
+    * come only from index rows carrying that label (s12's read path:
+    * partition-pruned cells, label equality at the pruned scan). Only
+    * meaningful when the service corpus carries labels (metaOf's rule —
+    * a label-less corpus has a null label column, which matches no
+    * filter). */
+  def annTopKFilteredFor(spark: SparkSession, p: Paths,
+                         queries: DataFrame): DataFrame =
+    graft.queries.Extensions.annIvfFilteredQueries(spark, p.base, queries,
+      p.annIndex)
+
   private def embeddingCount(spark: SparkSession, p: Paths): Long =
     graft.Tables.t(spark, p.base, "embeddings")
       .select(col("vec_id")).count()

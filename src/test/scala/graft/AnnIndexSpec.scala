@@ -147,6 +147,53 @@ class AnnIndexSpec extends SparkSpec {
     } finally r1.unpersist()
   }
 
+  test("external FILTERED serving: the request's label gates the twin") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-annextf")
+      .toString + "/idx"
+    Extensions.buildAnnIndex(spark, dir, idxPath)
+    val corpusQ = Tables.t(spark, dir, "embeddings").filter(col("vec_id") < 10)
+
+    // The corpus form is the general entry at (corpus rows, excludeSelf).
+    assertSameRows(
+      Extensions.annIvfFilteredQueries(spark, dir, corpusQ, idxPath,
+        excludeSelf = true),
+      Extensions.annIvfFilteredIndexed(spark, dir),
+      "general filtered entry at corpus queries vs s12")
+
+    // Same vectors under a disjoint id space, requesting their twin's
+    // label: the twin (exact cosine 1, matching label) must rank first.
+    val sameLabel = corpusQ.select((col("vec_id") + 500000).as("vec_id"),
+      col("embedding"), col("label"))
+    val r1 = Extensions.annIvfFilteredQueries(spark, dir, sameLabel, idxPath)
+      .filter(col("rank") === 1).persist()
+    try {
+      assert(r1.count() == corpusQ.count(), "a query lost its rank-1 row")
+      assert(r1.filter(col("neighbor_id") =!= col("query_id") - 500000 ||
+          col("cos_ppm") =!= 1000000L).count() == 0,
+        "a filtered external query did not rank its same-label twin first")
+    } finally r1.unpersist()
+
+    // Requesting a DIFFERENT label: the filter must actually filter —
+    // the twin is excluded and every neighbor carries the requested
+    // label (verified against the corpus's own label table).
+    val otherLabel = corpusQ.select((col("vec_id") + 500000).as("vec_id"),
+      col("embedding"), ((col("label") + 1) % 10).as("label"))
+    val res = Extensions.annIvfFilteredQueries(spark, dir, otherLabel, idxPath)
+      .persist()
+    try {
+      assert(res.filter(col("neighbor_id") === col("query_id") - 500000)
+          .count() == 0,
+        "a cross-label twin leaked through the label filter")
+      val labs = Tables.t(spark, dir, "embeddings")
+        .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+      assert(res.join(labs, "neighbor_id")
+          .filter(col("n_label") =!= col("label")).count() == 0,
+        "a neighbor outside the requested label was returned")
+    } finally res.unpersist()
+  }
+
   test("invalidateAnnIndex + invalidateCorpusCount rebuild sees corpus growth") {
     // Grow a copy of the corpus after the index is built, then exercise
     // the documented refresh contract (both memos dropped before
