@@ -301,7 +301,8 @@ object CorpusService {
     * the only corpus-wide touch is the (doc_id, lang) projection — one
     * narrow scan per refresh. */
   def refreshCanonicalCorpus(spark: SparkSession, p: Paths,
-                             includeSemantic: Boolean = false): Unit = {
+                             includeSemantic: Boolean = false,
+                             includeFingerprint: Boolean = false): Unit = {
     def exists(dir: String): Boolean = {
       val path = new org.apache.hadoop.fs.Path(dir)
       path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
@@ -315,7 +316,17 @@ object CorpusService {
       else ifPresent(p.semPairs)(
         StreamingSemanticDedup.pairsView(spark, p.semPairs)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-    val allPairs = (verbatim.toSeq ++ semantic.toSeq)
+    // The media axis: fingerprint pairs are doc-id pairs already, so a
+    // re-encoded/locally-edited copy resolves to the same canonical as
+    // a verbatim or paraphrase one — all three modality graphs merge
+    // before clustering. Same shrink contract as includeSemantic: a
+    // caller narrowing the mix later triggers the from-scratch rebuild.
+    val fingerprint =
+      if (!includeFingerprint) None
+      else ifPresent(p.fpPairs)(
+        StreamingFingerprint.pairsView(spark, p.fpPairs)
+          .select("doc_a", "doc_b"))
+    val allPairs = (verbatim.toSeq ++ semantic.toSeq ++ fingerprint.toSeq)
       .reduceOption(_ unionByName _).map(_.distinct())
     val emptyLabels = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -601,7 +612,8 @@ object CorpusService {
           compact = true, canonical = false, index = true,
           contaminationRef = contaminationRef, scrub = scrub,
           fingerprint = fingerprint)
-        refreshCanonicalCorpus(spark, p, includeSemantic)
+        refreshCanonicalCorpus(spark, p, includeSemantic,
+          includeFingerprint = fingerprint)
         // With a gate registered, its drop list flows into the manifest:
         // suite-leaked docs were caught at arrival, excluded here.
         refreshTrainingSet(spark, p, decontaminate,

@@ -133,6 +133,22 @@ class CorpusServiceSpec extends SparkSpec {
         Extensions.clusterPairs(unionPairs)),
       "unified-modality canonical artifact vs one-shot union twin")
 
+    // ALL THREE modalities: the media-fingerprint pairs merge into the
+    // same cluster graph, so a re-encoded copy, a verbatim copy, and a
+    // paraphrase of one document all resolve to one canonical — ≡ the
+    // one-shot resolution over lshPairs ∪ s05 ∪ m04.
+    CorpusService.refreshCanonicalCorpus(spark, p, includeSemantic = true,
+      includeFingerprint = true)
+    val allThree = unionPairs
+      .unionByName(Extensions.mediaPhashPairs(spark, base)
+        .select("doc_a", "doc_b"))
+    assertSameRows(
+      CorpusService.canonicalCorpusView(spark, p),
+      Extensions.canonicalResolution(
+        graft.Tables.t(spark, base, "documents").select("doc_id", "lang"),
+        Extensions.clusterPairs(allThree)),
+      "three-modality canonical artifact vs one-shot union twin")
+
     // The maintained TRAINING-SET manifest: canonical (restored to the
     // verbatim-only resolution t13/t16 consume) ∧ quality ∧ split, at
     // doc grain — its summary ≡ one-shot t13; with decontamination,
