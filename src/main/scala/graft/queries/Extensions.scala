@@ -1643,6 +1643,50 @@ object Extensions {
     reassembleClean(segs.join(df, "seg"), docs(s, dir))
   }
 
+  /** t20: statistical LM quality score — the CCNet/KenLM family's
+    * filter, completing the quality suite with its STATISTICAL member
+    * (t02 is surface heuristics, t14 repetition, s10 embedding
+    * geometry; this one scores each document under a language model
+    * trained on the corpus itself): a per-language bigram model, each
+    * document's score the mean conditional bigram probability over its
+    * token stream. A document of common, well-ordered token
+    * transitions scores high; garbled or off-language text pairs rare
+    * transitions and sinks — the same signal a KenLM perplexity filter
+    * thresholds, up to monotone transform.
+    *
+    * EXACT INTEGER arithmetic where real perplexity is log-float:
+    * p(b|a) in ppm by integer division of corpus counts, the doc score
+    * an integer mean of those — cross-engine float log/exp disagreement
+    * (the round2p scaladoc's hazard class) cannot arise, and the score
+    * is a monotone image of mean likelihood, which is what a threshold
+    * consumes. Denominator is the unigram count (including stream-final
+    * tokens), documented as the proxy's normalization.
+    *
+    * Scale shape: successor pairing is ONE per-doc window (lead over
+    * pos — doc-partitioned, never corpus-global); the bigram model is
+    * one hash agg; scoring joins doc bigram rows to the model at
+    * (lang, bigram) grain — t03's "token join" standard shape, where a
+    * Zipfian vocabulary's model table broadcasts and a huge one
+    * shuffles at collision grain. */
+  def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    val tr = tokRows(s, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = tr
+      .withColumn("tb", lead(col("tok"), 1).over(w))
+      .filter(col("tb").isNotNull)
+      .select(col("doc_id"), col("lang"), col("tok").as("ta"), col("tb"))
+    val cab = big.groupBy("lang", "ta", "tb").agg(count(lit(1)).as("c"))
+    val ca = tr.select(col("lang"), col("tok").as("ta"))
+      .groupBy("lang", "ta").agg(count(lit(1)).as("c1"))
+    val model = cab.join(ca, Seq("lang", "ta"))
+      .select(col("lang"), col("ta"), col("tb"),
+        idiv(col("c") * lit(1000000L), col("c1")).as("p_ppm"))
+    big.join(model, Seq("lang", "ta", "tb"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        idiv(sum(col("p_ppm")), count(lit(1))).as("lm_score_ppm"))
+  }
+
   /** d08: fuzzy dedup by edit distance — the modality the hash families
     * (d01–d06) can't see: small character-level edits (typos, OCR noise)
     * that change every shingle. Candidate pairs are BLOCKED by
@@ -2918,6 +2962,25 @@ object Extensions {
         |LEFT JOIN badtrain b ON b.doc_id = d.doc_id
         |WHERE b.doc_id IS NULL
         |GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec("t20_bigram_lm_score", bigramLmScore, Some(
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |tokrows AS (SELECT doc_id, lang, pos, t[pos] AS tok
+        |            FROM toks, UNNEST(range(1, len(t) + 1)) u(pos)),
+        |big AS (
+        |  SELECT a.doc_id, a.lang, a.tok AS ta, b.tok AS tb
+        |  FROM tokrows a JOIN tokrows b
+        |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |cab AS (SELECT lang, ta, tb, count(*) AS c FROM big GROUP BY 1, 2, 3),
+        |ca AS (SELECT lang, tok AS ta, count(*) AS c1 FROM tokrows GROUP BY 1, 2),
+        |model AS (
+        |  SELECT cab.lang, cab.ta, cab.tb, (cab.c * 1000000) // ca.c1 AS p_ppm
+        |  FROM cab JOIN ca ON ca.lang = cab.lang AND ca.ta = cab.ta)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  CAST(SUM(m.p_ppm) // count(*) AS BIGINT) AS lm_score_ppm
+        |FROM big b JOIN model m
+        |  ON m.lang = b.lang AND m.ta = b.ta AND m.tb = b.tb
+        |GROUP BY 1""".stripMargin)),
 
     QuerySpec("t17_boilerplate_scrub", boilerplateScrub, Some(
       """WITH t AS (

@@ -267,6 +267,20 @@ class PlanSpec extends SparkSpec {
         s"label@${labelEq.get.start}):\n$p")
   }
 
+  test("t20's successor window is doc-partitioned; the model joins by broadcast") {
+    // The LM scorer's two scale hazards, pinned: successor pairing must
+    // be a doc-partitioned window (a global window would move the whole
+    // token stream to one partition), and the Zipfian-vocabulary model
+    // table must come back by broadcast, not a corpus shuffle.
+    val p = planOf(graft.queries.Extensions.bigramLmScore(spark, dir))
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"successor window not partitioned by doc_id:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bigram model not broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"row-multiplying join in t20 plan:\n$p")
+  }
+
   test("s12's index scan is partition-pruned and label rides the index rows") {
     // Filtered index serving: the candidate pass must read ONLY probed
     // cells (dynamic partition pruning on the hive `cell` column, s08's
