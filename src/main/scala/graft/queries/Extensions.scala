@@ -2278,6 +2278,36 @@ object Extensions {
           .reduce(_ + _).as("sig"))
   }
 
+  /** m05: INCREMENTAL media-fingerprint dedup — d10's ingest-cycle
+    * shape on the media axis, and the batch-registered twin of
+    * StreamingFingerprint.processBatch: only the NEW batch's banded
+    * signatures (stand-in: the newest 10% of doc ids, d10's delta
+    * convention) probe the full signature table — new×all catches
+    * new-vs-existing AND new-vs-new (emitted once, id order) — so the
+    * per-cycle cost is O(|batch| + collisions), never m04's full
+    * self-join re-paid per cycle. Verification is the exact XOR
+    * popcount, same contract as m04; canonical orientation keeps the
+    * new doc in `new_doc` (so new-vs-existing pairs where the existing
+    * id is larger are NOT re-canonicalized — the arrival order IS the
+    * information this report adds over m04's). */
+  def phashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val banded = bandedFingerprints(
+      mediaFingerprints(docs(s, dir)), bits = 64, radius = 3)
+    val cutoff = docs(s, dir).agg((max(col("doc_id")) * 9).as("c9"))
+    val withCut = banded.crossJoin(broadcast(cutoff))
+    val newSide = withCut.filter(col("doc_id") * 10 > col("c9"))
+    newSide.as("a")
+      .join(withCut.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (col("b.doc_id") * 10 <= col("b.c9") ||
+            col("a.doc_id") < col("b.doc_id")))
+      .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("other_doc"),
+        expr("bit_count(a.sig ^ b.sig)").cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
   /** Band-explode a (doc_id, sig) frame into (doc_id, sig, band, bkey)
     * rows — the pigeonhole key derivation hammingPairsOf and the
     * streaming probe share (radius+1 bands; see hammingPairsOf for why
@@ -2811,6 +2841,45 @@ object Extensions {
         |SELECT doc_a, doc_b,
         |       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin)),
+
+    QuerySpec("m05_phash_incremental", phashIncremental, Some(
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |           FROM documents WHERE length(text) >= 64),
+        |w AS (
+        |  SELECT doc_id, substr(text, CAST(k * 16 + 1 AS INT), 64) AS win
+        |  FROM d, UNNEST(range(0, (len - 64) // 16 + 1)) u(k)),
+        |wh AS (
+        |  SELECT doc_id, win,
+        |         ('0x' || substr(md5(win), 1, 8))::BIGINT AS h0,
+        |         ('0x' || substr(md5('w1#' || win), 1, 8))::BIGINT AS h1
+        |  FROM w),
+        |bitsum AS (
+        |  SELECT doc_id, bit,
+        |         CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)
+        |              ELSE (1::BIGINT << CAST(bit AS INT)) END AS p2,
+        |         SUM(2 * (((CASE WHEN bit < 32 THEN h0 ELSE h1 END)
+        |                   // (1::BIGINT << CAST(bit % 32 AS INT))) % 2) - 1) AS sgn
+        |  FROM wh, UNNEST(range(0, 64)) u(bit) GROUP BY 1, 2, 3),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN sgn > 0 THEN p2 ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bitsum GROUP BY 1),
+        |cut AS (SELECT max(doc_id) * 9 AS c9 FROM documents),
+        |banded AS (
+        |  SELECT b.band, ((s.sig >> CAST(16 * b.band AS INT)) & 65535) AS bkey,
+        |         s.doc_id, s.sig
+        |  FROM sigs s, UNNEST(range(0, 4)) b(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS other_doc,
+        |         a.sig AS sa, b.sig AS sb
+        |  FROM banded a JOIN banded b
+        |    ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id <> b.doc_id,
+        |    cut
+        |  WHERE a.doc_id * 10 > cut.c9
+        |    AND (b.doc_id * 10 <= cut.c9 OR a.doc_id < b.doc_id))
+        |SELECT new_doc, other_doc,
+        |       CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin)),
 
     QuerySpec("t13_corpus_materialize", corpusMaterialize,
       Some(ccCtes +
