@@ -187,7 +187,7 @@ object CorpusService {
     else {
       r.drainAndStop()
       retrainQuantizer(spark, p)
-      start(spark, p, interval)
+      start(spark, p, interval, fingerprint = r.fingerprint.isDefined)
     }
 
   private def grown(spark: SparkSession, p: Paths, factor: Double): Boolean =
@@ -479,21 +479,29 @@ object CorpusService {
   def scrubbedCorpusView(spark: SparkSession, p: Paths): DataFrame =
     spark.read.parquet(p.scrubbed)
 
-  /** The two live ingest queries of an always-on corpus service. */
+  /** The live ingest queries of an always-on corpus service (the
+    * fingerprint stream only when started with the media modality on). */
   final case class Running(
       docs: org.apache.spark.sql.streaming.StreamingQuery,
-      embeddings: org.apache.spark.sql.streaming.StreamingQuery) {
-    /** Graceful shutdown: drain whatever both stores already hold, then
+      embeddings: org.apache.spark.sql.streaming.StreamingQuery,
+      fingerprint: Option[org.apache.spark.sql.streaming.StreamingQuery] =
+        None) {
+    /** Graceful shutdown: drain whatever the stores already hold, then
       * stop — same per-stream discipline as jobs.Main.runService (a
-      * failed stream's rethrow must not mask the other's shutdown), and
+      * failed stream's rethrow must not mask another's shutdown), and
       * the checkpoints resume exactly-once on the next start. */
     def drainAndStop(): Unit =
       try {
         try docs.processAllAvailable()
         finally docs.stop()
       } finally {
-        try embeddings.processAllAvailable()
-        finally embeddings.stop()
+        try {
+          try embeddings.processAllAvailable()
+          finally embeddings.stop()
+        } finally fingerprint.foreach { f =>
+          try f.processAllAvailable()
+          finally f.stop()
+        }
       }
   }
 
@@ -516,13 +524,18 @@ object CorpusService {
     * idempotently re-derivable from the source log; the dedup state
     * tables are not. */
   def start(spark: SparkSession, p: Paths,
-            interval: String = "5 minutes"): Running = {
+            interval: String = "5 minutes",
+            fingerprint: Boolean = false): Running = {
     import org.apache.spark.sql.streaming.Trigger
     Running(
       docs = StreamingDedup.start(spark, p.docs, p.sigs, p.pairs, p.docsCkpt,
         Trigger.ProcessingTime(interval)),
       embeddings = StreamingSemanticDedup.start(spark, p.embeddings, p.cents,
-        p.assigns, p.semPairs, p.embCkpt, Trigger.ProcessingTime(interval)))
+        p.assigns, p.semPairs, p.embCkpt, Trigger.ProcessingTime(interval)),
+      fingerprint =
+        if (!fingerprint) None
+        else Some(StreamingFingerprint.start(spark, p.docs, p.fpSigs,
+          p.fpPairs, p.fpCkpt, Trigger.ProcessingTime(interval))))
   }
 
   /** Compaction point for the always-on form: quiesce both ingesters
@@ -550,7 +563,10 @@ object CorpusService {
     if (exists(spark, p.scrubLog))
       require(IncrementalScrub.compactLogs(spark, p.scrubPostings, p.scrubLog),
         "corpus service: scrub logs failed to compact while quiesced")
-    start(spark, p, interval)
+    if (r.fingerprint.isDefined || exists(spark, p.fpPairs))
+      require(StreamingFingerprint.compactLogs(spark, p.fpSigs, p.fpPairs),
+        "corpus service: fingerprint logs failed to compact while quiesced")
+    start(spark, p, interval, fingerprint = r.fingerprint.isDefined)
   }
 
   /** What a [[runScheduled]] run did: drain ticks fired, quantizer

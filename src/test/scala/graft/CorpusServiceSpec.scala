@@ -247,7 +247,8 @@ class CorpusServiceSpec extends SparkSpec {
     assert(CorpusService.maintainScrub(spark, p) > 0,
       "maintainScrub must process the seeded wave")
 
-    val running = CorpusService.start(spark, p, interval = "1 second")
+    val running = CorpusService.start(spark, p, interval = "1 second",
+      fingerprint = true)
     // A live append lands, then the QUIESCED compaction cycle runs: the
     // only compaction point the always-on form documents as safe
     // (drain + stop → guarded swaps must land → restart).
@@ -263,7 +264,7 @@ class CorpusServiceSpec extends SparkSpec {
     def dataFiles(dir: String): Int = new java.io.File(dir)
       .listFiles().count(_.getName.endsWith(".parquet"))
     Seq(p.sigs, p.pairs, p.assigns, p.semPairs,
-        p.scrubPostings, p.scrubLog).foreach { d =>
+        p.scrubPostings, p.scrubLog, p.fpSigs, p.fpPairs).foreach { d =>
       assert(dataFiles(d) <= 4, s"$d not compacted: ${dataFiles(d)} files")
     }
 
@@ -281,10 +282,15 @@ class CorpusServiceSpec extends SparkSpec {
       Extensions.semdedupCells(spark, base)
         .select("vec_a", "vec_b", "cos_ppm"),
       "live-service semantic pairs vs one-shot s05")
+    assertSameRows(
+      CorpusService.fingerprintPairsView(spark, p),
+      Extensions.mediaPhashPairs(spark, base),
+      "live-service fingerprint pairs vs one-shot m04")
 
     // A restart picks up exactly-once: nothing new → nothing re-appended.
     val rawPairs = spark.read.parquet(p.pairs).count()
-    CorpusService.start(spark, p, interval = "1 second").drainAndStop()
+    CorpusService.start(spark, p, interval = "1 second",
+      fingerprint = true).drainAndStop()
     assert(spark.read.parquet(p.pairs).count() == rawPairs,
       "restart without new input must not re-append")
   }
