@@ -304,6 +304,22 @@ class PlanSpec extends SparkSpec {
         s"served from the index:\n$p")
   }
 
+  test("m05's incremental probe is banded and delta-sided — no all-pairs") {
+    // The ingest-cycle cost claim: only the new-batch side of the probe
+    // is filtered to the delta (the probe stays new×all, never
+    // all×all), candidates come from the (band, block) equi-join, and
+    // nothing row-multiplying appears beyond the broadcast of the
+    // one-row cutoff.
+    val p = planOf(graft.queries.Extensions.phashIncremental(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product in m05 plan:\n$p")
+    val nlj = "(\\w*)NestedLoopJoin".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(nlj.forall(_ == "Broadcast"),
+      s"non-broadcast nested-loop join in m05 plan:\n$p")
+    assert(p.contains("partial_sum") && p.contains("shiftright(h0#"),
+      s"bit-sum hash aggregation missing from m05 plan:\n$p")
+  }
+
   test("m04's fingerprint pairing is banded — no all-pairs, one window agg") {
     // The media-fingerprint pair join must stay in d12's cost class:
     // candidates from the (band, 16-bit block) self-join, never a
