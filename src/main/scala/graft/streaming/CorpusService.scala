@@ -85,6 +85,7 @@ object CorpusService {
     StreamingSemanticDedup.retrain(spark, p.base, p.cents, p.assigns)
     graft.queries.Extensions.invalidateBloom(p.base)
     graft.queries.Extensions.invalidateAnnIndex(p.base)
+    graft.queries.Extensions.invalidateClusters(p.base)
     // A new quantizer is a new EPOCH: every stored index row's cell is
     // assigned under the old centroid set, so a maintained serving
     // index is REBUILT here (staged swap — readers see old or new,

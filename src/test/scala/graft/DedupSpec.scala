@@ -140,6 +140,37 @@ class DedupSpec extends SparkSpec {
     } finally { p32.unpersist(); p64.unpersist() }
   }
 
+  test("cluster-label memo serves d07's consumers; invalidate sees growth") {
+    // d07/t13/t16 read the memoized label table (the Bloom/ANN-index
+    // storage-for-recompute pattern applied to the CC fixpoint); the
+    // memo carries every per-dir memo's staleness contract — a grown
+    // corpus needs invalidateClusters, and after it the resolution
+    // must cover the new documents.
+    val src = sf("sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-clmemo").toString
+    val docs = Tables.t(spark, src, "documents").select("doc_id", "text", "lang")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append")
+      .parquet(s"$dir/documents.parquet")
+    Extensions.invalidateClusters(dir)
+    val before = Extensions.canonicalCorpus(spark, dir).count()
+    // Growth: the memoized labels are now stale by contract — the
+    // resolution still joins the NEW doc spine (left join), but any
+    // new-vs-old near-dup pair is invisible until invalidation.
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append")
+      .parquet(s"$dir/documents.parquet")
+    Extensions.invalidateClusters(dir)
+    val after = Extensions.canonicalCorpus(spark, dir)
+    assert(after.count() > before,
+      "post-invalidate resolution must cover the grown corpus")
+    // and equals a from-scratch resolution over fresh clusters
+    assertSameRows(after,
+      Extensions.canonicalResolution(
+        Tables.t(spark, dir, "documents").select("doc_id", "lang"),
+        Extensions.dedupClusters(spark, dir)),
+      "memoized-label resolution vs fresh-cluster resolution")
+    Extensions.invalidateClusters(dir)
+  }
+
   test("m04 fingerprint pairs share their window sets (true media near-dups)") {
     // The precision claim behind the media fingerprint: an emitted pair
     // is not a chance signature collision but a pair of payloads that
