@@ -1119,6 +1119,11 @@ object Extensions {
     // rule, applied to whichever frame supplies the new vectors): an
     // append must not hide rows from the filtered read the build made
     // visible, nor invent a label column the layout doesn't have.
+    // Corollary for explicit-batch callers: on a LABELED layout the
+    // batch frame must CARRY its labels — a label-less explicit frame
+    // appends null-label rows that the filtered read (s12) can never
+    // return. The discovery path is immune (it reads the corpus
+    // table, labels and all).
     val meta = metaOf(newVectors.getOrElse(Tables.t(s, dir, "embeddings")))
     indexRows(newQ, cents, meta)
       .repartition(col("cell"))
