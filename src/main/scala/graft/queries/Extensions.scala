@@ -1121,10 +1121,21 @@ object Extensions {
     // visible, nor invent a label column the layout doesn't have.
     // Corollary for explicit-batch callers: on a LABELED layout the
     // batch frame must CARRY its labels — a label-less explicit frame
-    // appends null-label rows that the filtered read (s12) can never
-    // return. The discovery path is immune (it reads the corpus
-    // table, labels and all).
+    // would append null-label rows that the filtered read (s12) can
+    // never return. The guard below makes that mistake fail loudly
+    // (one column-pruned limit-1 probe of the stored label column,
+    // paid only on the label-less-explicit-batch path); the discovery
+    // path is immune (it reads the corpus table, labels and all).
     val meta = metaOf(newVectors.getOrElse(Tables.t(s, dir, "embeddings")))
+    if (newVectors.isDefined && meta.isEmpty) {
+      val layoutLabeled = !s.read.parquet(path)
+        .where(col("label").isNotNull).limit(1).isEmpty
+      require(!layoutLabeled,
+        s"appendAnnIndex: index at $path has a labeled layout but the " +
+          "explicit batch carries no label column; rows appended without " +
+          "labels would be invisible to filtered serving (s12). Pass the " +
+          "batch with its (vec_id, label) metadata.")
+    }
     indexRows(newQ, cents, meta)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
@@ -1788,10 +1799,21 @@ object Extensions {
     }
   }
 
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    clusterCache.computeIfAbsent(
-      s.sparkContext.applicationId + "@@" + dir,
-      _ => dedupClusters(s, dir).localCheckpoint())
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    // Expensive-value memo idiom: compute OUTSIDE the map (the CC
+    // fixpoint is a multi-second Spark job; computeIfAbsent would hold
+    // the bucket lock for its whole duration, serializing unrelated
+    // dirs that hash together and deadlocking re-entrant access), then
+    // insert with putIfAbsent and free the loser's checkpoint.
+    val key = s.sparkContext.applicationId + "@@" + dir
+    val cached = clusterCache.get(key)
+    if (cached != null) cached
+    else {
+      val fresh = dedupClusters(s, dir).localCheckpoint()
+      val winner = clusterCache.putIfAbsent(key, fresh)
+      if (winner != null) { freeCkpt(fresh); winner } else fresh
+    }
+  }
 
   /** d07's keep/drop rule at FRAME grain: docs ⟕ cluster labels, keep a
     * doc iff it is its component's minimum (docs in no pair are their

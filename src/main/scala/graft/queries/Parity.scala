@@ -381,6 +381,17 @@ object Parity {
         approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  /** A4's oracle-green exact twin (q34): q17 minus the sketch column, so
+    * the COUNT(DISTINCT) capability carries a hash-matched CORRECTNESS
+    * row while q17 stays the documented HLL variant whose cross-engine
+    * estimates cannot hash-match (ApproxSpec pins its ≤15% error bound
+    * against this exact count instead). */
+  def distinctExact(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+
   /** As-of attribution: each click event matched to the latest view event
     * of the same user at-or-before the click (Joins.asOf — union + running
     * last-value, one shuffle, no range cross product). */
@@ -925,6 +936,11 @@ object Parity {
         |FROM persess GROUP BY 1""".stripMargin)),
 
     QuerySpec("q17_approx_distinct", approxDistinct, None),
+
+    QuerySpec("q34_distinct_exact", distinctExact, Some(
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin)),
 
     QuerySpec("q18_asof_click_view", asofClickView, Some(
       """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,

@@ -251,10 +251,10 @@ object CorpusService {
 
   /** The media-fingerprint pair view (the third dedup axis —
     * StreamingFingerprint's log; empty-safe only once a fingerprint
-    * drain ran). Reported separately from [[dedupReport]]: verbatim and
-    * semantic label the same text/meaning axes of one document, the
-    * fingerprint is the payload-bytes axis — a deployment resolves
-    * media copies with THIS view and text near-dups with the report. */
+    * drain ran). [[dedupReport]] merges these pairs into the unified
+    * summary alongside verbatim and semantic; this view remains the
+    * payload-axis detail (it carries the hamming distances the
+    * summary drops). */
   def fingerprintPairsView(spark: SparkSession, p: Paths): DataFrame =
     StreamingFingerprint.pairsView(spark, p.fpPairs)
 
@@ -661,42 +661,59 @@ object CorpusService {
     CorpusScheduleStats(ticks, retrains, idxCompactions)
   }
 
-  /** The unified near-dup report: every discovered pair, labeled by the
-    * modality that caught it ('verbatim' = shared shingles at the
-    * Jaccard threshold, 'semantic' = cosine at the d05 threshold,
-    * 'both' = caught by the two independently). doc_id and vec_id share
-    * the id space by construction of the testdata corpus (embedding i
-    * embeds document i); deployments with distinct id spaces pass a
-    * mapping frame through `semIdMap`. */
+  /** The unified near-dup report: every discovered pair once, labeled
+    * by the modalities that caught it — 'verbatim' (shared shingles at
+    * the Jaccard threshold), 'semantic' (cosine at the d05 threshold),
+    * 'fingerprint' (payload-bytes SimHash within the m04 radius; merged
+    * only when a fingerprint drain has run — a text-only deployment's
+    * report is unchanged). One boolean column per modality plus a
+    * `modality` string, the '+'-joined sorted names ("verbatim",
+    * "semantic+verbatim", "fingerprint+semantic+verbatim", …), so a
+    * consumer filters by axis without string-parsing. The dedicated
+    * [[fingerprintPairsView]] remains the payload-axis view with the
+    * hamming distances.
+    *
+    * Shape: tag each log with its name, union, ONE hash aggregate on
+    * the pair key — generalizes to any modality count with a single
+    * shuffle where the pairwise full-outer-join form needed one join
+    * per added modality.
+    *
+    * doc_id and vec_id share the id space by construction of the
+    * testdata corpus (embedding i embeds document i); deployments with
+    * distinct id spaces pass a mapping frame through `semIdMap`. */
   def dedupReport(spark: SparkSession, p: Paths,
                   semIdMap: Option[DataFrame] = None): DataFrame = {
     val verbatim = StreamingDedup.pairsView(spark, p.pairs)
-      .select(col("doc_a"), col("doc_b"))
-      .withColumn("verbatim", lit(true))
+      .select(col("doc_a"), col("doc_b"), lit("verbatim").as("m"))
     val semRaw = StreamingSemanticDedup.pairsView(spark, p.semPairs)
     val sem0 = semIdMap.fold(semRaw) { m =>
       semRaw
         .join(m.select(col("vec_id").as("vec_a"), col("doc_id").as("da")), "vec_a")
         .join(m.select(col("vec_id").as("vec_b"), col("doc_id").as("db")), "vec_b")
-        .select(col("da").as("vec_a"), col("db").as("vec_b"), col("cos_ppm"))
+        .select(col("da").as("vec_a"), col("db").as("vec_b"))
     }
     // A many-to-one semIdMap can send two vec_ids of the SAME document
     // into one pair (doc_a = doc_b after mapping — a self-pair, not a
-    // duplicate) and several embedding pairs onto one doc pair; both
-    // must collapse here or the report's each-pair-once property only
-    // holds for the identity mapping (CorpusServiceSpec pins the
-    // many-to-one case).
+    // duplicate) and several embedding pairs onto one doc pair; the
+    // self-pair filter plus the pair-key aggregate collapse both, so
+    // the report's each-pair-once property holds beyond the identity
+    // mapping (CorpusServiceSpec pins the many-to-one case).
     val semantic = sem0
       .select(least(col("vec_a"), col("vec_b")).as("doc_a"),
         greatest(col("vec_a"), col("vec_b")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
-      .distinct()
-      .withColumn("semantic", lit(true))
-    verbatim.join(semantic, Seq("doc_a", "doc_b"), "full_outer")
-      .select(col("doc_a"), col("doc_b"),
-        when(coalesce(col("verbatim"), lit(false)) &&
-             coalesce(col("semantic"), lit(false)), "both")
-          .when(coalesce(col("verbatim"), lit(false)), "verbatim")
-          .otherwise("semantic").as("modality"))
+      .select(col("doc_a"), col("doc_b"), lit("semantic").as("m"))
+    val fingerprint =
+      if (exists(spark, p.fpPairs))
+        StreamingFingerprint.pairsView(spark, p.fpPairs)
+          .select(col("doc_a"), col("doc_b"), lit("fingerprint").as("m"))
+      else verbatim.limit(0)
+    verbatim.unionByName(semantic).unionByName(fingerprint)
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        max(col("m") === "verbatim").as("verbatim"),
+        max(col("m") === "semantic").as("semantic"),
+        max(col("m") === "fingerprint").as("fingerprint"),
+        array_join(sort_array(collect_set(col("m"))), "+").as("modality"))
   }
 }

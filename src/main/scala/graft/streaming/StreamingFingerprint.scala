@@ -91,7 +91,7 @@ object StreamingFingerprint {
             pairsDir: String, checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.schema(StreamingDedup.docSchema).parquet(corpusDir)
+    spark.readStream.schema(docSchema).parquet(corpusDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -73,20 +73,40 @@ class CorpusServiceSpec extends SparkSpec {
       Extensions.mediaPhashPairs(spark, base),
       "streamed fingerprint pairs vs one-shot m04")
 
-    // The unified report covers both modalities' pairs exactly once.
+    // The unified report covers all THREE modalities' pairs exactly
+    // once: per-axis boolean coverage equals each log's pair count, the
+    // pair set equals the union of the three logs, and the modality
+    // string is the '+'-joined sorted axis names.
     val report = CorpusService.dedupReport(spark, p).persist()
     try {
       val nVerb = StreamingDedup.pairsView(spark, p.pairs).count()
       val nSem = StreamingSemanticDedup.pairsView(spark, p.semPairs).count()
-      val byMod = report.groupBy("modality").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val both = byMod.getOrElse("both", 0L)
-      assert(byMod.getOrElse("verbatim", 0L) + both == nVerb,
-        s"verbatim coverage: $byMod vs $nVerb")
-      assert(byMod.getOrElse("semantic", 0L) + both == nSem,
-        s"semantic coverage: $byMod vs $nSem")
+      val nFp = CorpusService.fingerprintPairsView(spark, p).count()
+      assert(report.filter(col("verbatim")).count() == nVerb,
+        s"verbatim coverage vs $nVerb")
+      assert(report.filter(col("semantic")).count() == nSem,
+        s"semantic coverage vs $nSem")
+      assert(report.filter(col("fingerprint")).count() == nFp,
+        s"fingerprint coverage vs $nFp")
+      assert(nFp > 0, "fingerprint drain produced no pairs to merge")
       assert(report.count() == report.select("doc_a", "doc_b").distinct().count(),
         "report must hold each pair once")
+      assertSameRows(
+        report.select("doc_a", "doc_b"),
+        StreamingDedup.pairsView(spark, p.pairs).select("doc_a", "doc_b")
+          .unionByName(StreamingSemanticDedup.pairsView(spark, p.semPairs)
+            .select(least(col("vec_a"), col("vec_b")).as("doc_a"),
+              greatest(col("vec_a"), col("vec_b")).as("doc_b")))
+          .unionByName(CorpusService.fingerprintPairsView(spark, p)
+            .select("doc_a", "doc_b"))
+          .distinct(),
+        "report pair set vs union of the three pair logs")
+      val mods = report.select("modality").distinct()
+        .collect().map(_.getString(0)).toSet
+      val legal = Set("verbatim", "semantic", "fingerprint",
+        "semantic+verbatim", "fingerprint+verbatim", "fingerprint+semantic",
+        "fingerprint+semantic+verbatim")
+      assert(mods.subsetOf(legal), s"illegal modality labels: $mods")
     } finally report.unpersist()
 
     // Post-drain compaction bounded every log, the contamination log
@@ -576,6 +596,7 @@ class CorpusServiceSpec extends SparkSpec {
       5L -> 200L, 6L -> 201L           // ... one doc pair
     ).toDF("vec_id", "doc_id")
     val report = CorpusService.dedupReport(spark, p, Some(semIdMap))
+      .select("doc_a", "doc_b", "modality")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(report == Set((10L, 11L, "verbatim"), (200L, 201L, "semantic")),
       s"unexpected report rows: $report")

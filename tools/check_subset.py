@@ -12,6 +12,7 @@ import sys
 import time
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -25,9 +26,38 @@ SKIP = {"d13_semantic_canonical", "s01_ann_cosine_topk", "s02_ann_lsh_buckets",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    return df.sort_values(by=list(df.columns), ignore_index=True,
-                          key=lambda s: s.astype(str))
+    """Normalize dtypes BEFORE comparing: the parquet read and the DuckDB
+    result may differ in dtype only (int64 vs float64 rendering 1 as '1'
+    vs '1.0', Decimal objects, NaN vs None) — those must not report as
+    row mismatches. Numeric-ish columns → float64 (NULL → NaN); the rest
+    → str with an explicit NULL sentinel."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_numeric_dtype(s) or pd.api.types.is_bool_dtype(s):
+            df[c] = pd.to_numeric(s, errors="coerce").astype("float64")
+        elif s.dtype == object:
+            num = pd.to_numeric(s, errors="coerce")
+            if num.notna().sum() == s.notna().sum():  # Decimal / numeric-str
+                df[c] = num.astype("float64")
+            else:
+                df[c] = s.astype(str).where(s.notna(), "<NULL>")
+        else:  # datetimes etc: str form is dtype-width-insensitive
+            df[c] = s.astype(str).where(s.notna(), "<NULL>")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def frames_equal(got: pd.DataFrame, want: pd.DataFrame) -> bool:
+    if list(got.columns) != list(want.columns) or len(got) != len(want):
+        return False
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f" and w.dtype.kind == "f":
+            if not np.allclose(g, w, rtol=1e-9, atol=1e-12, equal_nan=True):
+                return False
+        elif not g.astype(str).equals(w.astype(str)):
+            return False
+    return True
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -44,9 +74,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         try:
             got = canon(pd.read_parquet(f"{out_dir}/{name}"))
             want = canon(con.execute(sql).df())
-            ok = (list(got.columns) == list(want.columns)
-                  and len(got) == len(want)
-                  and got.astype(str).equals(want.astype(str)))
+            ok = frames_equal(got, want)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {str(e)[:150]}",
                   flush=True)
