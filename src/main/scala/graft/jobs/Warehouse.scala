@@ -23,6 +23,19 @@ object Warehouse {
     df.sortWithinPartitions(clusterKeys.map(col): _*)
       .write.mode(SaveMode.Append).parquet(path)
 
+  /** S4 against an EXTERNAL store — the reference's actual L side writes
+    * version rows into ClickHouse over the wire (initial_load…py:334-343,
+    * track_delta.py:219-223); this is the same posture over JDBC. One row
+    * per (campaign keys, rtm_delta) version, written through the
+    * idempotent upsert so a replayed delta cycle reconverges — the
+    * parquet log gets that for free from latestView reads, an external
+    * table needs the writer to provide it. Reads come back through
+    * `Sources.jdbc` (partitioned-range extraction) and collapse with the
+    * SAME `DeltaUpsert.latest` as the parquet twin. */
+  def writeJdbcVersions(df: DataFrame, url: String, table: String): Unit =
+    graft.sources.Sources.upsertJdbc(df, url, table,
+      DeltaUpsert.Keys :+ "rtm_delta")
+
   /** Daily fact grain: partition by event date so delta cycles and report
     * reads prune to the touched days. */
   def appendDaily(df: DataFrame, path: String, dateCol: String,

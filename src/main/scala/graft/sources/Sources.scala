@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 
 /** Batch source/sink surface beyond the testdata parquet (SURVEY §2.1 S1/S4:
   * the reference's sources are Postgres tables read over JDBC and ClickHouse
@@ -43,4 +44,156 @@ object Sources {
       .option("upperBound", upperBound)
       .option("numPartitions", numPartitions)
       .load()
+
+  /** Spark type → ANSI SQL type, shared by the DDL helper and the JDBC
+    * writers (Derby needs concrete types; VARCHAR capped at its 32672
+    * maximum for strings). */
+  private[graft] def sqlType(dt: DataType): String = dt match {
+    case LongType       => "BIGINT"
+    case IntegerType    => "INTEGER"
+    case ShortType      => "SMALLINT"
+    case DoubleType     => "DOUBLE"
+    case FloatType      => "REAL"
+    case BooleanType    => "BOOLEAN"
+    case DateType       => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType     => "VARCHAR(32672)"
+    case other => throw new IllegalArgumentException(
+      s"no JDBC column mapping for Spark type $other")
+  }
+
+  private def jdbcTypeCode(dt: DataType): Int = dt match {
+    case LongType       => java.sql.Types.BIGINT
+    case IntegerType    => java.sql.Types.INTEGER
+    case ShortType      => java.sql.Types.SMALLINT
+    case DoubleType     => java.sql.Types.DOUBLE
+    case FloatType      => java.sql.Types.REAL
+    case BooleanType    => java.sql.Types.BOOLEAN
+    case DateType       => java.sql.Types.DATE
+    case TimestampType | TimestampNTZType => java.sql.Types.TIMESTAMP
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case StringType     => java.sql.Types.VARCHAR
+    case other => throw new IllegalArgumentException(
+      s"no JDBC type code for Spark type $other")
+  }
+
+  /** CREATE TABLE from a Spark schema (S6's schema declaration against
+    * the JDBC boundary): nullable columns stay nullable, `keys` become
+    * the primary key — the constraint that makes a replayed version
+    * append fail fast instead of silently doubling rows if a caller
+    * bypasses [[upsertJdbc]]. */
+  def createJdbcTable(url: String, table: String, schema: StructType,
+                      keys: Seq[String] = Nil): Unit = {
+    val cols = schema.fields.map { f =>
+      val nn = if (!f.nullable || keys.contains(f.name)) " NOT NULL" else ""
+      s"${f.name} ${sqlType(f.dataType)}$nn"
+    }
+    val pk = if (keys.nonEmpty) s", PRIMARY KEY (${keys.mkString(", ")})" else ""
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"CREATE TABLE $table (${cols.mkString(", ")}$pk)")
+      finally st.close()
+    } finally conn.close()
+  }
+
+  /** Idempotent distributed JDBC upsert — the external-OLAP write the
+    * reference's whole L side performs (initial_load…py:334-343 bulk
+    * INSERT, track_delta.py:219-223 per-delta INSERT into a
+    * ReplacingMergeTree, where "upsert" = append a version row and let
+    * the engine collapse). Plain `df.write.jdbc` append is NOT
+    * idempotent: a replayed batch (speculative task, foreachBatch retry,
+    * re-run job) doubles its rows. This writer is: per key tuple it
+    * DELETEs the existing row and INSERTs the new one inside one
+    * per-partition transaction, so replaying a batch reconverges to the
+    * same table state (delete removes the first copy, insert restores an
+    * identical row).
+    *
+    * Distribution contract: the frame is repartitioned by `keys` first,
+    * so any key tuple is written by exactly ONE task — two executors can
+    * never interleave delete/insert on the same tuple. Each partition
+    * writes through one connection with JDBC statement batching
+    * (`batchSize` rows per round trip, deletes flushed before their
+    * inserts), the standard high-throughput sink shape; total
+    * parallelism = shuffle partitions, each a DB session — size
+    * `spark.sql.shuffle.partitions` to what the DB endures, exactly like
+    * the read path's `numPartitions`. `df` must hold one row per key
+    * tuple (a version batch does; duplicates would race their own
+    * delete within a statement batch). */
+  def upsertJdbc(df: DataFrame, url: String, table: String,
+                 keys: Seq[String], batchSize: Int = 1000): Unit = {
+    val schema = df.schema
+    val cols = schema.fieldNames.toSeq
+    require(keys.nonEmpty, "upsertJdbc needs at least one key column")
+    require(keys.forall(cols.contains),
+      s"keys ${keys.filterNot(cols.contains)} absent from ${cols}")
+    val delSql = s"DELETE FROM $table WHERE " +
+      keys.map(k => s"$k = ?").mkString(" AND ")
+    val insSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES " +
+      s"(${cols.map(_ => "?").mkString(", ")})"
+    val keyFields = keys.map(k => schema(k)).toArray
+    val allFields = schema.fields
+    val keyIdx = keys.map(schema.fieldIndex).toArray
+    df.repartition(keys.map(col): _*).foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(delSql)
+          val ins = conn.prepareStatement(insSql)
+          try {
+            var pending = 0
+            def flush(): Unit = if (pending > 0) {
+              del.executeBatch(); ins.executeBatch(); pending = 0
+            }
+            rows.foreach { r =>
+              var i = 0
+              while (i < keyFields.length) {
+                bind(del, i + 1, keyFields(i).dataType, r.get(keyIdx(i))); i += 1
+              }
+              del.addBatch()
+              i = 0
+              while (i < allFields.length) {
+                bind(ins, i + 1, allFields(i).dataType, r.get(i)); i += 1
+              }
+              ins.addBatch()
+              pending += 1
+              if (pending >= batchSize) flush()
+            }
+            flush()
+            conn.commit()
+          } catch {
+            case t: Throwable => conn.rollback(); throw t
+          } finally { del.close(); ins.close() }
+        } finally conn.close()
+      }
+    }
+  }
+
+  private def bind(ps: java.sql.PreparedStatement, idx: Int, dt: DataType,
+                   v: Any): Unit =
+    if (v == null) ps.setNull(idx, jdbcTypeCode(dt))
+    else v match {
+      // java.time externals (NTZ columns, java8API sessions) down-convert
+      // for drivers below JDBC 4.2 object support.
+      case ldt: java.time.LocalDateTime =>
+        ps.setTimestamp(idx, java.sql.Timestamp.valueOf(ldt))
+      case ld: java.time.LocalDate =>
+        ps.setDate(idx, java.sql.Date.valueOf(ld))
+      case ins: java.time.Instant =>
+        ps.setTimestamp(idx, java.sql.Timestamp.from(ins))
+      case other => ps.setObject(idx, other)
+    }
+
+  /** The streaming form: a foreachBatch sink closing over the JDBC
+    * coordinates — each micro-batch upserts through [[upsertJdbc]], so a
+    * checkpoint-replayed batch reconverges instead of doubling (the
+    * at-least-once → effectively-once step every external-store
+    * foreachBatch sink needs). Hand it to
+    * `StreamingDelta.upsertWriter(..., merge = this)` or any
+    * `.foreachBatch`. */
+  def jdbcUpsertSink(url: String, table: String, keys: Seq[String])
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => upsertJdbc(batch, url, table, keys)
 }

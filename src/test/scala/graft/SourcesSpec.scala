@@ -145,4 +145,96 @@ class SourcesSpec extends SparkSpec {
     assert(got.count() == 97L)
     assert(got.agg(sum("id")).as[Long].head() == (1 to 97).map(_.toLong).sum)
   }
+
+  test("jdbc version upsert: idempotent, latest view ≡ parquet-log twin") {
+    // The last reference boundary: its L side writes version rows into
+    // an external OLAP store (initial_load…py:334-343,
+    // track_delta.py:219-223). Round-trip: totals → writeJdbcVersions →
+    // delta cycle → REPLAYED delta cycle (must reconverge, not double)
+    // → partitioned read-back → DeltaUpsert.latest ≡ the parquet-log
+    // twin's latest.
+    val dir = sf("sf0.001")
+    val t0 = graft.queries.Parity.totals(spark, dir)
+    val url = s"jdbc:derby:${java.nio.file.Files.createTempDirectory("graft-djdbc")}/db;create=true"
+    Sources.createJdbcTable(url, "versions", t0.schema,
+      graft.jobs.DeltaUpsert.Keys :+ "rtm_delta")
+    graft.jobs.Warehouse.writeJdbcVersions(t0, url, "versions")
+    val changed = t0.filter(col("rtm_campaign_id") % 97 === 0)
+      .withColumn("campaign_clicks_count_total",
+        col("campaign_clicks_count_total") + 10)
+      .withColumn("rtm_delta", col("rtm_delta") + expr("INTERVAL 1 DAY"))
+    val (n0, nChanged) = (t0.count(), changed.count())
+    assert(nChanged > 0)
+    graft.jobs.Warehouse.writeJdbcVersions(changed, url, "versions")
+    graft.jobs.Warehouse.writeJdbcVersions(changed, url, "versions") // replay
+    val (lo, hi) = {
+      val r = t0.agg(min("rtm_campaign_id"), max("rtm_campaign_id")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    // Derby reports uppercase identifiers and plain TIMESTAMP; restore
+    // the engine's names by position (DDL order = schema order) and the
+    // frame's exact types (UTC session ⇒ value-preserving casts).
+    val back0 = Sources.jdbc(spark, url, "versions", "rtm_campaign_id",
+      lo, hi + 1, 4).toDF(t0.columns: _*)
+    val back = t0.schema.fields.foldLeft(back0) { (d, f) =>
+      d.withColumn(f.name, col(f.name).cast(f.dataType))
+    }
+    assert(back.count() == n0 + nChanged,
+      "replayed delta must reconverge, not append a third version set")
+    assertSameRows(
+      graft.jobs.DeltaUpsert.latest(back),
+      graft.jobs.DeltaUpsert.latest(t0.unionByName(changed)),
+      "JDBC version store latest vs parquet-log twin")
+  }
+
+  test("streaming foreachBatch JDBC upsert converges and replays cleanly") {
+    // The streaming half of the external-store boundary: daily counts
+    // over an event stream, each micro-batch upserted into Derby keyed
+    // (campaign_id, date) — update-mode re-emits replace their day rows,
+    // and a full replay from a fresh checkpoint reconverges to the same
+    // table state (effectively-once on an at-least-once channel).
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val url = s"jdbc:derby:${java.nio.file.Files.createTempDirectory("graft-sjdbc")}/db;create=true"
+    val schema = StructType(Seq(
+      StructField("campaign_id", LongType, nullable = false),
+      StructField("date", DateType, nullable = false),
+      StructField("daily_count", LongType),
+      StructField("rtm_delta", TimestampType)))
+    Sources.createJdbcTable(url, "daily", schema, Seq("campaign_id", "date"))
+    val sink = Sources.jdbcUpsertSink(url, "daily", Seq("campaign_id", "date"))
+    val wave1 = Seq((1L, ts("2024-06-01 10:00:00")),
+      (1L, ts("2024-06-01 11:00:00")), (2L, ts("2024-06-02 09:00:00")))
+    val wave2 = Seq((1L, ts("2024-06-01 12:00:00")),  // updates day 1
+      (2L, ts("2024-06-03 08:00:00")))                // new day
+    // One logical stream: each wave is a drain of the SAME source under
+    // the SAME checkpoint, so the windowed-agg state carries across
+    // waves (the always-on service stopped and resumed).
+    def drain(waves: Seq[Seq[(Long, java.sql.Timestamp)]]): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-jdbc-ckpt")
+        .toString
+      val ms = MemoryStream[(Long, java.sql.Timestamp)]
+      waves.foreach { w =>
+        ms.addData(w)
+        val q = graft.streaming.StreamingDelta.upsertWriter(
+          ms.toDF().toDF("campaign_id", "created_at"), null, sink,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.awaitTermination(60000) finally if (q.isActive) q.stop()
+      }
+    }
+    drain(Seq(wave1, wave2))
+    def readBack() = Sources.jdbc(spark, url, "daily", "campaign_id", 1L, 3L, 2)
+      .toDF(schema.fieldNames: _*)
+    val want = Seq((1L, "2024-06-01", 3L), (2L, "2024-06-02", 1L),
+      (2L, "2024-06-03", 1L))
+    def got() = readBack().select("campaign_id", "date", "daily_count")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+      .toSet
+    assert(got() == want.toSet, s"after two waves: ${got()}")
+    drain(Seq(wave1, wave2)) // full replay, fresh checkpoints
+    assert(got() == want.toSet, s"after replay: ${got()}")
+  }
 }
