@@ -313,7 +313,11 @@ object Extensions {
 
   /** d02: n-gram Jaccard near-dup pairs (threshold 0.8), blocked by lang.
     * The shingle self-join is the textbook exact method; its cost is
-    * Σ_s |docs(s)|² — fine at test scale, superseded by d03's LSH at scale. */
+    * Σ_s |docs(s)|² — the ORACLE ANCHOR of the Jaccard family, kept for
+    * verification and never wired into a job. A job that needs the
+    * exact semantics calls [[dedupNgramJaccardBlocked]] (same result,
+    * lossless size-bucket block); one that can trade exactness for
+    * sub-quadratic candidate generation calls d03's LSH. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val cnt = shingleCounts(sh)
@@ -322,6 +326,42 @@ object Extensions {
         col("a.lang") === col("b.lang") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common_shingles"))
+    common
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard_ppm",
+        ppm(col("common_shingles"), col("n_a") + col("n_b") - col("common_shingles")))
+      .filter(col("jaccard_ppm") >= 800000)
+      .select("doc_a", "doc_b", "common_shingles", "jaccard_ppm")
+  }
+
+  /** d14: d02's JOB-CALLABLE form — identical exact-Jaccard output with
+    * a LOSSLESS (lang, shingle-count bucket) block folded into the
+    * shingle self-join. J(A,B) ≥ 0.8 forces |A|/|B| ∈ [0.8, 1.25]
+    * (|A∩B| ≤ min and ≥ t·(|A|+|B|−|A∩B|) ≥ t·max), so only docs in the
+    * same or adjacent size bucket (log base 1.25 of the shingle count)
+    * can qualify: the per-shingle-group quadratic shrinks to the
+    * bucket-pair share — on a corpus of mixed document sizes the bulk of
+    * Σ|docs(shingle)|² — while provably losing NO qualifying pair (the
+    * oracle is d02's own SQL; DedupSpec pins row-for-row equality too).
+    * Blocking is d08's single-sided successor-bucket expansion: the
+    * probe side explodes to {b, b+1} and pair order is (bucket, id), so
+    * each unordered pair matches exactly once. */
+  def dedupNgramJaccardBlocked(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val cnt = shingleCounts(sh)
+    val withB = sh.join(cnt, "doc_id").withColumn("szb",
+      floor(log(col("n_sh").cast("double")) / math.log(1.25)).cast("long"))
+    val probe = withB.withColumn("blk",
+      explode(array(col("szb"), col("szb") + 1)))
+    val common = probe.as("a").join(withB.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.lang") === col("b.lang") &&
+        col("a.blk") === col("b.szb") &&
+        (col("a.szb") < col("b.szb") || col("a.doc_id") < col("b.doc_id")))
+      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .agg(count(lit(1)).as("common_shingles"))
     common
       .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
@@ -2633,6 +2673,21 @@ object Extensions {
         |FROM documents GROUP BY 1""".stripMargin)),
 
     QuerySpec("d02_dedup_ngram_jaccard", dedupNgramJaccard, Some(docCtes +
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       count(*) AS common_shingles,
+        |       (count(*) * 1000000) // (x.n_sh + y.n_sh - count(*)) AS jaccard_ppm
+        |FROM sh a
+        |JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |JOIN shc x ON x.doc_id = a.doc_id
+        |JOIN shc y ON y.doc_id = b.doc_id
+        |GROUP BY 1, 2, x.n_sh, y.n_sh
+        |HAVING (count(*) * 1000000) // (x.n_sh + y.n_sh - count(*)) >= 800000""".stripMargin)),
+
+    // d14 = d02's job-callable twin: SAME oracle SQL (the block is
+    // lossless), so the registry carries the exact-anchor (d02, never
+    // wired into a job) and the production form side by side.
+    QuerySpec("d14_dedup_jaccard_blocked", dedupNgramJaccardBlocked,
+      Some(docCtes +
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       count(*) AS common_shingles,
         |       (count(*) * 1000000) // (x.n_sh + y.n_sh - count(*)) AS jaccard_ppm

@@ -570,6 +570,31 @@ object CorpusService {
     start(spark, p, interval, fingerprint = r.fingerprint.isDefined)
   }
 
+  /** Bounded transient-failure retry (the reference's per-task
+    * retries=1 / retry_delay=30 s posture, track_delta.py:612-613, as a
+    * dial): re-attempt `body` up to `retries` extra times, `backoff`
+    * apart (through the injectable sleep so tests don't wall-clock
+    * wait), logging each retried failure; the FINAL failure always
+    * propagates — bounded retry never turns into silent skip. */
+  private[graft] def withRetries[A](retries: Int,
+                                    backoff: java.time.Duration,
+                                    sleep: java.time.Duration => Unit,
+                                    what: String)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case t: Throwable if attempt < retries =>
+          attempt += 1
+          System.err.println(
+            s"[corpus-service] $what failed (${t.getMessage}); " +
+              s"retry $attempt/$retries after ${backoff.toMillis} ms")
+          sleep(backoff)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** What a [[runScheduled]] run did: drain ticks fired, quantizer
     * retrains triggered, standalone index compactions (a retrain's
     * rebuild supersedes compaction on its tick, so the two counts are
@@ -601,7 +626,18 @@ object CorpusService {
     * The first tick trains the quantizer if none exists yet (the corpus
     * store must already hold its first embedding wave — the same
     * seed-before-schedule contract Main.runScheduled has). `clock` /
-    * `sleep` / `stop` are injectable for testing, like Main's. */
+    * `sleep` / `stop` are injectable for testing, like Main's.
+    *
+    * `taskRetries` is the transient-failure dial (the reference retries
+    * each task once after 30 s, track_delta.py:612-613): a failing
+    * drain-or-refresh tick (or maintenance block) is re-attempted up to
+    * that many times, `retryBackoff` apart, before the failure
+    * propagates — default 0, keeping the failures-are-loud stance.
+    * Retrying a half-done tick is safe by the same invariants that make
+    * the loop correct at all: drains resume from their checkpoints and
+    * every artifact lands by staged swap, so a retry re-runs idempotent
+    * steps. `onTickStart` is an observation seam (metrics, test
+    * injection) running INSIDE the retry scope. */
   def runScheduled(spark: SparkSession, p: Paths, stop: () => Boolean,
                    drainEvery: java.time.Duration =
                      java.time.Duration.ofMinutes(5),
@@ -613,6 +649,10 @@ object CorpusService {
                    scrub: Boolean = true,
                    fingerprint: Boolean = false,
                    maxFilesPerTrigger: Option[Int] = None,
+                   taskRetries: Int = 0,
+                   retryBackoff: java.time.Duration =
+                     java.time.Duration.ofSeconds(30),
+                   onTickStart: Int => Unit = _ => (),
                    clock: () => java.time.LocalDateTime =
                      () => java.time.LocalDateTime.now(),
                    sleep: java.time.Duration => Unit =
@@ -625,33 +665,39 @@ object CorpusService {
     while (!stop()) {
       val now = clock()
       if (!now.isBefore(next)) {
-        drainAvailable(spark, p, maxFilesPerTrigger,
-          compact = true, canonical = false, index = true,
-          contaminationRef = contaminationRef, scrub = scrub,
-          fingerprint = fingerprint)
-        refreshCanonicalCorpus(spark, p, includeSemantic,
-          includeFingerprint = fingerprint)
-        // With a gate registered, its drop list flows into the manifest:
-        // suite-leaked docs were caught at arrival, excluded here.
-        refreshTrainingSet(spark, p, decontaminate,
-          excludeContaminated = contaminationRef.isDefined)
+        withRetries(taskRetries, retryBackoff, sleep, s"drain tick $ticks") {
+          onTickStart(ticks)
+          drainAvailable(spark, p, maxFilesPerTrigger,
+            compact = true, canonical = false, index = true,
+            contaminationRef = contaminationRef, scrub = scrub,
+            fingerprint = fingerprint)
+          refreshCanonicalCorpus(spark, p, includeSemantic,
+            includeFingerprint = fingerprint)
+          // With a gate registered, its drop list flows into the manifest:
+          // suite-leaked docs were caught at arrival, excluded here.
+          refreshTrainingSet(spark, p, decontaminate,
+            excludeContaminated = contaminationRef.isDefined)
+        }
         ticks += 1
         if (maintainEvery > 0 && ticks % maintainEvery == 0) {
-          if (grown(spark, p, retrainFactor)) {
-            // Rebuilds the index too — a retrain tick needs no separate
-            // compaction (the rebuild IS the most compact layout).
-            retrainQuantizer(spark, p)
-            retrains += 1
-          } else if (exists(spark, p.annIndex)) {
-            require(
-              graft.queries.Extensions.tryCompactAnnIndex(spark, p.annIndex),
-              "corpus service: scheduled index compaction failed to land " +
-                "(no writer should be live between drains)")
-            idxCompactions += 1
+          withRetries(taskRetries, retryBackoff, sleep,
+              s"maintenance after tick $ticks") {
+            if (grown(spark, p, retrainFactor)) {
+              // Rebuilds the index too — a retrain tick needs no separate
+              // compaction (the rebuild IS the most compact layout).
+              retrainQuantizer(spark, p)
+              retrains += 1
+            } else if (exists(spark, p.annIndex)) {
+              require(
+                graft.queries.Extensions.tryCompactAnnIndex(spark, p.annIndex),
+                "corpus service: scheduled index compaction failed to land " +
+                  "(no writer should be live between drains)")
+              idxCompactions += 1
+            }
+            // Training handoff: the payload a trainer reads, re-cut to the
+            // freshest manifest off the per-drain-maintained scrub table.
+            if (scrub) refreshScrubbedCorpus(spark, p)
           }
-          // Training handoff: the payload a trainer reads, re-cut to the
-          // freshest manifest off the per-drain-maintained scrub table.
-          if (scrub) refreshScrubbedCorpus(spark, p)
         }
         next = next.plus(drainEvery)
       }

@@ -577,6 +577,68 @@ class CorpusServiceSpec extends SparkSpec {
     }
   }
 
+  test("scheduled retry dial: transient tick recovers, permanent stays loud") {
+    // The reference retries each task once after 30 s
+    // (track_delta.py:612-613); the service's dial must (a) recover a
+    // tick whose first attempt dies transiently, backing off through the
+    // injectable sleep, and (b) still propagate a failure that survives
+    // every retry — bounded retry must never become silent skip.
+    val srcDir = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-svcretry")
+      .toString
+    val p = CorpusService.Paths(base)
+    graft.Tables.t(spark, srcDir, "documents")
+      .select("doc_id", "text", "lang")
+      .filter(col("doc_id") < 150)
+      .coalesce(1).write.mode("append").parquet(p.docs)
+    graft.Tables.t(spark, srcDir, "embeddings")
+      .select("vec_id", "embedding")
+      .filter(col("vec_id") < 150)
+      .coalesce(1).write.mode("append").parquet(p.embeddings)
+
+    val t0 = java.time.LocalDateTime.parse("2024-06-01T12:00:00")
+    var fakeNow = t0
+    var attempts = 0
+    var backoffs = 0
+    val stats = CorpusService.runScheduled(spark, p,
+      stop = () => fakeNow.isAfter(t0.plusMinutes(4)),
+      maintainEvery = 0, scrub = false,
+      taskRetries = 1,
+      onTickStart = _ => {
+        attempts += 1
+        if (attempts == 1) throw new RuntimeException("transient blip")
+      },
+      clock = () => fakeNow,
+      sleep = d => {
+        if (d == java.time.Duration.ofSeconds(30)) backoffs += 1
+        fakeNow = fakeNow.plus(d)
+      })
+    assert(stats.drainTicks == 1, s"tick must complete after retry: $stats")
+    assert(attempts == 2, s"expected initial attempt + one retry: $attempts")
+    assert(backoffs == 1, s"expected one 30s backoff sleep: $backoffs")
+    assert(CorpusService.canonicalCorpusView(spark, p).count() > 0,
+      "artifacts must land on the retried tick")
+
+    // Permanent failure: initial attempt + taskRetries, then loud.
+    var permAttempts = 0
+    fakeNow = t0
+    val ex = intercept[RuntimeException] {
+      CorpusService.runScheduled(spark, p,
+        stop = () => false,
+        maintainEvery = 0, scrub = false,
+        taskRetries = 2,
+        onTickStart = _ => {
+          permAttempts += 1
+          throw new RuntimeException("permanent failure")
+        },
+        clock = () => fakeNow,
+        sleep = d => fakeNow = fakeNow.plus(d))
+    }
+    assert(ex.getMessage == "permanent failure")
+    assert(permAttempts == 3,
+      s"expected initial + 2 retries before propagating: $permAttempts")
+  }
+
   test("dedupReport with a many-to-one semIdMap: no self-pairs, no dup rows") {
     // Synthetic pair logs drive the mapping edge cases directly: two
     // vec_ids of one document collapsing to a self-pair (must vanish)

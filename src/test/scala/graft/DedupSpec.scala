@@ -202,4 +202,16 @@ class DedupSpec extends SparkSpec {
           "chance collision, not a near-dup")
     }
   }
+
+  test("d14 size-bucket block is lossless: ≡ d02 row-for-row") {
+    // The block is a NECESSARY condition of J ≥ 0.8 (size ratio within
+    // [0.8, 1.25] → same or adjacent log-1.25 bucket), so the
+    // job-callable form must equal the quadratic oracle anchor exactly —
+    // not within a recall bound.
+    val dir = sf("sf0.01")
+    assertSameRows(
+      Extensions.dedupNgramJaccardBlocked(spark, dir),
+      Extensions.dedupNgramJaccard(spark, dir),
+      "blocked Jaccard vs exact d02")
+  }
 }
