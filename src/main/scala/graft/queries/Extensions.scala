@@ -397,6 +397,32 @@ object Extensions {
   private[graft] val bandEq = Seq("band", "b0", "b1", "b2", "b3")
     .map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
 
+  /** The LSH band join's skew dial — [[hammingPairsSkewSafe]]'s twin for
+    * the MinHash family (d03/d10/StreamingDedup shuffle on the same
+    * (band, signature) keys and share the same one-dominant-template hot
+    * bucket at 100 TB): deterministic doc-hash salt on the probe side,
+    * build side replicated `salt`×, every unordered candidate still
+    * generated exactly once. Emits at CANDIDATE grain (doc_a < doc_b,
+    * distinct) — feed [[verifiedJaccard]] exactly like the unsalted
+    * path. */
+  private[graft] def lshCandidatesSkewSafe(sh: DataFrame,
+                                           salt: Int = 16): DataFrame = {
+    val banded = bandedSignatures(sh)
+    val sigKeys = Seq("band", "b0", "b1", "b2", "b3")
+    val a = banded.select((sigKeys.map(col) :+
+        col("doc_id").as("id_a")): _*)
+      .withColumn("__salt",
+        pmod(xxhash64(col("id_a")), lit(salt.toLong)).cast("int"))
+    val b = banded.select((sigKeys.map(col) :+
+        col("doc_id").as("id_b")): _*)
+      .crossJoin(sh.sparkSession.range(0, salt)
+        .select(col("id").cast("int").as("__salt")))
+    a.join(b.hint("shuffle_hash"), sigKeys :+ "__salt")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .distinct()
+  }
+
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     // One self-join on (band, 4-minhash signature) over the band-exploded
@@ -514,6 +540,9 @@ object Extensions {
       .filter(col("hamming") <= radius)
       .select("doc_a", "doc_b", "hamming")
       .distinct()
+      // A corpus with ONE dominant template makes a (band, bkey) bucket
+      // hot — its |n|² comparison lands in one task. The skew dial is
+      // [[hammingPairsSkewSafe]]: same rows, salted probe side.
   }
 
   /** d12: SimHash near-dup PAIRS at the PRODUCTION setting — 64-bit
@@ -2420,6 +2449,43 @@ object Extensions {
         explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
       .withColumn("bkey",
         expr(s"shiftright(sig, band * $bandBits) & $mask"))
+  }
+
+  /** [[hammingPairsOf]]'s SKEW-SAFE twin — identical output, the
+    * pathological-corpus dial. A banded self-join shuffles on
+    * (band, bkey); one dominant template at 100 TB (a crawl's boilerplate
+    * page, a media file re-encoded a million times) sends its whole
+    * cohort to ONE bucket, and that bucket's |n|² comparison runs in ONE
+    * task no matter how many executors idle. Salting splits it: the
+    * probe side carries a deterministic doc-hash salt, the build side is
+    * replicated `salt`× (the standard hot-key trade — `salt`× build
+    * shuffle volume buys `salt`-way parallelism on every bucket), and
+    * each unordered pair still meets exactly once (the a-row's salt is a
+    * function of its doc_id, so exactly one of the b replicas matches).
+    * Total comparison work is unchanged — skew salting bounds TASK time,
+    * not the quadratic itself; a corpus where the hot cohort is genuine
+    * near-duplicates pays that quadratic in any exact-verification
+    * scheme. Default path stays unsalted (DedupSpec measures the planted
+    * mega-bucket: key-group size drops by the salt factor; row set
+    * pinned ≡ unsalted). */
+  private[graft] def hammingPairsSkewSafe(sig: DataFrame, bits: Int,
+                                          radius: Int,
+                                          salt: Int = 16): DataFrame = {
+    val banded = bandedFingerprints(sig, bits, radius)
+    val a = banded.select(col("band"), col("bkey"),
+        col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("id_a")), lit(salt.toLong)).cast("int"))
+    val b = banded.select(col("band"), col("bkey"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      .crossJoin(sig.sparkSession.range(0, salt)
+        .select(col("id").cast("int").as("__salt")))
+    a.join(b.hint("shuffle_hash"), Seq("band", "bkey", "__salt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= radius)
+      .distinct()
   }
 
   // --------------------------------------------------------------- oracle SQL

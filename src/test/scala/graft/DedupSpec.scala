@@ -203,6 +203,70 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("planted mega-bucket: skew-safe banded join ≡ unsalted, hot key split") {
+    import spark.implicits._
+    // The realistic 100 TB failure for every banded pair join
+    // (d03/d12/m04/m05): one dominant template sends its whole cohort
+    // into one (band, bkey) bucket, whose |n|² comparison runs in ONE
+    // task. 400 docs share a signature; 200 background docs spread.
+    val hot = (0L until 400L).map(i => (i, 0x0123456789ABCDEFL))
+    val bg = (400L until 600L).map(i => (i, i * -0x61c8864680b583ebL))
+    val sig = (hot ++ bg).toDF("doc_id", "sig")
+    val un = Extensions.hammingPairsOf(sig, 64, 3)
+    val sa = Extensions.hammingPairsSkewSafe(sig, 64, 3, salt = 8)
+    // Correctness: the salted variant is row-for-row the same pair set
+    // (each unordered pair meets exactly once — the probe row's salt is
+    // deterministic, exactly one build replica matches).
+    assertSameRows(sa, un, "skew-safe vs unsalted pairs")
+    assert(un.count() >= 400L * 399 / 2,
+      "planted template must actually produce the quadratic pair set")
+    // The skew bound: probe-side rows per shuffle key — the per-task
+    // work driver — drop by the salt factor (2× slack for hash spread).
+    val banded = Extensions.bandedFingerprints(sig, 64, 3)
+    val unMax = banded.groupBy("band", "bkey").count()
+      .agg(max("count")).as[Long].head()
+    val saMax = banded
+      .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(8L)))
+      .groupBy("band", "bkey", "__salt").count()
+      .agg(max("count")).as[Long].head()
+    assert(unMax >= 400, s"hot bucket not planted: $unMax")
+    assert(saMax * 4 <= unMax,
+      s"salting must split the hot key: max group $saMax vs unsalted $unMax")
+  }
+
+  test("planted template corpus: salted LSH candidates ≡ unsalted") {
+    import spark.implicits._
+    // The MinHash twin of the mega-bucket case: 300 identical documents
+    // collapse to one signature per band; the candidate self-join's hot
+    // key must split under the salt without changing the candidate set.
+    val docsF = ((0L until 300L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog again", "en")) ++
+      (300L until 400L).map(i =>
+        (i, s"unique document number $i with its own trailing words ${i * 7}",
+          "en"))).toDF("doc_id", "text", "lang")
+    val sh = Extensions.shinglesOfDocs(docsF)
+    val banded = Extensions.bandedSignatures(sh)
+    val unsalted = banded.as("a")
+      .join(banded.as("b"), Extensions.bandEq &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val salted = Extensions.lshCandidatesSkewSafe(sh, salt = 8)
+    assertSameRows(salted, unsalted, "salted vs unsalted LSH candidates")
+    assert(unsalted.count() >= 300L * 299 / 2,
+      "planted template must flood one signature bucket")
+    val sigKeys = Seq("band", "b0", "b1", "b2", "b3")
+    val unMax = banded.groupBy(sigKeys.map(col): _*).count()
+      .agg(max("count")).as[Long].head()
+    val saMax = banded
+      .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(8L)))
+      .groupBy((sigKeys :+ "__salt").map(col): _*).count()
+      .agg(max("count")).as[Long].head()
+    assert(unMax >= 300, s"hot signature bucket not planted: $unMax")
+    assert(saMax * 4 <= unMax,
+      s"salting must split the hot key: $saMax vs $unMax")
+  }
+
   test("d14 size-bucket block is lossless: ≡ d02 row-for-row") {
     // The block is a NECESSARY condition of J ≥ 0.8 (size ratio within
     // [0.8, 1.25] → same or adjacent log-1.25 bucket), so the
