@@ -28,6 +28,18 @@ class AnnIndexSpec extends SparkSpec {
       "s08 vs s07 at sf0.01")
   }
 
+  test("s08 (indexed) ≡ s07 (recomputed) row-for-row (sf0.1, bench scale)") {
+    // The equivalence must hold at the scale the benchmark measures —
+    // a scale-dependent bug (overflow, tie flip, partition skew) in
+    // either path would be invisible to the smaller-SF pins.
+    val dir = sf("sf0.1")
+    Extensions.invalidateAnnIndex(dir)
+    assertSameRows(
+      Extensions.annIvfPrefix(spark, dir),
+      Extensions.annIvfIndexed(spark, dir),
+      "s08 vs s07 at sf0.1")
+  }
+
   test("s12 (filtered, index-served) ≡ s11 (recomputed) row-for-row") {
     // Filtered serving must be a pure storage change too: s11 joins the
     // corpus-grain label frame and recomputes assignment per invocation,
@@ -35,7 +47,7 @@ class AnnIndexSpec extends SparkSpec {
     // Same probes (the sidecar quantizer IS the batch quantizer for the
     // memoized dir index), same label filter at candidate grain, same
     // rerank — so identical output, at both SFs.
-    for (d <- Seq("sf0.001", "sf0.01")) {
+    for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val dir = sf(d)
       Extensions.invalidateAnnIndex(dir)
       assertSameRows(

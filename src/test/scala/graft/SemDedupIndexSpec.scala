@@ -29,4 +29,51 @@ class SemDedupIndexSpec extends SparkSpec {
       Extensions.semdedupIndexed(spark, dir),
       "s09 vs s05 at sf0.01")
   }
+
+  test("s09 (indexed) ≡ s05 (recomputed) row-for-row (sf0.1, bench scale)") {
+    val dir = sf("sf0.1")
+    Extensions.invalidateAnnIndex(dir)
+    assertSameRows(
+      Extensions.semdedupCells(spark, dir),
+      Extensions.semdedupIndexed(spark, dir),
+      "s09 vs s05 at sf0.1")
+  }
+
+  test("d13 cross-checked at sf0.1 by an independent union-find") {
+    // d13's DuckDB twin (WITH RECURSIVE transitive closure) is the one
+    // oracle infeasible at bench scale (>120 s measured; everything
+    // else ≤16 s — see tools/check_subset.py). Pin it engine-side
+    // against an INDEPENDENT connected-components implementation: a
+    // driver-side union-find over the s09 pair graph — legitimate here
+    // because the pair log is collision-grain (~3k rows at sf0.1),
+    // never the corpus. Roots are component minima by construction
+    // (every union keeps the smaller id as root).
+    val dir = sf("sf0.1")
+    val pairs = Extensions.semdedupIndexed(spark, dir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length > 1000,
+      s"expected a real pair graph at sf0.1, got ${pairs.length}")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent(x)
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val exp = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val got = Extensions.semanticCanonical(spark, dir)
+      .select("doc_id", "canonical_id", "is_kept").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (d, c, k) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      val want = exp.getOrElse(d, d)
+      assert(c == want, s"doc $d: canonical $c, union-find says $want")
+      assert(k == (if (d == want) 1 else 0), s"doc $d: is_kept $k")
+    }
+  }
 }

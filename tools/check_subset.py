@@ -18,11 +18,12 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-SKIP = {"d13_semantic_canonical", "s01_ann_cosine_topk", "s02_ann_lsh_buckets",
-        "s03_ann_ivf", "s04_lang_centroids", "s05_semdedup_cells",
-        "s06_ann_truncated", "s07_ann_ivf_prefix", "s08_ann_ivf_indexed",
-        "s09_semdedup_indexed", "s10_centroid_outliers", "s11_ann_filtered",
-        "s12_ann_filtered_indexed", "d05_dedup_embedding"}
+# Round-9 measurement: every embedding-family oracle finishes in <=16s
+# at sf0.1 EXCEPT d13, whose WITH RECURSIVE transitive closure blows up
+# on the larger pair graph (>120s). d13 stays hash-verified at
+# sf0.01/sf0.001 by the full gate and is pinned at sf0.1 by the
+# engine-side union-find cross-check in SemDedupIndexSpec.
+SKIP = {"d13_semantic_canonical"}
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -89,7 +90,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: mismatch rows {len(got)} vs {len(want)}",
                   flush=True)
     print(f"== {n_pass} pass / {n_fail} fail / {n_skip} skipped "
-          f"(embedding-oracle family, hash-verified at sf0.01) ==")
+          f"(d13 recursive-CTE oracle, hash-verified at sf0.01) ==")
     return 1 if n_fail else 0
 
 
