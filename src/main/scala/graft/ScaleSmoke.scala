@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-cliff smoke (run on demand, not part of the driver contract):
+  * self-generates a `reps`× corpus from sf0.1 and measures the top-cost
+  * queries at both scales, reporting per-query time-vs-size scaling
+  * exponents — the empirical check behind every "would this hold at
+  * 100 TB" claim in COVERAGE.md. An exponent ≈ 1 is linear scaling;
+  * the expected exceptions are documented in BENCH_SF1_SMOKE.md.
+  *
+  * Scaling preserves each table's CHARACTER instead of naively copying
+  * rows (verbatim copies would plant `reps`-way duplicate groups and
+  * quadratically inflate every pair log — a different workload, not a
+  * bigger one):
+  *  - documents: replica k > 0 interleaves a replica token every 3
+  *    tokens, so within-replica shingle structure (and thus the
+  *    near-dup pair graph) is preserved exactly while cross-replica
+  *    Jaccard collapses to ~0.14 ≪ 0.8 (one unsalted shingle per 3-run
+  *    survives; band collision odds at J≈0.14 are J⁴ ≈ 4·10⁻⁴).
+  *  - embeddings: replica k applies a fixed orthogonal transform (a
+  *    dimension permutation j → (2k+1)·j + 7k mod 64 times a ±1 sign
+  *    pattern), preserving every within-replica cosine EXACTLY while
+  *    cross-replica cosines fall to the background N(0, 1/64) tail —
+  *    the same tail the original corpus's threshold pairs come from.
+  *  - orders/customer/lineitem: key-offset replicas (per-key structure
+  *    identical, key cardinality ×reps).
+  *
+  * Measurement mirrors Bench: noop sink, catalog cache cleared + GC
+  * before each query, median of `SPARK_GRAFT_SMOKE_ITERS` (default 3).
+  * Output: one JSON line {"metric":"scale_smoke",...,"exponents":{...}}.
+  */
+object ScaleSmoke {
+
+  /** The top-cost queries of BENCH_LOCAL.json (round 8), the verdict's
+    * smoke list — d03 stands in for d02 (the registered scale twin). */
+  private[graft] val Queries = Seq(
+    "d08_edit_distance_pairs", "d13_semantic_canonical",
+    "d06_dedup_clusters", "q27_dense_daily_spine",
+    "d10_dedup_incremental", "q10_campaign_stats",
+    "d03_dedup_minhash_lsh", "t16_decontaminated_corpus")
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SMOKE_REPS", "10").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ITERS", "3").toInt
+    val out = java.nio.file.Files.createTempDirectory("graft-sf1").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildScaled(spark, src, out, reps)
+    // Warm-up: one tiny shuffle so JIT/codegen isn't billed to query 1.
+    spark.range(1000).groupBy((col("id") % 10).as("k")).count()
+      .write.format("noop").mode("overwrite").save()
+
+    def measure(dir: String): Map[String, Double] =
+      Queries.map { name =>
+        val build = SparkEntry.queries(name)
+        spark.catalog.clearCache()
+        System.gc()
+        val times = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          build(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        System.err.println(s"[smoke] $name @ $dir: " +
+          times.map(t => f"$t%.2f").mkString(" "))
+        name -> times(times.length / 2)
+      }.toMap
+
+    val small = measure(src)
+    val big = measure(out)
+    val exps = Queries.map { q =>
+      q -> math.log(big(q) / small(q)) / math.log(reps.toDouble)
+    }.toMap
+    def fmt(m: Map[String, Double]) = Queries
+      .map(q => s""""$q":${f"${m(q)}%.3f"}""").mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","reps":$reps,"iters":$iters,""" +
+      s""""small_sec":${fmt(small)},"big_sec":${fmt(big)},""" +
+      s""""exponents":${fmt(exps)}}""")
+    spark.stop()
+  }
+
+  /** Writes the `reps`× corpus (documents, embeddings, orders, customer,
+    * lineitem — the inputs of [[Queries]]) under `out`, replica 0 being
+    * the source verbatim. */
+  private[graft] def buildScaled(s: SparkSession, src: String, out: String,
+                                 reps: Int): Unit = {
+    def rd(t: String) = s.read.parquet(s"$src/$t.parquet")
+    def append(df: DataFrame, t: String): Unit =
+      df.write.mode("append").parquet(s"$out/$t.parquet")
+    val maxDoc = rd("documents").agg(max("doc_id")).head.getLong(0) + 1
+    val maxVec = rd("embeddings").agg(max("vec_id")).head.getLong(0) + 1
+    val maxOrd = rd("orders").agg(max("o_orderkey")).head.getLong(0) + 1
+    val maxCust = rd("customer").agg(max("c_custkey")).head.getLong(0) + 1
+
+    (0 until reps).foreach { k =>
+      val docs0 = rd("documents")
+        .withColumn("doc_id", col("doc_id") + lit(k * maxDoc))
+      val docs = if (k == 0) docs0 else docs0
+        .withColumn("text", expr(
+          s"""array_join(flatten(transform(split(text, ' '),
+             |  (tok, i) -> IF(i % 3 = 2, array(tok, 'rk$k'), array(tok)))),
+             |  ' ')""".stripMargin))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      append(docs, "documents")
+
+      val emb0 = rd("embeddings")
+        .withColumn("vec_id", col("vec_id") + lit(k * maxVec))
+      val emb = if (k == 0) emb0 else emb0
+        .withColumn("embedding", expr(
+          s"""transform(sequence(0, 63), j -> CAST(
+             |  element_at(embedding,
+             |    CAST(((${2 * k + 1} * j + ${7 * k}) % 64) + 1 AS INT)) *
+             |  IF(bit_count(CAST(j AS INT) & $k) % 2 = 0, 1.0, -1.0)
+             |  AS FLOAT))""".stripMargin))
+      append(emb, "embeddings")
+
+      append(rd("orders")
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * maxOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * maxCust)),
+        "orders")
+      append(rd("customer")
+        .withColumn("c_custkey", col("c_custkey") + lit(k * maxCust)),
+        "customer")
+      append(rd("lineitem")
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * maxOrd)),
+        "lineitem")
+    }
+  }
+}
