@@ -122,6 +122,15 @@ class PlanSpec extends SparkSpec {
       s"row-multiplying join in simhash plan:\n$p")
   }
 
+  test("d14's blocked Jaccard joins on the size bucket, no cross product") {
+    val p = planOf(graft.queries.Extensions.dedupNgramJaccardBlocked(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"blocked Jaccard fell back to a row-multiplying join:\n$p")
+    // The bucket key must be part of the equi-join (that IS the block):
+    // 'blk' appears in a join condition, not only in the projection.
+    assert(p.contains("blk"), s"size-bucket key absent from the plan:\n$p")
+  }
+
   test("as-of join is one shuffle, not a range cross product") {
     val p = planOf(Parity.asofClickView(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
