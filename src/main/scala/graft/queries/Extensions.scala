@@ -684,6 +684,85 @@ object Extensions {
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
   }
 
+  /** s13: scalar-quantized (SQ8) ANN — the third compression axis of the
+    * serving matrix. s02/s03 prune CANDIDATES (buckets/cells), s06 prunes
+    * DIMENSIONS (32-of-64 prefix); s13 prunes BITS-PER-DIMENSION: every
+    * vector is affinely quantized to 8-bit codes against per-dimension
+    * corpus ranges (the FAISS `SQ8` layout), the coarse pass scores every
+    * (query, vector) pair on the RECONSTRUCTED codes — at scale the code
+    * frame is 1 byte/dim, an 8x byte reduction the coarse scan reads
+    * instead of the float vectors — keeps top-100 per query, and the
+    * exact rerank runs at candidate grain only (full vectors enter by
+    * key join, never scanned in the scoring loop).
+    *
+    * Determinism across engines: the per-dimension range (mn, r) comes
+    * from an integer min/max over the ppm-quantized corpus; code_i =
+    * floor((v-mn)*255/r + 0.5) is computed in EXACT integer arithmetic
+    * as ((v-mn)*510 + r) div (2r) (numerator nonnegative, so Spark's
+    * truncating `div` ≡ DuckDB's floor `//`), and the coarse score uses
+    * the 255x-scaled reconstruction vh = 255*mn + code*r — all BIGINT
+    * sums, floats only at the final sqrt/div/floor on identical inputs
+    * (the cosPpm idiom). Overflow headroom: |vh| ≤ 255·|v|max ≈ 1.5e8,
+    * so a 64-dim dot is ≤ 1.4e18 < 2^63.
+    *
+    * Quality (AnnRecallSpec, recall@5 vs exact s01 on sf0.01): 8-bit
+    * codes over the full width measured 1.00 — the quantization grid
+    * (255 levels per dim) is finer than the top-5/top-100 cosine gaps
+    * on these embeddings, so the coarse order matches the exact order
+    * at candidate grain; floor pinned at 0.9. The dial is bits/dim
+    * (4-bit halves the bytes again and would trade recall).
+    * At 100 TB SQ8 composes with s03 exactly like s06 does (s07):
+    * code-score within probed cells, rerank survivors. */
+  def annSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    // Per-dimension affine ranges: one narrow agg over the posexploded
+    // (i, v) frame, folded into two 64-element arrays and broadcast.
+    val dims = e.select(posexplode(col("q")))
+      .groupBy((col("pos") + 1).as("i"))
+      .agg(min("col").as("mn"), (max("col") - min("col")).as("r"))
+    val stats = dims
+      .agg(expr("array_sort(collect_list(named_struct('i', i, 'mn', mn, 'r', r)))")
+        .as("st"))
+      .select(expr("transform(st, x -> x.mn)").as("mns"),
+        expr("transform(st, x -> x.r)").as("rs"))
+    // The code frame: what the coarse pass is allowed to read. vh is the
+    // 255x-scaled SQ8 reconstruction; constant dimensions (r = 0) code to
+    // their single level.
+    val coded = e.crossJoin(broadcast(stats))
+      .withColumn("vh", expr(
+        """zip_with(q, zip_with(mns, rs, (m, r) -> named_struct('m', m, 'r', r)),
+          |  (v, c) -> CASE WHEN c.r = 0 THEN 255 * c.m
+          |    ELSE 255 * c.m + (((v - c.m) * 510 + c.r) div (2 * c.r)) * c.r
+          |  END)""".stripMargin))
+      .withColumn("ss", DotI64(col("vh"), col("vh")))
+      .select("vec_id", "vh", "ss")
+    val qc = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vh").as("vha"), col("ss").as("ssa"))
+    val nc = coded.select(col("vec_id").as("neighbor_id"),
+      col("vh").as("vhb"), col("ss").as("ssb"))
+    val aw = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id").asc)
+    val cand = qc.join(nc, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adot", DotI64(col("vha"), col("vhb")))
+      .withColumn("acos",
+        floor(col("adot") / (sqrt(col("ssa")) * sqrt(col("ssb")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= 100)
+      .select("query_id", "neighbor_id")
+    // Exact rerank at candidate grain only.
+    val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    cand.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_ppm", "rank")
+  }
+
   /** Connected components over an undirected pair list via min-label
     * propagation run to FIXPOINT — the BSP shape GraphFrames/Pregel would
     * run at scale, expressed as plain shuffles: each round is one
@@ -1467,6 +1546,45 @@ object Extensions {
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .as("n_regex_tokens"),
       size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"))
+
+  /** t21: n-gram novelty — the corpus-diversity diagnostic curation runs
+    * beside dedup: for each document (in ingest/id order), what fraction
+    * of its distinct 3-gram shingles was never seen in ANY earlier
+    * document? A verbatim copy scores 0; the corpus's novelty decay
+    * curve (novelty vs doc_id) is how a growing crawl is monitored for
+    * saturation — when marginal novelty flattens, more of the same
+    * source stops adding information. Reuses the d02/d03 shingle
+    * generator verbatim, so "seen" means exactly what the dedup family
+    * means by it.
+    *
+    * Shape: first-seen is ONE hash agg over the shingle stream
+    * (min(doc_id) per shingle — the d11 substring-table idiom), joined
+    * back at shingle grain, then a per-doc count agg; shuffles key on
+    * shingle then doc_id, no window over the corpus and no pair join
+    * anywhere, so it scales like d01, not like d02. At 100 TB the
+    * first-seen table is the incrementally-maintained artifact (same
+    * delta posture as d10: a new wave's grams min-merge into it);
+    * this is the batch form. Docs with < 3 tokens carry n_grams = 0
+    * and a NULL novelty (kept by the left join to the corpus spine). */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOfDocs(docs(s, dir))
+
+  /** Frame-grain core of t21 (the streaming/spec-testable form, like
+    * [[shinglesOfDocs]]): expects (doc_id, lang, text). */
+  private[graft] def ngramNoveltyOfDocs(d: DataFrame): DataFrame = {
+    val sh = shinglesOfDocs(d)
+    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    val per = sh.join(first, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+    d.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams") > 0, ppm(col("n_novel"), col("n_grams")))
+          .as("novelty_ppm"))
+  }
 
   /** t02: quality scoring — length/stopword/diversity signals as exact
     * integer ratios. */
@@ -3229,6 +3347,20 @@ object Extensions {
         |  ON m.lang = b.lang AND m.ta = b.ta AND m.tb = b.tb
         |GROUP BY 1""".stripMargin)),
 
+    QuerySpec("t21_ngram_novelty", ngramNovelty, Some(docCtes + ", " +
+      """fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |per AS (
+        |  SELECT s.doc_id, count(*) AS n_grams,
+        |         count(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS n_novel
+        |  FROM sh s JOIN fs f ON f.shingle = s.shingle
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_grams, 0) AS n_grams,
+        |  COALESCE(p.n_novel, 0) AS n_novel,
+        |  CASE WHEN p.n_grams > 0
+        |       THEN (p.n_novel * 1000000) // p.n_grams END AS novelty_ppm
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin)),
+
     QuerySpec("t17_boilerplate_scrub", boilerplateScrub, Some(
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -3447,6 +3579,52 @@ object Extensions {
         |    SELECT *, row_number() OVER (PARTITION BY query_id
         |                ORDER BY pcos DESC, neighbor_id) AS prn
         |    FROM pscored) t WHERE prn <= 100),
+        |cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ev a ON a.vec_id = c.query_id
+        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM cdots d
+        |  JOIN sq x ON x.vec_id = d.query_id
+        |  JOIN sq y ON y.vec_id = d.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin)),
+
+    QuerySpec("s13_ann_sq8", annSq8, Some(embCtes +
+      """, dim AS (SELECT i, min(v) AS mn, max(v) - min(v) AS r
+        |         FROM ev GROUP BY 1),
+        |code AS (
+        |  SELECT e.vec_id, e.i,
+        |    CASE WHEN d.r = 0 THEN 255 * d.mn
+        |         ELSE 255 * d.mn + (((e.v - d.mn) * 510 + d.r) // (2 * d.r)) * d.r
+        |    END AS vh
+        |  FROM ev e JOIN dim d ON d.i = e.i),
+        |csq AS (SELECT vec_id, CAST(SUM(vh * vh) AS BIGINT) AS ss
+        |        FROM code GROUP BY 1),
+        |adots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         CAST(SUM(a.vh * b.vh) AS BIGINT) AS adot
+        |  FROM code a JOIN code b ON a.i = b.i
+        |   AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |ascored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.adot / (sqrt(x.ss) * sqrt(y.ss)) * 1000000 + 0.5) AS BIGINT) AS acos
+        |  FROM adots d
+        |  JOIN csq x ON x.vec_id = d.query_id
+        |  JOIN csq y ON y.vec_id = d.neighbor_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |                ORDER BY acos DESC, neighbor_id) AS arn
+        |    FROM ascored) t WHERE arn <= 100),
         |cdots AS (
         |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
         |  FROM cand c

@@ -59,6 +59,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.6, f"IVF mean recall@5 $mean%.2f < 0.6")
   }
 
+  test("SQ8 coarse pass achieves recall@5 >= 0.9 vs exact (sf0.01)") {
+    // s13's 8-bit codes quantize each dimension to 255 levels of its
+    // corpus range — a relative error ~1/255 per dim, far below the
+    // cosine gaps between true top-5 and rank-100 candidates here, so
+    // the measured recall is 1.00; floored at 0.9 to leave room for a
+    // corpus regeneration with tighter gaps (the dial is bits/dim).
+    val dir = sf("sf0.01")
+    val exact = topSets(Extensions.annCosineTopK(spark, dir))
+    val sq = topSets(Extensions.annSq8(spark, dir))
+    val recalls = exact.map { case (q, truth) =>
+      sq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, f"SQ8 mean recall@5 $mean%.2f < 0.9")
+  }
+
   test("IVF∘prefix composition keeps s03's recall floor (sf0.01)") {
     // s07 = s03's candidate pruning + s06's byte pruning. Its rerank set
     // is a subset of s03's (prefix top-100 within the probed cells), so

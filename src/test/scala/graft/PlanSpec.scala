@@ -290,6 +290,44 @@ class PlanSpec extends SparkSpec {
       s"row-multiplying join in t20 plan:\n$p")
   }
 
+  test("s13's exact rerank sits above the SQ8 top-100 filter") {
+    // The bits-per-dimension claim: full-width exact dots run ONLY on
+    // the top-100 survivors of the code-frame coarse pass. A refactor
+    // that reranks everything (dropping the arn filter) or computes the
+    // exact dot in the coarse pass (reading full vectors corpus-wide)
+    // breaks the pin.
+    val df = graft.queries.Extensions.annSq8(spark, dir)
+    val phys = planOf(df)
+    assert(!phys.contains("CartesianProduct"),
+      s"cartesian product in s13 plan:\n$phys")
+    // The 10-query-row coarse join is the intended broadcast NLJ; any
+    // non-broadcast nested loop would be the scale bug.
+    val nlj = "(\\w*)NestedLoopJoin".r.findAllMatchIn(phys)
+      .map(_.group(1)).toSeq
+    assert(nlj.forall(_ == "Broadcast"),
+      s"non-broadcast nested-loop join in s13 plan:\n$phys")
+    val p = df.queryExecution.optimizedPlan.toString
+    assert("arn#\\d+ <= 100".r.findFirstIn(p).isDefined,
+      s"no SQ8 top-100 candidate filter in:\n$p")
+    val (rankAt, arnAt) = (p.indexOf("rank#"), p.indexOf("arn#"))
+    assert(rankAt >= 0 && rankAt < arnAt,
+      s"rerank not above the SQ8 filter (rank@$rankAt arn@$arnAt):\n$p")
+  }
+
+  test("t21's novelty plan is agg+join only — no window, no pair join") {
+    // The scale claim: first-seen is a hash agg keyed on shingle joined
+    // back at shingle grain — never a corpus-ordered window (which
+    // would serialize the shingle stream) and never a doc-pair join
+    // (which would be d02's quadratic class).
+    val df = graft.queries.Extensions.ngramNovelty(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("Window"), s"window in t21 plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"row-multiplying join in t21 plan:\n$p")
+    assert(p.contains("hashpartitioning(shingle"),
+      s"first-seen agg not keyed on shingle:\n$p")
+  }
+
   test("s12's index scan is partition-pruned and label rides the index rows") {
     // Filtered index serving: the candidate pass must read ONLY probed
     // cells (dynamic partition pruning on the hive `cell` column, s08's

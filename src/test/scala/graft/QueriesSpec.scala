@@ -99,4 +99,33 @@ class QueriesSpec extends SparkSpec {
     val total = d.agg(sum("n_copies")).collect()(0).getLong(0)
     assert(total == Tables.t(spark, dir, "documents").count())
   }
+
+  test("t21 novelty conserves the shingle universe and zeroes exact copies") {
+    val nov = Extensions.ngramNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Per-doc sanity: 0 <= n_novel <= n_grams.
+    nov.values.foreach { case (g, n) => assert(n >= 0 && n <= g) }
+    // Conservation: every distinct shingle is novel in exactly one doc
+    // (its first), so sum(n_novel) == |distinct shingles|.
+    val universe = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .transform(Extensions.shinglesOfDocs)
+      .select("shingle").distinct().count()
+    assert(nov.values.map(_._2).sum == universe,
+      s"sum(n_novel) ${nov.values.map(_._2).sum} != universe $universe")
+    // The fixture has no exact duplicates, so the copy property is pinned
+    // on a planted corpus: a verbatim copy of an earlier doc must score
+    // zero novelty, the first doc full novelty.
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon"),
+      (2L, "en", "alpha beta gamma delta epsilon"),
+      (3L, "en", "zeta eta theta iota kappa"))
+      .toDF("doc_id", "lang", "text")
+    val pn = Extensions.ngramNoveltyOfDocs(planted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pn(1L)._1 == 3 && pn(1L)._2 == 3, s"first doc not fully novel: $pn")
+    assert(pn(2L)._2 == 0, s"verbatim copy scored novel shingles: $pn")
+    assert(pn(3L)._2 == pn(3L)._1, s"disjoint doc not fully novel: $pn")
+  }
 }
