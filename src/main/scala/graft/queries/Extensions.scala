@@ -1586,6 +1586,43 @@ object Extensions {
           .as("novelty_ppm"))
   }
 
+  /** t22: t21's INCREMENTAL form — the per-ingest-cycle shape (d10/m05's
+    * delta convention: the newest 10% of ids are "the batch"). The corpus
+    * first-seen table is the maintained artifact: a delta document's
+    * shingles probe it by key join (O(batch + matches), never a re-paid
+    * corpus-wide re-aggregation), a shingle absent from the base is novel
+    * in the FIRST delta document that carries it (the delta-internal
+    * min(doc_id) — exactly-once across a batch, the StreamingDedup
+    * new-new posture), and the emitted rows are definitionally t21
+    * restricted to the delta (QueriesSpec pins row-for-row equality).
+    * After the cycle the batch's grams min-merge into the first-seen
+    * table — the same append posture as d10's signature log. */
+  def noveltyIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val cutoff = docs(s, dir).agg((max(col("doc_id")) * 9).as("c9"))
+    val shc = sh.crossJoin(broadcast(cutoff))
+    val baseFirst = shc.filter(col("doc_id") * 10 <= col("c9"))
+      .groupBy("shingle").agg(min("doc_id").as("base_first"))
+    val delta = shc.filter(col("doc_id") * 10 > col("c9"))
+      .select("doc_id", "shingle")
+    val deltaFirst = delta.groupBy("shingle").agg(min("doc_id").as("delta_first"))
+    val per = delta.join(baseFirst, Seq("shingle"), "left")
+      .join(deltaFirst, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("base_first").isNull &&
+          col("delta_first") === col("doc_id"), 1)).as("n_novel"))
+    docs(s, dir).select("doc_id").crossJoin(broadcast(cutoff))
+      .filter(col("doc_id") * 10 > col("c9"))
+      .select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams") > 0, ppm(col("n_novel"), col("n_grams")))
+          .as("novelty_ppm"))
+  }
+
   /** t02: quality scoring — length/stopword/diversity signals as exact
     * integer ratios. */
   def qualityScore(s: SparkSession, dir: String): DataFrame =
@@ -3360,6 +3397,32 @@ object Extensions {
         |  CASE WHEN p.n_grams > 0
         |       THEN (p.n_novel * 1000000) // p.n_grams END AS novelty_ppm
         |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin)),
+
+    QuerySpec("t22_novelty_incremental", noveltyIncremental, Some(docCtes + ", " +
+      """cut AS (SELECT max(doc_id) * 9 AS c9 FROM documents),
+        |basef AS (
+        |  SELECT shingle, min(doc_id) AS base_first
+        |  FROM sh, cut WHERE doc_id * 10 <= c9 GROUP BY 1),
+        |delta AS (
+        |  SELECT s.doc_id, s.shingle FROM sh s, cut WHERE s.doc_id * 10 > c9),
+        |deltaf AS (SELECT shingle, min(doc_id) AS delta_first
+        |           FROM delta GROUP BY 1),
+        |per AS (
+        |  SELECT d.doc_id, count(*) AS n_grams,
+        |         count(CASE WHEN b.base_first IS NULL
+        |                     AND f.delta_first = d.doc_id THEN 1 END) AS n_novel
+        |  FROM delta d
+        |  LEFT JOIN basef b ON b.shingle = d.shingle
+        |  JOIN deltaf f ON f.shingle = d.shingle
+        |  GROUP BY 1)
+        |SELECT dd.doc_id,
+        |  COALESCE(p.n_grams, 0) AS n_grams,
+        |  COALESCE(p.n_novel, 0) AS n_novel,
+        |  CASE WHEN p.n_grams > 0
+        |       THEN (p.n_novel * 1000000) // p.n_grams END AS novelty_ppm
+        |FROM documents dd CROSS JOIN cut
+        |LEFT JOIN per p ON p.doc_id = dd.doc_id
+        |WHERE dd.doc_id * 10 > cut.c9""".stripMargin)),
 
     QuerySpec("t17_boilerplate_scrub", boilerplateScrub, Some(
       """WITH t AS (

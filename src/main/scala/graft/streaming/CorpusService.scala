@@ -64,6 +64,11 @@ object CorpusService {
     val fpSigs = s"$base/dedup/fp_sigs"
     val fpPairs = s"$base/dedup/fp_pairs"
     val fpCkpt = s"$base/ckpt/fp_dedup"
+    /** Novelty diagnostic state (streaming.NoveltyTable): the
+      * (shingle, first_doc) first-seen table t22 probes and the
+      * immutable per-doc novelty log (t21's schema). */
+    val noveltyFirstSeen = s"$base/dedup/novelty_first_seen"
+    val noveltyLog = s"$base/dedup/novelty"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -214,7 +219,8 @@ object CorpusService {
                      index: Boolean = false,
                      contaminationRef: Option[String] = None,
                      scrub: Boolean = false,
-                     fingerprint: Boolean = false): Unit = {
+                     fingerprint: Boolean = false,
+                     novelty: Boolean = false): Unit = {
     StreamingDedup.ingestAvailable(spark, p.docs, p.sigs, p.pairs, p.docsCkpt)
     StreamingSemanticDedup.ingestAvailable(spark, p.embeddings, p.cents,
       p.assigns, p.semPairs, p.embCkpt, maxFilesPerTrigger)
@@ -228,6 +234,7 @@ object CorpusService {
       StreamingFingerprint.ingestAvailable(spark, p.docs, p.fpSigs,
         p.fpPairs, p.fpCkpt)
     if (scrub) maintainScrub(spark, p)
+    if (novelty) maintainNovelty(spark, p)
     if (compact) {
       require(StreamingDedup.compactLogs(spark, p.sigs, p.pairs),
         "corpus service: shingle dedup logs failed to compact post-drain")
@@ -244,6 +251,9 @@ object CorpusService {
       if (exists(spark, p.fpPairs))
         require(StreamingFingerprint.compactLogs(spark, p.fpSigs, p.fpPairs),
           "corpus service: fingerprint dedup logs failed to compact post-drain")
+      if (exists(spark, p.noveltyLog))
+        require(NoveltyTable.compactLogs(spark, p.noveltyFirstSeen, p.noveltyLog),
+          "corpus service: novelty logs failed to compact post-drain")
     }
     if (canonical) refreshCanonicalCorpus(spark, p)
     if (index) refreshAnnIndex(spark, p)
@@ -475,6 +485,17 @@ object CorpusService {
   def scrubTableView(spark: SparkSession, p: Paths): DataFrame =
     IncrementalScrub.scrubTable(spark, p.scrubLog)
 
+  /** One incremental novelty refresh (delta-grain: only not-yet-scored
+    * docs probe the maintained first-seen table — see
+    * streaming.NoveltyTable). Run per drain; returns newly scored docs. */
+  def maintainNovelty(spark: SparkSession, p: Paths): Long =
+    NoveltyTable.maintain(spark, p.base, p.noveltyFirstSeen, p.noveltyLog)
+
+  /** The maintained per-doc novelty table (t21's schema; empty-safe).
+    * The saturation monitor a deployment plots: novelty_ppm vs doc_id. */
+  def noveltyReport(spark: SparkSession, p: Paths): DataFrame =
+    NoveltyTable.noveltyView(spark, p.noveltyLog)
+
   /** Read the maintained scrubbed payload (refreshScrubbedCorpus's
     * output). */
   def scrubbedCorpusView(spark: SparkSession, p: Paths): DataFrame =
@@ -648,6 +669,7 @@ object CorpusService {
                    contaminationRef: Option[String] = None,
                    scrub: Boolean = true,
                    fingerprint: Boolean = false,
+                   novelty: Boolean = false,
                    maxFilesPerTrigger: Option[Int] = None,
                    taskRetries: Int = 0,
                    retryBackoff: java.time.Duration =
@@ -670,7 +692,7 @@ object CorpusService {
           drainAvailable(spark, p, maxFilesPerTrigger,
             compact = true, canonical = false, index = true,
             contaminationRef = contaminationRef, scrub = scrub,
-            fingerprint = fingerprint)
+            fingerprint = fingerprint, novelty = novelty)
           refreshCanonicalCorpus(spark, p, includeSemantic,
             includeFingerprint = fingerprint)
           // With a gate registered, its drop list flows into the manifest:

@@ -40,18 +40,36 @@ class CorpusServiceSpec extends SparkSpec {
     // Wave-1 drain: only wave-1 docs exist; embeddings drain fully
     // (either side may run ahead — the contract tolerates it).
     CorpusService.drainAvailable(spark, p, contaminationRef = Some(refDir),
-      fingerprint = true)
+      fingerprint = true, novelty = true)
 
     // Wave 2 (documents): the rest arrives and drains.
     docs.filter(col("doc_id") % 5 >= 3).write.mode("append").parquet(p.docs)
     CorpusService.drainAvailable(spark, p, contaminationRef = Some(refDir),
-      fingerprint = true)
+      fingerprint = true, novelty = true)
 
     // The ingest-time leakage gate converged to the one-shot audit.
     assertSameRows(
       CorpusService.contaminationView(spark, p),
       Extensions.contaminationAgainst(spark, base, refDir),
       "service contamination log vs one-shot cross-corpus audit")
+
+    // The maintained novelty table, scored per drain (these waves are
+    // NOT id-ordered, so per-doc scores legitimately differ from
+    // id-ordered one-shot t21; what must hold under ANY arrival order:
+    // every doc scored once, per-doc gram counts match, and the
+    // conservation law — each distinct shingle is novel in exactly one
+    // document).
+    val nov = CorpusService.noveltyReport(spark, p)
+    assert(nov.count() == docs.count(), "novelty table misses docs")
+    val universe = Extensions.shinglesOfDocs(
+      graft.Tables.t(spark, base, "documents"))
+      .select("shingle").distinct().count()
+    val novelSum = nov.agg(sum("n_novel")).collect()(0).getLong(0)
+    assert(novelSum == universe,
+      s"novelty conservation broken: $novelSum != $universe")
+    assertSameRows(nov.select("doc_id", "n_grams"),
+      Extensions.ngramNovelty(spark, base).select("doc_id", "n_grams"),
+      "per-doc gram counts vs one-shot t21")
 
     // Equivalence with the one-shot batch operators on the full corpus.
     assertSameRows(

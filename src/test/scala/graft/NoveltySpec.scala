@@ -1,0 +1,86 @@
+package graft
+
+import graft.queries.Extensions
+import graft.streaming.NoveltyTable
+import org.apache.spark.sql.functions._
+
+/** The maintained novelty table must be a pure SCHEDULING change against
+  * one-shot t21 on the final corpus (waves arriving in id order — the
+  * incremental family's standing invariant), survive a replayed
+  * first-seen append (the crash window between the two commits), and
+  * never rescore a document. */
+class NoveltySpec extends SparkSpec {
+
+  test("id-ordered waves ≡ one-shot t21; rescore never happens") {
+    val src = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-nov").toString
+    val corpus = s"$base/corpus"
+    val fs = s"$base/first_seen"
+    val log = s"$base/log"
+    val docs = Tables.t(spark, src, "documents")
+      .select("doc_id", "text", "lang")
+    val mid = docs.agg(max("doc_id")).collect()(0).getLong(0) / 2
+    docs.filter(col("doc_id") <= mid).coalesce(1)
+      .write.mode("append").parquet(s"$corpus/documents.parquet")
+    val n1 = NoveltyTable.maintain(spark, corpus, fs, log)
+    assert(n1 > 0)
+    docs.filter(col("doc_id") > mid).coalesce(1)
+      .write.mode("append").parquet(s"$corpus/documents.parquet")
+    val n2 = NoveltyTable.maintain(spark, corpus, fs, log)
+    assert(n1 + n2 == docs.count())
+    val oneShot = Extensions.ngramNovelty(spark, corpus).persist()
+    try {
+      assertSameRows(NoveltyTable.noveltyView(spark, log), oneShot,
+        "maintained novelty vs one-shot t21 on the final corpus")
+      // Immutability made physical: exactly one log row per doc.
+      assert(spark.read.parquet(log).count() == docs.count(),
+        "a document was rescored")
+      // Nothing new → strict no-op.
+      assert(NoveltyTable.maintain(spark, corpus, fs, log) == 0L)
+      assert(NoveltyTable.compactLogs(spark, fs, log),
+        "quiesced compaction must land")
+      Seq(fs, log).foreach { d =>
+        val n = new java.io.File(d).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        assert(n <= 4, s"$d not compacted: $n files")
+      }
+      assertSameRows(NoveltyTable.noveltyView(spark, log), oneShot,
+        "compaction must not change the maintained view")
+    } finally oneShot.unpersist()
+  }
+
+  test("a replayed first-seen append cannot corrupt the batch's scores") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-nov2").toString
+    val corpus = s"$base/corpus"
+    val fs = s"$base/first_seen"
+    val log = s"$base/log"
+    Seq((1L, "alpha beta gamma delta epsilon", "en"),
+        (2L, "zeta eta theta iota kappa", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(s"$corpus/documents.parquet")
+    assert(NoveltyTable.maintain(spark, corpus, fs, log) == 2L)
+    // Wave 2: a verbatim copy of doc 1 plus a fresh doc.
+    val wave2 = Seq((3L, "alpha beta gamma delta epsilon", "en"),
+        (4L, "lambda mu nu xi omicron", "en"))
+      .toDF("doc_id", "text", "lang")
+    wave2.write.mode("append").parquet(s"$corpus/documents.parquet")
+    // Simulate the crash window: the refresh appended wave 2's new
+    // shingles to first-seen, then died BEFORE the novelty commit. The
+    // replayed refresh must still score wave 2 correctly (min over
+    // store ∪ batch is invariant to the premature rows).
+    graft.queries.Extensions.shinglesOfDocs(wave2)
+      .groupBy("shingle").agg(min("doc_id").as("first_doc"))
+      .join(NoveltyTable.firstSeenView(spark, fs).select("shingle"),
+        Seq("shingle"), "left_anti")
+      .write.mode("append").parquet(fs)
+    assert(NoveltyTable.maintain(spark, corpus, fs, log) == 2L)
+    val got = NoveltyTable.noveltyView(spark, log).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(3L) == ((3L, 0L)), s"copy not zero-novel: $got")
+    assert(got(4L) == ((3L, 3L)), s"fresh doc not fully novel: $got")
+    assertSameRows(NoveltyTable.noveltyView(spark, log),
+      Extensions.ngramNovelty(spark, corpus),
+      "replay-converged table vs one-shot t21")
+  }
+}

@@ -128,4 +128,16 @@ class QueriesSpec extends SparkSpec {
     assert(pn(2L)._2 == 0, s"verbatim copy scored novel shingles: $pn")
     assert(pn(3L)._2 == pn(3L)._1, s"disjoint doc not fully novel: $pn")
   }
+
+  test("t22 incremental novelty equals one-shot t21 restricted to the delta") {
+    // The maintained-first-seen probe must be a pure restriction of the
+    // one-shot computation: same rows, same counts, for the d10 delta
+    // convention (newest 10% of ids).
+    val cut = Tables.t(spark, dir, "documents")
+      .agg(max(col("doc_id")).as("m")).collect()(0).getLong(0) * 9
+    val oneShot = Extensions.ngramNovelty(spark, dir)
+      .filter(col("doc_id") * 10 > cut)
+    assertSameRows(Extensions.noveltyIncremental(spark, dir), oneShot,
+      "t22 ≡ t21|delta")
+  }
 }
