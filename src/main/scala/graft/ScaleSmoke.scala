@@ -34,12 +34,16 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
 
   /** The top-cost queries of BENCH_LOCAL.json (round 8), the verdict's
-    * smoke list — d03 stands in for d02 (the registered scale twin). */
+    * smoke list — d03 stands in for d02 (the registered scale twin) —
+    * plus the round-9 additions (s13 SQ8 ANN, t21 novelty): cheap at
+    * sf0.1, included because their scale CLAIMS (linear coarse scan,
+    * d01-class shingle agg) deserve the same empirical exponent. */
   private[graft] val Queries = Seq(
     "d08_edit_distance_pairs", "d13_semantic_canonical",
     "d06_dedup_clusters", "q27_dense_daily_spine",
     "d10_dedup_incremental", "q10_campaign_stats",
-    "d03_dedup_minhash_lsh", "t16_decontaminated_corpus")
+    "d03_dedup_minhash_lsh", "t16_decontaminated_corpus",
+    "s13_ann_sq8", "t21_ngram_novelty")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -1623,6 +1623,33 @@ object Extensions {
           .as("novelty_ppm"))
   }
 
+  /** t23: per-source curation report — the view a crawl operator reads
+    * to decide where the next token is worth fetching from: document and
+    * token volume, language spread, and AGGREGATE novelty (Σ novel
+    * shingles ÷ Σ shingles, in ppm — the token-weighted form, so one
+    * giant saturated document cannot hide behind many tiny fresh ones
+    * the way a mean-of-ratios would let it). A source whose novelty_ppm
+    * decays toward 0 is re-crawling what the corpus already holds —
+    * t21's per-document signal rolled up to the acquisition-decision
+    * grain. Cost: t21's aggregates + one |sources|-row regroup; nothing
+    * new touches the corpus. */
+  def sourceStats(s: SparkSession, dir: String): DataFrame = {
+    val nov = ngramNoveltyOfDocs(docs(s, dir))
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    d.join(nov, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        countDistinct("lang").as("n_langs"),
+        sum("n_grams").as("n_grams"),
+        sum("n_novel").as("n_novel"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_langs"), col("n_grams"), col("n_novel"),
+        when(col("n_grams") > 0, ppm(col("n_novel"), col("n_grams")))
+          .as("novelty_ppm"))
+  }
+
   /** t02: quality scoring — length/stopword/diversity signals as exact
     * integer ratios. */
   def qualityScore(s: SparkSession, dir: String): DataFrame =
@@ -3423,6 +3450,28 @@ object Extensions {
         |FROM documents dd CROSS JOIN cut
         |LEFT JOIN per p ON p.doc_id = dd.doc_id
         |WHERE dd.doc_id * 10 > cut.c9""".stripMargin)),
+
+    QuerySpec("t23_source_stats", sourceStats, Some(docCtes + ", " +
+      """fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |per AS (
+        |  SELECT s.doc_id, count(*) AS n_grams,
+        |         count(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS n_novel
+        |  FROM sh s JOIN fs f ON f.shingle = s.shingle
+        |  GROUP BY 1),
+        |nov AS (
+        |  SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+        |         COALESCE(p.n_novel, 0) AS n_novel
+        |  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT d.lang) AS n_langs,
+        |  CAST(SUM(n.n_grams) AS BIGINT) AS n_grams,
+        |  CAST(SUM(n.n_novel) AS BIGINT) AS n_novel,
+        |  CASE WHEN SUM(n.n_grams) > 0
+        |       THEN CAST((SUM(n.n_novel) * 1000000) // SUM(n.n_grams) AS BIGINT)
+        |  END AS novelty_ppm
+        |FROM documents d JOIN nov n ON n.doc_id = d.doc_id
+        |GROUP BY 1""".stripMargin)),
 
     QuerySpec("t17_boilerplate_scrub", boilerplateScrub, Some(
       """WITH t AS (

@@ -129,6 +129,20 @@ class QueriesSpec extends SparkSpec {
     assert(pn(3L)._2 == pn(3L)._1, s"disjoint doc not fully novel: $pn")
   }
 
+  test("t23 source stats partition the corpus and conserve novelty") {
+    val rows = Extensions.sourceStats(spark, dir).collect()
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs == Tables.t(spark, dir, "documents").count(),
+      "per-source doc counts do not partition the corpus")
+    val novelSum = rows.map(_.getLong(5)).sum
+    val universe = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .transform(Extensions.shinglesOfDocs)
+      .select("shingle").distinct().count()
+    assert(novelSum == universe,
+      s"source-rollup novelty $novelSum != universe $universe")
+  }
+
   test("t22 incremental novelty equals one-shot t21 restricted to the delta") {
     // The maintained-first-seen probe must be a pure restriction of the
     // one-shot computation: same rows, same counts, for the d10 delta
