@@ -763,6 +763,123 @@ object Extensions {
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
   }
 
+  /** s14: k-means refinement of the coarse quantizer — two Lloyd
+    * iterations over the hash-sampled √n seeds ([[coarseCentroids]]),
+    * the offline TRAINING job behind every IVF consumer (s03/s05/s07/
+    * s08 assign against a quantizer; this is where a production system
+    * makes that quantizer good instead of merely deterministic —
+    * Lloyd's alternation of assign/recenter is the k-means training
+    * FAISS et al. run before building the inverted file).
+    *
+    * Exactness across engines: a Lloyd recenter is a MEAN, but cosine
+    * assignment is scale-invariant, so the centroid is kept as the
+    * exact integer component SUM — no division ever happens and every
+    * accumulated quantity is a BIGINT (float sums would make the
+    * result depend on accumulation order, which no distributed engine
+    * guarantees). Floats appear only in the final sqrt/div/floor on
+    * identical integer inputs (the cosPpm idiom). Overflow headroom:
+    * a component sum is ≤ |members|·1e6 and the centroid self-dot is
+    * ≤ 64·(|members|·1e6)² — at a million members per cell that is
+    * ~6e25, past 2^63, so at that scale the sum must be right-shifted
+    * before the self-dot (scale-invariance makes the shift free);
+    * here members/cell ≈ √n keeps it ≤ ~1e18 through sf1.
+    *
+    * Degenerate cells: a cell whose members cancel to the zero vector
+    * has no cosine direction — filtered (sc > 0) before it can emit
+    * NaN scores; a cell that loses all members in round 1 drops out
+    * (standard Lloyd empty-cell behavior; the seed itself assigns to
+    * its own cell at cos 1e6, so cells start non-empty).
+    *
+    * Scale shape: each iteration is one broadcast-centroid map over
+    * the corpus (n·k integer dots, the documented O(n^1.5) IVF
+    * training trade at k = √n) + one (cell, i)-grain hash agg — no
+    * corpus self-join anywhere, and k stays broadcastable (√n rows).
+    * Output: the refined centroids as exact component sums at
+    * (cent_id, i) grain with the final member count. */
+  def kmeansRefine(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    def assign(cents: DataFrame): DataFrame =
+      centroidRank(e, cents, "vec_id").filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cell"), col("q"))
+    // Exact integer component sums per cell, folded back to the
+    // (cent_id, qc, sc) centroid-frame shape assign() consumes.
+    def recenter(a: DataFrame): DataFrame =
+      a.select(col("cell"), posexplode(col("q")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum("col").as("csum"))
+        .groupBy("cell")
+        .agg(expr("array_sort(collect_list(named_struct('pos', pos, 'csum', csum)))")
+          .as("ps"))
+        .select(col("cell").as("cent_id"),
+          expr("transform(ps, x -> x.csum)").as("qc"))
+        .withColumn("sc", DotI64(col("qc"), col("qc")))
+        .filter(col("sc") > 0)
+    val a2 = assign(recenter(assign(coarseCentroids(s, dir, e))))
+    val members = a2.groupBy("cell").agg(count(lit(1)).as("n_members"))
+    a2.select(col("cell"), posexplode(col("q")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum("col").as("csum"))
+      .join(members, "cell")
+      .select(col("cell").as("cent_id"), (col("pos") + 1).cast("int").as("i"),
+        col("csum"), col("n_members"))
+  }
+
+  /** t24: cluster-balanced corpus subsampling — cap each IVF cell at a
+    * fixed budget (8 here), members ranked by the portable id hash
+    * (deterministic pseudo-random, so the kept set is a stable sample,
+    * not a prefix of ingestion order). This is the diversity-preserving
+    * pruning step of the SemDeDup/DoReMi family: over-represented modes
+    * (a crawl that is 40% one template) are clipped to the same budget
+    * as rare modes, so the downstream token mix covers the embedding
+    * space instead of echoing the crawl distribution.
+    *
+    * Scale shape: one broadcast-centroid assignment map over the corpus
+    * (no shuffle), then one window per cell — partitions are cell-sized
+    * (~√n rows each), never a global sort. The cap is the dial; rank is
+    * exposed so a consumer can re-cut to any budget ≤ 8 without
+    * re-assigning. */
+  def clusterSample(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val assigned = centroidRank(e, coarseCentroids(s, dir, e), "vec_id")
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(h32(col("vec_id").cast("string")), col("vec_id"))
+    assigned
+      .withColumn("smp_rank", row_number().over(w).cast("int"))
+      .filter(col("smp_rank") <= 8)
+      .select("cell", "vec_id", "smp_rank")
+  }
+
+  /** t26: fixed-window document chunking — 64-token windows on a
+    * 48-token stride (16-token overlap), the grain an embedding /
+    * retrieval pipeline actually encodes (models embed chunks, not
+    * documents; the overlap keeps boundary-spanning context in at
+    * least one chunk). Emits one row per chunk with its exact token
+    * count and a content hash — the chunk table IS the unit of work
+    * for the embedding job, so its id scheme (doc_id, chunk_id) must
+    * be deterministic and re-derivable, which `k·48` start offsets
+    * are and byte offsets into re-encoded text are not.
+    *
+    * Scale shape: a pure per-row map (split + transform + explode) —
+    * no shuffle, no state; fan-out is Σ ceil(tokens/48) rows, linear
+    * in corpus tokens. At 100 TB this pipelines inside one stage and
+    * the chunk hash doubles as the join key for chunk-grain dedup. */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(expr(
+          """transform(sequence(0, (n - 1) div 48),
+            |  k -> named_struct(
+            |    'chunk_id', CAST(k AS INT),
+            |    'chunk_hash', md5(concat_ws(' ', slice(t, k * 48 + 1, 64)))))"""
+            .stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        least(lit(64L), col("n") - col("chunk_id") * lit(48L)).cast("long")
+          .as("n_tokens"),
+        col("c.chunk_hash").as("chunk_hash"))
+
   /** Connected components over an undirected pair list via min-label
     * propagation run to FIXPOINT — the BSP shape GraphFrames/Pregel would
     * run at scale, expressed as plain shuffles: each round is one
@@ -3846,6 +3963,84 @@ object Extensions {
         |  CASE WHEN ((SUM(c) - count(*)) * 1000000) // SUM(c) < 200000
         |        AND (MAX(c) * 1000000) // SUM(c) < 100000
         |       THEN 1 ELSE 0 END AS repetition_ok
-        |FROM bgc GROUP BY 1""".stripMargin))
+        |FROM bgc GROUP BY 1""".stripMargin)),
+
+    QuerySpec("s14_kmeans_refine", kmeansRefine, Some(embCtes + ", " + centsCte +
+      """a0 AS (
+        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |s0 AS (
+        |  SELECT d.vec_id, d.cent_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM a0 d
+        |  JOIN sq x ON x.vec_id = d.vec_id
+        |  JOIN sq y ON y.vec_id = d.cent_id),
+        |asg1 AS (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM s0) t WHERE rn = 1),
+        |c1 AS (
+        |  SELECT g.cell, e.i, CAST(SUM(e.v) AS BIGINT) AS csum
+        |  FROM asg1 g JOIN ev e ON e.vec_id = g.vec_id
+        |  GROUP BY 1, 2),
+        |c1s AS (
+        |  SELECT cell, CAST(SUM(csum * csum) AS BIGINT) AS sc
+        |  FROM c1 GROUP BY 1 HAVING SUM(csum * csum) > 0),
+        |a1 AS (
+        |  SELECT e.vec_id, c.cell, CAST(SUM(e.v * c.csum) AS BIGINT) AS dot
+        |  FROM ev e JOIN c1 c ON c.i = e.i
+        |  JOIN c1s s ON s.cell = c.cell
+        |  GROUP BY 1, 2),
+        |s1 AS (
+        |  SELECT d.vec_id, d.cell,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(s.sc)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM a1 d
+        |  JOIN sq x ON x.vec_id = d.vec_id
+        |  JOIN c1s s ON s.cell = d.cell),
+        |asg2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cell ASC) AS rn
+        |    FROM s1) t WHERE rn = 1),
+        |mem AS (SELECT cell, count(*) AS n_members FROM asg2 GROUP BY 1)
+        |SELECT g.cell AS cent_id, CAST(e.i AS INTEGER) AS i,
+        |       CAST(SUM(e.v) AS BIGINT) AS csum, m.n_members
+        |FROM asg2 g
+        |JOIN ev e ON e.vec_id = g.vec_id
+        |JOIN mem m ON m.cell = g.cell
+        |GROUP BY 1, 2, m.n_members""".stripMargin)),
+
+    QuerySpec("t24_cluster_sample", clusterSample, Some(embCtes + ", " + centsCte +
+      """a0 AS (
+        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |s0 AS (
+        |  SELECT d.vec_id, d.cent_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM a0 d
+        |  JOIN sq x ON x.vec_id = d.vec_id
+        |  JOIN sq y ON y.vec_id = d.cent_id),
+        |asg1 AS (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM s0) t WHERE rn = 1)
+        |SELECT cell, vec_id, smp_rank FROM (
+        |  SELECT cell, vec_id,
+        |         CAST(row_number() OVER (PARTITION BY cell
+        |              ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+        |                       vec_id) AS INTEGER) AS smp_rank
+        |  FROM asg1) t
+        |WHERE smp_rank <= 8""".stripMargin)),
+
+    QuerySpec("t26_chunk_docs", chunkDocs, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+        |       CAST(LEAST(64, len(t) - k * 48) AS BIGINT) AS n_tokens,
+        |       md5(array_to_string(t[k * 48 + 1:k * 48 + 64], ' ')) AS chunk_hash
+        |FROM toks, UNNEST(range(0, (len(t) - 1) // 48 + 1)) u(k)""".stripMargin))
   )
 }

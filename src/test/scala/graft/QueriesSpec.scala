@@ -143,6 +143,71 @@ class QueriesSpec extends SparkSpec {
       s"source-rollup novelty $novelSum != universe $universe")
   }
 
+  test("s14 k-means refinement conserves mass and assigns every vector") {
+    val out = Extensions.kmeansRefine(spark, dir).persist()
+    try {
+      val n = Tables.t(spark, dir, "embeddings").count()
+      // every vector lands in exactly one cell: member counts sum to n
+      val members = out.select("cent_id", "n_members").distinct()
+      assert(members.agg(sum("n_members")).head.getLong(0) == n)
+      // 64 component rows per surviving cell
+      val bad = out.groupBy("cent_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 64)
+      assert(bad.count() == 0)
+      // exact conservation: per-dimension component sums over all cells
+      // equal the corpus-wide quantized component sums (nothing lost or
+      // double-counted by the assignment)
+      val perDim = out.groupBy("i").agg(sum("csum").as("s"))
+      val corpus = Tables.t(spark, dir, "embeddings")
+        .select(expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))").as("q"))
+        .select(posexplode(col("q")))
+        .groupBy((col("pos") + 1).as("i")).agg(sum("col").as("cs"))
+      val mism = perDim.join(corpus, "i").filter(col("s") =!= col("cs"))
+      assert(mism.count() == 0, "component mass not conserved")
+    } finally out.unpersist()
+  }
+
+  test("t24 cluster sample caps every cell and keeps contiguous ranks") {
+    val smp = Extensions.clusterSample(spark, dir).persist()
+    try {
+      val per = smp.groupBy("cell")
+        .agg(count(lit(1)).as("n"), max("smp_rank").as("mx"), min("smp_rank").as("mn"))
+        .collect()
+      assert(per.nonEmpty)
+      per.foreach { r =>
+        assert(r.getLong(1) <= 8 && r.getInt(3) == 1 &&
+          r.getInt(2).toLong == r.getLong(1),
+          s"cell ${r.get(0)}: count/rank invariants broken")
+      }
+      // the sample never invents ids
+      val ids = Tables.t(spark, dir, "embeddings").select("vec_id")
+      assert(smp.join(ids, Seq("vec_id"), "left_anti").count() == 0)
+    } finally smp.unpersist()
+  }
+
+  test("t26 chunking tiles every document with 64/48 windows") {
+    val ch = Extensions.chunkDocs(spark, dir).persist()
+    try {
+      val docs = Tables.t(spark, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      // chunk count per doc = (n-1) div 48 + 1 with contiguous ids
+      val per = ch.groupBy("doc_id")
+        .agg(count(lit(1)).as("c"), max("chunk_id").as("mx"))
+      val badCount = per.join(docs, "doc_id")
+        .filter(col("c") =!= (col("n") - 1).divide(lit(48)).cast("int") + 1 ||
+          col("mx") =!= col("c") - 1)
+      assert(badCount.count() == 0)
+      // every chunk holds exactly the window's overlap with the doc
+      val badTok = ch.join(docs, "doc_id")
+        .filter(col("n_tokens") =!=
+          least(lit(64), col("n") - col("chunk_id") * 48).cast("long"))
+      assert(badTok.count() == 0)
+      // chunking is a pure map: the physical plan has no shuffle at all
+      val plan = ch.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"chunkDocs shuffles:\n$plan")
+    } finally ch.unpersist()
+  }
+
   test("t22 incremental novelty equals one-shot t21 restricted to the delta") {
     // The maintained-first-seen probe must be a pure restriction of the
     // one-shot computation: same rows, same counts, for the d10 delta
