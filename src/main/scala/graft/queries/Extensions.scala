@@ -1750,11 +1750,19 @@ object Extensions {
     * t21's per-document signal rolled up to the acquisition-decision
     * grain. Cost: t21's aggregates + one |sources|-row regroup; nothing
     * new touches the corpus. */
-  def sourceStats(s: SparkSession, dir: String): DataFrame = {
-    val nov = ngramNoveltyOfDocs(docs(s, dir))
-    val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    d.join(nov, "doc_id")
+  def sourceStats(s: SparkSession, dir: String): DataFrame =
+    sourceRollup(
+      docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      ngramNoveltyOfDocs(docs(s, dir)))
+
+  /** t23's rollup factored at frame grain so the maintained-novelty
+    * service twin (streaming.CorpusService.sourceStatsReport) aggregates
+    * its incrementally-scored log with the identical arithmetic.
+    * `d` carries (doc_id, source, lang, n_tokens); `nov` carries t21's
+    * per-doc (doc_id, n_grams, n_novel). */
+  private[graft] def sourceRollup(d: DataFrame, nov: DataFrame): DataFrame =
+    d.join(nov.select("doc_id", "n_grams", "n_novel"), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
@@ -1765,7 +1773,6 @@ object Extensions {
         col("n_langs"), col("n_grams"), col("n_novel"),
         when(col("n_grams") > 0, ppm(col("n_novel"), col("n_grams")))
           .as("novelty_ppm"))
-  }
 
   /** t02: quality scoring — length/stopword/diversity signals as exact
     * integer ratios. */

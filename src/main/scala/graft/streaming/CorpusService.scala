@@ -496,6 +496,28 @@ object CorpusService {
   def noveltyReport(spark: SparkSession, p: Paths): DataFrame =
     NoveltyTable.noveltyView(spark, p.noveltyLog)
 
+  /** The per-source curation report (t23's rollup) over the MAINTAINED
+    * novelty log — the acquisition-decision view ("which crawl source
+    * still pays for its tokens") kept current by the drain loop. The
+    * expensive signal (first-seen novelty) is already delta-maintained
+    * by [[maintainNovelty]]; this rollup joins the doc-grain log
+    * (4 ints/doc) to one projection-pruned corpus scan for (source,
+    * lang, token count) and regroups to |sources| rows. Requires the
+    * ingested documents to carry a `source` column (crawl provenance —
+    * the grain the report decides over); docs not yet scored by a
+    * drain are excluded, so the report is as-of the last refresh.
+    * Same arithmetic as one-shot t23 (shared Extensions.sourceRollup);
+    * under id-ordered arrival the two are row-identical, under any
+    * arrival order the volume columns still match exactly and Σ
+    * n_novel is conserved (CorpusServiceSpec). */
+  def sourceStatsReport(spark: SparkSession, p: Paths): DataFrame = {
+    val d = graft.Tables.t(spark, p.base, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.queries.Extensions.sourceRollup(
+      d, NoveltyTable.noveltyView(spark, p.noveltyLog))
+  }
+
   /** Read the maintained scrubbed payload (refreshScrubbedCorpus's
     * output). */
   def scrubbedCorpusView(spark: SparkSession, p: Paths): DataFrame =

@@ -16,7 +16,7 @@ class CorpusServiceSpec extends SparkSpec {
     val p = CorpusService.Paths(base)
 
     val docs = graft.Tables.t(spark, srcDir, "documents")
-      .select("doc_id", "text", "lang")
+      .select("doc_id", "text", "lang", "source")
     val emb = graft.Tables.t(spark, srcDir, "embeddings")
       .select("vec_id", "embedding")
 
@@ -70,6 +70,19 @@ class CorpusServiceSpec extends SparkSpec {
     assertSameRows(nov.select("doc_id", "n_grams"),
       Extensions.ngramNovelty(spark, base).select("doc_id", "n_grams"),
       "per-doc gram counts vs one-shot t21")
+
+    // The per-source curation rollup off the maintained log: the volume
+    // columns equal one-shot t23 exactly under ANY arrival order (they
+    // do not depend on first-seen attribution), and the novelty mass it
+    // distributes over sources is the conserved shingle universe.
+    val srcStats = CorpusService.sourceStatsReport(spark, p)
+    assertSameRows(
+      srcStats.select("source", "n_docs", "total_tokens", "n_langs", "n_grams"),
+      Extensions.sourceStats(spark, base)
+        .select("source", "n_docs", "total_tokens", "n_langs", "n_grams"),
+      "service source rollup volume columns vs one-shot t23")
+    assert(srcStats.agg(sum("n_novel")).collect()(0).getLong(0) == universe,
+      "source rollup does not conserve novelty mass")
 
     // Equivalence with the one-shot batch operators on the full corpus.
     assertSameRows(
