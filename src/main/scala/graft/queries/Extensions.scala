@@ -815,11 +815,14 @@ object Extensions {
         .withColumn("sc", DotI64(col("qc"), col("qc")))
         .filter(col("sc") > 0)
     val a2 = assign(recenter(assign(coarseCentroids(s, dir, e))))
-    val members = a2.groupBy("cell").agg(count(lit(1)).as("n_members"))
+    // n_members falls out of the same aggregation: every member
+    // contributes exactly one row per dimension, so count(*) at
+    // (cell, pos) grain IS the cell's member count — one hash agg, no
+    // second consumption of the assignment subtree (which a separate
+    // members join would re-plan and re-execute).
     a2.select(col("cell"), posexplode(col("q")))
       .groupBy(col("cell"), col("pos"))
-      .agg(sum("col").as("csum"))
-      .join(members, "cell")
+      .agg(sum("col").as("csum"), count(lit(1)).as("n_members"))
       .select(col("cell").as("cent_id"), (col("pos") + 1).cast("int").as("i"),
         col("csum"), col("n_members"))
   }
@@ -4010,14 +4013,12 @@ object Extensions {
         |  SELECT vec_id, cell FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id
         |                ORDER BY cos_ppm DESC, cell ASC) AS rn
-        |    FROM s1) t WHERE rn = 1),
-        |mem AS (SELECT cell, count(*) AS n_members FROM asg2 GROUP BY 1)
+        |    FROM s1) t WHERE rn = 1)
         |SELECT g.cell AS cent_id, CAST(e.i AS INTEGER) AS i,
-        |       CAST(SUM(e.v) AS BIGINT) AS csum, m.n_members
+        |       CAST(SUM(e.v) AS BIGINT) AS csum, count(*) AS n_members
         |FROM asg2 g
         |JOIN ev e ON e.vec_id = g.vec_id
-        |JOIN mem m ON m.cell = g.cell
-        |GROUP BY 1, 2, m.n_members""".stripMargin)),
+        |GROUP BY 1, 2""".stripMargin)),
 
     QuerySpec("t24_cluster_sample", clusterSample, Some(embCtes + ", " + centsCte +
       """a0 AS (

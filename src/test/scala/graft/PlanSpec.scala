@@ -314,6 +314,35 @@ class PlanSpec extends SparkSpec {
       s"rerank not above the SQ8 filter (rank@$rankAt arn@$arnAt):\n$p")
   }
 
+  test("s14's Lloyd iterations broadcast the centroid side only") {
+    // The training-cost claim: each assignment round is a broadcast
+    // map over the corpus (n·k dots with k = √n centroids on the
+    // broadcast side) — never a data×data cartesian or a shuffle join
+    // at corpus×centroid grain.
+    val phys = planOf(graft.queries.Extensions.kmeansRefine(spark, dir))
+    assert(!phys.contains("CartesianProduct"),
+      s"cartesian product in s14 plan:\n$phys")
+    val nlj = "(\\w*)NestedLoopJoin".r.findAllMatchIn(phys)
+      .map(_.group(1)).toSeq
+    assert(nlj.nonEmpty && nlj.forall(_ == "Broadcast"),
+      s"non-broadcast assignment join in s14 plan:\n$phys")
+    // both Lloyd rounds assign by broadcast
+    assert(nlj.size == 2, s"expected 2 broadcast assignment rounds:\n$phys")
+  }
+
+  test("t24's sample windows per cell, never a global sort") {
+    val df = graft.queries.Extensions.clusterSample(spark, dir)
+    val phys = planOf(df)
+    val nlj = "(\\w*)NestedLoopJoin".r.findAllMatchIn(phys)
+      .map(_.group(1)).toSeq
+    assert(nlj.forall(_ == "Broadcast"),
+      s"non-broadcast assignment join in t24 plan:\n$phys")
+    // the rank window partitions by cell — cell-sized partitions, not a
+    // single global ordering
+    assert(phys.contains("hashpartitioning(cell"),
+      s"sample window not partitioned by cell:\n$phys")
+  }
+
   test("t21's novelty plan is agg+join only — no window, no pair join") {
     // The scale claim: first-seen is a hash agg keyed on shingle joined
     // back at shingle grain — never a corpus-ordered window (which
