@@ -713,10 +713,12 @@ object Extensions {
     * (4-bit halves the bytes again and would trade recall).
     * At 100 TB SQ8 composes with s03 exactly like s06 does (s07):
     * code-score within probed cells, rerank survivors. */
-  def annSq8(s: SparkSession, dir: String): DataFrame = {
-    val e = quantized(s, dir)
-    // Per-dimension affine ranges: one narrow agg over the posexploded
-    // (i, v) frame, folded into two 64-element arrays and broadcast.
+  /** The SQ8 code frame (s13's construction, shared with the IVF∘SQ8
+    * composition s15): per-dimension affine ranges from one narrow agg
+    * over the posexploded (i, v) frame, folded into two 64-element
+    * arrays and broadcast; vh is the 255x-scaled SQ8 reconstruction,
+    * constant dimensions (r = 0) coding to their single level. */
+  private def sq8Codes(e: DataFrame): DataFrame = {
     val dims = e.select(posexplode(col("q")))
       .groupBy((col("pos") + 1).as("i"))
       .agg(min("col").as("mn"), (max("col") - min("col")).as("r"))
@@ -725,10 +727,7 @@ object Extensions {
         .as("st"))
       .select(expr("transform(st, x -> x.mn)").as("mns"),
         expr("transform(st, x -> x.r)").as("rs"))
-    // The code frame: what the coarse pass is allowed to read. vh is the
-    // 255x-scaled SQ8 reconstruction; constant dimensions (r = 0) code to
-    // their single level.
-    val coded = e.crossJoin(broadcast(stats))
+    e.crossJoin(broadcast(stats))
       .withColumn("vh", expr(
         """zip_with(q, zip_with(mns, rs, (m, r) -> named_struct('m', m, 'r', r)),
           |  (v, c) -> CASE WHEN c.r = 0 THEN 255 * c.m
@@ -736,6 +735,12 @@ object Extensions {
           |  END)""".stripMargin))
       .withColumn("ss", DotI64(col("vh"), col("vh")))
       .select("vec_id", "vh", "ss")
+  }
+
+  def annSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    // The code frame: what the coarse pass is allowed to read.
+    val coded = sq8Codes(e)
     val qc = coded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("vh").as("vha"), col("ss").as("ssa"))
     val nc = coded.select(col("vec_id").as("neighbor_id"),
@@ -751,6 +756,67 @@ object Extensions {
       .filter(col("arn") <= 100)
       .select("query_id", "neighbor_id")
     // Exact rerank at candidate grain only.
+    val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    cand.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_ppm", "rank")
+  }
+
+  /** s15: IVF ∘ SQ8 — the full FAISS "IVF√n,SQ8" serving layout and the
+    * serving matrix's composition corner: the coarse quantizer prunes
+    * CANDIDATES (12 probed cells of √n, s03's dial), the SQ8 codes prune
+    * BYTES for scoring within them (1 byte/dim, s13's construction),
+    * and the exact full-width rerank reads vectors only at top-100
+    * candidate grain. s13 scores codes CORPUS-WIDE — an honest linear
+    * scan; this composition scores ~nprobe/√n of the corpus instead,
+    * which is the shape production vector serving deploys (cell-pruned
+    * reads of a byte-compressed frame, full precision only for
+    * finalists). At 100 TB the code frame rides the cell-partitioned
+    * stored index (s08's layout) as a sidecar column, so the probe's
+    * partition pruning bounds bytes read by nprobe/k exactly as the
+    * prefix sidecar does for s07.
+    *
+    * Recall: the two prunings compound (a true neighbor must survive
+    * the cell probe AND the code-order top-100); AnnRecallSpec pins the
+    * floor vs exact s01 alongside s07's — on these embeddings SQ8's
+    * 255-level grid loses nothing (s13 measured 1.00), so s15's recall
+    * tracks s03's cell-probe recall. */
+  def annIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val cents = coarseCentroids(s, dir, e)
+    val assigned = centroidRank(e, cents, "vec_id")
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
+    val probes = centroidRank(e.filter(col("vec_id") < 10), cents, "vec_id")
+      .filter(col("rn") <= 12)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    val cellCand = probes.join(assigned, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    // SQ8 coarse pass at cell-candidate grain: scores read ONLY the
+    // code frame (the byte sidecar at scale).
+    val coded = sq8Codes(e)
+    val qc = coded.select(col("vec_id").as("query_id"),
+      col("vh").as("vha"), col("ss").as("ssa"))
+    val nc = coded.select(col("vec_id").as("neighbor_id"),
+      col("vh").as("vhb"), col("ss").as("ssb"))
+    val aw = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id").asc)
+    val cand = cellCand.join(qc, "query_id").join(nc, "neighbor_id")
+      .withColumn("adot", DotI64(col("vha"), col("vhb")))
+      .withColumn("acos",
+        floor(col("adot") / (sqrt(col("ssa")) * sqrt(col("ssb")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= 100)
+      .select("query_id", "neighbor_id")
+    // Exact rerank at the doubly-pruned candidate grain.
     val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
     val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
     val w = Window.partitionBy(col("query_id"))
@@ -4019,6 +4085,76 @@ object Extensions {
         |FROM asg2 g
         |JOIN ev e ON e.vec_id = g.vec_id
         |GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec("s15_ann_ivf_sq8", annIvfSq8, Some(embCtes + ", " + centsCte +
+      """adots AS (
+        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |ascore AS (
+        |  SELECT d.vec_id, d.cent_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM adots d
+        |  JOIN sq x ON x.vec_id = d.vec_id
+        |  JOIN sq y ON y.vec_id = d.cent_id),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 12),
+        |ccand AS (
+        |  SELECT DISTINCT p.query_id, a.neighbor_id
+        |  FROM probes p JOIN assigned a ON a.cell = p.cell
+        |  WHERE a.neighbor_id <> p.query_id),
+        |dim AS (SELECT i, min(v) AS mn, max(v) - min(v) AS r
+        |        FROM ev GROUP BY 1),
+        |code AS (
+        |  SELECT e.vec_id, e.i,
+        |    CASE WHEN d.r = 0 THEN 255 * d.mn
+        |         ELSE 255 * d.mn + (((e.v - d.mn) * 510 + d.r) // (2 * d.r)) * d.r
+        |    END AS vh
+        |  FROM ev e JOIN dim d ON d.i = e.i),
+        |csq AS (SELECT vec_id, CAST(SUM(vh * vh) AS BIGINT) AS ss
+        |        FROM code GROUP BY 1),
+        |qdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.vh * b.vh) AS BIGINT) AS adot
+        |  FROM ccand c
+        |  JOIN code a ON a.vec_id = c.query_id
+        |  JOIN code b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |qscored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.adot / (sqrt(x.ss) * sqrt(y.ss)) * 1000000 + 0.5) AS BIGINT) AS acos
+        |  FROM qdots d
+        |  JOIN csq x ON x.vec_id = d.query_id
+        |  JOIN csq y ON y.vec_id = d.neighbor_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |                ORDER BY acos DESC, neighbor_id) AS arn
+        |    FROM qscored) t WHERE arn <= 100),
+        |cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ev a ON a.vec_id = c.query_id
+        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM cdots d
+        |  JOIN sq x ON x.vec_id = d.query_id
+        |  JOIN sq y ON y.vec_id = d.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin)),
 
     QuerySpec("t24_cluster_sample", clusterSample, Some(embCtes + ", " + centsCte +
       """a0 AS (

@@ -91,6 +91,21 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.6, f"IVF-prefix mean recall@5 $mean%.2f < 0.6")
   }
 
+  test("IVF∘SQ8 composition keeps s03's recall floor (sf0.01)") {
+    // s15 = s03's candidate pruning + s13's bit pruning. The SQ8 grid
+    // measured recall 1.00 standalone (255 levels per dim, finer than
+    // the top-5/top-100 cosine gaps here), so the composition's recall
+    // is the cell probe's — the same 0.6 floor s03/s07 carry.
+    val dir = sf("sf0.01")
+    val exact = topSets(Extensions.annCosineTopK(spark, dir))
+    val composed = topSets(Extensions.annIvfSq8(spark, dir))
+    val recalls = exact.map { case (q, truth) =>
+      composed.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, f"IVF-SQ8 mean recall@5 $mean%.2f < 0.6")
+  }
+
   test("filtered ANN keeps the IVF recall floor vs the exact FILTERED baseline") {
     // s11's truth set is NOT s01: the baseline is brute-force cosine
     // restricted to the query's label (top-k of the filtered set, the
