@@ -862,7 +862,18 @@ object Extensions {
     * corpus self-join anywhere, and k stays broadcastable (√n rows).
     * Output: the refined centroids as exact component sums at
     * (cent_id, i) grain with the final member count. */
-  def kmeansRefine(s: SparkSession, dir: String): DataFrame = {
+  def kmeansRefine(s: SparkSession, dir: String): DataFrame =
+    kmeansSums(s, dir)
+      .select(col("cell").as("cent_id"), (col("pos") + 1).cast("int").as("i"),
+        col("csum"), col("n_members"))
+
+  /** The round-2 assignment's exact component sums at (cell, pos)
+    * grain. n_members falls out of the same aggregation: every member
+    * contributes exactly one row per dimension, so count(*) at
+    * (cell, pos) grain IS the cell's member count — one hash agg, no
+    * second consumption of the assignment subtree (which a separate
+    * members join would re-plan and re-execute). */
+  private def kmeansSums(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
     def assign(cents: DataFrame): DataFrame =
       centroidRank(e, cents, "vec_id").filter(col("rn") === 1)
@@ -881,17 +892,26 @@ object Extensions {
         .withColumn("sc", DotI64(col("qc"), col("qc")))
         .filter(col("sc") > 0)
     val a2 = assign(recenter(assign(coarseCentroids(s, dir, e))))
-    // n_members falls out of the same aggregation: every member
-    // contributes exactly one row per dimension, so count(*) at
-    // (cell, pos) grain IS the cell's member count — one hash agg, no
-    // second consumption of the assignment subtree (which a separate
-    // members join would re-plan and re-execute).
     a2.select(col("cell"), posexplode(col("q")))
       .groupBy(col("cell"), col("pos"))
       .agg(sum("col").as("csum"), count(lit(1)).as("n_members"))
-      .select(col("cell").as("cent_id"), (col("pos") + 1).cast("int").as("i"),
-        col("csum"), col("n_members"))
   }
+
+  /** s14's refined centroids in the (cent_id, qc, sc) frame shape every
+    * quantizer consumer reads ([[trainedCentroids]]'s contract) — what
+    * `StreamingSemanticDedup.trainQuantizer(refine = true)` writes, so
+    * the streaming semantic-dedup path can probe Lloyd-trained cells
+    * instead of raw hash-sampled seeds. Degenerate zero-sum cells are
+    * filtered exactly as inside the refinement loop. */
+  private[graft] def refinedCentroids(s: SparkSession, dir: String): DataFrame =
+    kmeansSums(s, dir)
+      .groupBy("cell")
+      .agg(expr("array_sort(collect_list(named_struct('pos', pos, 'csum', csum)))")
+        .as("ps"))
+      .select(col("cell").as("cent_id"),
+        expr("transform(ps, x -> x.csum)").as("qc"))
+      .withColumn("sc", DotI64(col("qc"), col("qc")))
+      .filter(col("sc") > 0)
 
   /** t24: cluster-balanced corpus subsampling — cap each IVF cell at a
     * fixed budget (8 here), members ranked by the portable id hash
@@ -920,7 +940,7 @@ object Extensions {
       .select("cell", "vec_id", "smp_rank")
   }
 
-  /** t26: fixed-window document chunking — 64-token windows on a
+  /** t25: fixed-window document chunking — 64-token windows on a
     * 48-token stride (16-token overlap), the grain an embedding /
     * retrieval pipeline actually encodes (models embed chunks, not
     * documents; the overlap keeps boundary-spanning context in at
@@ -4180,7 +4200,7 @@ object Extensions {
         |  FROM asg1) t
         |WHERE smp_rank <= 8""".stripMargin)),
 
-    QuerySpec("t26_chunk_docs", chunkDocs, Some(
+    QuerySpec("t25_chunk_docs", chunkDocs, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
         |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
         |       CAST(LEAST(64, len(t) - k * 48) AS BIGINT) AS n_tokens,

@@ -52,9 +52,20 @@ object StreamingSemanticDedup {
   /** Offline quantizer training: materialize the √n hash-sampled
     * centroid table from the CURRENT corpus. Re-run on corpus refresh;
     * the stream only ever reads the result. */
+  /** `refine = true` runs s14's two Lloyd iterations over the sampled
+    * seeds before writing (the production IVF training shape; see
+    * Extensions.kmeansRefine). The pair log's semantics are unchanged
+    * either way — logged pairs are exact-cosine facts, SOUND under any
+    * quantizer (the d05-superset property StreamingSemanticDedupSpec
+    * pins for the refined path); what the quantizer choice moves is
+    * per-epoch completeness, i.e. which pairs get co-located. The
+    * refined cells have no one-shot oracle twin (s05's contract is the
+    * SAMPLED quantizer), so refine defaults off and the refined path
+    * carries its own spec floors instead. */
   def trainQuantizer(spark: SparkSession, corpusTableDir: String,
-                     centDir: String): Unit =
-    Extensions.trainedCentroids(spark, corpusTableDir)
+                     centDir: String, refine: Boolean = false): Unit =
+    (if (refine) Extensions.refinedCentroids(spark, corpusTableDir)
+     else Extensions.trainedCentroids(spark, corpusTableDir))
       .write.mode(SaveMode.Overwrite).parquet(centDir)
 
   /** Quantizer STALENESS story — the operational other half of offline

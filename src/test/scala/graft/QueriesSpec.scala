@@ -185,7 +185,7 @@ class QueriesSpec extends SparkSpec {
     } finally smp.unpersist()
   }
 
-  test("t26 chunking tiles every document with 64/48 windows") {
+  test("t25 chunking tiles every document with 64/48 windows") {
     val ch = Extensions.chunkDocs(spark, dir).persist()
     try {
       val docs = Tables.t(spark, dir, "documents")

@@ -70,6 +70,48 @@ class StreamingSemanticDedupSpec extends SparkSpec {
       "pair view unchanged by compaction")
   }
 
+  test("Lloyd-refined quantizer ingest stays sound and keeps coverage") {
+    // trainQuantizer(refine = true) probes s14's Lloyd-trained cells
+    // instead of the raw hash-sampled seeds. The refined cells have no
+    // one-shot oracle twin (s05's contract is the sampled quantizer),
+    // so the pins are semantic: every logged pair is an exact-cosine
+    // fact above the d05 threshold (soundness under ANY quantizer),
+    // with the exact score, and cell coverage does not collapse
+    // (refinement moves boundaries, it must not lose the near-dup
+    // mass — floor at half the sampled quantizer's pair count).
+    val srcDir = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-refined").toString
+    val corpus = s"$base/embeddings.parquet"
+    val (cent, assign, pairs, ckpt) =
+      (s"$base/cents", s"$base/assigns", s"$base/pairs", s"$base/ckpt")
+
+    val emb = graft.Tables.t(spark, srcDir, "embeddings")
+      .select("vec_id", "embedding")
+    (0 until 2).foreach { w =>
+      emb.filter(pmod(col("vec_id"), lit(2)) === w)
+        .coalesce(1).write.mode("append").parquet(corpus)
+    }
+    StreamingSemanticDedup.trainQuantizer(spark, base, cent, refine = true)
+    StreamingSemanticDedup.ingestAvailable(spark, corpus, cent, assign,
+      pairs, ckpt, maxFilesPerTrigger = Some(1))
+
+    val streamed = StreamingSemanticDedup.pairsView(spark, pairs)
+    val exact = Extensions.dedupEmbedding(spark, base)
+    // soundness: streamed ⊆ exact d05 pairs, scores identical
+    val phantom = streamed.join(exact, Seq("vec_a", "vec_b"), "left_anti")
+    assert(phantom.count() == 0, "refined-cell pair log emitted a non-pair")
+    val wrongScore = streamed
+      .join(exact.withColumnRenamed("cos_ppm", "exact_cos"),
+        Seq("vec_a", "vec_b"))
+      .filter(col("cos_ppm") =!= col("exact_cos"))
+    assert(wrongScore.count() == 0, "refined-cell pair scored inexactly")
+    // coverage floor vs the sampled quantizer's one-shot pairing
+    val sampled = Extensions.semdedupCells(spark, base).count()
+    val got = streamed.count()
+    assert(got > 0 && got * 2 >= sampled,
+      s"refined cells lost near-dup coverage: $got vs sampled $sampled")
+  }
+
   test("retrain rebuilds assignments for a grown corpus; epoch semantics hold") {
     val srcDir = sf("sf0.001")
     val base = java.nio.file.Files.createTempDirectory("graft-retrain").toString
