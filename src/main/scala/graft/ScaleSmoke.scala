@@ -35,15 +35,20 @@ object ScaleSmoke {
 
   /** The top-cost queries of BENCH_LOCAL.json (round 8), the verdict's
     * smoke list — d03 stands in for d02 (the registered scale twin) —
-    * plus the round-9 additions (s13 SQ8 ANN, t21 novelty): cheap at
-    * sf0.1, included because their scale CLAIMS (linear coarse scan,
-    * d01-class shingle agg) deserve the same empirical exponent. */
+    * plus the round-9 additions, cheap at sf0.1 but included because
+    * their scale CLAIMS deserve the same empirical exponent: s13's
+    * linear coarse code scan, t21's d01-class shingle agg, s14's
+    * O(n^1.5) Lloyd training (n·√n dots — expect a ~1.5 exponent BY
+    * DESIGN, the documented IVF training trade), s15's cell-pruned
+    * serving (vs s13's linear scan), and t25's pure per-row chunk
+    * map. */
   private[graft] val Queries = Seq(
     "d08_edit_distance_pairs", "d13_semantic_canonical",
     "d06_dedup_clusters", "q27_dense_daily_spine",
     "d10_dedup_incremental", "q10_campaign_stats",
     "d03_dedup_minhash_lsh", "t16_decontaminated_corpus",
-    "s13_ann_sq8", "t21_ngram_novelty")
+    "s13_ann_sq8", "t21_ngram_novelty",
+    "s14_kmeans_refine", "s15_ann_ivf_sq8", "t25_chunk_docs")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
