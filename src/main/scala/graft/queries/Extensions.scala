@@ -969,6 +969,24 @@ object Extensions {
           .as("n_tokens"),
         col("c.chunk_hash").as("chunk_hash"))
 
+  /** d15: chunk-grain exact dedup — d01's hash dedup at t25's chunk
+    * grain, the retrieval/embedding unit. Document-grain dedup (d01)
+    * misses boilerplate chunks embedded in otherwise-distinct
+    * documents; d11 finds repeated substrings at EVERY 30-token offset
+    * (the memorization audit); d15 detects repetition at exactly the
+    * grain the embedding job pays for, so its hit list is directly the
+    * set of redundant vectors a RAG corpus can drop before encoding
+    * (the chunk hash t25 emits doubles as the dedup key — no second
+    * tokenization pass at scale, the chunk table is the input). One
+    * hash-shuffle groupBy at chunk grain, d01's cost class. */
+  def chunkDupes(s: SparkSession, dir: String): DataFrame =
+    chunkDocs(s, dir)
+      .groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
   /** Connected components over an undirected pair list via min-label
     * propagation run to FIXPOINT — the BSP shape GraphFrames/Pregel would
     * run at scale, expressed as plain shuffles: each round is one
@@ -4205,6 +4223,17 @@ object Extensions {
         |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
         |       CAST(LEAST(64, len(t) - k * 48) AS BIGINT) AS n_tokens,
         |       md5(array_to_string(t[k * 48 + 1:k * 48 + 64], ' ')) AS chunk_hash
-        |FROM toks, UNNEST(range(0, (len(t) - 1) // 48 + 1)) u(k)""".stripMargin))
+        |FROM toks, UNNEST(range(0, (len(t) - 1) // 48 + 1)) u(k)""".stripMargin)),
+
+    QuerySpec("d15_chunk_dupes", chunkDupes, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(t[k * 48 + 1:k * 48 + 64], ' ')) AS chunk_hash
+        |  FROM toks, UNNEST(range(0, (len(t) - 1) // 48 + 1)) u(k))
+        |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+        |       count(*) AS n_chunks, min(doc_id) AS first_doc
+        |FROM ch GROUP BY 1
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin))
   )
 }

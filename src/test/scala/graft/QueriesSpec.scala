@@ -208,6 +208,25 @@ class QueriesSpec extends SparkSpec {
     } finally ch.unpersist()
   }
 
+  test("d15 chunk dupes agree with the t25 chunk table") {
+    val dup = Extensions.chunkDupes(spark, dir).persist()
+    try {
+      assert(dup.count() > 0, "fixture has cross-doc repeated chunks")
+      val bad = dup.filter(col("n_docs") < 2 || col("n_chunks") < col("n_docs"))
+      assert(bad.count() == 0)
+      // recomputing the flagged groups from the chunk table reproduces
+      // the counts exactly (d15 is a pure rollup of t25)
+      val recount = Extensions.chunkDocs(spark, dir)
+        .groupBy("chunk_hash")
+        .agg(countDistinct("doc_id").as("rd"), count(lit(1)).as("rc"),
+          min("doc_id").as("rf"))
+      val mism = dup.join(recount, "chunk_hash")
+        .filter(col("n_docs") =!= col("rd") || col("n_chunks") =!= col("rc") ||
+          col("first_doc") =!= col("rf"))
+      assert(mism.count() == 0)
+    } finally dup.unpersist()
+  }
+
   test("t22 incremental novelty equals one-shot t21 restricted to the delta") {
     // The maintained-first-seen probe must be a pure restriction of the
     // one-shot computation: same rows, same counts, for the d10 delta
