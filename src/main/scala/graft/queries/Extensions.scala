@@ -955,7 +955,13 @@ object Extensions {
     * in corpus tokens. At 100 TB this pipelines inside one stage and
     * the chunk hash doubles as the join key for chunk-grain dedup. */
   def chunkDocs(s: SparkSession, dir: String): DataFrame =
-    toks(s, dir)
+    chunksOfDocs(docs(s, dir))
+
+  /** t25 at frame grain (expects doc_id, text) so the incremental
+    * maintenance path (streaming.ChunkTable) chunks a delta batch with
+    * the identical definition — the shinglesOfDocs pattern. */
+  private[graft] def chunksOfDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).as("n"))
       .select(col("doc_id"), col("n"),
         explode(expr(

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.queries.Extensions
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+/** INCREMENTAL maintenance of the chunk table (t25) — the
+  * retrieval-grain artifact the embedding job consumes — and its
+  * chunk-grain dedup rollup (d15) as a view over the log.
+  *
+  * Chunks are the EASIEST member of the incremental family: a
+  * document's chunks are a pure function of that document alone (no
+  * cross-doc state — unlike the scrub's crossing-rescore or novelty's
+  * first-seen probe), so a refresh is exactly
+  *
+  *   1. new docs = corpus ∖ chunk log's doc set (the idempotent
+  *      anti-join discovery every maintained artifact here uses);
+  *   2. chunk them with the one-shot definition verbatim
+  *      (Extensions.chunksOfDocs — same 64/48 windows, same hash);
+  *   3. append. A replayed append re-selects only docs whose files
+  *      never committed; the distinct view absorbs any duplicate rows
+  *      a crash window could leave.
+  *
+  * Arrival-order INVARIANT in the strongest sense: after any wave
+  * partition, in any order, the log equals one-shot t25 on the final
+  * corpus row-for-row (CorpusServiceSpec pins it), because no chunk
+  * row reads anything outside its own document.
+  *
+  * The d15 rollup ([[dupesView]]) is recomputed over the log at read:
+  * doc-grain state (a hash + two ints per chunk), one hash-shuffle
+  * groupBy — at 100 TB the log is bucketed by chunk_hash so the
+  * rollup and any chunk-grain join prune to key ranges; the text is
+  * never re-tokenized (the log IS the tokenization, paid once per
+  * doc at ingest). */
+object ChunkTable {
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The maintained chunk table (t25's schema; empty-safe); distinct
+    * absorbs crash-replayed appends. */
+  def chunkView(spark: SparkSession, logDir: String): DataFrame =
+    if (exists(spark, logDir)) spark.read.parquet(logDir).distinct()
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("chunk_id", IntegerType),
+        StructField("n_tokens", LongType),
+        StructField("chunk_hash", StringType))))
+
+  /** d15's rollup over the maintained log: chunk hashes recurring in
+    * ≥2 distinct documents, with occurrence counts and the canonical
+    * (min-id) holder. */
+  def dupesView(spark: SparkSession, logDir: String): DataFrame =
+    chunkView(spark, logDir)
+      .groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
+  /** One incremental refresh; returns the number of newly chunked docs. */
+  def maintain(spark: SparkSession, corpusDir: String,
+               logDir: String): Long = {
+    val docs = graft.Tables.t(spark, corpusDir, "documents")
+      .select("doc_id", "text")
+    val processed = chunkView(spark, logDir).select("doc_id").distinct()
+    val newDocs = docs.join(processed, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val nNew = newDocs.count()
+    if (nNew == 0) return 0L
+    Extensions.chunksOfDocs(newDocs)
+      .write.mode(SaveMode.Append).parquet(logDir)
+    nNew
+  }
+
+  /** Post-drain compaction (the shared idempotent-log posture). */
+  def compactLog(spark: SparkSession, logDir: String,
+                 files: Int = 4): Boolean =
+    graft.jobs.Warehouse.tryCoalesceLog(
+      spark, logDir, dedupRows = true, files)
+}

@@ -69,6 +69,9 @@ object CorpusService {
       * immutable per-doc novelty log (t21's schema). */
     val noveltyFirstSeen = s"$base/dedup/novelty_first_seen"
     val noveltyLog = s"$base/dedup/novelty"
+    /** The maintained retrieval-grain chunk table (incremental t25;
+      * streaming.ChunkTable — what the embedding job consumes). */
+    val chunkLog = s"$base/dedup/chunks"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -220,7 +223,8 @@ object CorpusService {
                      contaminationRef: Option[String] = None,
                      scrub: Boolean = false,
                      fingerprint: Boolean = false,
-                     novelty: Boolean = false): Unit = {
+                     novelty: Boolean = false,
+                     chunks: Boolean = false): Unit = {
     StreamingDedup.ingestAvailable(spark, p.docs, p.sigs, p.pairs, p.docsCkpt)
     StreamingSemanticDedup.ingestAvailable(spark, p.embeddings, p.cents,
       p.assigns, p.semPairs, p.embCkpt, maxFilesPerTrigger)
@@ -235,6 +239,7 @@ object CorpusService {
         p.fpPairs, p.fpCkpt)
     if (scrub) maintainScrub(spark, p)
     if (novelty) maintainNovelty(spark, p)
+    if (chunks) maintainChunks(spark, p)
     if (compact) {
       require(StreamingDedup.compactLogs(spark, p.sigs, p.pairs),
         "corpus service: shingle dedup logs failed to compact post-drain")
@@ -254,6 +259,9 @@ object CorpusService {
       if (exists(spark, p.noveltyLog))
         require(NoveltyTable.compactLogs(spark, p.noveltyFirstSeen, p.noveltyLog),
           "corpus service: novelty logs failed to compact post-drain")
+      if (exists(spark, p.chunkLog))
+        require(ChunkTable.compactLog(spark, p.chunkLog),
+          "corpus service: chunk log failed to compact post-drain")
     }
     if (canonical) refreshCanonicalCorpus(spark, p)
     if (index) refreshAnnIndex(spark, p)
@@ -496,6 +504,23 @@ object CorpusService {
   def noveltyReport(spark: SparkSession, p: Paths): DataFrame =
     NoveltyTable.noveltyView(spark, p.noveltyLog)
 
+  /** One incremental chunk-table refresh (delta-grain: only
+    * not-yet-chunked docs are tokenized — see streaming.ChunkTable).
+    * Run per drain; returns newly chunked docs. */
+  def maintainChunks(spark: SparkSession, p: Paths): Long =
+    ChunkTable.maintain(spark, p.base, p.chunkLog)
+
+  /** The maintained retrieval-grain chunk table (t25's schema;
+    * empty-safe) — the embedding job's input, paid once per doc. */
+  def chunkTableView(spark: SparkSession, p: Paths): DataFrame =
+    ChunkTable.chunkView(spark, p.chunkLog)
+
+  /** Chunk-grain dedup (d15's rollup) over the maintained chunk log:
+    * the redundant-vector drop list a RAG corpus applies before
+    * encoding. */
+  def chunkDupesReport(spark: SparkSession, p: Paths): DataFrame =
+    ChunkTable.dupesView(spark, p.chunkLog)
+
   /** The per-source curation report (t23's rollup) over the MAINTAINED
     * novelty log — the acquisition-decision view ("which crawl source
     * still pays for its tokens") kept current by the drain loop. The
@@ -692,6 +717,7 @@ object CorpusService {
                    scrub: Boolean = true,
                    fingerprint: Boolean = false,
                    novelty: Boolean = false,
+                   chunks: Boolean = false,
                    maxFilesPerTrigger: Option[Int] = None,
                    taskRetries: Int = 0,
                    retryBackoff: java.time.Duration =
@@ -714,7 +740,7 @@ object CorpusService {
           drainAvailable(spark, p, maxFilesPerTrigger,
             compact = true, canonical = false, index = true,
             contaminationRef = contaminationRef, scrub = scrub,
-            fingerprint = fingerprint, novelty = novelty)
+            fingerprint = fingerprint, novelty = novelty, chunks = chunks)
           refreshCanonicalCorpus(spark, p, includeSemantic,
             includeFingerprint = fingerprint)
           // With a gate registered, its drop list flows into the manifest:

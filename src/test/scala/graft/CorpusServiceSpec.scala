@@ -40,12 +40,12 @@ class CorpusServiceSpec extends SparkSpec {
     // Wave-1 drain: only wave-1 docs exist; embeddings drain fully
     // (either side may run ahead — the contract tolerates it).
     CorpusService.drainAvailable(spark, p, contaminationRef = Some(refDir),
-      fingerprint = true, novelty = true)
+      fingerprint = true, novelty = true, chunks = true)
 
     // Wave 2 (documents): the rest arrives and drains.
     docs.filter(col("doc_id") % 5 >= 3).write.mode("append").parquet(p.docs)
     CorpusService.drainAvailable(spark, p, contaminationRef = Some(refDir),
-      fingerprint = true, novelty = true)
+      fingerprint = true, novelty = true, chunks = true)
 
     // The ingest-time leakage gate converged to the one-shot audit.
     assertSameRows(
@@ -83,6 +83,18 @@ class CorpusServiceSpec extends SparkSpec {
       "service source rollup volume columns vs one-shot t23")
     assert(srcStats.agg(sum("n_novel")).collect()(0).getLong(0) == universe,
       "source rollup does not conserve novelty mass")
+
+    // The maintained chunk table: chunks are per-doc pure (no cross-doc
+    // state), so under ANY arrival order the log equals one-shot t25 on
+    // the final corpus row-for-row, and the dupes rollup equals d15.
+    assertSameRows(
+      CorpusService.chunkTableView(spark, p),
+      Extensions.chunkDocs(spark, base),
+      "maintained chunk table vs one-shot t25")
+    assertSameRows(
+      CorpusService.chunkDupesReport(spark, p),
+      Extensions.chunkDupes(spark, base),
+      "maintained chunk dupes vs one-shot d15")
 
     // Equivalence with the one-shot batch operators on the full corpus.
     assertSameRows(
@@ -145,7 +157,7 @@ class CorpusServiceSpec extends SparkSpec {
     def dataFiles(dir: String): Int = new java.io.File(dir)
       .listFiles().count(_.getName.endsWith(".parquet"))
     Seq(p.sigs, p.pairs, p.assigns, p.semPairs, p.contam,
-        p.fpSigs, p.fpPairs).foreach { d =>
+        p.fpSigs, p.fpPairs, p.chunkLog).foreach { d =>
       assert(dataFiles(d) <= 4, s"$d not compacted: ${dataFiles(d)} files")
     }
 
