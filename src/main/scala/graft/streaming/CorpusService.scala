@@ -78,8 +78,9 @@ object CorpusService {
     * quantizer from the current corpus, recording the corpus size it
     * was trained at (maybeRetrain's growth anchor). Run before the
     * first embedding drain; the stream only reads the result. */
-  def trainQuantizer(spark: SparkSession, p: Paths): Unit = {
-    StreamingSemanticDedup.trainQuantizer(spark, p.base, p.cents)
+  def trainQuantizer(spark: SparkSession, p: Paths,
+                     refine: Boolean = false): Unit = {
+    StreamingSemanticDedup.trainQuantizer(spark, p.base, p.cents, refine)
     recordTrainedCount(spark, p)
   }
 
