@@ -829,6 +829,70 @@ object Extensions {
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
   }
 
+  /** s16: hybrid retrieval with Reciprocal Rank Fusion — the serving
+    * shape modern search actually deploys: a LEXICAL ranker (integer
+    * tf·idf over shared tokens, the BM25 family's exact-arithmetic
+    * sibling — t10's idiom at retrieval grain) and the VECTOR ranker
+    * (s01's exact cosine) each produce a top-20, and the fused score is
+    * Σ 1/(60+rank) over the UNION (RRF, Cormack et al.'s k=60), in ppm
+    * via integer division so the fusion is exact across engines. A doc
+    * found by only one ranker scores that ranker's term alone — RRF's
+    * point: lexical recovers exact-term matches embeddings blur, vectors
+    * recover paraphrases sharing no tokens.
+    *
+    * Queries are docs 0–9 under the established doc_id ≡ vec_id
+    * convention (s04's join). Determinism: tf, df, and N are integers;
+    * idf_ppm = (N·1e6) // df; the lexical score is a BIGINT sum; rank
+    * ties break by neighbor id everywhere.
+    *
+    * Scale shape: the lexical side is a posting-list join at QUERY
+    * grain — |Q| tiny, cost Σ_{t ∈ q} df(t), the classic serving cost
+    * (production systems bound hot-token df with impact-sorted
+    * postings; idf already downweights them to noise here). The vector
+    * side is s01's honest exact scan standing in for any s02–s15
+    * variant (RRF only consumes ranks, so the ANN family drops in
+    * unchanged). Fusion joins two ≤20-row-per-query frames. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    val vec = q.join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rank_v", row_number().over(wv))
+      .filter(col("rank_v") <= 20)
+      .select("query_id", "neighbor_id", "rank_v")
+    val tf = tokRows(s, dir)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nn = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("lex_score").desc, col("neighbor_id").asc)
+    val lex = tf.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("tok"))
+      .join(tf.select(col("doc_id").as("neighbor_id"), col("tok"), col("tf")), "tok")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(dfx, "tok")
+      .crossJoin(broadcast(nn))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("tf") * ppm(col("n_docs"), col("df"))).as("lex_score"))
+      .withColumn("rank_l", row_number().over(wl))
+      .filter(col("rank_l") <= 20)
+      .select("query_id", "neighbor_id", "rank_l")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_ppm").desc, col("neighbor_id").asc)
+    vec.join(lex, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(idiv(lit(1000000L), lit(60L) + col("rank_v")), lit(0L)) +
+        coalesce(idiv(lit(1000000L), lit(60L) + col("rank_l")), lit(0L)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "neighbor_id", "rrf_ppm", "rank")
+  }
+
   /** s14: k-means refinement of the coarse quantizer — two Lloyd
     * iterations over the hash-sampled √n seeds ([[coarseCentroids]]),
     * the offline TRAINING job behind every IVF consumer (s03/s05/s07/
@@ -4199,6 +4263,61 @@ object Extensions {
         |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM scored) t
         |WHERE rank <= 5""".stripMargin)),
+
+    QuerySpec("s16_hybrid_rrf", hybridRrf, Some(embCtes +
+      """, vdots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON b.i = a.i
+        |   AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |vrank AS (
+        |  SELECT query_id, neighbor_id, rank_v FROM (
+        |    SELECT d.query_id, d.neighbor_id,
+        |           row_number() OVER (PARTITION BY d.query_id ORDER BY
+        |             CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) DESC,
+        |             d.neighbor_id) AS rank_v
+        |    FROM vdots d
+        |    JOIN sq x ON x.vec_id = d.query_id
+        |    JOIN sq y ON y.vec_id = d.neighbor_id) t
+        |  WHERE rank_v <= 20),
+        |tf AS (
+        |  SELECT doc_id, t[i] AS tok, count(*) AS tf
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) x,
+        |       UNNEST(range(1, len(t) + 1)) u(i)
+        |  GROUP BY 1, 2),
+        |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n_docs FROM documents),
+        |lex AS (
+        |  SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+        |         CAST(SUM(d.tf * ((nn.n_docs * 1000000) // dfx.df)) AS BIGINT) AS lex_score
+        |  FROM tf q
+        |  JOIN tf d ON d.tok = q.tok AND d.doc_id <> q.doc_id
+        |  JOIN dfx ON dfx.tok = q.tok
+        |  CROSS JOIN nn
+        |  WHERE q.doc_id < 10
+        |  GROUP BY 1, 2),
+        |lrank AS (
+        |  SELECT query_id, neighbor_id, rank_l FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY lex_score DESC, neighbor_id) AS rank_l
+        |    FROM lex) t
+        |  WHERE rank_l <= 20),
+        |fused AS (
+        |  SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+        |         COALESCE(v.neighbor_id, l.neighbor_id) AS neighbor_id,
+        |         COALESCE(1000000 // (60 + v.rank_v), 0) +
+        |         COALESCE(1000000 // (60 + l.rank_l), 0) AS rrf_ppm
+        |  FROM vrank v
+        |  FULL JOIN lrank l
+        |    ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id)
+        |SELECT query_id, neighbor_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm, rank
+        |FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY rrf_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM fused) t
+        |WHERE rank <= 10""".stripMargin)),
 
     QuerySpec("t24_cluster_sample", clusterSample, Some(embCtes + ", " + centsCte +
       """a0 AS (

@@ -208,6 +208,23 @@ class QueriesSpec extends SparkSpec {
     } finally ch.unpersist()
   }
 
+  test("s16 hybrid fusion ranks 10 per query with bounded RRF mass") {
+    val h = Extensions.hybridRrf(spark, dir).collect()
+    val per = h.groupBy(_.getLong(0))
+    assert(per.size == 10, s"expected 10 query docs, got ${per.size}")
+    per.foreach { case (q, rows) =>
+      assert(rows.length == 10, s"query $q: ${rows.length} rows")
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to 10),
+        s"query $q: ranks not contiguous")
+      rows.foreach { r =>
+        val v = r.getLong(2)
+        // RRF mass per doc is at most both rank-1 terms (1e6 div 61 each)
+        assert(v > 0 && v <= 2 * (1000000 / 61),
+          s"query $q: rrf_ppm $v out of bounds")
+      }
+    }
+  }
+
   test("d15 chunk dupes agree with the t25 chunk table") {
     val dup = Extensions.chunkDupes(spark, dir).persist()
     try {
