@@ -48,7 +48,8 @@ object ScaleSmoke {
     "d10_dedup_incremental", "q10_campaign_stats",
     "d03_dedup_minhash_lsh", "t16_decontaminated_corpus",
     "s13_ann_sq8", "t21_ngram_novelty",
-    "s14_kmeans_refine", "s15_ann_ivf_sq8", "t25_chunk_docs")
+    "s14_kmeans_refine", "s15_ann_ivf_sq8", "t25_chunk_docs",
+    "s16_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
