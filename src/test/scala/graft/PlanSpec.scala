@@ -343,6 +343,24 @@ class PlanSpec extends SparkSpec {
       s"sample window not partitioned by cell:\n$phys")
   }
 
+  test("s16's query-side tokenization is pruned to the query docs") {
+    // The serving-cost claim: the lexical ranker's QUERY side must
+    // tokenize only the 10 query documents — the doc_id < 10 predicate
+    // has to reach a parquet scan (below the tf aggregation), not
+    // filter after corpus-wide tokenization. The only nested loops are
+    // the broadcast scalar joins (the N-docs frame).
+    val phys = planOf(graft.queries.Extensions.hybridRrf(spark, dir))
+    assert("PushedFilters:[^\\]]*LessThan\\(doc_id,10\\)".r
+      .findFirstIn(phys).isDefined,
+      s"query-doc filter not pushed to a documents scan:\n$phys")
+    assert(!phys.contains("CartesianProduct"),
+      s"cartesian product in s16 plan:\n$phys")
+    val nlj = "(\\w*)NestedLoopJoin".r.findAllMatchIn(phys)
+      .map(_.group(1)).toSeq
+    assert(nlj.forall(_ == "Broadcast"),
+      s"non-broadcast nested-loop join in s16 plan:\n$phys")
+  }
+
   test("t21's novelty plan is agg+join only — no window, no pair join") {
     // The scale claim: first-seen is a hash agg keyed on shingle joined
     // back at shingle grain — never a corpus-ordered window (which
