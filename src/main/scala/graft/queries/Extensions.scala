@@ -1023,13 +1023,23 @@ object Extensions {
 
   /** t25 at frame grain (expects doc_id, text) so the incremental
     * maintenance path (streaming.ChunkTable) chunks a delta batch with
-    * the identical definition — the shinglesOfDocs pattern. */
+    * the identical definition — the shinglesOfDocs pattern.
+    *
+    * The window sequence stops once the PREVIOUS 64-token window covers
+    * the tail: a naive ceil(n/48) tiling emits, for n mod 48 in 1..16
+    * (n > 48), a final chunk wholly contained in the prior window —
+    * pure embedding-workload inflation, every token already encoded.
+    * greatest((n-17) div 48, 0) is the largest k whose window adds at
+    * least one new token (start k·48+1 ≤ n−16 ⇔ k ≤ (n−17)/48); the
+    * greatest() also keeps the n < 17 numerator non-negative, where
+    * Spark's truncating div and DuckDB's floor `//` would diverge. The
+    * last chunk then holds 17–64 tokens, always inside its window. */
   private[graft] def chunksOfDocs(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).as("n"))
       .select(col("doc_id"), col("n"),
         explode(expr(
-          """transform(sequence(0, (n - 1) div 48),
+          """transform(sequence(0, greatest((n - 17) div 48, 0)),
             |  k -> named_struct(
             |    'chunk_id', CAST(k AS INT),
             |    'chunk_hash', md5(concat_ws(' ', slice(t, k * 48 + 1, 64)))))"""
@@ -4348,14 +4358,14 @@ object Extensions {
         |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
         |       CAST(LEAST(64, len(t) - k * 48) AS BIGINT) AS n_tokens,
         |       md5(array_to_string(t[k * 48 + 1:k * 48 + 64], ' ')) AS chunk_hash
-        |FROM toks, UNNEST(range(0, (len(t) - 1) // 48 + 1)) u(k)""".stripMargin)),
+        |FROM toks, UNNEST(range(0, GREATEST((len(t) - 17) // 48, 0) + 1)) u(k)""".stripMargin)),
 
     QuerySpec("d15_chunk_dupes", chunkDupes, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |ch AS (
         |  SELECT doc_id,
         |         md5(array_to_string(t[k * 48 + 1:k * 48 + 64], ' ')) AS chunk_hash
-        |  FROM toks, UNNEST(range(0, (len(t) - 1) // 48 + 1)) u(k))
+        |  FROM toks, UNNEST(range(0, GREATEST((len(t) - 17) // 48, 0) + 1)) u(k))
         |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
         |       count(*) AS n_chunks, min(doc_id) AS first_doc
         |FROM ch GROUP BY 1

@@ -83,4 +83,50 @@ class NoveltySpec extends SparkSpec {
       Extensions.ngramNovelty(spark, corpus),
       "replay-converged table vs one-shot t21")
   }
+
+  test("first-seen attribution survives a crash replayed over out-of-order arrivals") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-nov3").toString
+    val corpus = s"$base/corpus"
+    val fs = s"$base/first_seen"
+    val log = s"$base/log"
+    Seq((1L, "alpha beta gamma delta epsilon", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(s"$corpus/documents.parquet")
+    assert(NoveltyTable.maintain(spark, corpus, fs, log) == 1L)
+    // Wave 2: docs 10 and 11; the refresh appends first-seen (shingles
+    // attributed to doc 10/11) then CRASHES before the novelty commit.
+    val wave2 = Seq((10L, "omega psi chi phi upsilon", "en"),
+        (11L, "sigma tau rho pi omicron", "en"))
+      .toDF("doc_id", "text", "lang")
+    wave2.write.mode("append").parquet(s"$corpus/documents.parquet")
+    Extensions.shinglesOfDocs(wave2)
+      .groupBy("shingle").agg(min("doc_id").as("first_doc"))
+      .join(NoveltyTable.firstSeenView(spark, fs).select("shingle"),
+        Seq("shingle"), "left_anti")
+      .write.mode("append").parquet(fs)
+    // Before the replay, doc 5 arrives OUT OF ID ORDER sharing doc 10's
+    // shingles: the replayed batch is {5, 10, 11} and its min doc for
+    // those shingles (5) is smaller than the premature store rows (10).
+    Seq((5L, "omega psi chi phi upsilon", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(s"$corpus/documents.parquet")
+    assert(NoveltyTable.maintain(spark, corpus, fs, log) == 3L)
+    // The log attributes doc 10's shingles to doc 5 (batch min)...
+    val got = NoveltyTable.noveltyView(spark, log).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(5L) == ((3L, 3L)), s"batch-min doc not credited: $got")
+    assert(got(10L) == ((3L, 0L)), s"crashed doc rescored as novel: $got")
+    // ...and the STORE must agree — first_doc is authoritative
+    // attribution: per doc, the number of shingles the store credits to
+    // it equals the log's n_novel, with no premature row left standing.
+    val attrib = NoveltyTable.firstSeenView(spark, fs)
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_attr"))
+    val bad = NoveltyTable.noveltyView(spark, log)
+      .join(attrib, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_attr"), lit(0L)) =!= col("n_novel"))
+    assert(bad.count() == 0,
+      "store first_doc disagrees with the novelty log's attribution")
+  }
 }

@@ -190,17 +190,23 @@ class QueriesSpec extends SparkSpec {
     try {
       val docs = Tables.t(spark, dir, "documents")
         .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
-      // chunk count per doc = (n-1) div 48 + 1 with contiguous ids
+      // chunk count per doc = greatest((n-17) div 48, 0) + 1 with
+      // contiguous ids — the tiling stops once the previous 64-token
+      // window already covers the tail (no fully-subsumed final chunk)
       val per = ch.groupBy("doc_id")
         .agg(count(lit(1)).as("c"), max("chunk_id").as("mx"))
       val badCount = per.join(docs, "doc_id")
-        .filter(col("c") =!= (col("n") - 1).divide(lit(48)).cast("int") + 1 ||
+        .filter(col("c") =!=
+          greatest(expr("(n - 17) div 48"), lit(0)).cast("int") + 1 ||
           col("mx") =!= col("c") - 1)
       assert(badCount.count() == 0)
-      // every chunk holds exactly the window's overlap with the doc
+      // every chunk holds exactly the window's overlap with the doc,
+      // and the last chunk always ADDS tokens (17..64 of them)
       val badTok = ch.join(docs, "doc_id")
         .filter(col("n_tokens") =!=
-          least(lit(64), col("n") - col("chunk_id") * 48).cast("long"))
+          least(lit(64), col("n") - col("chunk_id") * 48).cast("long") ||
+          col("n_tokens") > 64 ||
+          (col("chunk_id") > 0 && col("n_tokens") < 17))
       assert(badTok.count() == 0)
       // chunking is a pure map: the physical plan has no shuffle at all
       val plan = ch.queryExecution.executedPlan.toString
