@@ -280,6 +280,28 @@ object Extensions {
       |           FROM embeddings) = 0),
       |""".stripMargin
 
+  /** One round of the d13 oracle's iterative min-label connected
+    * components (the non-recursive twin of the Spark fixpoint): node x's
+    * label becomes min over its own label, its neighbors' labels, and
+    * its LABEL's label (pointer doubling — coverage grows geometrically
+    * per round where plain neighbor propagation grows by one hop).
+    * Linear work per round: one label row per node survives the GROUP
+    * BY, unlike a recursive closure's (node, reachable-label) relation.
+    * MATERIALIZED is load-bearing: each round references its
+    * predecessor three times, so DuckDB's default CTE inlining would
+    * expand the 7-round chain 3^7-fold (observed as a file-handle
+    * blowup re-opening the parquet scan). */
+  private def ccRoundSql(k: Int): String =
+    s"""l$k AS MATERIALIZED (
+       |  SELECT t.doc_id, MIN(t.lab) AS lab FROM (
+       |    SELECT doc_id, lab FROM l${k - 1}
+       |    UNION ALL
+       |    SELECT e.doc_a AS doc_id, l.lab FROM e JOIN l${k - 1} l ON l.doc_id = e.doc_b
+       |    UNION ALL
+       |    SELECT a.doc_id, b.lab FROM l${k - 1} a JOIN l${k - 1} b ON b.doc_id = a.lab
+       |  ) t GROUP BY 1),
+       |""".stripMargin
+
   /** The coarse quantizer's TRAINED state as a writable frame — what an
     * offline quantizer-training job materializes for the streaming
     * semantic-dedup path to probe against (IVF systems train the
@@ -3612,38 +3634,56 @@ object Extensions {
         |       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin)),
 
-    // d13's oracle = s05's cell-blocked pair chain feeding d06's
-    // recursive transitive closure and d07's resolution tail — the same
-    // composition the Spark side makes out of shared code paths.
+    // d13's oracle = s05's cell-blocked pair chain feeding an ITERATIVE
+    // min-label connected-components unroll and d07's resolution tail —
+    // the same composition the Spark side makes out of shared code
+    // paths. A WITH RECURSIVE closure (rounds 5-9) computed the full
+    // (node, reachable-label) relation with UNION dedup — quadratic in
+    // component size, >120 s at sf0.1, which forced the sweep to skip
+    // this query. The unroll below is the Spark fixpoint's own shape:
+    // each round keeps ONE label per node (min over self, neighbors,
+    // and the label's label — pointer jumping, so coverage grows
+    // super-linearly; measured convergence is 9 rounds at BOTH sf0.01
+    // and sf0.1, unrolled to 12 for margin at ~zero marginal cost),
+    // linear work per round. Depth is guarded, not assumed: a 13th
+    // round feeds a sentinel row (doc_id -1, lang 'NONCONVERGED')
+    // emitted only if any label still moves — the compare then fails
+    // loudly instead of silently passing stale labels. The whole pair
+    // chain is marked MATERIALIZED (here only — the shared embCtes stay
+    // untouched for the other oracles): spairs feeds e's two-direction
+    // union and scand reads assigned twice, so default inlining re-runs
+    // the full embedding chain multiplicatively (measured 192 s at
+    // sf0.1 vs 33 s materialized).
     QuerySpec("d13_semantic_canonical", semanticCanonical,
-      Some(embCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " + centsCte +
-      """adots AS (
+      Some(Seq("ev", "sq").foldLeft(embCtes)((s, c) =>
+        s.replace(c + " AS (", c + " AS MATERIALIZED (")) + ", " + centsCte +
+      """adots AS MATERIALIZED (
         |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
         |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
         |  GROUP BY 1, 2),
-        |ascore AS (
+        |ascore AS MATERIALIZED (
         |  SELECT d.vec_id, d.cent_id,
         |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
         |  FROM adots d
         |  JOIN sq x ON x.vec_id = d.vec_id
         |  JOIN sq y ON y.vec_id = d.cent_id),
-        |assigned AS (
+        |assigned AS MATERIALIZED (
         |  SELECT vec_id, cell FROM (
         |    SELECT vec_id, cent_id AS cell,
         |           row_number() OVER (PARTITION BY vec_id
         |             ORDER BY cos_ppm DESC, cent_id ASC) AS rn
         |    FROM ascore) t WHERE rn <= 4),
-        |scand AS (
+        |scand AS MATERIALIZED (
         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
         |  FROM assigned x
         |  JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id),
-        |sdots AS (
+        |sdots AS MATERIALIZED (
         |  SELECT c.vec_a, c.vec_b, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
         |  FROM scand c
         |  JOIN ev a ON a.vec_id = c.vec_a
         |  JOIN ev b ON b.vec_id = c.vec_b AND b.i = a.i
         |  GROUP BY 1, 2),
-        |spairs AS (
+        |spairs AS MATERIALIZED (
         |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
         |    SELECT p.vec_a, p.vec_b,
         |           CAST(floor(p.dot / (sqrt(sx.s2) * sqrt(sy.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
@@ -3651,18 +3691,22 @@ object Extensions {
         |    JOIN sq sx ON sx.vec_id = p.vec_a
         |    JOIN sq sy ON sy.vec_id = p.vec_b) t
         |  WHERE cos_ppm >= 350000),
-        |e AS (SELECT doc_a, doc_b FROM spairs
+        |e AS MATERIALIZED (SELECT doc_a, doc_b FROM spairs
         |      UNION ALL SELECT doc_b, doc_a FROM spairs),
-        |reach(doc_id, lab) AS (
-        |  SELECT doc_a, doc_a FROM e
-        |  UNION
-        |  SELECT e.doc_a, r.lab FROM e JOIN reach r ON r.doc_id = e.doc_b),
-        |labels AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1)
+        |l0 AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id, doc_a AS lab FROM e),
+        |""".stripMargin + (1 to 13).map(ccRoundSql).mkString +
+      """labels AS (SELECT doc_id, lab AS cluster_id FROM l12)
         |SELECT d.doc_id, d.lang,
         |  COALESCE(l.cluster_id, d.doc_id) AS canonical_id,
         |  CASE WHEN COALESCE(l.cluster_id, d.doc_id) = d.doc_id
         |       THEN 1 ELSE 0 END AS is_kept
-        |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id""".stripMargin)),
+        |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS doc_id, 'NONCONVERGED' AS lang,
+        |       CAST(-1 AS BIGINT) AS canonical_id, 0 AS is_kept
+        |FROM (SELECT 1 AS x) one
+        |WHERE EXISTS (SELECT 1 FROM l12 a JOIN l13 b
+        |              ON b.doc_id = a.doc_id AND b.lab <> a.lab)""".stripMargin)),
 
     QuerySpec("t16_decontaminated_corpus", corpusDecontaminated,
       Some(ccCtes +

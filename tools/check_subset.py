@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
-"""check.py with a skip list — for sf0.1 sweeps, where the DuckDB twins
-of the embedding-family oracles (full integer-dot chains in SQL) grind
-for hours while the Spark side finishes in seconds. Those queries stay
-hash-verified at sf0.01/sf0.001 by the full gate; this runs everything
-else at the bench scale factor.
+"""check.py with a skip list — for sf0.1 sweeps, kept as the mechanism
+for any oracle whose DuckDB twin is infeasible at the bench scale
+factor. As of round 10 the list is EMPTY: d13's recursive-closure twin
+(the round-5..9 skip) was rewritten as a bounded-depth iterative
+min-label unroll with a convergence sentinel, and finishes in seconds.
 
 Usage: python3 tools/check_subset.py <sfDir> <verifyOutDir>
 """
@@ -18,12 +18,9 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# Round-9 measurement: every embedding-family oracle finishes in <=16s
-# at sf0.1 EXCEPT d13, whose WITH RECURSIVE transitive closure blows up
-# on the larger pair graph (>120s). d13 stays hash-verified at
-# sf0.01/sf0.001 by the full gate and is pinned at sf0.1 by the
-# engine-side union-find cross-check in SemDedupIndexSpec.
-SKIP = {"d13_semantic_canonical"}
+# Round-10 measurement: every oracle, d13 included, finishes at sf0.1
+# (the embedding-family twins in <=16s each).
+SKIP = set()
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -89,8 +86,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             print(f"FAIL {name}: mismatch rows {len(got)} vs {len(want)}",
                   flush=True)
-    print(f"== {n_pass} pass / {n_fail} fail / {n_skip} skipped "
-          f"(d13 recursive-CTE oracle, hash-verified at sf0.01) ==")
+    print(f"== {n_pass} pass / {n_fail} fail / {n_skip} skipped ==")
     return 1 if n_fail else 0
 
 
