@@ -735,29 +735,53 @@ object Extensions {
     * (4-bit halves the bytes again and would trade recall).
     * At 100 TB SQ8 composes with s03 exactly like s06 does (s07):
     * code-score within probed cells, rerank survivors. */
-  /** The SQ8 code frame (s13's construction, shared with the IVF∘SQ8
-    * composition s15): per-dimension affine ranges from one narrow agg
-    * over the posexploded (i, v) frame, folded into two 64-element
-    * arrays and broadcast; vh is the 255x-scaled SQ8 reconstruction,
-    * constant dimensions (r = 0) coding to their single level. */
-  private def sq8Codes(e: DataFrame): DataFrame = {
-    val dims = e.select(posexplode(col("q")))
+  /** The scalar quantizer's TRAINED state: per-dimension affine ranges
+    * from one narrow agg over the posexploded (i, v) frame, folded into
+    * two 64-element arrays — one broadcastable row. Persisted as the
+    * stored index's `_sq8` sidecar (the codes are only meaningful
+    * relative to their ranges, exactly as index cells are only
+    * meaningful relative to their `_quantizer`); a range refresh is a
+    * retrain-class event — within an epoch the ranges are immutable and
+    * the append path encodes under them. */
+  private[graft] def sq8Ranges(e: DataFrame): DataFrame =
+    e.select(posexplode(col("q")))
       .groupBy((col("pos") + 1).as("i"))
       .agg(min("col").as("mn"), (max("col") - min("col")).as("r"))
-    val stats = dims
       .agg(expr("array_sort(collect_list(named_struct('i', i, 'mn', mn, 'r', r)))")
         .as("st"))
       .select(expr("transform(st, x -> x.mn)").as("mns"),
         expr("transform(st, x -> x.r)").as("rs"))
-    e.crossJoin(broadcast(stats))
-      .withColumn("vh", expr(
+
+  /** Encode a quantized frame against GIVEN ranges: the per-dimension
+    * 8-bit `codes` (what the stored index carries — 1 byte/dim at
+    * scale; smallint here, parquet bit-packs it), the 255x-scaled
+    * reconstruction `vh` = 255·mn + code·r, and its norm `ss`. Codes
+    * CLAMP to [0, 255]: a no-op for the corpus the ranges were trained
+    * on (in-range values land in [0, 255] by construction, so s13/s15
+    * arithmetic is unchanged), and the standard SQ saturation for
+    * post-training arrivals the append path encodes under a frozen
+    * epoch. Constant dimensions (r = 0) code to 0, reconstructing to
+    * their single level 255·mn. */
+  private[graft] def sq8EncodeWith(e: DataFrame, ranges: DataFrame): DataFrame =
+    e.crossJoin(broadcast(ranges))
+      .withColumn("codes", expr(
         """zip_with(q, zip_with(mns, rs, (m, r) -> named_struct('m', m, 'r', r)),
-          |  (v, c) -> CASE WHEN c.r = 0 THEN 255 * c.m
-          |    ELSE 255 * c.m + (((v - c.m) * 510 + c.r) div (2 * c.r)) * c.r
-          |  END)""".stripMargin))
+          |  (v, c) -> CASE WHEN c.r = 0 THEN CAST(0 AS BIGINT)
+          |    ELSE greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT),
+          |           ((v - c.m) * 510 + c.r) div (2 * c.r)))
+          |  END)""".stripMargin).cast("array<smallint>"))
+      .withColumn("vh", expr(
+        """zip_with(codes, zip_with(mns, rs, (m, r) -> named_struct('m', m, 'r', r)),
+          |  (k, c) -> 255 * c.m + CAST(k AS BIGINT) * c.r)""".stripMargin))
       .withColumn("ss", DotI64(col("vh"), col("vh")))
-      .select("vec_id", "vh", "ss")
-  }
+      .select("vec_id", "codes", "vh", "ss")
+
+  /** The SQ8 code frame (s13's construction, shared with the IVF∘SQ8
+    * composition s15): ranges derived from the frame itself, encoded in
+    * place — the one-shot form; s17 reads the same codes from the
+    * stored index instead. */
+  private def sq8Codes(e: DataFrame): DataFrame =
+    sq8EncodeWith(e, sq8Ranges(e)).select("vec_id", "vh", "ss")
 
   def annSq8(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
@@ -799,10 +823,13 @@ object Extensions {
     * scan; this composition scores ~nprobe/√n of the corpus instead,
     * which is the shape production vector serving deploys (cell-pruned
     * reads of a byte-compressed frame, full precision only for
-    * finalists). At 100 TB the code frame rides the cell-partitioned
-    * stored index (s08's layout) as a sidecar column, so the probe's
-    * partition pruning bounds bytes read by nprobe/k exactly as the
-    * prefix sidecar does for s07.
+    * finalists). The code frame RIDES the cell-partitioned stored index
+    * (s08's layout) as the `codes`/`css` columns — s17
+    * ([[annIvfSq8Indexed]]) is this query served off that storage, so
+    * the probe's partition pruning bounds bytes read by nprobe/k
+    * exactly as the prefix sidecar does for s07; this one-shot form
+    * recomputes the codes per invocation and stands as s17's
+    * recompute twin (the s07→s08 relationship).
     *
     * Recall: the two prunings compound (a true neighbor must survive
     * the cell probe AND the code-order top-100); AnnRecallSpec pins the
@@ -841,6 +868,80 @@ object Extensions {
     // Exact rerank at the doubly-pruned candidate grain.
     val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
     val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    cand.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_ppm", "rank")
+  }
+
+  /** s17: IVF∘SQ8 served off the STORED index — semantically ≡ s15
+    * (same probes, same code-scored top-100, same exact rerank;
+    * AnnIndexSpec pins the outputs identical at all three SFs), but the
+    * cell assignment AND the SQ8 code frame are READ, not recomputed:
+    * the index rows carry `codes` (1 byte/dim at scale) and the
+    * precomputed code-norm `css` beside the prefix payload, and the
+    * range epoch lives in the `_sq8` sidecar next to `_quantizer`. The
+    * coarse pass therefore reads partition-pruned thin rows of the
+    * probed cells only — s15's one gap (per-query code recomputation
+    * re-read every full-width vector) closed by the same
+    * storage-for-recompute swap s08 made for s07. The only corpus-grain
+    * touch left is the rerank's ~100-vector key-join fetch (PlanSpec
+    * pins DPP on the index scan and the corpus-scan count). */
+  def annIvfSq8Indexed(s: SparkSession, dir: String): DataFrame =
+    annIvfSq8IndexedAt(s, dir, annIndexPath(s, dir))
+
+  /** s17's read path over an EXPLICIT index location (the
+    * annIvfIndexedAt pattern — CorpusService serves its maintained
+    * artifact through this). Queries encode against the index's own
+    * `_sq8` sidecar and probe its `_quantizer`, so serving is always
+    * consistent with the epoch that wrote the stored codes. */
+  def annIvfSq8IndexedAt(s: SparkSession, dir: String,
+                         indexPath: String): DataFrame = {
+    val idx = s.read.parquet(indexPath).filter(col("rn") === 1)
+    val cents = s.read.parquet(indexPath + "/_quantizer")
+    val ranges = s.read.parquet(indexPath + "/_sq8")
+    val eq = quantized(s, dir).filter(col("vec_id") < 10)
+    val cellT = idx.schema(idx.schema.fieldIndex("cell")).dataType
+    val probes = centroidRank(eq, cents, "vec_id")
+      .filter(col("rn") <= 12)
+      .select(col("vec_id").as("query_id"),
+        col("cent_id").cast(cellT).as("cell"))
+    // Query-side codes: encoded at QUERY grain (10 rows) under the
+    // sidecar ranges — identical to the stored codes for corpus rows.
+    val qc = sq8EncodeWith(eq, ranges)
+      .select(col("vec_id").as("query_id"),
+        col("vh").as("vha"), col("ss").as("ssa"))
+    // Coarse pass: partition-pruned index read; per-row work is one
+    // reconstruction zip (codes × broadcast ranges) + one DotI64.
+    val aw = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id").asc)
+    val cand = idx.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("codes"), col("css"))
+      .crossJoin(broadcast(ranges))
+      .withColumn("vhb", expr(
+        """zip_with(codes, zip_with(mns, rs, (m, r) -> named_struct('m', m, 'r', r)),
+          |  (k, c) -> 255 * c.m + CAST(k AS BIGINT) * c.r)""".stripMargin))
+      .join(broadcast(qc), "query_id")
+      .withColumn("adot", DotI64(col("vha"), col("vhb")))
+      .withColumn("acos",
+        floor(col("adot") / (sqrt(col("ssa")) * sqrt(col("css")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= 100)
+      .select("query_id", "neighbor_id")
+    // Exact rerank at the doubly-pruned grain — the one corpus-grain
+    // touch (full neighbor vectors fetched by key join).
+    val q = eq.select(col("vec_id").as("query_id"), col("q").as("qa"),
+      col("s2").as("sa"))
+    val n = quantized(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+        col("s2").as("sb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
     cand.join(q, "query_id").join(n, "neighbor_id")
@@ -1530,25 +1631,43 @@ object Extensions {
     * streaming service's label-less corpus) get a null label column, so
     * the layout's schema — and therefore the append path — is identical
     * either way. */
+  /** `sq8` is the SQ8 range frame to encode the code payload under —
+    * callers that own a persisted range epoch (the append path, the
+    * frozen-rebuild spec twin) pass it; the build path derives it from
+    * the corpus and persists it as the `_sq8` sidecar. */
   private[graft] def buildAnnIndexFrom(e: DataFrame, cents: DataFrame,
                                        path: String,
-                                       meta: Option[DataFrame] = None): Unit = {
-    indexRows(e, cents, meta)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    // After the data write: overwrite mode clears `path` first, which
-    // would take a pre-written sidecar with it.
-    cents.write.mode("overwrite").parquet(path + "/_quantizer")
+                                       meta: Option[DataFrame] = None,
+                                       sq8: Option[DataFrame] = None): Unit = {
+    // One tiny (1-row) frame read by both the data write and the sidecar
+    // write; localCheckpoint stops the second write re-running the
+    // corpus-grain min/max agg it derives from.
+    val ranges = sq8.getOrElse(sq8Ranges(e)).localCheckpoint()
+    try {
+      indexRows(e, cents, meta, ranges)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      // After the data write: overwrite mode clears `path` first, which
+      // would take a pre-written sidecar with it.
+      cents.write.mode("overwrite").parquet(path + "/_quantizer")
+      ranges.write.mode("overwrite").parquet(path + "/_sq8")
+    } finally freeCkpt(ranges)
   }
 
   private def indexRows(e: DataFrame, cents: DataFrame,
-                        meta: Option[DataFrame]): DataFrame = {
+                        meta: Option[DataFrame],
+                        sq8: DataFrame): DataFrame = {
     val assigned = centroidRank(e, cents, "vec_id")
       .filter(col("rn") <= 4)
       .select(col("vec_id"), col("rn"), col("cent_id").as("cell"))
     val pfx = e.select(col("vec_id"), expr("slice(q, 1, 32)").as("qp"),
         col("s2"))
       .withColumn("sp", DotI64(col("qp"), col("qp")))
+    // The SQ8 payload rides the rn=1 rows beside the prefix: codes are
+    // 1 byte/dim (vs the prefix's 8 B/dim over half the dims), css is
+    // the precomputed code-norm — s17's coarse pass reads ONLY these.
+    val codes = sq8EncodeWith(e, sq8)
+      .select(col("vec_id"), col("codes"), col("ss").as("css"))
     val labeled = meta match {
       // Metadata rides on EVERY row (membership rows included): the
       // filtered candidate pass reads thin (cell, vec_id, label) rows,
@@ -1557,11 +1676,13 @@ object Extensions {
         m.select(col("vec_id"), col("label").cast("int")), Seq("vec_id"), "left")
       case None    => assigned.withColumn("label", lit(null).cast("int"))
     }
-    labeled.join(pfx, "vec_id")
+    labeled.join(pfx, "vec_id").join(codes, "vec_id")
       .select(col("vec_id"), col("rn"),
         when(col("rn") === 1, col("qp")).as("qp"),
         when(col("rn") === 1, col("sp")).as("sp"),
         when(col("rn") === 1, col("s2")).as("s2"),
+        when(col("rn") === 1, col("codes")).as("codes"),
+        when(col("rn") === 1, col("css")).as("css"),
         col("label"),
         col("cell"))
   }
@@ -1610,7 +1731,12 @@ object Extensions {
           "labels would be invisible to filtered serving (s12). Pass the " +
           "batch with its (vec_id, label) metadata.")
     }
-    indexRows(newQ, cents, meta)
+    // Codes for the new rows are encoded under the index's own FROZEN
+    // range epoch (`_sq8` sidecar — out-of-range arrivals saturate),
+    // exactly as cells come from the frozen `_quantizer`: an append
+    // never moves either epoch; a range refresh is a retrain-class
+    // event (rebuild, staged swap).
+    indexRows(newQ, cents, meta, s.read.parquet(path + "/_sq8"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
   }
@@ -1637,6 +1763,8 @@ object Extensions {
         .write.mode("overwrite").partitionBy("cell").parquet(stage)
       s.read.parquet(path + "/_quantizer")
         .write.mode("overwrite").parquet(stage + "/_quantizer")
+      s.read.parquet(path + "/_sq8")
+        .write.mode("overwrite").parquet(stage + "/_sq8")
     }
 
   private def annIndexPath(s: SparkSession, dir: String): String =
@@ -3210,6 +3338,80 @@ object Extensions {
     * materialized index): the two strategies answer the same query and
     * must agree row-for-row, so one SQL text serves both — the same
     * contract the s07/s08 pair carries via ivfPrefixOracle. */
+  /** The IVF∘SQ8 oracle text shared by s15 (recompute) and s17
+    * (index-served) — the ivfPrefixOracle sharing pattern: DuckDB
+    * cannot tell where the codes came from, only that the pruned,
+    * code-scored, exactly-reranked top-5 is right. */
+  private val ivfSq8Oracle: String = embCtes + ", " + centsCte +
+      """adots AS (
+        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |ascore AS (
+        |  SELECT d.vec_id, d.cent_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM adots d
+        |  JOIN sq x ON x.vec_id = d.vec_id
+        |  JOIN sq y ON y.vec_id = d.cent_id),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 12),
+        |ccand AS (
+        |  SELECT DISTINCT p.query_id, a.neighbor_id
+        |  FROM probes p JOIN assigned a ON a.cell = p.cell
+        |  WHERE a.neighbor_id <> p.query_id),
+        |dim AS (SELECT i, min(v) AS mn, max(v) - min(v) AS r
+        |        FROM ev GROUP BY 1),
+        |code AS (
+        |  SELECT e.vec_id, e.i,
+        |    CASE WHEN d.r = 0 THEN 255 * d.mn
+        |         ELSE 255 * d.mn + (((e.v - d.mn) * 510 + d.r) // (2 * d.r)) * d.r
+        |    END AS vh
+        |  FROM ev e JOIN dim d ON d.i = e.i),
+        |csq AS (SELECT vec_id, CAST(SUM(vh * vh) AS BIGINT) AS ss
+        |        FROM code GROUP BY 1),
+        |qdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.vh * b.vh) AS BIGINT) AS adot
+        |  FROM ccand c
+        |  JOIN code a ON a.vec_id = c.query_id
+        |  JOIN code b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |qscored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.adot / (sqrt(x.ss) * sqrt(y.ss)) * 1000000 + 0.5) AS BIGINT) AS acos
+        |  FROM qdots d
+        |  JOIN csq x ON x.vec_id = d.query_id
+        |  JOIN csq y ON y.vec_id = d.neighbor_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |                ORDER BY acos DESC, neighbor_id) AS arn
+        |    FROM qscored) t WHERE arn <= 100),
+        |cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ev a ON a.vec_id = c.query_id
+        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM cdots d
+        |  JOIN sq x ON x.vec_id = d.query_id
+        |  JOIN sq y ON y.vec_id = d.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin
+
   private val semdedupOracleSql: String = embCtes + ", " + centsCte +
     """adots AS (
       |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
@@ -4248,75 +4450,15 @@ object Extensions {
         |JOIN ev e ON e.vec_id = g.vec_id
         |GROUP BY 1, 2""".stripMargin)),
 
-    QuerySpec("s15_ann_ivf_sq8", annIvfSq8, Some(embCtes + ", " + centsCte +
-      """adots AS (
-        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
-        |  GROUP BY 1, 2),
-        |ascore AS (
-        |  SELECT d.vec_id, d.cent_id,
-        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM adots d
-        |  JOIN sq x ON x.vec_id = d.vec_id
-        |  JOIN sq y ON y.vec_id = d.cent_id),
-        |assigned AS (
-        |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore) t WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 12),
-        |ccand AS (
-        |  SELECT DISTINCT p.query_id, a.neighbor_id
-        |  FROM probes p JOIN assigned a ON a.cell = p.cell
-        |  WHERE a.neighbor_id <> p.query_id),
-        |dim AS (SELECT i, min(v) AS mn, max(v) - min(v) AS r
-        |        FROM ev GROUP BY 1),
-        |code AS (
-        |  SELECT e.vec_id, e.i,
-        |    CASE WHEN d.r = 0 THEN 255 * d.mn
-        |         ELSE 255 * d.mn + (((e.v - d.mn) * 510 + d.r) // (2 * d.r)) * d.r
-        |    END AS vh
-        |  FROM ev e JOIN dim d ON d.i = e.i),
-        |csq AS (SELECT vec_id, CAST(SUM(vh * vh) AS BIGINT) AS ss
-        |        FROM code GROUP BY 1),
-        |qdots AS (
-        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.vh * b.vh) AS BIGINT) AS adot
-        |  FROM ccand c
-        |  JOIN code a ON a.vec_id = c.query_id
-        |  JOIN code b ON b.vec_id = c.neighbor_id AND b.i = a.i
-        |  GROUP BY 1, 2),
-        |qscored AS (
-        |  SELECT d.query_id, d.neighbor_id,
-        |         CAST(floor(d.adot / (sqrt(x.ss) * sqrt(y.ss)) * 1000000 + 0.5) AS BIGINT) AS acos
-        |  FROM qdots d
-        |  JOIN csq x ON x.vec_id = d.query_id
-        |  JOIN csq y ON y.vec_id = d.neighbor_id),
-        |cand AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |                ORDER BY acos DESC, neighbor_id) AS arn
-        |    FROM qscored) t WHERE arn <= 100),
-        |cdots AS (
-        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM cand c
-        |  JOIN ev a ON a.vec_id = c.query_id
-        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
-        |  GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT d.query_id, d.neighbor_id,
-        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM cdots d
-        |  JOIN sq x ON x.vec_id = d.query_id
-        |  JOIN sq y ON y.vec_id = d.neighbor_id)
-        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 5""".stripMargin)),
+    QuerySpec("s15_ann_ivf_sq8", annIvfSq8, Some(ivfSq8Oracle)),
+
+    // s17 = s15 served off the stored index: one oracle text, two
+    // engine paths — the s07/s08 sharing pattern. The DuckDB twin
+    // cannot tell recompute from storage; AnnIndexSpec pins the two
+    // Spark paths row-identical, PlanSpec pins s17's pruned-read shape.
+    QuerySpec("s17_ann_ivf_sq8_indexed", annIvfSq8Indexed,
+      Some(ivfSq8Oracle)),
+
 
     QuerySpec("s16_hybrid_rrf", hybridRrf, Some(embCtes +
       """, vdots AS (

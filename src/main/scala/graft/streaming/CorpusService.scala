@@ -143,6 +143,14 @@ object CorpusService {
   def annTopK(spark: SparkSession, p: Paths): DataFrame =
     graft.queries.Extensions.annIvfIndexedAt(spark, p.base, p.annIndex)
 
+  /** ANN top-k through the index-resident SQ8 codes (s17's read path) —
+    * the byte-compressed coarse pass over the same maintained index:
+    * probes prune cells, stored codes score candidates (1 byte/dim at
+    * scale vs the prefix's 8), the exact rerank fetches full vectors at
+    * candidate grain. Same index artifact, second serving dial. */
+  def annSq8TopK(spark: SparkSession, p: Paths): DataFrame =
+    graft.queries.Extensions.annIvfSq8IndexedAt(spark, p.base, p.annIndex)
+
   /** ANN top-k for EXTERNAL query vectors ((vec_id, embedding) rows that
     * are not part of the corpus — the request path a deployment actually
     * serves) off the maintained index. No self-exclusion: external ids

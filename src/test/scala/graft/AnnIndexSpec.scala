@@ -40,6 +40,23 @@ class AnnIndexSpec extends SparkSpec {
       "s08 vs s07 at sf0.1")
   }
 
+  test("s17 (index-served SQ8) ≡ s15 (recomputed) row-for-row at all SFs") {
+    // The stored `codes`/`css` columns plus the `_sq8` range sidecar
+    // must be a pure storage change against s15: same probes, same
+    // code-scored top-100 (reconstruction from stored codes ≡ recomputed
+    // vh — exact integer arithmetic both ways), same exact rerank. The
+    // sf0.1 leg guards scale-dependent bugs (overflow, tie flips) the
+    // smaller SFs can't see.
+    for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = sf(d)
+      Extensions.invalidateAnnIndex(dir)
+      assertSameRows(
+        Extensions.annIvfSq8(spark, dir),
+        Extensions.annIvfSq8Indexed(spark, dir),
+        s"s17 vs s15 at $d")
+    }
+  }
+
   test("s12 (filtered, index-served) ≡ s11 (recomputed) row-for-row") {
     // Filtered serving must be a pure storage change too: s11 joins the
     // corpus-grain label frame and recomputes assignment per invocation,
@@ -81,14 +98,20 @@ class AnnIndexSpec extends SparkSpec {
     odds.write.mode("append").parquet(s"$dir/embeddings.parquet")
     Extensions.appendAnnIndex(spark, dir, byDiscovery)
     Extensions.appendAnnIndex(spark, dir, byBatch, newVectors = Some(odds))
+    // The ground-truth rebuild freezes BOTH epochs the append ran
+    // under: the sidecar quantizer and the sidecar SQ8 ranges (codes
+    // are range-dependent — a rebuild deriving fresh ranges from the
+    // grown corpus would legitimately differ; that is the retrain-class
+    // event, not the append contract).
     Extensions.buildAnnIndexFrom(
       Extensions.quantizeFrame(Tables.t(spark, dir, "embeddings")),
       spark.read.parquet(byDiscovery + "/_quantizer"), rebuilt,
-      meta = Extensions.metaOf(Tables.t(spark, dir, "embeddings")))
+      meta = Extensions.metaOf(Tables.t(spark, dir, "embeddings")),
+      sq8 = Some(spark.read.parquet(byDiscovery + "/_sq8")))
     val expected = spark.read.parquet(rebuilt)
     assert(expected.columns.sorted.toSeq ==
-      Seq("cell", "label", "qp", "rn", "s2", "sp", "vec_id"),
-      "the _quantizer sidecar leaked into the index read")
+      Seq("cell", "codes", "css", "label", "qp", "rn", "s2", "sp", "vec_id"),
+      "the sidecars leaked into the index read, or the code payload is missing")
     assertSameRows(spark.read.parquet(byDiscovery), expected,
       "anti-join-appended index vs frozen-quantizer rebuild")
     assertSameRows(spark.read.parquet(byBatch), expected,
@@ -97,6 +120,10 @@ class AnnIndexSpec extends SparkSpec {
       Extensions.annIvfIndexedAt(spark, dir, byDiscovery),
       Extensions.annIvfIndexedAt(spark, dir, rebuilt),
       "s08 served off the appended index vs off the rebuild")
+    assertSameRows(
+      Extensions.annIvfSq8IndexedAt(spark, dir, byDiscovery),
+      Extensions.annIvfSq8IndexedAt(spark, dir, rebuilt),
+      "s17 served off the appended index vs off the rebuild")
 
     // Compaction: a crash-replayed append physically duplicates its
     // batch (the one duplicate source the layout admits); compaction
@@ -113,6 +140,10 @@ class AnnIndexSpec extends SparkSpec {
       spark.read.parquet(byBatch + "/_quantizer"),
       spark.read.parquet(rebuilt + "/_quantizer"),
       "compaction must carry the sidecar unchanged")
+    assertSameRows(
+      spark.read.parquet(byBatch + "/_sq8"),
+      spark.read.parquet(rebuilt + "/_sq8"),
+      "compaction must carry the SQ8 range sidecar unchanged")
     assertSameRows(
       Extensions.annIvfIndexedAt(spark, dir, byBatch),
       Extensions.annIvfIndexedAt(spark, dir, rebuilt),

@@ -448,10 +448,14 @@ class CorpusServiceSpec extends SparkSpec {
     val emb = graft.Tables.t(spark, srcDir, "embeddings")
       .select("vec_id", "embedding")
     def wave(k: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === k)
-    def rebuildAt(path: String): String = {
+    // `sq8`: the epoch-1 ground truth must freeze the maintained index's
+    // OWN range sidecar (appends encode under it); the post-retrain
+    // ground truth derives fresh ranges, exactly as the rebuild does.
+    def rebuildAt(path: String,
+                  sq8: Option[org.apache.spark.sql.DataFrame] = None): String = {
       Extensions.buildAnnIndexFrom(
         Extensions.quantizeFrame(graft.Tables.t(spark, base, "embeddings")),
-        spark.read.parquet(p.cents), path)
+        spark.read.parquet(p.cents), path, sq8 = sq8)
       path
     }
 
@@ -469,7 +473,8 @@ class CorpusServiceSpec extends SparkSpec {
     val scratch = java.nio.file.Files.createTempDirectory("graft-svcidx-gt").toString
     assertSameRows(
       spark.read.parquet(p.annIndex),
-      spark.read.parquet(rebuildAt(s"$scratch/epoch1")),
+      spark.read.parquet(rebuildAt(s"$scratch/epoch1",
+        sq8 = Some(spark.read.parquet(p.annIndex + "/_sq8")))),
       "append-maintained service index vs frozen-quantizer rebuild")
     assertSameRows(
       CorpusService.annTopK(spark, p),

@@ -457,6 +457,31 @@ class PlanSpec extends SparkSpec {
         s"on its PartitionFilters):\n${idxScans.mkString("\n")}")
   }
 
+  test("s17's index scan is partition-pruned and the corpus is read once") {
+    // Index-resident SQ8: the coarse pass must read ONLY the probed
+    // cells' files (DPP on the hive `cell` column, s08's pin) and score
+    // STORED codes — corpus-grain embeddings scans (no pushed vec_id<10
+    // query-side predicate) are limited to the single exact-rerank
+    // key-join fetch. A second corpus-grain scan would be s15's
+    // per-query code recomputation, the exact work s17 exists to store.
+    graft.queries.Extensions.invalidateAnnIndex(dir)
+    val df = graft.queries.Extensions.annIvfSq8Indexed(spark, dir)
+    val p = planOf(df)
+    val idxScans = p.linesIterator
+      .filter(l => l.contains("graft-annidx") && l.contains("FileScan") &&
+        !l.contains("_quantizer") && !l.contains("_sq8"))
+      .toSeq
+    assert(idxScans.nonEmpty, s"no index FileScan in plan:\n$p")
+    assert(idxScans.forall(l => l.contains("dynamicpruning")),
+      s"index scan not partition-pruned (no dynamicpruning expression " +
+        s"on its PartitionFilters):\n${idxScans.mkString("\n")}")
+    val corpusScans = p.split("FileScan").count(c =>
+      c.contains("embeddings.parquet") && !c.contains("LessThan(vec_id,10)"))
+    assert(corpusScans <= 1,
+      s"s17 reads the corpus $corpusScans times — codes not served " +
+        s"from the index:\n$p")
+  }
+
   test("t17 scrubs boilerplate with hash aggs only — no window, no pairwise join") {
     // The CCNet-shape scrub must stay in d01's cost class: document
     // frequency is ONE hash aggregation by segment, the flag-back is a
