@@ -977,34 +977,91 @@ object Extensions {
     * unchanged). Fusion joins two ≤20-row-per-query frames. */
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val q = e.filter(col("vec_id") < 10)
+    val vec = vecRankExact(e, e.filter(col("vec_id") < 10),
+      excludeSelf = true, k = 20)
+    val tf = tokRows(s, dir)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val nn = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val lex = lexicalRank(
+      tf.filter(col("doc_id") < 10).select(col("doc_id").as("query_id"), col("tok")),
+      tf, nn)
+    rrfFuse(vec, lex)
+  }
+
+  /** The exact-cosine vector ranker shared by one-shot s16 and the
+    * service's `vectorExact` dial (CorpusService.hybridTopKFor): s01's
+    * honest |Q|×n scan over QUANTIZED frames, top-k per query, ties by
+    * neighbor id. Exact integer arithmetic end-to-end, so two callers
+    * can never drift — which is what lets PostingSpec pin the served
+    * hybrid ≡ one-shot s16 row-for-row on this path (the index-served
+    * vector dial inherits s07's cell-probe recall instead and is pinned
+    * by an overlap floor, the AnnRecallSpec idiom). */
+  private[graft] def vecRankExact(corpus: DataFrame, queries: DataFrame,
+                                  excludeSelf: Boolean, k: Int): DataFrame = {
+    val q = queries
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
-    val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
+    val n = corpus
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
     val wv = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
-    val vec = q.join(n, col("query_id") =!= col("neighbor_id"))
+    (if (excludeSelf) q.join(n, col("query_id") =!= col("neighbor_id"))
+     else q.crossJoin(n))
       .withColumn("dot", dot)
       .withColumn("cos_ppm", cosPpm)
       .withColumn("rank_v", row_number().over(wv))
-      .filter(col("rank_v") <= 20)
+      .filter(col("rank_v") <= k)
       .select("query_id", "neighbor_id", "rank_v")
-    val tf = tokRows(s, dir)
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val nn = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** The lexical ranker shared by one-shot s16 and the service's
+    * posting-table serving path (streaming.PostingTable /
+    * CorpusService.hybridTopKFor): integer tf·idf over shared tokens —
+    * score(q, d) = Σ_{t ∈ q ∩ d} tf_d(t) · ((N·1e6) // df(t)) — top-20
+    * per query, ties by neighbor id. `qtoks` is the (query_id, tok)
+    * DISTINCT token set of each query; `tf` the (doc_id, tok, tf)
+    * posting rows (recomputed by s16, READ from the maintained log by
+    * the service); `nn` the one-row corpus count.
+    *
+    * `dfCapPpm` is the hot-token dial: tokens whose df exceeds
+    * dfCapPpm/1e6 of the corpus are dropped BEFORE the posting join.
+    * The join's cost is Σ_{t ∈ q} df(t) — one stop-word-grade token
+    * (df ≈ N) makes a query's candidate set the whole corpus, the
+    * lexical twin of the d03 hot bucket — while its score weight,
+    * (N·1e6) // df ≈ 1e6, is ~N/2× below a df=2 token's, so dropping
+    * it is the impact-truncation production posting lists apply.
+    * 1e6 (default here) = uncapped, the oracle-exact form;
+    * PostingSpec pins top-20 unchanged on this corpus at the service's
+    * default cap and a planted-hot-token candidate shrink. */
+  private[graft] def lexicalRank(qtoks: DataFrame, tf: DataFrame,
+                                 nn: DataFrame,
+                                 dfCapPpm: Long = 1000000L,
+                                 excludeSelf: Boolean = true): DataFrame = {
+    val dfx0 = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // The cap filters the |q-tokens|-grain frame BEFORE postings join
+    // in (n_docs rides the broadcast one-row frame).
+    val dfx = dfx0.crossJoin(broadcast(nn))
+      .filter(col("df") * lit(1000000L) <= lit(dfCapPpm) * col("n_docs"))
     val wl = Window.partitionBy(col("query_id"))
       .orderBy(col("lex_score").desc, col("neighbor_id").asc)
-    val lex = tf.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("query_id"), col("tok"))
-      .join(tf.select(col("doc_id").as("neighbor_id"), col("tok"), col("tf")), "tok")
-      .filter(col("neighbor_id") =!= col("query_id"))
+    val hits = qtoks
       .join(dfx, "tok")
-      .crossJoin(broadcast(nn))
+      .join(tf.select(col("doc_id").as("neighbor_id"), col("tok"), col("tf")), "tok")
+    // excludeSelf mirrors the ANN serving contract: on for corpus-row
+    // queries; off for external ids, where an accidental numeric
+    // collision must not drop a true lexical match.
+    (if (excludeSelf) hits.filter(col("neighbor_id") =!= col("query_id"))
+     else hits)
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("tf") * ppm(col("n_docs"), col("df"))).as("lex_score"))
       .withColumn("rank_l", row_number().over(wl))
       .filter(col("rank_l") <= 20)
       .select("query_id", "neighbor_id", "rank_l")
+  }
+
+  /** Reciprocal Rank Fusion over the two rankers' top-20s (Cormack et
+    * al.'s k=60, in exact ppm integers) — shared by s16 and the served
+    * hybrid so fusion can never drift between them. */
+  private[graft] def rrfFuse(vec: DataFrame, lex: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_ppm").desc, col("neighbor_id").asc)
     vec.join(lex, Seq("query_id", "neighbor_id"), "full_outer")
@@ -1818,9 +1875,14 @@ object Extensions {
     * accidental numeric collision must not drop a true neighbor
     * (AnnIndexSpec pins an identical-vector external query ranking its
     * corpus twin first at cos 1e6). */
+  /** `k` is the returned depth (default 5, the benchmark grain); the
+    * candidate pass is always top-100, so any k ≤ 100 reads the same
+    * pruned index rows — the served hybrid (CorpusService.hybridTopKFor)
+    * takes its vector top-20 through this. */
   def annIvfIndexedQueries(s: SparkSession, dir: String, queries: DataFrame,
                            indexPath: String,
-                           excludeSelf: Boolean = false): DataFrame = {
+                           excludeSelf: Boolean = false,
+                           k: Int = 5): DataFrame = {
     val idx = s.read.parquet(indexPath).filter(col("rn") === 1)
     val eq = quantizeFrame(queries)
     val cents = s.read.parquet(indexPath + "/_quantizer")
@@ -1863,7 +1925,7 @@ object Extensions {
       .withColumn("dot", dot)
       .withColumn("cos_ppm", cosPpm)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
   }
 

@@ -72,6 +72,9 @@ object CorpusService {
     /** The maintained retrieval-grain chunk table (incremental t25;
       * streaming.ChunkTable — what the embedding job consumes). */
     val chunkLog = s"$base/dedup/chunks"
+    /** The maintained lexical posting table (streaming.PostingTable —
+      * the inverted file hybridTopKFor's lexical ranker reads). */
+    val postings = s"$base/dedup/postings"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -233,7 +236,8 @@ object CorpusService {
                      scrub: Boolean = false,
                      fingerprint: Boolean = false,
                      novelty: Boolean = false,
-                     chunks: Boolean = false): Unit = {
+                     chunks: Boolean = false,
+                     postings: Boolean = false): Unit = {
     StreamingDedup.ingestAvailable(spark, p.docs, p.sigs, p.pairs, p.docsCkpt)
     StreamingSemanticDedup.ingestAvailable(spark, p.embeddings, p.cents,
       p.assigns, p.semPairs, p.embCkpt, maxFilesPerTrigger)
@@ -249,6 +253,7 @@ object CorpusService {
     if (scrub) maintainScrub(spark, p)
     if (novelty) maintainNovelty(spark, p)
     if (chunks) maintainChunks(spark, p)
+    if (postings) maintainPostings(spark, p)
     if (compact) {
       require(StreamingDedup.compactLogs(spark, p.sigs, p.pairs),
         "corpus service: shingle dedup logs failed to compact post-drain")
@@ -271,6 +276,9 @@ object CorpusService {
       if (exists(spark, p.chunkLog))
         require(ChunkTable.compactLog(spark, p.chunkLog),
           "corpus service: chunk log failed to compact post-drain")
+      if (exists(spark, p.postings))
+        require(PostingTable.compactLog(spark, p.postings),
+          "corpus service: posting log failed to compact post-drain")
     }
     if (canonical) refreshCanonicalCorpus(spark, p)
     if (index) refreshAnnIndex(spark, p)
@@ -519,6 +527,72 @@ object CorpusService {
   def maintainChunks(spark: SparkSession, p: Paths): Long =
     ChunkTable.maintain(spark, p.base, p.chunkLog)
 
+  /** One incremental posting-table refresh (delta-grain: only
+    * not-yet-posted docs are tokenized — see streaming.PostingTable).
+    * Run per drain; returns newly posted docs. */
+  def maintainPostings(spark: SparkSession, p: Paths): Long =
+    PostingTable.maintain(spark, p.base, p.postings)
+
+  /** The maintained posting table (empty-safe). */
+  def postingTableView(spark: SparkSession, p: Paths): DataFrame =
+    PostingTable.postingView(spark, p.postings)
+
+  /** HYBRID retrieval served off MAINTAINED state — the request path of
+    * modern search (s16's shape, deployable): for each (vec_id, text,
+    * embedding) query row, the lexical ranker scores integer tf·idf
+    * against the maintained posting table (one posting join at query
+    * grain — cost Σ_{t ∈ q} df(t), hot tokens dropped by `dfCapPpm`,
+    * default 90% of the corpus: the guard targets stop-word-grade
+    * df ≈ N tokens, the lexical twin of d03's pathological mega-bucket,
+    * not merely-common terms — this fixture corpus's 31-token synthetic
+    * vocabulary has 30 tokens above N/2 and none above 0.9·N, which is
+    * exactly the regime distinction), the vector ranker takes its top-20
+    * through the stored ANN index (partition-pruned cells, prefix
+    * candidates, exact rerank — annIvfIndexedQueries at k=20), and the
+    * two rank lists fuse by RRF (shared Extensions.rrfFuse — fusion can
+    * never drift from one-shot s16). Queries are EXTERNAL rows: no
+    * corpus tokenization, no corpus vector scan happens at request time;
+    * both rankers read maintained artifacts plus key-join fetches.
+    *
+    * `excludeSelf` is the corpus-parity dial (the annIvfIndexedQueries
+    * contract): on for benchmark-style corpus queries, off for external
+    * ids. `vectorExact` picks the vector ranker: false (default, the
+    * scale path) takes top-20 through the stored index and inherits
+    * s07's cell-probe recall — RRF consumes only ranks, so the ANN dial
+    * drops in; true runs s01's exact scan over the stored embeddings
+    * table, bit-identical to one-shot s16's ranker. PostingSpec pins
+    * the exact form ≡ one-shot s16 row-for-row after arbitrary wave
+    * partitions (which also pins "top-20 unchanged at the default df
+    * cap" on this corpus), an overlap floor for the indexed form, and
+    * an external-query case ranking a planted twin first. */
+  def hybridTopKFor(spark: SparkSession, p: Paths, queries: DataFrame,
+                    excludeSelf: Boolean = false,
+                    dfCapPpm: Long = 900000L,
+                    vectorExact: Boolean = false): DataFrame = {
+    val tf = PostingTable.postingView(spark, p.postings)
+    val nn = graft.Tables.t(spark, p.base, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val qtoks = queries
+      .select(col("vec_id").as("query_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val lex = graft.queries.Extensions.lexicalRank(qtoks, tf, nn,
+      dfCapPpm, excludeSelf)
+    val vec =
+      if (vectorExact)
+        graft.queries.Extensions.vecRankExact(
+          graft.queries.Extensions.quantizeFrame(
+            graft.Tables.t(spark, p.base, "embeddings")),
+          graft.queries.Extensions.quantizeFrame(
+            queries.select("vec_id", "embedding")),
+          excludeSelf, k = 20)
+      else graft.queries.Extensions.annIvfIndexedQueries(spark, p.base,
+          queries.select("vec_id", "embedding"), p.annIndex, excludeSelf,
+          k = 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_v"))
+    graft.queries.Extensions.rrfFuse(vec, lex)
+  }
+
   /** The maintained retrieval-grain chunk table (t25's schema;
     * empty-safe) — the embedding job's input, paid once per doc. */
   def chunkTableView(spark: SparkSession, p: Paths): DataFrame =
@@ -727,6 +801,7 @@ object CorpusService {
                    fingerprint: Boolean = false,
                    novelty: Boolean = false,
                    chunks: Boolean = false,
+                   postings: Boolean = false,
                    maxFilesPerTrigger: Option[Int] = None,
                    taskRetries: Int = 0,
                    retryBackoff: java.time.Duration =
@@ -749,7 +824,8 @@ object CorpusService {
           drainAvailable(spark, p, maxFilesPerTrigger,
             compact = true, canonical = false, index = true,
             contaminationRef = contaminationRef, scrub = scrub,
-            fingerprint = fingerprint, novelty = novelty, chunks = chunks)
+            fingerprint = fingerprint, novelty = novelty, chunks = chunks,
+            postings = postings)
           refreshCanonicalCorpus(spark, p, includeSemantic,
             includeFingerprint = fingerprint)
           // With a gate registered, its drop list flows into the manifest:
