@@ -1247,6 +1247,73 @@ object Extensions {
         min("doc_id").as("first_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** Chunk-grain embedding derivation — RAG serving indexes CHUNKS, not
+    * documents, and the testdata ships no chunk vectors, so the chunk
+    * table (t25) gets deterministic integer vectors derived from chunk
+    * content the way the fixtures give documents theirs: dim i of a
+    * chunk is h32(chunk_hash ‖ ':' ‖ i) % 2001 − 1000 — a 64-dim
+    * integer vector both engines compute bit-identically (the md5-hex
+    * h32 idiom), already at the ppm-integer grain the ANN chain's exact
+    * arithmetic wants. vec_id packs (doc_id, chunk_id) as
+    * doc_id·4096 + chunk_id: deterministic, reversible, and ordered —
+    * chunk_id < 4096 covers ~196k-token documents at the 48 stride.
+    *
+    * Scale shape: a pure per-row map over the chunk table (t25's
+    * zero-shuffle grain) — the chunk-embedding job at 100 TB pipelines
+    * inside the chunking stage; the derived frame is exactly what
+    * [[buildAnnIndexFrom]] indexes at chunk grain (AnnIndexSpec). */
+  private[graft] def chunkVectors(s: SparkSession, dir: String): DataFrame =
+    chunkVectorsOf(chunkDocs(s, dir))
+
+  /** The derivation at frame grain (expects doc_id, chunk_id,
+    * chunk_hash) so a maintained chunk table (streaming.ChunkTable)
+    * embeds its delta with the identical definition. */
+  private[graft] def chunkVectorsOf(chunks: DataFrame): DataFrame =
+    chunks
+      .select((col("doc_id") * 4096 + col("chunk_id")).as("vec_id"),
+        col("doc_id"), col("chunk_hash"))
+      .withColumn("q", expr(
+        """transform(sequence(1, 64),
+          |  i -> CAST(conv(substring(md5(concat(chunk_hash, ':',
+          |         CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)
+          |       % 2001 - 1000)""".stripMargin))
+      .withColumn("s2", DotI64(col("q"), col("q")))
+      .select("vec_id", "doc_id", "q", "s2")
+
+  /** s18: chunk-grain ANN with doc-level rollup — the late-interaction
+    * retrieval shape (ColBERT's MaxSim family): each query document's
+    * CHUNKS score against every corpus chunk, and a candidate document's
+    * score is its best-matching chunk (max-chunk rollup), so a long
+    * document matching on one tight passage ranks above one diffusely
+    * similar everywhere — the property chunk-grain retrieval exists to
+    * buy. Queries are docs 0–9's chunks; output is top-5 DOCS per query
+    * doc by max chunk cosine, ties by neighbor id.
+    *
+    * This registered form is the exact baseline (brute-force chunk
+    * pairs at query grain — |chunks(q)|×|corpus chunks|, the s01
+    * posture); the scale path builds the stored IVF index at chunk
+    * grain over the SAME [[chunkVectors]] frame and serves through the
+    * partition-pruned read (AnnIndexSpec pins chunk-grain build, append
+    * under frozen epochs, and twin-first serving). The rollup is one
+    * hash agg at (query doc, neighbor doc) grain. */
+  def chunkAnn(s: SparkSession, dir: String): DataFrame = {
+    val cv = chunkVectors(s, dir)
+    val q = cv.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
+    val n = cv.select(col("doc_id").as("neighbor_id"),
+      col("q").as("qb"), col("s2").as("sb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("max_cos_ppm").desc, col("neighbor_id").asc)
+    q.join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("cos_ppm")).as("max_cos_ppm"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "max_cos_ppm", "rank")
+  }
+
   /** Connected components over an undirected pair list via min-label
     * propagation run to FIXPOINT — the BSP shape GraphFrames/Pregel would
     * run at scale, expressed as plain shuffles: each round is one
@@ -1762,7 +1829,6 @@ object Extensions {
                                     path: String,
                                     newVectors: Option[DataFrame] = None)
       : Unit = {
-    val cents = s.read.parquet(path + "/_quantizer")
     val newQ = newVectors
       .map(f => quantizeFrame(f.select(col("vec_id"), col("embedding"))))
       .getOrElse(quantized(s, dir)
@@ -1793,6 +1859,20 @@ object Extensions {
     // exactly as cells come from the frozen `_quantizer`: an append
     // never moves either epoch; a range refresh is a retrain-class
     // event (rebuild, staged swap).
+    appendAnnIndexFrom(s, path, newQ, meta)
+  }
+
+  /** The grain-agnostic append core: `newQ` is an ALREADY-QUANTIZED
+    * (vec_id, q, s2) frame assigned and encoded under the index's own
+    * frozen sidecars — the chunk-grain index (integer-derived vectors,
+    * no quantizeFrame, no label layout) appends through this directly;
+    * [[appendAnnIndex]] is the embeddings-table form with discovery and
+    * the label-layout guard above it. */
+  private[graft] def appendAnnIndexFrom(s: SparkSession, path: String,
+                                        newQ: DataFrame,
+                                        meta: Option[DataFrame] = None)
+      : Unit = {
+    val cents = s.read.parquet(path + "/_quantizer")
     indexRows(newQ, cents, meta, s.read.parquet(path + "/_sq8"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
@@ -1882,9 +1962,20 @@ object Extensions {
   def annIvfIndexedQueries(s: SparkSession, dir: String, queries: DataFrame,
                            indexPath: String,
                            excludeSelf: Boolean = false,
-                           k: Int = 5): DataFrame = {
+                           k: Int = 5): DataFrame =
+    annIvfIndexedOver(s, quantized(s, dir), quantizeFrame(queries),
+      indexPath, excludeSelf, k)
+
+  /** The grain-agnostic core of indexed ANN serving: `corpus` and `eq`
+    * are ALREADY-QUANTIZED (vec_id, q, s2) frames, so the same read
+    * path serves doc-grain embeddings (the forms above) and the
+    * chunk-grain index ([[chunkVectors]] — RAG's serving grain), where
+    * vectors are integer-derived and never pass through quantizeFrame. */
+  private[graft] def annIvfIndexedOver(s: SparkSession, corpus: DataFrame,
+                                       eq: DataFrame, indexPath: String,
+                                       excludeSelf: Boolean,
+                                       k: Int): DataFrame = {
     val idx = s.read.parquet(indexPath).filter(col("rn") === 1)
-    val eq = quantizeFrame(queries)
     val cents = s.read.parquet(indexPath + "/_quantizer")
     // Hive partition values round-trip through directory names; cast the
     // probe side to the scan's inferred type so the join key is the bare
@@ -1917,7 +2008,7 @@ object Extensions {
     // Exact rerank at the doubly-pruned grain: query vectors from the
     // caller's frame, full neighbor vectors by key join into the corpus.
     val q = eq.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
-    val n = quantized(s, dir)
+    val n = corpus
       .select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
@@ -4617,6 +4708,46 @@ object Extensions {
         |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
         |       count(*) AS n_chunks, min(doc_id) AS first_doc
         |FROM ch GROUP BY 1
-        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin))
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
+    // s18's oracle recomputes the whole chunk→vector→MaxSim chain in
+    // SQL: t25's tiling, the h32-derived chunk dims, integer chunk
+    // dots, and the max-chunk doc rollup. MATERIALIZED on the per-dim
+    // frame — it feeds both the norm agg and both sides of the pair
+    // join (the d13 inlining lesson).
+    QuerySpec("s18_chunk_ann", chunkAnn, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |cht AS (
+        |  SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+        |         md5(array_to_string(t[k * 48 + 1:k * 48 + 64], ' ')) AS chunk_hash
+        |  FROM toks, UNNEST(range(0, GREATEST((len(t) - 17) // 48, 0) + 1)) u(k)),
+        |cev AS MATERIALIZED (
+        |  SELECT doc_id, doc_id * 4096 + chunk_id AS vec_id, CAST(i AS INTEGER) AS i,
+        |         (('0x' || substr(md5(chunk_hash || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+        |          % 2001) - 1000 AS v
+        |  FROM cht, UNNEST(range(1, 65)) u(i)),
+        |csq AS MATERIALIZED (
+        |  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS s2 FROM cev GROUP BY 1),
+        |cdots AS (
+        |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+        |         a.vec_id AS va, b.vec_id AS vb,
+        |         CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cev a JOIN cev b ON b.i = a.i
+        |   AND a.doc_id < 10 AND b.doc_id <> a.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM cdots d
+        |  JOIN csq x ON x.vec_id = d.va
+        |  JOIN csq y ON y.vec_id = d.vb),
+        |rolled AS (
+        |  SELECT query_id, neighbor_id, MAX(cos_ppm) AS max_cos_ppm
+        |  FROM scored GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, max_cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY max_cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM rolled) t
+        |WHERE rank <= 5""".stripMargin))
   )
 }

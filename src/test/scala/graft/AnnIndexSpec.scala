@@ -157,6 +157,57 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("chunk-grain index: build + append ≡ frozen-epoch rebuild; serving finds the twin") {
+    import org.apache.spark.sql.functions._
+    // RAG serving indexes chunks, not documents: the same layout, build,
+    // append, and read paths must work at chunk grain over the derived
+    // integer chunk vectors (no quantizeFrame, no labels) — the
+    // grain-agnostic cores (buildAnnIndexFrom / appendAnnIndexFrom /
+    // annIvfIndexedOver) are exercised directly.
+    val src = sf("sf0.001")
+    val cv = Extensions.chunkVectors(spark, src)
+      .select("vec_id", "q", "s2").persist()
+    try {
+      val half = cv.filter(pmod(col("vec_id"), lit(2)) === 0)
+      // The chunk corpus trains its own coarse quantizer: hash-sampled
+      // √n of the half it is built over (the coarseCentroids rule at
+      // frame grain).
+      val n = half.count()
+      val stride = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+      val cents = half
+        .filter(graft.functions.Portable.h32(col("vec_id").cast("string"))
+          % stride === 0)
+        .select(col("vec_id").as("cent_id"), col("q").as("qc"),
+          col("s2").as("sc"))
+      val base = java.nio.file.Files.createTempDirectory("graft-chunkidx")
+        .toString
+      val grown = s"$base/grown"
+      val rebuilt = s"$base/rebuilt"
+      Extensions.buildAnnIndexFrom(half, cents, grown)
+      Extensions.appendAnnIndexFrom(spark, grown,
+        cv.filter(pmod(col("vec_id"), lit(2)) === 1))
+      // Ground truth: full chunk corpus under BOTH frozen epochs (the
+      // half-corpus quantizer and its SQ8 ranges).
+      Extensions.buildAnnIndexFrom(cv, cents, rebuilt,
+        sq8 = Some(spark.read.parquet(grown + "/_sq8")))
+      assertSameRows(spark.read.parquet(grown), spark.read.parquet(rebuilt),
+        "chunk-grain appended index vs frozen-epoch rebuild")
+      // Serving: every query chunk (docs < 10 → vec_id < 10·4096) must
+      // find an exact twin at rank 1 — itself, or an identical repeated
+      // chunk with a smaller id (d15 proves such chunks exist), either
+      // way at cos 1e6: the index located an exact duplicate of the
+      // query vector through the pruned read.
+      val queries = cv.filter(col("vec_id") < 10 * 4096)
+      val r1 = Extensions.annIvfIndexedOver(spark, cv, queries, grown,
+        excludeSelf = false, k = 1).persist()
+      try {
+        assert(r1.count() == queries.count(), "a query chunk lost its rank-1 row")
+        assert(r1.filter(col("cos_ppm") =!= 1000000L).count() == 0,
+          "a query chunk's rank-1 neighbor is not an exact twin")
+      } finally r1.unpersist()
+    } finally cv.unpersist()
+  }
+
   test("external-query serving: corpus parity with excludeSelf, twin-first without") {
     import org.apache.spark.sql.functions.col
     val dir = sf("sf0.001")
