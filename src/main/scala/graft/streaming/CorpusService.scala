@@ -75,6 +75,11 @@ object CorpusService {
     /** The maintained lexical posting table (streaming.PostingTable —
       * the inverted file hybridTopKFor's lexical ranker reads). */
     val postings = s"$base/dedup/postings"
+    /** Epoch state of the manifest's cluster-balanced diversity cap
+      * (t24 as a maintained artifact): the capped (cell, doc_id) sample
+      * refreshTrainingSet(clusterCap) keeps slots in. Quantizer-epoch
+      * scoped — a retrain deletes it (new cells ⇒ resample). */
+    val clusterSample = s"$base/dedup/cluster_sample"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -103,6 +108,13 @@ object CorpusService {
     // index is REBUILT here (staged swap — readers see old or new,
     // never a mix); the append path is only sound within an epoch.
     if (exists(spark, p.annIndex)) rebuildIndex(spark, p)
+    // The cluster-balanced manifest sample is epoch state too: its
+    // cells are the old quantizer's. Delete it — the next capped
+    // refresh resamples from scratch under the new cells (the
+    // no-resampling guarantee is explicitly WITHIN an epoch).
+    val csPath = new org.apache.hadoop.fs.Path(p.clusterSample)
+    val fs = csPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(csPath)) fs.delete(csPath, true)
     recordTrainedCount(spark, p)
   }
 
@@ -436,9 +448,25 @@ object CorpusService {
     * (invalidated on corpus refresh like every per-dir memo). A trainer
     * reads THIS table — the doc-grain manifest, not the summary — to
     * enumerate its shards. */
+  /** `clusterCap` adds the DIVERSITY gate beside quality / canonical /
+    * decontamination: at most `cap` manifest docs per IVF cell of the
+    * service's quantizer epoch (t24's cluster-balanced pruning as a
+    * maintained artifact — over-represented embedding modes clipped to
+    * the same budget as rare ones before the token mix is cut). The
+    * capped (cell, doc_id) sample persists at p.clusterSample and is
+    * EPOCH STATE with reservoir semantics: the first capped refresh
+    * ranks every assigned doc by the portable id hash (one-shot t24's
+    * order, so manifest ≡ t13 ∩ t24 — spec-pinned); later refreshes
+    * rank already-sampled docs FIRST, so within a quantizer epoch a
+    * kept doc is never evicted by a newcomer — new docs only fill a
+    * cell's remaining budget. A retrain deletes the sample (new cells
+    * ⇒ resample). Like one-shot t24 the sample ranks ALL corpus docs,
+    * not just gated ones — the cap bounds a cell's REPRESENTATION in
+    * the corpus; gating then filters within it. */
   def refreshTrainingSet(spark: SparkSession, p: Paths,
                          decontaminate: Boolean = false,
-                         excludeContaminated: Boolean = false): Unit = {
+                         excludeContaminated: Boolean = false,
+                         clusterCap: Option[Int] = None): Unit = {
     val kept = canonicalCorpusView(spark, p)
       .filter(col("is_kept") === 1).select("doc_id")
     val base = graft.queries.Extensions.trainingManifest(spark, p.base, kept)
@@ -447,10 +475,40 @@ object CorpusService {
       else base.join(
         graft.queries.Extensions.contaminatedTrainDocs(spark, p.base),
         Seq("doc_id"), "left_anti")
-    val manifest =
+    val gated =
       if (!excludeContaminated) decon
       else decon.join(contaminationView(spark, p).select("doc_id"),
         Seq("doc_id"), "left_anti")
+    val manifest = clusterCap match {
+      case None => gated
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        val E = graft.queries.Extensions
+        val assigned = E.centroidRank(
+            E.quantizeFrame(graft.Tables.t(spark, p.base, "embeddings")),
+            spark.read.parquet(p.cents), "vec_id")
+          .filter(col("rn") === 1)
+          .select(col("vec_id").as("doc_id"), col("cent_id").as("cell"))
+        val prevKept =
+          if (exists(spark, p.clusterSample))
+            spark.read.parquet(p.clusterSample)
+              .select(col("doc_id")).withColumn("was_kept", lit(1))
+          else spark.range(0)
+            .select(col("id").as("doc_id"), lit(1).as("was_kept"))
+        val w = Window.partitionBy(col("cell"))
+          .orderBy(col("wk").desc,
+            graft.functions.Portable.h32(col("doc_id").cast("string")),
+            col("doc_id"))
+        val sampled = assigned
+          .join(prevKept, Seq("doc_id"), "left")
+          .withColumn("wk", coalesce(col("was_kept"), lit(0)))
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") <= cap)
+          .select("cell", "doc_id")
+        graft.jobs.Warehouse.replaceReport(spark, sampled, p.clusterSample)
+        gated.join(spark.read.parquet(p.clusterSample).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+    }
     // Hive-partitioned by split: the manifest's dominant read is a
     // trainer enumerating ONE split (split=train at every epoch,
     // split=valid on eval ticks) — partition pruning turns that into a

@@ -439,6 +439,62 @@ class CorpusServiceSpec extends SparkSpec {
     } finally { streamed.unpersist(); exact.unpersist() }
   }
 
+  test("clusterCap manifest ≡ t13 ∩ t24; the sample keeps its docs within an epoch") {
+    val srcDir = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-svccap").toString
+    val p = CorpusService.Paths(base)
+    val docs = graft.Tables.t(spark, srcDir, "documents")
+      .select("doc_id", "text", "lang")
+    val emb = graft.Tables.t(spark, srcDir, "embeddings")
+    // Epoch 1 corpus: even ids. Train the service quantizer on it.
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+      .write.mode("append").parquet(p.docs)
+    emb.filter(pmod(col("vec_id"), lit(2)) === 0).coalesce(1)
+      .write.mode("append").parquet(p.embeddings)
+    Extensions.invalidateCorpusCount(base)
+    CorpusService.trainQuantizer(spark, p)
+    CorpusService.refreshCanonicalCorpus(spark, p)
+    // Uncapped manifest first (the diversity cap is a gate beside the
+    // others, so the capped form must be exactly its restriction).
+    CorpusService.refreshTrainingSet(spark, p)
+    val uncapped = CorpusService.trainingSetView(spark, p)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // First capped refresh: ranks ALL docs by the portable hash —
+    // one-shot t24's rule under the same quantizer — so the manifest
+    // is exactly (uncapped manifest) ∩ (t24 kept set).
+    CorpusService.refreshTrainingSet(spark, p, clusterCap = Some(8))
+    val t24Kept = Extensions.clusterSample(spark, base)
+      .select(col("vec_id").as("doc_id"))
+    assertSameRows(
+      CorpusService.trainingSetView(spark, p).select("doc_id"),
+      t24Kept.filter(col("doc_id").isin(uncapped.toSeq: _*)),
+      "capped manifest vs one-shot t13 ∩ t24")
+    val sample1 = spark.read.parquet(p.clusterSample).collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("doc_id"))).toSet
+    // Epoch 1 grows (odd ids arrive); SAME quantizer epoch — the
+    // refresh must not resample: every previously kept doc keeps its
+    // slot, newcomers only fill remaining per-cell budget.
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
+      .write.mode("append").parquet(p.docs)
+    emb.filter(pmod(col("vec_id"), lit(2)) === 1).coalesce(1)
+      .write.mode("append").parquet(p.embeddings)
+    Extensions.invalidateCorpusCount(base)
+    Extensions.invalidateBloom(base)
+    CorpusService.refreshCanonicalCorpus(spark, p)
+    CorpusService.refreshTrainingSet(spark, p, clusterCap = Some(8))
+    val sample2 = spark.read.parquet(p.clusterSample).collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("doc_id"))).toSet
+    assert(sample1.subsetOf(sample2),
+      s"epoch sample evicted docs: ${sample1.diff(sample2)}")
+    val perCell = sample2.groupBy(_._1).map(_._2.size)
+    assert(perCell.forall(_ <= 8), s"a cell exceeds the cap: $perCell")
+    // Idempotence: nothing new → the sample (and manifest) are stable.
+    CorpusService.refreshTrainingSet(spark, p, clusterCap = Some(8))
+    val sample3 = spark.read.parquet(p.clusterSample).collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("doc_id"))).toSet
+    assert(sample2 == sample3, "a no-growth refresh resampled")
+  }
+
   test("maintained serving index: builds, appends per wave, rebuilds on retrain") {
     val srcDir = sf("sf0.001")
     val base = java.nio.file.Files.createTempDirectory("graft-svcidx").toString
