@@ -83,11 +83,21 @@ object NoveltyTable {
 
   /** One incremental refresh; returns the number of newly scored docs. */
   def maintain(spark: SparkSession, corpusDir: String,
-               firstSeenDir: String, logDir: String): Long = {
-    val docs = graft.Tables.t(spark, corpusDir, "documents")
-      .select("doc_id", "lang", "text")
+               firstSeenDir: String, logDir: String): Long =
+    refresh(spark,
+      graft.Tables.t(spark, corpusDir, "documents")
+        .select("doc_id", "lang", "text"),
+      firstSeenDir, logDir)
+
+  /** The refresh core at CANDIDATE grain — `maintain` passes the whole
+    * corpus (anti-join discovery prunes it to the delta); the streaming
+    * form passes each micro-batch. The anti-join runs either way, so a
+    * checkpoint-replayed micro-batch scores nothing twice. */
+  private def refresh(spark: SparkSession, candidates: DataFrame,
+                      firstSeenDir: String, logDir: String): Long = {
     val processed = noveltyView(spark, logDir).select("doc_id").distinct()
-    val newDocs = docs.join(processed, Seq("doc_id"), "left_anti")
+    val newDocs = candidates.select("doc_id", "lang", "text")
+      .join(processed, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val nNew = newDocs.count()
     if (nNew == 0) return 0L
@@ -145,6 +155,34 @@ object NoveltyTable {
     scored.write.mode(SaveMode.Append).parquet(logDir)
     nNew
   }
+
+  /** ALWAYS-ON form — the live-trigger parity the three dedup
+    * modalities have: the corpus dir is the stream source, each
+    * appended file's docs become a micro-batch through [[refresh]].
+    * The in-refresh anti-join plus the min-merge append make a
+    * checkpoint-replayed batch a no-op, so the exactly-once story is
+    * the same as StreamingDedup's (idempotent appends under a
+    * replayable source). AvailableNow = drain-and-stop. */
+  def start(spark: SparkSession, corpusDir: String, firstSeenDir: String,
+            logDir: String, checkpointDir: String,
+            trigger: org.apache.spark.sql.streaming.Trigger =
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(StreamingDedup.docSchema).parquet(corpusDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        refresh(spark, batch, firstSeenDir, logDir); ()
+      }
+      .start()
+
+  /** Drain all currently-available document files and stop. */
+  def ingestAvailable(spark: SparkSession, corpusDir: String,
+                      firstSeenDir: String, logDir: String,
+                      checkpointDir: String): Unit =
+    start(spark, corpusDir, firstSeenDir, logDir, checkpointDir)
+      .awaitTermination()
 
   /** Post-drain compaction for both stores (the shared idempotent-log
     * posture; dedupRows also physically absorbs any replayed rows). */

@@ -62,11 +62,20 @@ object PostingTable {
 
   /** One incremental refresh; returns the number of newly posted docs. */
   def maintain(spark: SparkSession, corpusDir: String,
-               logDir: String): Long = {
-    val docs = graft.Tables.t(spark, corpusDir, "documents")
-      .select("doc_id", "text")
+               logDir: String): Long =
+    refresh(spark,
+      graft.Tables.t(spark, corpusDir, "documents").select("doc_id", "text"),
+      logDir)
+
+  /** The refresh core at CANDIDATE grain — `maintain` passes the whole
+    * corpus (anti-join discovery prunes to the delta); the streaming
+    * form passes each micro-batch. The anti-join makes a
+    * checkpoint-replayed batch append nothing. */
+  private def refresh(spark: SparkSession, candidates: DataFrame,
+                      logDir: String): Long = {
     val processed = postingView(spark, logDir).select("doc_id").distinct()
-    val newDocs = docs.join(processed, Seq("doc_id"), "left_anti")
+    val newDocs = candidates.select("doc_id", "text")
+      .join(processed, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val nNew = newDocs.count()
     if (nNew == 0) return 0L
@@ -76,6 +85,29 @@ object PostingTable {
       .write.mode(SaveMode.Append).parquet(logDir)
     nNew
   }
+
+  /** ALWAYS-ON form — live-trigger parity with the dedup modalities:
+    * the corpus dir is the stream source; each appended file's docs
+    * become a micro-batch through [[refresh]]. AvailableNow =
+    * drain-and-stop. */
+  def start(spark: SparkSession, corpusDir: String, logDir: String,
+            checkpointDir: String,
+            trigger: org.apache.spark.sql.streaming.Trigger =
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(StreamingDedup.docSchema).parquet(corpusDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        refresh(spark, batch, logDir); ()
+      }
+      .start()
+
+  /** Drain all currently-available document files and stop. */
+  def ingestAvailable(spark: SparkSession, corpusDir: String,
+                      logDir: String, checkpointDir: String): Unit =
+    start(spark, corpusDir, logDir, checkpointDir).awaitTermination()
 
   /** Post-drain compaction (the shared idempotent-log posture). */
   def compactLog(spark: SparkSession, logDir: String,
