@@ -49,7 +49,13 @@ object ScaleSmoke {
     "d03_dedup_minhash_lsh", "t16_decontaminated_corpus",
     "s13_ann_sq8", "t21_ngram_novelty",
     "s14_kmeans_refine", "s15_ann_ivf_sq8", "t25_chunk_docs",
-    "s16_hybrid_rrf")
+    "s16_hybrid_rrf",
+    // Round-10 additions: s17's claim is that index-resident codes
+    // bound the coarse pass by the pruned cells (its exponent should
+    // track s15's, both far below s13's linear scan — the per-dir index
+    // build amortizes across iterations via the memo); s18's chunk
+    // MaxSim is query-grain × corpus chunks, expect ~linear.
+    "s17_ann_ivf_sq8_indexed", "s18_chunk_ann")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
