@@ -80,6 +80,11 @@ object CorpusService {
       * refreshTrainingSet(clusterCap) keeps slots in. Quantizer-epoch
       * scoped — a retrain deletes it (new cells ⇒ resample). */
     val clusterSample = s"$base/dedup/cluster_sample"
+    /** The maintained CHUNK-grain serving index (s18's scale path —
+      * RAG serves chunks, not documents): the s08 layout built over the
+      * chunk log's derived vectors, its own quantizer + SQ8 sidecars
+      * trained at chunk grain. */
+    val chunkIndex = s"$base/dedup/chunk_ann_index"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -661,6 +666,86 @@ object CorpusService {
     * encoding. */
   def chunkDupesReport(spark: SparkSession, p: Paths): DataFrame =
     ChunkTable.dupesView(spark, p.chunkLog)
+
+  /** The maintained chunk-vector frame: the embedding derivation
+    * (Extensions.chunkVectorsOf) over the CHUNK LOG — the text is never
+    * re-tokenized; the log is the artifact (paid once per doc at
+    * ingest), the vectors a per-row map over it. */
+  def chunkVectorTable(spark: SparkSession, p: Paths): DataFrame =
+    graft.queries.Extensions.chunkVectorsOf(
+      ChunkTable.chunkView(spark, p.chunkLog))
+
+  /** Maintain the CHUNK-grain serving index over the maintained chunk
+    * log — s18's scale path as a service artifact (RAG retrieval is
+    * chunk retrieval; the doc-grain index cannot serve it). First call
+    * BUILDS under a quantizer trained on the chunk vectors themselves
+    * (the hash-sampled √n rule at frame grain — chunk vectors live in
+    * their own hash-derived space, so the DOC quantizer's cells mean
+    * nothing here); later calls APPEND only not-yet-indexed chunk
+    * vectors under the frozen sidecar epochs (cells + SQ8 ranges —
+    * appendAnnIndexFrom's contract). Epoch semantics are inherited
+    * verbatim: to retrain, delete the index dir and refresh (a
+    * rebuild-class event, exactly like retrainQuantizer's rebuild).
+    * Run post-drain after [[maintainChunks]]. */
+  def refreshChunkIndex(spark: SparkSession, p: Paths): Unit = {
+    val cv = chunkVectorTable(spark, p).select("vec_id", "q", "s2")
+    if (!exists(spark, p.chunkIndex)) {
+      val n = cv.count()
+      val stride = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+      val cents = cv
+        .filter(graft.functions.Portable.h32(col("vec_id").cast("string"))
+          % stride === 0)
+        .select(col("vec_id").as("cent_id"), col("q").as("qc"),
+          col("s2").as("sc"))
+      graft.jobs.Warehouse.replaceVia(spark, p.chunkIndex) { stage =>
+        graft.queries.Extensions.buildAnnIndexFrom(cv, cents, stage)
+      }
+    } else {
+      val newQ = cv.join(
+        spark.read.parquet(p.chunkIndex).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      graft.queries.Extensions.appendAnnIndexFrom(spark, p.chunkIndex, newQ)
+    }
+  }
+
+  /** CHUNK retrieval for external TEXT queries with doc-level rollup —
+    * the RAG request path end-to-end off maintained state: each
+    * (vec_id, text) query is chunked and embedded with the corpus's
+    * own derivation (chunksOfDocs + chunkVectorsOf — a query matching
+    * a corpus passage verbatim gets that chunk's exact vector), its
+    * chunk vectors probe the stored chunk index (partition-pruned
+    * cells, prefix candidates, exact rerank against the derived
+    * chunk-vector frame), and candidate documents rank by their
+    * best-matching chunk (s18's MaxSim rollup), top-`k` docs per
+    * query. `excludeSelf` drops same-DOC hits for corpus-parity
+    * queries (s18's semantics: a doc never retrieves itself).
+    * Serving recall is the cell-probe family's, pinned by overlap
+    * floor against one-shot s18 (CorpusServiceSpec), with exact-twin
+    * queries guaranteed: an identical passage hashes to the identical
+    * vector, lands in the probed cell, and scores 1e6. */
+  def chunkTopKFor(spark: SparkSession, p: Paths, queries: DataFrame,
+                   excludeSelf: Boolean = false, k: Int = 5): DataFrame = {
+    val E = graft.queries.Extensions
+    val qv = E.chunkVectorsOf(
+        E.chunksOfDocs(queries.select(col("vec_id").as("doc_id"), col("text"))))
+      .select(col("vec_id"), col("q"), col("s2"))
+    val corpus = chunkVectorTable(spark, p).select("vec_id", "q", "s2")
+    val served = E.annIvfIndexedOver(spark, corpus, qv, p.chunkIndex,
+      excludeSelf = false, k = 100)
+    val rolled = served
+      .select(expr("query_id div 4096").as("query_id"),
+        expr("neighbor_id div 4096").as("neighbor_id"),
+        col("cos_ppm"))
+    (if (excludeSelf) rolled.filter(col("neighbor_id") =!= col("query_id"))
+     else rolled)
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("cos_ppm")).as("max_cos_ppm"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("max_cos_ppm").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "max_cos_ppm", "rank")
+  }
 
   /** The per-source curation report (t23's rollup) over the MAINTAINED
     * novelty log — the acquisition-decision view ("which crawl source
