@@ -783,6 +783,98 @@ object Extensions {
   private def sq8Codes(e: DataFrame): DataFrame =
     sq8EncodeWith(e, sq8Ranges(e)).select("vec_id", "vh", "ss")
 
+  /** s20: product-quantized ANN (PQ 4×16, asymmetric distance) — the
+    * remaining FAISS compression tier, completing the matrix: s06
+    * truncates dimensions, s13 narrows bytes per dimension (SQ8,
+    * 64 B/vector), PQ replaces each 16-dim SUBVECTOR with one codebook
+    * id — 4 bytes/vector, the shape billion-scale serving actually
+    * stores. Codebooks are hash-sampled corpus subvectors (≈256 per
+    * subspace — the coarseCentroids sampling rule at the PQ codebook
+    * cardinality); encoding assigns each subvector to its nearest
+    * entry by EXACT integer L2 (d² = |a|² + |b|² − 2ab, all BIGINT —
+    * no k-means float drift, no libm), ties by centroid id. Scoring is
+    * textbook ADC: the RAW query against each neighbor's concatenated
+    * reconstruction — dot(q, recon) = Σ_m dot(q_m, codebook[m][code_m])
+    * and |recon|² = Σ_m |c_m|² exactly, because subspaces are
+    * disjoint. Top-100 by reconstructed cosine, exact rerank to top-5
+    * (the s13/s15 tail).
+    *
+    * Scale shape: assignment is |corpus|·4 subvector rows × ≈256
+    * broadcast codebook entries (16-dim codegen dots — s14's cost
+    * class at fixed k); ADC reads (vec, sub, code) rows — the 4-byte
+    * frame at scale — and |Q|·4·|corpus| lookup dots; reranks fetch
+    * ~100 full vectors per query by key join. Composition with the
+    * IVF cell probe (s15's pattern) and index-residence (s17's)
+    * apply verbatim — registered once here at the honest corpus-wide
+    * grain, s13's posture. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    // Subvector frame: 4 rows per vector, 16-dim arrays + exact norms.
+    val subs = e.select(col("vec_id"), col("q"), col("s2"),
+        explode(expr("sequence(0, 3)")).as("sub"))
+      .withColumn("qs", expr("slice(q, sub * 16 + 1, 16)"))
+      .withColumn("ss", DotI64(col("qs"), col("qs")))
+      .select("vec_id", "sub", "qs", "ss")
+    // Codebooks: hash-sampled corpus rows' subvectors, ≈256 entries.
+    val n: Long = corpusCount.computeIfAbsent(dir,
+      _ => Tables.t(s, dir, "embeddings").count())
+    val stride = math.max(1L, n / 256L)
+    val cents = subs
+      .filter(h32(col("vec_id").cast("string")) % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("sub"),
+        col("qs").as("cs"), col("ss").as("scs"))
+    // Encoding: per (vector, subspace), nearest codebook entry by
+    // exact integer L2; the 2-byte code IS the cent_id here.
+    val aw = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    val codes = subs.join(broadcast(cents), "sub")
+      .withColumn("d2",
+        col("ss") + col("scs") - lit(2L) * DotI64(col("qs"), col("cs")))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cent_id"),
+        col("cs"), col("scs"))
+    // Reconstruction norm: Σ over subspaces of the chosen entry's norm.
+    val rnorm = codes.groupBy("vec_id")
+      .agg(sum(col("scs")).as("ssr"))
+    // ADC: raw query subvectors against neighbor reconstructions.
+    val qsubs = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("sub"), col("qs").as("qq"))
+    val adc = codes.select(col("vec_id").as("neighbor_id"), col("sub"),
+        col("cs"))
+      .join(qsubs, "sub")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("pdot", DotI64(col("qq"), col("cs")))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("pdot")).as("adot"))
+    val qn = e.select(col("vec_id").as("query_id"), col("s2").as("sa"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id").asc)
+    val cand = adc
+      .join(qn, "query_id")
+      .join(rnorm.select(col("vec_id").as("neighbor_id"), col("ssr")),
+        "neighbor_id")
+      .withColumn("acos",
+        floor(col("adot") / (sqrt(col("sa")) * sqrt(col("ssr")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("arn", row_number().over(cw))
+      .filter(col("arn") <= 100)
+      .select("query_id", "neighbor_id")
+    // Exact rerank at candidate grain (the family's shared tail).
+    val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"),
+      col("s2").as("sa"))
+    val nn = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+      col("s2").as("sb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    cand.join(q, "query_id").join(nn, "neighbor_id")
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_ppm", "rank")
+  }
+
   def annSq8(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
     // The code frame: what the coarse pass is allowed to read.
@@ -1011,6 +1103,68 @@ object Extensions {
       .withColumn("rank_v", row_number().over(wv))
       .filter(col("rank_v") <= k)
       .select("query_id", "neighbor_id", "rank_v")
+  }
+
+  /** s19: BM25-family lexical ranking — Okapi's two ranking
+    * innovations over s16's raw tf·idf, in exact ppm-integer
+    * arithmetic: tf SATURATION (k1 = 1.2 — a term's contribution is
+    * bounded as tf grows, so a 100-occurrence spam term cannot drown
+    * ten distinct matches) and LENGTH NORMALIZATION (b = 0.75 — a
+    * long document's tf is discounted toward the corpus-average
+    * length, so verbosity is not relevance). The idf factor is the
+    * engine's reciprocal-df form (N·1e6 // df) rather than the
+    * textbook ln((N−df+.5)/(df+.5)): ln() is libm-dependent in its
+    * last ulp, which breaks bit-exact cross-engine oracles, and the
+    * reciprocal form shares log-idf's monotone direction — the
+    * saturation/normalization behavior, which is what BM25 adds, is
+    * preserved exactly.
+    *
+    * All arithmetic is staged integer division (the idiv idiom, each
+    * numerator < 2^53 by construction — the idf·sat product is split
+    * (idf//1000)·sat//1000 precisely to stay inside idiv's exact
+    * range at 100× this corpus), identical operation-for-operation in
+    * the DuckDB twin. Queries are docs 0–9 (the s16 convention);
+    * top-10 per query, ties by neighbor id.
+    *
+    * Scale shape: s16's lexical cost exactly — a posting join at query
+    * grain (Σ df over query tokens; the dfCapPpm dial composes
+    * unchanged), one |docs|-grain length frame joined at candidate
+    * grain, the one-row totals broadcast. Rank-only consumers (RRF)
+    * can swap this in for lexicalRank unchanged. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val tf = tokRows(s, dir)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dlen = tokRows(s, dir)
+      .groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val tot = dlen.agg(sum("dlen").cast("long").as("total_toks"),
+      count(lit(1)).as("n_docs"))
+    val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_ppm").desc, col("neighbor_id").asc)
+    tf.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("tok"))
+      .join(tf.select(col("doc_id").as("neighbor_id"), col("tok"), col("tf")), "tok")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(dfx, "tok")
+      .join(dlen.select(col("doc_id").as("neighbor_id"), col("dlen")),
+        "neighbor_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf_ppm", ppm(col("n_docs"), col("df")))
+      .withColumn("sat_ppm", idiv(
+        col("tf") * lit(2200000L) * lit(1000000L),
+        col("tf") * lit(1000000L) + idiv(
+          lit(1200000L) * (lit(250000L) + idiv(
+            lit(750000L) * idiv(
+              col("dlen") * col("n_docs") * lit(1000000L),
+              col("total_toks")),
+            lit(1000000L))),
+          lit(1000000L))))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(idiv(idiv(col("idf_ppm"), lit(1000L)) * col("sat_ppm"),
+        lit(1000L))).as("bm25_ppm"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "neighbor_id", "bm25_ppm", "rank")
   }
 
   /** The lexical ranker shared by one-shot s16 and the service's
@@ -4709,6 +4863,118 @@ object Extensions {
         |       count(*) AS n_chunks, min(doc_id) AS first_doc
         |FROM ch GROUP BY 1
         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
+    // s20's oracle recomputes the full PQ chain in SQL: hash-sampled
+    // codebooks, exact-L2 assignment per (vector, subspace), ADC dots
+    // of the raw query against reconstructions, exact rerank. Every
+    // multi-referenced CTE MATERIALIZED (the d13 inlining lesson).
+    QuerySpec("s20_ann_pq", annPq, Some(
+      Seq("ev", "sq").foldLeft(embCtes)((acc, c) =>
+        acc.replace(c + " AS (", c + " AS MATERIALIZED (")) + ", " +
+      """strideq AS MATERIALIZED (
+        |  SELECT GREATEST(1, count(*) // 256) AS st FROM embeddings),
+        |csel AS MATERIALIZED (
+        |  SELECT vec_id AS cent_id FROM embeddings
+        |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |        % (SELECT st FROM strideq) = 0),
+        |cev AS MATERIALIZED (
+        |  SELECT c.cent_id, (e.i - 1) // 16 AS sub, e.i, e.v
+        |  FROM ev e JOIN csel c ON c.cent_id = e.vec_id),
+        |vs AS MATERIALIZED (
+        |  SELECT vec_id, (i - 1) // 16 AS sub, CAST(SUM(v * v) AS BIGINT) AS ss
+        |  FROM ev GROUP BY 1, 2),
+        |cs AS MATERIALIZED (
+        |  SELECT cent_id, sub, CAST(SUM(v * v) AS BIGINT) AS scs
+        |  FROM cev GROUP BY 1, 2),
+        |ad AS MATERIALIZED (
+        |  SELECT e.vec_id, c.sub, c.cent_id, CAST(SUM(e.v * c.v) AS BIGINT) AS dot
+        |  FROM ev e JOIN cev c ON c.i = e.i
+        |  GROUP BY 1, 2, 3),
+        |code AS MATERIALIZED (
+        |  SELECT vec_id, sub, cent_id FROM (
+        |    SELECT a.vec_id, a.sub, a.cent_id,
+        |           row_number() OVER (PARTITION BY a.vec_id, a.sub
+        |             ORDER BY vs.ss + cs.scs - 2 * a.dot ASC, a.cent_id ASC) AS rn
+        |    FROM ad a
+        |    JOIN vs ON vs.vec_id = a.vec_id AND vs.sub = a.sub
+        |    JOIN cs ON cs.cent_id = a.cent_id AND cs.sub = a.sub) t
+        |  WHERE rn = 1),
+        |rnorm AS MATERIALIZED (
+        |  SELECT k.vec_id, CAST(SUM(cs.scs) AS BIGINT) AS ssr
+        |  FROM code k JOIN cs ON cs.cent_id = k.cent_id AND cs.sub = k.sub
+        |  GROUP BY 1),
+        |adc AS MATERIALIZED (
+        |  SELECT q.vec_id AS query_id, k.vec_id AS neighbor_id,
+        |         CAST(SUM(q.v * c.v) AS BIGINT) AS adot
+        |  FROM code k
+        |  JOIN cev c ON c.cent_id = k.cent_id AND c.sub = k.sub
+        |  JOIN ev q ON q.i = c.i AND q.vec_id < 10 AND q.vec_id <> k.vec_id
+        |  GROUP BY 1, 2),
+        |qsc AS (
+        |  SELECT a.query_id, a.neighbor_id,
+        |         CAST(floor(a.adot / (sqrt(sq.s2) * sqrt(r.ssr)) * 1000000 + 0.5) AS BIGINT) AS acos
+        |  FROM adc a
+        |  JOIN sq ON sq.vec_id = a.query_id
+        |  JOIN rnorm r ON r.vec_id = a.neighbor_id),
+        |cand AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |                ORDER BY acos DESC, neighbor_id) AS arn
+        |    FROM qsc) t WHERE arn <= 100),
+        |cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ev a ON a.vec_id = c.query_id
+        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM cdots d
+        |  JOIN sq x ON x.vec_id = d.query_id
+        |  JOIN sq y ON y.vec_id = d.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin)),
+
+    QuerySpec("s19_bm25_topk", bm25TopK, Some(
+      """WITH tf AS MATERIALIZED (
+        |  SELECT doc_id, t[i] AS tok, count(*) AS tf
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) x,
+        |       UNNEST(range(1, len(t) + 1)) u(i)
+        |  GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dlen
+        |         FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(dlen) AS BIGINT) AS total_toks,
+        |               count(*) AS n_docs FROM dlen),
+        |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |terms AS (
+        |  SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+        |         (tot.n_docs * 1000000) // dfx.df AS idf_ppm,
+        |         (d.tf * 2200000 * 1000000) //
+        |           (d.tf * 1000000 +
+        |            (1200000 * (250000 +
+        |              (750000 * ((dl.dlen * tot.n_docs * 1000000)
+        |                         // tot.total_toks)) // 1000000))
+        |             // 1000000) AS sat_ppm
+        |  FROM tf q
+        |  JOIN tf d ON d.tok = q.tok AND d.doc_id <> q.doc_id
+        |  JOIN dfx ON dfx.tok = q.tok
+        |  JOIN dlen dl ON dl.doc_id = d.doc_id
+        |  CROSS JOIN tot
+        |  WHERE q.doc_id < 10),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(SUM(((idf_ppm // 1000) * sat_ppm) // 1000) AS BIGINT)
+        |           AS bm25_ppm
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, bm25_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY bm25_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10""".stripMargin)),
 
     // s18's oracle recomputes the whole chunk→vector→MaxSim chain in
     // SQL: t25's tiling, the h32-derived chunk dims, integer chunk

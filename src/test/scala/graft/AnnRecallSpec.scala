@@ -48,6 +48,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.85, f"truncated-prefilter mean recall@5 $mean%.2f < 0.85")
   }
 
+  test("PQ ANN achieves recall@5 >= 0.85 vs exact (sf0.01)") {
+    // PQ4x16 compresses to 4 bytes/vector — the most aggressive tier in
+    // the matrix — yet measured recall@5 is 1.00 here: the coarse PQ
+    // order only has to land the true top-5 inside the top-100
+    // CANDIDATES, and the exact rerank recovers the ordering (the same
+    // reason s13's SQ8 measured lossless). Floor 0.85 with headroom;
+    // the dials are subspace count, codebook size, and candidate depth.
+    val dir = sf("sf0.01")
+    val exact = topSets(Extensions.annCosineTopK(spark, dir))
+    val pq = topSets(Extensions.annPq(spark, dir))
+    val recalls = exact.map { case (q, truth) =>
+      pq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ4x16 mean recall@5 vs exact: $mean%.2f")
+    assert(mean >= 0.85, f"PQ mean recall@5 $mean%.2f < 0.85")
+  }
+
   test("IVF ANN achieves recall@5 >= 0.6 vs exact (sf0.01)") {
     val dir = sf("sf0.01")
     val exact = topSets(Extensions.annCosineTopK(spark, dir))
