@@ -54,8 +54,12 @@ object ScaleSmoke {
     // bound the coarse pass by the pruned cells (its exponent should
     // track s15's, both far below s13's linear scan — the per-dir index
     // build amortizes across iterations via the memo); s18's chunk
-    // MaxSim is query-grain × corpus chunks, expect ~linear.
-    "s17_ann_ivf_sq8_indexed", "s18_chunk_ann")
+    // MaxSim is query-grain × corpus chunks, expect ~linear; s19's
+    // posting join is Σ df at query grain (~linear in corpus); s20's
+    // PQ assignment is n × ~256 fixed-size codebooks + query-grain ADC
+    // (~linear — the codebook count is capped, unlike s14's √n).
+    "s17_ann_ivf_sq8_indexed", "s18_chunk_ann",
+    "s19_bm25_topk", "s20_ann_pq")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -1134,21 +1134,40 @@ object Extensions {
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
     val tf = tokRows(s, dir)
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dlen = tokRows(s, dir)
-      .groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    bm25Rank(
+      tf.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("tok")),
+      tf)
+  }
+
+  /** The BM25 scoring core at posting grain, shared by one-shot s19
+    * and the service's posting-table path (CorpusService.hybridTopKFor
+    * with `bm25 = true`): everything — document lengths, totals, df —
+    * derives from the `tf` posting frame itself (Σ tf per doc IS the
+    * token count), so the maintained posting log serves BM25 with no
+    * corpus re-tokenization. The df cap and self-exclusion dials are
+    * lexicalRank's, applied identically (the cap filters before the
+    * posting join). */
+  private[graft] def bm25Rank(qtoks: DataFrame, tf: DataFrame,
+                              dfCapPpm: Long = 1000000L,
+                              excludeSelf: Boolean = true,
+                              k: Int = 10): DataFrame = {
+    val dlen = tf.groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("dlen"))
     val tot = dlen.agg(sum("dlen").cast("long").as("total_toks"),
       count(lit(1)).as("n_docs"))
     val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(tot))
+      .filter(col("df") * lit(1000000L) <= lit(dfCapPpm) * col("n_docs"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25_ppm").desc, col("neighbor_id").asc)
-    tf.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("query_id"), col("tok"))
-      .join(tf.select(col("doc_id").as("neighbor_id"), col("tok"), col("tf")), "tok")
-      .filter(col("neighbor_id") =!= col("query_id"))
+    val hits = qtoks
       .join(dfx, "tok")
+      .join(tf.select(col("doc_id").as("neighbor_id"), col("tok"), col("tf")), "tok")
+    (if (excludeSelf) hits.filter(col("neighbor_id") =!= col("query_id"))
+     else hits)
       .join(dlen.select(col("doc_id").as("neighbor_id"), col("dlen")),
         "neighbor_id")
-      .crossJoin(broadcast(tot))
       .withColumn("idf_ppm", ppm(col("n_docs"), col("df")))
       .withColumn("sat_ppm", idiv(
         col("tf") * lit(2200000L) * lit(1000000L),
@@ -1163,7 +1182,7 @@ object Extensions {
       .agg(sum(idiv(idiv(col("idf_ppm"), lit(1000L)) * col("sat_ppm"),
         lit(1000L))).as("bm25_ppm"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "bm25_ppm", "rank")
   }
 

@@ -631,7 +631,8 @@ object CorpusService {
   def hybridTopKFor(spark: SparkSession, p: Paths, queries: DataFrame,
                     excludeSelf: Boolean = false,
                     dfCapPpm: Long = 900000L,
-                    vectorExact: Boolean = false): DataFrame = {
+                    vectorExact: Boolean = false,
+                    bm25: Boolean = false): DataFrame = {
     val tf = PostingTable.postingView(spark, p.postings)
     val nn = graft.Tables.t(spark, p.base, "documents")
       .agg(count(lit(1)).as("n_docs"))
@@ -639,8 +640,19 @@ object CorpusService {
       .select(col("vec_id").as("query_id"),
         explode(split(col("text"), " ")).as("tok"))
       .distinct()
-    val lex = graft.queries.Extensions.lexicalRank(qtoks, tf, nn,
-      dfCapPpm, excludeSelf)
+    // `bm25` swaps the lexical ranker for s19's saturated/length-
+    // normalized scoring — served off the SAME posting log (doc
+    // lengths and totals derive from Σ tf, no corpus re-tokenization).
+    // RRF consumes only ranks, so the swap composes with every other
+    // dial unchanged.
+    val lex =
+      if (bm25)
+        graft.queries.Extensions.bm25Rank(qtoks, tf, dfCapPpm,
+            excludeSelf, k = 20)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank_l"))
+      else graft.queries.Extensions.lexicalRank(qtoks, tf, nn,
+        dfCapPpm, excludeSelf)
     val vec =
       if (vectorExact)
         graft.queries.Extensions.vecRankExact(

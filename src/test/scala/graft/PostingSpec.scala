@@ -98,6 +98,34 @@ class PostingSpec extends SparkSpec {
             "(measured 0.84 at round 10)")
       } finally served.unpersist()
     } finally oneShot.unpersist()
+    // BM25 off the posting log: doc lengths/totals/df all derive from
+    // the maintained tf rows, so the served ranking must equal one-shot
+    // s19 row-for-row (the service default cap drops nothing here —
+    // pinned again through this equality).
+    val tfLog = PostingTable.postingView(spark, p.postings)
+    assertSameRows(
+      Extensions.bm25Rank(
+        tfLog.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("tok")),
+        tfLog, dfCapPpm = 900000L),
+      Extensions.bm25TopK(spark, base),
+      "posting-served BM25 vs one-shot s19")
+    // The bm25 hybrid dial: fusion of the exact vector ranker with
+    // s19's top-20 — ≡ composing the one-shot pieces directly.
+    val e = Extensions.quantizeFrame(
+      Tables.t(spark, base, "embeddings"))
+    val vec20 = Extensions.vecRankExact(e,
+      e.join(queries.select("vec_id"), "vec_id"), excludeSelf = true, k = 20)
+    val bm20 = Extensions.bm25Rank(
+        tfLog.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("tok")),
+        tfLog, dfCapPpm = 900000L, excludeSelf = true, k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_l"))
+    assertSameRows(
+      CorpusService.hybridTopKFor(spark, p, queries, excludeSelf = true,
+        vectorExact = true, bm25 = true),
+      Extensions.rrfFuse(vec20, bm20),
+      "bm25-hybrid service vs one-shot fused twin")
   }
 
   test("external hybrid query ranks its planted twin first") {
