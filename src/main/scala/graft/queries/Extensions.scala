@@ -807,38 +807,58 @@ object Extensions {
     * IVF cell probe (s15's pattern) and index-residence (s17's)
     * apply verbatim — registered once here at the honest corpus-wide
     * grain, s13's posture. */
-  def annPq(s: SparkSession, dir: String): DataFrame = {
-    val e = quantized(s, dir)
-    // Subvector frame: 4 rows per vector, 16-dim arrays + exact norms.
-    val subs = e.select(col("vec_id"), col("q"), col("s2"),
+  /** The PQ subvector frame: 4 rows per vector (16-dim slices + exact
+    * norms) — shared by codebook sampling, encoding, and the ADC
+    * query side. */
+  private[graft] def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("q"),
         explode(expr("sequence(0, 3)")).as("sub"))
       .withColumn("qs", expr("slice(q, sub * 16 + 1, 16)"))
       .withColumn("ss", DotI64(col("qs"), col("qs")))
       .select("vec_id", "sub", "qs", "ss")
-    // Codebooks: hash-sampled corpus rows' subvectors, ≈256 entries.
-    val n: Long = corpusCount.computeIfAbsent(dir,
-      _ => Tables.t(s, dir, "embeddings").count())
+
+  /** The PQ codebook frame TRAINED on a quantized corpus: hash-sampled
+    * subvectors, ≈256 entries per subspace (`n` is the corpus count —
+    * callers with a memoized count pass it; builds count once). Like
+    * `_quantizer` and `_sq8`, this is epoch state: the stored index
+    * persists it as the `_pq` sidecar, appends encode under it frozen,
+    * and a codebook refresh is a retrain-class rebuild. */
+  private[graft] def pqCodebooks(e: DataFrame, n: Long): DataFrame = {
     val stride = math.max(1L, n / 256L)
-    val cents = subs
+    pqSubvectors(e)
       .filter(h32(col("vec_id").cast("string")) % stride === 0)
       .select(col("vec_id").as("cent_id"), col("sub"),
         col("qs").as("cs"), col("ss").as("scs"))
-    // Encoding: per (vector, subspace), nearest codebook entry by
-    // exact integer L2; the 2-byte code IS the cent_id here.
+  }
+
+  /** PQ-encode a quantized frame under a GIVEN codebook: per (vector,
+    * subspace) the nearest entry by EXACT integer L2 (d² = |a|² + |b|²
+    * − 2ab, all BIGINT), ties by centroid id — one (vec_id, sub,
+    * cent_id, scs) row per subspace. */
+  private[graft] def pqEncodeWith(e: DataFrame, books: DataFrame): DataFrame = {
     val aw = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("d2").asc, col("cent_id").asc)
-    val codes = subs.join(broadcast(cents), "sub")
+    pqSubvectors(e).join(broadcast(books), "sub")
       .withColumn("d2",
         col("ss") + col("scs") - lit(2L) * DotI64(col("qs"), col("cs")))
       .withColumn("rn", row_number().over(aw))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("sub"), col("cent_id"),
         col("cs"), col("scs"))
+  }
+
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val n: Long = corpusCount.computeIfAbsent(dir,
+      _ => Tables.t(s, dir, "embeddings").count())
+    // Codebooks + encoding (the shared construction; s21 reads the
+    // same codes from the stored index instead).
+    val codes = pqEncodeWith(e, pqCodebooks(e, n))
     // Reconstruction norm: Σ over subspaces of the chosen entry's norm.
     val rnorm = codes.groupBy("vec_id")
       .agg(sum(col("scs")).as("ssr"))
     // ADC: raw query subvectors against neighbor reconstructions.
-    val qsubs = subs.filter(col("vec_id") < 10)
+    val qsubs = pqSubvectors(e.filter(col("vec_id") < 10))
       .select(col("vec_id").as("query_id"), col("sub"), col("qs").as("qq"))
     val adc = codes.select(col("vec_id").as("neighbor_id"), col("sub"),
         col("cs"))
@@ -1025,6 +1045,78 @@ object Extensions {
         floor(col("adot") / (sqrt(col("ssa")) * sqrt(col("css")))
           * lit(1000000.0) + lit(0.5)).cast("long"))
       .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= 100)
+      .select("query_id", "neighbor_id")
+    // Exact rerank at the doubly-pruned grain — the one corpus-grain
+    // touch (full neighbor vectors fetched by key join).
+    val q = eq.select(col("vec_id").as("query_id"), col("q").as("qa"),
+      col("s2").as("sa"))
+    val n = quantized(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+        col("s2").as("sb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    cand.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_ppm", "rank")
+  }
+
+  /** s21: IVF ∘ PQ served off the STORED index — the "IVF,PQ" layout
+    * FAISS deploys at billion scale, completing the serving matrix's
+    * last cell: the coarse quantizer prunes CANDIDATES (12 probed
+    * cells, s03's dial), the index-resident PQ codes prune BYTES
+    * within them (4 ids/vector — 4 bytes at scale), and scoring is
+    * textbook ADC with a LOOKUP TABLE: the query's raw subvectors dot
+    * every codebook entry ONCE (|Q|·4·≈256 rows, broadcast), and each
+    * candidate costs 4 table lookups + 4 adds — no per-candidate
+    * vector arithmetic at all, which is PQ's entire point. Exact
+    * rerank at top-100 candidate grain (the family tail). Codes,
+    * codebooks (`_pq` sidecar), cells, and SQ8 ranges are all frozen
+    * per epoch; appends encode under them (s17's contract, applied to
+    * the third payload). */
+  def annIvfPqIndexed(s: SparkSession, dir: String): DataFrame =
+    annIvfPqIndexedAt(s, dir, annIndexPath(s, dir))
+
+  def annIvfPqIndexedAt(s: SparkSession, dir: String,
+                        indexPath: String): DataFrame = {
+    val idx = s.read.parquet(indexPath).filter(col("rn") === 1)
+    val cents = s.read.parquet(indexPath + "/_quantizer")
+    val books = s.read.parquet(indexPath + "/_pq")
+    val eq = quantized(s, dir).filter(col("vec_id") < 10)
+    val cellT = idx.schema(idx.schema.fieldIndex("cell")).dataType
+    val probes = centroidRank(eq, cents, "vec_id")
+      .filter(col("rn") <= 12)
+      .select(col("vec_id").as("query_id"),
+        col("cent_id").cast(cellT).as("cell"))
+    // The ADC lookup table: query subvectors × sidecar codebooks, once.
+    val lut = pqSubvectors(eq)
+      .select(col("vec_id").as("query_id"), col("sub"), col("qs"))
+      .join(broadcast(books), "sub")
+      .withColumn("pdot", DotI64(col("qs"), col("cs")))
+      .select(col("query_id"), col("sub"), col("cent_id"), col("pdot"))
+    // Candidates: partition-pruned thin (cell, vec_id, pq, spq) rows;
+    // each candidate's ADC score is 4 broadcast-LUT lookups.
+    val cand0 = idx.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        posexplode(col("pq")), col("spq"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("pos").as("sub"), col("col").as("cent_id"), col("spq"))
+    val qn = eq.select(col("vec_id").as("query_id"), col("s2").as("sa"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id").asc)
+    val cand = cand0
+      .join(broadcast(lut), Seq("query_id", "sub", "cent_id"))
+      .groupBy("query_id", "neighbor_id", "spq")
+      .agg(sum(col("pdot")).as("adot"))
+      .join(broadcast(qn), "query_id")
+      .withColumn("acos",
+        floor(col("adot") / (sqrt(col("sa")) * sqrt(col("spq")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("arn", row_number().over(cw))
       .filter(col("arn") <= 100)
       .select("query_id", "neighbor_id")
     // Exact rerank at the doubly-pruned grain — the one corpus-grain
@@ -1928,32 +2020,38 @@ object Extensions {
     * streaming service's label-less corpus) get a null label column, so
     * the layout's schema — and therefore the append path — is identical
     * either way. */
-  /** `sq8` is the SQ8 range frame to encode the code payload under —
-    * callers that own a persisted range epoch (the append path, the
-    * frozen-rebuild spec twin) pass it; the build path derives it from
-    * the corpus and persists it as the `_sq8` sidecar. */
+  /** `sq8` is the SQ8 range frame and `pq` the PQ codebook frame to
+    * encode the two code payloads under — callers that own persisted
+    * epochs (the append path, the frozen-rebuild spec twins) pass
+    * them; the build path derives both from the corpus and persists
+    * them as the `_sq8` / `_pq` sidecars. */
   private[graft] def buildAnnIndexFrom(e: DataFrame, cents: DataFrame,
                                        path: String,
                                        meta: Option[DataFrame] = None,
-                                       sq8: Option[DataFrame] = None): Unit = {
+                                       sq8: Option[DataFrame] = None,
+                                       pq: Option[DataFrame] = None): Unit = {
     // One tiny (1-row) frame read by both the data write and the sidecar
     // write; localCheckpoint stops the second write re-running the
-    // corpus-grain min/max agg it derives from.
+    // corpus-grain min/max agg it derives from. The PQ codebooks (≈256
+    // rows/subspace) get the same treatment — their derivation counts
+    // and samples the corpus.
     val ranges = sq8.getOrElse(sq8Ranges(e)).localCheckpoint()
+    val books = pq.getOrElse(pqCodebooks(e, e.count())).localCheckpoint()
     try {
-      indexRows(e, cents, meta, ranges)
+      indexRows(e, cents, meta, ranges, books)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(path)
       // After the data write: overwrite mode clears `path` first, which
       // would take a pre-written sidecar with it.
       cents.write.mode("overwrite").parquet(path + "/_quantizer")
       ranges.write.mode("overwrite").parquet(path + "/_sq8")
-    } finally freeCkpt(ranges)
+      books.write.mode("overwrite").parquet(path + "/_pq")
+    } finally { freeCkpt(ranges); freeCkpt(books) }
   }
 
   private def indexRows(e: DataFrame, cents: DataFrame,
                         meta: Option[DataFrame],
-                        sq8: DataFrame): DataFrame = {
+                        sq8: DataFrame, pqBooks: DataFrame): DataFrame = {
     val assigned = centroidRank(e, cents, "vec_id")
       .filter(col("rn") <= 4)
       .select(col("vec_id"), col("rn"), col("cent_id").as("cell"))
@@ -1965,6 +2063,16 @@ object Extensions {
     // the precomputed code-norm — s17's coarse pass reads ONLY these.
     val codes = sq8EncodeWith(e, sq8)
       .select(col("vec_id"), col("codes"), col("ss").as("css"))
+    // The PQ payload: 4 codebook ids per vector (4 bytes at scale once
+    // ids remap to byte codes; longs here) + the reconstruction norm —
+    // s21's ADC pass reads ONLY these. The struct sort keys on `sub`,
+    // so the array is subspace-ordered deterministically.
+    val pqc = pqEncodeWith(e, pqBooks)
+      .groupBy("vec_id")
+      .agg(expr(
+        """transform(array_sort(collect_list(named_struct('sub', sub,
+          |  'c', cent_id))), x -> x.c)""".stripMargin).as("pq"),
+        sum(col("scs")).as("spq"))
     val labeled = meta match {
       // Metadata rides on EVERY row (membership rows included): the
       // filtered candidate pass reads thin (cell, vec_id, label) rows,
@@ -1973,13 +2081,15 @@ object Extensions {
         m.select(col("vec_id"), col("label").cast("int")), Seq("vec_id"), "left")
       case None    => assigned.withColumn("label", lit(null).cast("int"))
     }
-    labeled.join(pfx, "vec_id").join(codes, "vec_id")
+    labeled.join(pfx, "vec_id").join(codes, "vec_id").join(pqc, "vec_id")
       .select(col("vec_id"), col("rn"),
         when(col("rn") === 1, col("qp")).as("qp"),
         when(col("rn") === 1, col("sp")).as("sp"),
         when(col("rn") === 1, col("s2")).as("s2"),
         when(col("rn") === 1, col("codes")).as("codes"),
         when(col("rn") === 1, col("css")).as("css"),
+        when(col("rn") === 1, col("pq")).as("pq"),
+        when(col("rn") === 1, col("spq")).as("spq"),
         col("label"),
         col("cell"))
   }
@@ -2046,7 +2156,8 @@ object Extensions {
                                         meta: Option[DataFrame] = None)
       : Unit = {
     val cents = s.read.parquet(path + "/_quantizer")
-    indexRows(newQ, cents, meta, s.read.parquet(path + "/_sq8"))
+    indexRows(newQ, cents, meta, s.read.parquet(path + "/_sq8"),
+        s.read.parquet(path + "/_pq"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
   }
@@ -2075,6 +2186,8 @@ object Extensions {
         .write.mode("overwrite").parquet(stage + "/_quantizer")
       s.read.parquet(path + "/_sq8")
         .write.mode("overwrite").parquet(stage + "/_sq8")
+      s.read.parquet(path + "/_pq")
+        .write.mode("overwrite").parquet(stage + "/_pq")
     }
 
   private def annIndexPath(s: SparkSession, dir: String): String =
@@ -4928,6 +5041,106 @@ object Extensions {
         |  FROM code k
         |  JOIN cev c ON c.cent_id = k.cent_id AND c.sub = k.sub
         |  JOIN ev q ON q.i = c.i AND q.vec_id < 10 AND q.vec_id <> k.vec_id
+        |  GROUP BY 1, 2),
+        |qsc AS (
+        |  SELECT a.query_id, a.neighbor_id,
+        |         CAST(floor(a.adot / (sqrt(sq.s2) * sqrt(r.ssr)) * 1000000 + 0.5) AS BIGINT) AS acos
+        |  FROM adc a
+        |  JOIN sq ON sq.vec_id = a.query_id
+        |  JOIN rnorm r ON r.vec_id = a.neighbor_id),
+        |cand AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |                ORDER BY acos DESC, neighbor_id) AS arn
+        |    FROM qsc) t WHERE arn <= 100),
+        |cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ev a ON a.vec_id = c.query_id
+        |  JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM cdots d
+        |  JOIN sq x ON x.vec_id = d.query_id
+        |  JOIN sq y ON y.vec_id = d.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin)),
+
+    // s21's oracle = s15's IVF skeleton (probes → cell candidates) ∘
+    // s20's PQ chain (codebooks → exact-L2 codes → ADC) restricted to
+    // those candidates, with the family's exact-rerank tail. Fully
+    // MATERIALIZED (the d13 lesson).
+    QuerySpec("s21_ann_ivf_pq_indexed", annIvfPqIndexed, Some(
+      Seq("ev", "sq").foldLeft(embCtes)((acc, c) =>
+        acc.replace(c + " AS (", c + " AS MATERIALIZED (")) + ", " + centsCte +
+      """adots AS MATERIALIZED (
+        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |ascore AS MATERIALIZED (
+        |  SELECT d.vec_id, d.cent_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM adots d
+        |  JOIN sq x ON x.vec_id = d.vec_id
+        |  JOIN sq y ON y.vec_id = d.cent_id),
+        |assigned AS MATERIALIZED (
+        |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore) t WHERE rn = 1),
+        |probes AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 12),
+        |ccand AS MATERIALIZED (
+        |  SELECT DISTINCT p.query_id, a.neighbor_id
+        |  FROM probes p JOIN assigned a ON a.cell = p.cell
+        |  WHERE a.neighbor_id <> p.query_id),
+        |strideq AS MATERIALIZED (
+        |  SELECT GREATEST(1, count(*) // 256) AS st FROM embeddings),
+        |csel AS MATERIALIZED (
+        |  SELECT vec_id AS cent_id FROM embeddings
+        |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |        % (SELECT st FROM strideq) = 0),
+        |cev AS MATERIALIZED (
+        |  SELECT c.cent_id, (e.i - 1) // 16 AS sub, e.i, e.v
+        |  FROM ev e JOIN csel c ON c.cent_id = e.vec_id),
+        |vs AS MATERIALIZED (
+        |  SELECT vec_id, (i - 1) // 16 AS sub, CAST(SUM(v * v) AS BIGINT) AS ss
+        |  FROM ev GROUP BY 1, 2),
+        |cs AS MATERIALIZED (
+        |  SELECT cent_id, sub, CAST(SUM(v * v) AS BIGINT) AS scs
+        |  FROM cev GROUP BY 1, 2),
+        |ad AS MATERIALIZED (
+        |  SELECT e.vec_id, c.sub, c.cent_id, CAST(SUM(e.v * c.v) AS BIGINT) AS dot
+        |  FROM ev e JOIN cev c ON c.i = e.i
+        |  GROUP BY 1, 2, 3),
+        |code AS MATERIALIZED (
+        |  SELECT vec_id, sub, cent_id FROM (
+        |    SELECT a.vec_id, a.sub, a.cent_id,
+        |           row_number() OVER (PARTITION BY a.vec_id, a.sub
+        |             ORDER BY vs.ss + cs.scs - 2 * a.dot ASC, a.cent_id ASC) AS rn
+        |    FROM ad a
+        |    JOIN vs ON vs.vec_id = a.vec_id AND vs.sub = a.sub
+        |    JOIN cs ON cs.cent_id = a.cent_id AND cs.sub = a.sub) t
+        |  WHERE rn = 1),
+        |rnorm AS MATERIALIZED (
+        |  SELECT k.vec_id, CAST(SUM(cs.scs) AS BIGINT) AS ssr
+        |  FROM code k JOIN cs ON cs.cent_id = k.cent_id AND cs.sub = k.sub
+        |  GROUP BY 1),
+        |adc AS MATERIALIZED (
+        |  SELECT cc.query_id, cc.neighbor_id,
+        |         CAST(SUM(q.v * cb.v) AS BIGINT) AS adot
+        |  FROM ccand cc
+        |  JOIN code k ON k.vec_id = cc.neighbor_id
+        |  JOIN cev cb ON cb.cent_id = k.cent_id AND cb.sub = k.sub
+        |  JOIN ev q ON q.i = cb.i AND q.vec_id = cc.query_id
         |  GROUP BY 1, 2),
         |qsc AS (
         |  SELECT a.query_id, a.neighbor_id,

@@ -98,20 +98,23 @@ class AnnIndexSpec extends SparkSpec {
     odds.write.mode("append").parquet(s"$dir/embeddings.parquet")
     Extensions.appendAnnIndex(spark, dir, byDiscovery)
     Extensions.appendAnnIndex(spark, dir, byBatch, newVectors = Some(odds))
-    // The ground-truth rebuild freezes BOTH epochs the append ran
-    // under: the sidecar quantizer and the sidecar SQ8 ranges (codes
-    // are range-dependent — a rebuild deriving fresh ranges from the
-    // grown corpus would legitimately differ; that is the retrain-class
-    // event, not the append contract).
+    // The ground-truth rebuild freezes ALL THREE epochs the append ran
+    // under: the sidecar quantizer, the SQ8 ranges, and the PQ
+    // codebooks (both code payloads are epoch-dependent — a rebuild
+    // deriving fresh ones from the grown corpus would legitimately
+    // differ; that is the retrain-class event, not the append
+    // contract).
     Extensions.buildAnnIndexFrom(
       Extensions.quantizeFrame(Tables.t(spark, dir, "embeddings")),
       spark.read.parquet(byDiscovery + "/_quantizer"), rebuilt,
       meta = Extensions.metaOf(Tables.t(spark, dir, "embeddings")),
-      sq8 = Some(spark.read.parquet(byDiscovery + "/_sq8")))
+      sq8 = Some(spark.read.parquet(byDiscovery + "/_sq8")),
+      pq = Some(spark.read.parquet(byDiscovery + "/_pq")))
     val expected = spark.read.parquet(rebuilt)
     assert(expected.columns.sorted.toSeq ==
-      Seq("cell", "codes", "css", "label", "qp", "rn", "s2", "sp", "vec_id"),
-      "the sidecars leaked into the index read, or the code payload is missing")
+      Seq("cell", "codes", "css", "label", "pq", "qp", "rn", "s2", "sp",
+        "spq", "vec_id"),
+      "the sidecars leaked into the index read, or a code payload is missing")
     assertSameRows(spark.read.parquet(byDiscovery), expected,
       "anti-join-appended index vs frozen-quantizer rebuild")
     assertSameRows(spark.read.parquet(byBatch), expected,
@@ -144,6 +147,10 @@ class AnnIndexSpec extends SparkSpec {
       spark.read.parquet(byBatch + "/_sq8"),
       spark.read.parquet(rebuilt + "/_sq8"),
       "compaction must carry the SQ8 range sidecar unchanged")
+    assertSameRows(
+      spark.read.parquet(byBatch + "/_pq"),
+      spark.read.parquet(rebuilt + "/_pq"),
+      "compaction must carry the PQ codebook sidecar unchanged")
     assertSameRows(
       Extensions.annIvfIndexedAt(spark, dir, byBatch),
       Extensions.annIvfIndexedAt(spark, dir, rebuilt),
@@ -186,10 +193,11 @@ class AnnIndexSpec extends SparkSpec {
       Extensions.buildAnnIndexFrom(half, cents, grown)
       Extensions.appendAnnIndexFrom(spark, grown,
         cv.filter(pmod(col("vec_id"), lit(2)) === 1))
-      // Ground truth: full chunk corpus under BOTH frozen epochs (the
-      // half-corpus quantizer and its SQ8 ranges).
+      // Ground truth: full chunk corpus under ALL frozen epochs (the
+      // half-corpus quantizer, its SQ8 ranges, its PQ codebooks).
       Extensions.buildAnnIndexFrom(cv, cents, rebuilt,
-        sq8 = Some(spark.read.parquet(grown + "/_sq8")))
+        sq8 = Some(spark.read.parquet(grown + "/_sq8")),
+        pq = Some(spark.read.parquet(grown + "/_pq")))
       assertSameRows(spark.read.parquet(grown), spark.read.parquet(rebuilt),
         "chunk-grain appended index vs frozen-epoch rebuild")
       // Serving: every query chunk (docs < 10 → vec_id < 10·4096) must

@@ -464,7 +464,8 @@ class CorpusServiceSpec extends SparkSpec {
       .createTempDirectory("graft-svcchunk-gt").toString + "/idx"
     Extensions.buildAnnIndexFrom(cv,
       spark.read.parquet(p.chunkIndex + "/_quantizer"), rebuilt,
-      sq8 = Some(spark.read.parquet(p.chunkIndex + "/_sq8")))
+      sq8 = Some(spark.read.parquet(p.chunkIndex + "/_sq8")),
+      pq = Some(spark.read.parquet(p.chunkIndex + "/_pq")))
     assertSameRows(spark.read.parquet(p.chunkIndex),
       spark.read.parquet(rebuilt),
       "append-maintained chunk index vs frozen-epoch rebuild")
@@ -568,14 +569,16 @@ class CorpusServiceSpec extends SparkSpec {
     val emb = graft.Tables.t(spark, srcDir, "embeddings")
       .select("vec_id", "embedding")
     def wave(k: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === k)
-    // `sq8`: the epoch-1 ground truth must freeze the maintained index's
-    // OWN range sidecar (appends encode under it); the post-retrain
-    // ground truth derives fresh ranges, exactly as the rebuild does.
+    // `sq8`/`pq`: the epoch-1 ground truth must freeze the maintained
+    // index's OWN code-payload sidecars (appends encode under them);
+    // the post-retrain ground truth derives fresh ones, exactly as the
+    // rebuild does.
     def rebuildAt(path: String,
-                  sq8: Option[org.apache.spark.sql.DataFrame] = None): String = {
+                  sq8: Option[org.apache.spark.sql.DataFrame] = None,
+                  pq: Option[org.apache.spark.sql.DataFrame] = None): String = {
       Extensions.buildAnnIndexFrom(
         Extensions.quantizeFrame(graft.Tables.t(spark, base, "embeddings")),
-        spark.read.parquet(p.cents), path, sq8 = sq8)
+        spark.read.parquet(p.cents), path, sq8 = sq8, pq = pq)
       path
     }
 
@@ -594,7 +597,8 @@ class CorpusServiceSpec extends SparkSpec {
     assertSameRows(
       spark.read.parquet(p.annIndex),
       spark.read.parquet(rebuildAt(s"$scratch/epoch1",
-        sq8 = Some(spark.read.parquet(p.annIndex + "/_sq8")))),
+        sq8 = Some(spark.read.parquet(p.annIndex + "/_sq8")),
+        pq = Some(spark.read.parquet(p.annIndex + "/_pq")))),
       "append-maintained service index vs frozen-quantizer rebuild")
     assertSameRows(
       CorpusService.annTopK(spark, p),
