@@ -66,6 +66,23 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.85, f"PQ mean recall@5 $mean%.2f < 0.85")
   }
 
+  test("IVF∘PQ (index-served) keeps s03's recall floor (sf0.01)") {
+    // s21 compounds the cell probe's recall with PQ's coarse order; as
+    // with SQ8 and the prefix, the top-100 exact rerank recovers the
+    // ordering within probed cells, so recall tracks s03's cell-probe
+    // floor.
+    val dir = sf("sf0.01")
+    Extensions.invalidateAnnIndex(dir)
+    val exact = topSets(Extensions.annCosineTopK(spark, dir))
+    val pq = topSets(Extensions.annIvfPqIndexed(spark, dir))
+    val recalls = exact.map { case (q, truth) =>
+      pq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF∘PQ mean recall@5 vs exact: $mean%.2f")
+    assert(mean >= 0.6, f"IVF∘PQ mean recall@5 $mean%.2f < 0.6")
+  }
+
   test("IVF ANN achieves recall@5 >= 0.6 vs exact (sf0.01)") {
     val dir = sf("sf0.01")
     val exact = topSets(Extensions.annCosineTopK(spark, dir))
