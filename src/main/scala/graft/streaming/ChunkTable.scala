@@ -115,4 +115,48 @@ object ChunkTable {
                  files: Int = 4): Boolean =
     graft.jobs.Warehouse.tryCoalesceLog(
       spark, logDir, dedupRows = true, files)
+
+  // ------------------------------------------------- chunk EMBEDDINGS
+
+  /** The maintained chunk-EMBEDDING table (empty-safe): the embedding
+    * job's OUTPUT store, (vec_id, doc_id, q, s2) at chunk grain.
+    * Here the vectors are the deterministic content-hash derivation
+    * (Extensions.chunkVectorsOf) standing in for model inference —
+    * which is exactly why this store must exist as an artifact rather
+    * than a per-query recomputation: at scale the derivation is a GPU
+    * forward pass, and re-running it at serving time is not a map, it
+    * is the job. The chunk index builds from THIS table and the RAG
+    * rerank fetches full vectors from it by key join. */
+  def vecView(spark: SparkSession, vecDir: String): DataFrame =
+    if (exists(spark, vecDir)) spark.read.parquet(vecDir).distinct()
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("doc_id", LongType),
+        StructField("q",
+          org.apache.spark.sql.types.ArrayType(LongType)),
+        StructField("s2", LongType))))
+
+  /** One incremental embedding refresh: chunks in the chunk log not
+    * yet in the vector store (anti-join on the packed chunk vec_id)
+    * are embedded and appended — O(new chunks) per drain, the per-wave
+    * cost of the embedding job. Returns newly embedded chunks. */
+  def maintainVectors(spark: SparkSession, chunkLogDir: String,
+                      vecDir: String): Long = {
+    val pending = Extensions.chunkVectorsOf(chunkView(spark, chunkLogDir))
+      .join(vecView(spark, vecDir).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val nNew = pending.count()
+    if (nNew == 0) return 0L
+    pending.write.mode(SaveMode.Append).parquet(vecDir)
+    nNew
+  }
+
+  /** Post-drain compaction for the vector store. */
+  def compactVectors(spark: SparkSession, vecDir: String,
+                     files: Int = 4): Boolean =
+    graft.jobs.Warehouse.tryCoalesceLog(
+      spark, vecDir, dedupRows = true, files)
 }

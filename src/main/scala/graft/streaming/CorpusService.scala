@@ -85,6 +85,12 @@ object CorpusService {
       * chunk log's derived vectors, its own quantizer + SQ8 sidecars
       * trained at chunk grain. */
     val chunkIndex = s"$base/dedup/chunk_ann_index"
+    /** The maintained chunk-EMBEDDING store (the embedding job's
+      * output — ChunkTable.vecView): when present, the chunk index
+      * builds from it and the RAG rerank fetches full vectors from it,
+      * instead of re-deriving vectors per invocation (at scale the
+      * derivation is a model forward pass, not a map). */
+    val chunkVecs = s"$base/dedup/chunk_vecs"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -296,6 +302,9 @@ object CorpusService {
       if (exists(spark, p.postings))
         require(PostingTable.compactLog(spark, p.postings),
           "corpus service: posting log failed to compact post-drain")
+      if (exists(spark, p.chunkVecs))
+        require(ChunkTable.compactVectors(spark, p.chunkVecs),
+          "corpus service: chunk vector store failed to compact post-drain")
     }
     if (canonical) refreshCanonicalCorpus(spark, p)
     if (index) refreshAnnIndex(spark, p)
@@ -679,12 +688,22 @@ object CorpusService {
   def chunkDupesReport(spark: SparkSession, p: Paths): DataFrame =
     ChunkTable.dupesView(spark, p.chunkLog)
 
-  /** The maintained chunk-vector frame: the embedding derivation
-    * (Extensions.chunkVectorsOf) over the CHUNK LOG — the text is never
-    * re-tokenized; the log is the artifact (paid once per doc at
-    * ingest), the vectors a per-row map over it. */
+  /** One incremental chunk-EMBEDDING refresh (delta-grain: only
+    * not-yet-embedded chunks — the embedding job's per-wave cost).
+    * Run post-drain after [[maintainChunks]]; returns newly embedded
+    * chunks. */
+  def maintainChunkVectors(spark: SparkSession, p: Paths): Long =
+    ChunkTable.maintainVectors(spark, p.chunkLog, p.chunkVecs)
+
+  /** The maintained chunk-vector frame: the STORED embedding table
+    * when the embedding job maintains one ([[maintainChunkVectors]] —
+    * the artifact serving reads at scale, where vectors are model
+    * outputs that cannot be recomputed as a map), else the
+    * deterministic derivation over the chunk log (the test fixtures'
+    * stand-in, identical row-for-row — spec-pinned). */
   def chunkVectorTable(spark: SparkSession, p: Paths): DataFrame =
-    graft.queries.Extensions.chunkVectorsOf(
+    if (exists(spark, p.chunkVecs)) ChunkTable.vecView(spark, p.chunkVecs)
+    else graft.queries.Extensions.chunkVectorsOf(
       ChunkTable.chunkView(spark, p.chunkLog))
 
   /** Maintain the CHUNK-grain serving index over the maintained chunk

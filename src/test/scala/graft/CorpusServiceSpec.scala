@@ -445,16 +445,30 @@ class CorpusServiceSpec extends SparkSpec {
     val p = CorpusService.Paths(base)
     val docs = graft.Tables.t(spark, srcDir, "documents")
       .select("doc_id", "text", "lang")
-    // Wave 1 (even docs): chunk maintenance then the index BUILD.
+    // Wave 1 (even docs): chunk + embedding maintenance, then the
+    // index BUILD — serving reads the STORED embedding table, the
+    // artifact path (vectors are model outputs at scale).
     docs.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
       .write.mode("append").parquet(p.docs)
     assert(CorpusService.maintainChunks(spark, p) > 0)
+    assert(CorpusService.maintainChunkVectors(spark, p) > 0)
     CorpusService.refreshChunkIndex(spark, p)
     // Wave 2 (odd docs): maintenance then the APPEND path.
     docs.filter(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
       .write.mode("append").parquet(p.docs)
     assert(CorpusService.maintainChunks(spark, p) > 0)
+    assert(CorpusService.maintainChunkVectors(spark, p) > 0)
     CorpusService.refreshChunkIndex(spark, p)
+    // The stored embedding table ≡ the derivation over the chunk log,
+    // row-for-row (the stand-in contract), and a replayed refresh
+    // appends nothing.
+    assertSameRows(
+      graft.streaming.ChunkTable.vecView(spark, p.chunkVecs),
+      Extensions.chunkVectorsOf(
+        graft.streaming.ChunkTable.chunkView(spark, p.chunkLog)),
+      "maintained chunk-embedding store vs derivation over the log")
+    assert(CorpusService.maintainChunkVectors(spark, p) == 0L,
+      "nothing new must be a strict no-op")
     // The appended index ≡ a from-scratch rebuild under ITS OWN frozen
     // epochs (wave-1 quantizer + SQ8 ranges) — the AnnIndexSpec
     // contract, at chunk grain, through the service path.
