@@ -3172,6 +3172,56 @@ object Extensions {
       .select("vec_a", "vec_b", "cos_ppm")
   }
 
+  /** t26: hard-negative mining — the CONTRASTIVE-TRAINING data
+    * operator that rides the same cell structure s05's dedup does: for
+    * each document, the k = 3 most-similar same-cell documents BELOW
+    * the near-dup threshold (cos < 0.35). Random negatives are easy
+    * and teach a model nothing; near-dups are positives (s05 finds
+    * those); the band between them — close enough to share a cell,
+    * distinct enough to not be a duplicate — is exactly what a
+    * contrastive or embedding-finetune pipeline mines ("hard
+    * negatives"). Ranked hardest-first (cos desc, ties by negative
+    * id); both pair directions count, so every co-located doc gets its
+    * own negatives.
+    *
+    * Scale shape: s05's cost verbatim — the candidate join is
+    * cell-blocked (never all-pairs), exact cosine at candidate grain
+    * by key join, one window per doc over its ≤cell-sized candidate
+    * set. At 100 TB this reads the stored index's thin membership rows
+    * exactly as s09 does; the one-shot form here is the oracle-anchor
+    * recompute path. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val assigned = centroidRank(e, coarseCentroids(s, dir, e), "vec_id")
+      .filter(col("rn") <= 4)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val cand = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+        col("s2").as("sa")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+        col("s2").as("sb")), "vec_b")
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .filter(col("cos_ppm") < 350000)
+      .select("vec_a", "vec_b", "cos_ppm")
+    // Both directions: each doc mines from its own perspective.
+    val sym = scored
+      .select(col("vec_a").as("doc_id"), col("vec_b").as("negative_id"),
+        col("cos_ppm"))
+      .unionByName(scored.select(col("vec_b").as("doc_id"),
+        col("vec_a").as("negative_id"), col("cos_ppm")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cos_ppm").desc, col("negative_id").asc)
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "negative_id", "cos_ppm", "rank")
+  }
+
   /** s09: s05's semantic dedup served off the STORED index — the same
     * storage-for-recompute swap s08 makes for ANN serving, applied to
     * the dedup modality. Candidate generation self-joins the index's
@@ -4984,6 +5034,57 @@ object Extensions {
         |       CAST(LEAST(64, len(t) - k * 48) AS BIGINT) AS n_tokens,
         |       md5(array_to_string(t[k * 48 + 1:k * 48 + 64], ' ')) AS chunk_hash
         |FROM toks, UNNEST(range(0, GREATEST((len(t) - 17) // 48, 0) + 1)) u(k)""".stripMargin)),
+
+    // t26's oracle = s05's cell-blocked scoring chain with the OPPOSITE
+    // threshold filter (the hard-negative band sits below the near-dup
+    // cut), symmetrized, top-3 per doc. MATERIALIZED where referenced
+    // twice (assigned; the scored pair frame feeds both directions).
+    QuerySpec("t26_hard_negatives", hardNegatives, Some(
+      Seq("ev", "sq").foldLeft(embCtes)((acc, c) =>
+        acc.replace(c + " AS (", c + " AS MATERIALIZED (")) + ", " + centsCte +
+      """adots AS MATERIALIZED (
+        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |ascore AS MATERIALIZED (
+        |  SELECT d.vec_id, d.cent_id,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM adots d
+        |  JOIN sq x ON x.vec_id = d.vec_id
+        |  JOIN sq y ON y.vec_id = d.cent_id),
+        |assigned AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cent_id AS cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+        |    FROM ascore) t WHERE rn <= 4),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM assigned x
+        |  JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id),
+        |pdots AS MATERIALIZED (
+        |  SELECT c.vec_a, c.vec_b, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ev a ON a.vec_id = c.vec_a
+        |  JOIN ev b ON b.vec_id = c.vec_b AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |neg AS MATERIALIZED (
+        |  SELECT vec_a, vec_b, cos_ppm FROM (
+        |    SELECT p.vec_a, p.vec_b,
+        |           CAST(floor(p.dot / (sqrt(sx.s2) * sqrt(sy.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |    FROM pdots p
+        |    JOIN sq sx ON sx.vec_id = p.vec_a
+        |    JOIN sq sy ON sy.vec_id = p.vec_b) t
+        |  WHERE cos_ppm < 350000),
+        |sym AS (
+        |  SELECT vec_a AS doc_id, vec_b AS negative_id, cos_ppm FROM neg
+        |  UNION ALL
+        |  SELECT vec_b AS doc_id, vec_a AS negative_id, cos_ppm FROM neg)
+        |SELECT doc_id, negative_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY cos_ppm DESC, negative_id) AS INTEGER) AS rank
+        |  FROM sym) t
+        |WHERE rank <= 3""".stripMargin)),
 
     QuerySpec("d15_chunk_dupes", chunkDupes, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -214,6 +214,30 @@ class QueriesSpec extends SparkSpec {
     } finally ch.unpersist()
   }
 
+  test("t26 hard negatives are co-located non-duplicates with contiguous ranks") {
+    val neg = Extensions.hardNegatives(spark, dir).persist()
+    try {
+      assert(neg.count() > 0, "fixture yields no hard negatives")
+      // Every negative sits BELOW the near-dup threshold...
+      assert(neg.filter(col("cos_ppm") >= 350000).count() == 0,
+        "a near-dup leaked into the negatives")
+      // ...and is disjoint from s05's near-dup pair set (the band
+      // between random and duplicate is the mined region).
+      val dup = Extensions.semdedupCells(spark, dir)
+      val dupSym = dup.select(col("vec_a").as("doc_id"),
+          col("vec_b").as("negative_id"))
+        .unionByName(dup.select(col("vec_b").as("doc_id"),
+          col("vec_a").as("negative_id")))
+      assert(neg.join(dupSym, Seq("doc_id", "negative_id"), "left_semi")
+        .count() == 0, "a negative is also a near-dup pair")
+      // Ranks are contiguous hardest-first per doc, at most 3.
+      val bad = neg.groupBy("doc_id")
+        .agg(count(lit(1)).as("c"), max("rank").as("mx"), min("rank").as("mn"))
+        .filter(col("mx") =!= col("c") || col("mn") =!= 1 || col("c") > 3)
+      assert(bad.count() == 0, "rank structure broken")
+    } finally neg.unpersist()
+  }
+
   test("s16 hybrid fusion ranks 10 per query with bounded RRF mass") {
     val h = Extensions.hybridRrf(spark, dir).collect()
     val per = h.groupBy(_.getLong(0))
