@@ -482,6 +482,44 @@ class PlanSpec extends SparkSpec {
         s"from the index:\n$p")
   }
 
+  test("s21's index scan is partition-pruned and the corpus is read once") {
+    // Index-resident PQ: candidates must come from partition-pruned
+    // thin (cell, vec_id, pq, spq) rows scored via the broadcast ADC
+    // lookup table — the only corpus-grain embeddings scan is the
+    // exact rerank's key-join fetch (a second would be s20's
+    // per-invocation code recomputation, the work s21 stores away).
+    graft.queries.Extensions.invalidateAnnIndex(dir)
+    val df = graft.queries.Extensions.annIvfPqIndexed(spark, dir)
+    val p = planOf(df)
+    val idxScans = p.linesIterator
+      .filter(l => l.contains("graft-annidx") && l.contains("FileScan") &&
+        !l.contains("_quantizer") && !l.contains("_sq8") &&
+        !l.contains("_pq"))
+      .toSeq
+    assert(idxScans.nonEmpty, s"no index FileScan in plan:\n$p")
+    assert(idxScans.forall(l => l.contains("dynamicpruning")),
+      s"index scan not partition-pruned:\n${idxScans.mkString("\n")}")
+    val corpusScans = p.split("FileScan").count(c =>
+      c.contains("embeddings.parquet") && !c.contains("LessThan(vec_id,10)"))
+    assert(corpusScans <= 1,
+      s"s21 reads the corpus $corpusScans times — codes not served " +
+        s"from the index:\n$p")
+  }
+
+  test("s20's codebook joins broadcast; nothing falls back to a cartesian") {
+    // PQ assignment joins each subvector row against the ≈256-entry
+    // broadcast codebook on `sub`; the ADC pass joins codes against the
+    // broadcast query LUT. Neither may plan a CartesianProduct, and any
+    // nested-loop join must be a broadcast one (the 4-key `sub` join).
+    val p = planOf(graft.queries.Extensions.annPq(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in s20 plan:\n$p")
+    val nlj = "(\\w*)NestedLoopJoin".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(nlj.forall(_ == "Broadcast"),
+      s"non-broadcast nested-loop join in s20 plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"s20 has no broadcast codebook join:\n$p")
+  }
+
   test("t17 scrubs boilerplate with hash aggs only — no window, no pairwise join") {
     // The CCNet-shape scrub must stay in d01's cost class: document
     // frequency is ONE hash aggregation by segment, the flag-back is a
