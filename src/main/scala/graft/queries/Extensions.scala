@@ -280,6 +280,32 @@ object Extensions {
       |           FROM embeddings) = 0),
       |""".stripMargin
 
+  /** One greedy round of the s22 oracle's MMR unroll: from the pool
+    * minus everything selected so far, pick the per-query argmax of
+    * 7·rel − 3·max-sim-to-selected (ties by candidate id), and extend
+    * the running selection. Mirrors the Spark loop round-for-round. */
+  private def mmrRoundSql(k: Int): String =
+    s"""sel$k AS MATERIALIZED (
+       |  SELECT query_id, cand, rel, $k AS mmr_rank FROM (
+       |    SELECT r.query_id, r.cand, r.rel,
+       |           row_number() OVER (PARTITION BY r.query_id
+       |             ORDER BY 7 * r.rel - 3 * COALESCE(m.maxsim, 0) DESC,
+       |                      r.cand) AS rn
+       |    FROM (SELECT p.* FROM pool p
+       |          WHERE NOT EXISTS (SELECT 1 FROM selall${k - 1} s
+       |                            WHERE s.query_id = p.query_id
+       |                              AND s.cand = p.cand)) r
+       |    LEFT JOIN (
+       |      SELECT ps.query_id, ps.a AS cand, MAX(ps.sim) AS maxsim
+       |      FROM ps JOIN selall${k - 1} s
+       |        ON s.query_id = ps.query_id AND s.cand = ps.b
+       |      GROUP BY 1, 2) m
+       |    ON m.query_id = r.query_id AND m.cand = r.cand) t
+       |  WHERE rn = 1),
+       |selall$k AS MATERIALIZED (
+       |  SELECT * FROM selall${k - 1} UNION ALL SELECT * FROM sel$k),
+       |""".stripMargin
+
   /** One round of the d13 oracle's iterative min-label connected
     * components (the non-recursive twin of the Spark fixpoint): node x's
     * label becomes min over its own label, its neighbors' labels, and
@@ -1134,6 +1160,91 @@ object Extensions {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
+  }
+
+  /** s22: MMR-diversified retrieval (Maximal Marginal Relevance,
+    * Carbonell & Goldstein 1998) — the post-retrieval RE-RANKER class
+    * the serving family was missing: plain top-k returns five
+    * paraphrases of the best hit; MMR greedily selects items maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected (λ = 0.7),
+    * so each pick adds information the previous picks lack — the
+    * dedup-at-serving-time dual of d05's dedup-at-corpus-time.
+    *
+    * Exactness: the greedy argmax is inherently sequential, so the 5
+    * selection rounds are UNROLLED (the d13 oracle's pattern applied to
+    * a query plan): each round is one anti-join (drop selected), one
+    * max-aggregation over the pool-internal similarity frame restricted
+    * to the selected set, and one per-query argmax window. The MMR
+    * score is kept ×10 (7·rel − 3·maxsim, pure BIGINT — division would
+    * reintroduce the negative-numerator truncation hazard and changes
+    * no ordering), ties by candidate id; both engines compute it
+    * bit-identically.
+    *
+    * Scale shape: the candidate pool is the exact top-20 per query
+    * (s01's scan — any s02–s21 retriever drops in; MMR only consumes
+    * the pool), the pairwise similarity frame is |Q|·20·19 rows, and
+    * every greedy round touches ≤20 rows per query — re-ranking cost
+    * is INDEPENDENT of corpus size, the defining property of a
+    * post-retrieval stage. */
+  def mmrDiversified(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val q0 = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+      col("s2").as("sb"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    val pool = q0.join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .withColumn("rnk", row_number().over(wv))
+      .filter(col("rnk") <= 20)
+      .select(col("query_id"), col("neighbor_id").as("cand"),
+        col("cos_ppm").as("rel"))
+      .localCheckpoint()
+    // Pool-internal similarities: |Q|·20·19 rows, full vectors by key
+    // join — the re-ranker never touches the corpus again.
+    val sims = pool.select(col("query_id"), col("cand").as("a"))
+      .join(pool.select(col("query_id"), col("cand").as("b")), "query_id")
+      .filter(col("a") =!= col("b"))
+      .join(e.select(col("vec_id").as("a"), col("q").as("qa"),
+        col("s2").as("sa")), "a")
+      .join(e.select(col("vec_id").as("b"), col("q").as("qb"),
+        col("s2").as("sb")), "b")
+      .withColumn("dot", dot)
+      .withColumn("sim", cosPpm)
+      .select("query_id", "a", "b", "sim")
+      .localCheckpoint()
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cand").asc)
+    var result = pool
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cand"), col("rel"),
+        lit(1).as("mmr_rank"))
+    for (k <- 2 to 5) {
+      val remaining = pool.join(result.select("query_id", "cand"),
+        Seq("query_id", "cand"), "left_anti")
+      val maxsim = sims
+        .select(col("query_id"), col("a").as("cand"), col("b"), col("sim"))
+        .join(result.select(col("query_id"), col("cand").as("b")),
+          Seq("query_id", "b"), "left_semi")
+        .groupBy("query_id", "cand")
+        .agg(max(col("sim")).as("maxsim"))
+      val wk = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand").asc)
+      val pick = remaining
+        .join(maxsim, Seq("query_id", "cand"), "left")
+        .withColumn("score",
+          lit(7L) * col("rel") - lit(3L) * coalesce(col("maxsim"), lit(0L)))
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand"), col("rel"),
+          lit(k).as("mmr_rank"))
+      result = result.unionByName(pick)
+    }
+    result.select(col("query_id"), col("cand").as("neighbor_id"),
+      col("rel").as("cos_ppm"), col("mmr_rank"))
   }
 
   /** s16: hybrid retrieval with Reciprocal Rank Fusion — the serving
@@ -5034,6 +5145,55 @@ object Extensions {
         |       CAST(LEAST(64, len(t) - k * 48) AS BIGINT) AS n_tokens,
         |       md5(array_to_string(t[k * 48 + 1:k * 48 + 64], ' ')) AS chunk_hash
         |FROM toks, UNNEST(range(0, GREATEST((len(t) - 17) // 48, 0) + 1)) u(k)""".stripMargin)),
+
+    // s22's oracle: the exact top-20 pool + its internal similarity
+    // frame, then the 5 greedy MMR rounds unrolled (mmrRoundSql — the
+    // d13 pattern), everything MATERIALIZED.
+    QuerySpec("s22_mmr_diversified", mmrDiversified, Some(
+      Seq("ev", "sq").foldLeft(embCtes)((acc, c) =>
+        acc.replace(c + " AS (", c + " AS MATERIALIZED (")) + ", " +
+      """vdots AS MATERIALIZED (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM ev a JOIN ev b ON b.i = a.i
+        |   AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |pool AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id AS cand, cos_ppm AS rel FROM (
+        |    SELECT d.query_id, d.neighbor_id,
+        |           CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm,
+        |           row_number() OVER (PARTITION BY d.query_id ORDER BY
+        |             CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) DESC,
+        |             d.neighbor_id) AS rnk
+        |    FROM vdots d
+        |    JOIN sq x ON x.vec_id = d.query_id
+        |    JOIN sq y ON y.vec_id = d.neighbor_id) t
+        |  WHERE rnk <= 20),
+        |pdots AS MATERIALIZED (
+        |  SELECT pa.query_id, pa.cand AS a, pb.cand AS b,
+        |         CAST(SUM(ea.v * eb.v) AS BIGINT) AS dot
+        |  FROM pool pa
+        |  JOIN pool pb ON pb.query_id = pa.query_id AND pb.cand <> pa.cand
+        |  JOIN ev ea ON ea.vec_id = pa.cand
+        |  JOIN ev eb ON eb.vec_id = pb.cand AND eb.i = ea.i
+        |  GROUP BY 1, 2, 3),
+        |ps AS MATERIALIZED (
+        |  SELECT d.query_id, d.a, d.b,
+        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS sim
+        |  FROM pdots d
+        |  JOIN sq x ON x.vec_id = d.a
+        |  JOIN sq y ON y.vec_id = d.b),
+        |sel1 AS MATERIALIZED (
+        |  SELECT query_id, cand, rel, 1 AS mmr_rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |                ORDER BY rel DESC, cand) AS rn
+        |    FROM pool) t WHERE rn = 1),
+        |selall1 AS MATERIALIZED (SELECT * FROM sel1),
+        |""".stripMargin + (2 to 5).map(mmrRoundSql).mkString +
+      """final_sel AS (SELECT * FROM selall5)
+        |SELECT query_id, cand AS neighbor_id, rel AS cos_ppm,
+        |       CAST(mmr_rank AS INTEGER) AS mmr_rank
+        |FROM final_sel""".stripMargin)),
 
     // t26's oracle = s05's cell-blocked scoring chain with the OPPOSITE
     // threshold filter (the hard-negative band sits below the near-dup

@@ -214,6 +214,34 @@ class QueriesSpec extends SparkSpec {
     } finally ch.unpersist()
   }
 
+  test("s22 MMR re-ranks inside the exact pool, relevance-first at rank 1") {
+    val mmr = Extensions.mmrDiversified(spark, dir).persist()
+    val top = Extensions.annCosineTopK(spark, dir).persist()
+    try {
+      // 5 picks per query, contiguous ranks.
+      val shape = mmr.groupBy("query_id")
+        .agg(count(lit(1)).as("c"), max("mmr_rank").as("mx"),
+          countDistinct("neighbor_id").as("d"))
+        .filter(col("c") =!= 5 || col("mx") =!= 5 || col("d") =!= 5)
+      assert(shape.count() == 0, "MMR pick structure broken")
+      // Greedy step 1 is the pure-relevance argmax — MMR's first pick
+      // must equal exact top-1 (s01's rank 1).
+      val r1 = mmr.filter(col("mmr_rank") === 1)
+        .select("query_id", "neighbor_id")
+      val t1 = top.filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+      assert(r1.join(t1, Seq("query_id", "neighbor_id"), "left_anti")
+        .count() == 0, "MMR rank 1 is not the relevance argmax")
+      // Diversification actually binds on this corpus: some later pick
+      // departs from the plain top-5 order (otherwise the penalty term
+      // is dead code here).
+      val plain5 = top.filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+      assert(mmr.join(plain5, Seq("query_id", "neighbor_id"), "left_anti")
+        .count() > 0, "MMR never departed from plain top-5 — penalty inert")
+    } finally { mmr.unpersist(); top.unpersist() }
+  }
+
   test("t26 hard negatives are co-located non-duplicates with contiguous ranks") {
     val neg = Extensions.hardNegatives(spark, dir).persist()
     try {
