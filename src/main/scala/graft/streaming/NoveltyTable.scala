@@ -26,13 +26,15 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *      the log, so discovery re-selected them), which makes the probe
   *      INVARIANT under crash-replay without assuming id order;
   *   4. min-merge the batch's first-seen rows into the store: new
-  *      shingles append, and a shingle whose batch-first doc is SMALLER
-  *      than the stored one appends too (the stored row can only be the
-  *      premature half of a crashed refresh whose replay absorbed
-  *      out-of-id-order arrivals; the view's min() collapses the pair),
-  *      so first_doc always agrees with the log's attribution — the
-  *      store IS authoritative, not merely "seen-by" state. Still
-  *      O(batch grams); a clean replay appends nothing;
+  *      shingles append, and a shingle whose stored first_doc is IN THE
+  *      CURRENT BATCH with a smaller batch-first doc appends too (such a
+  *      stored row can only be the premature half of a crashed refresh
+  *      whose replay absorbed out-of-id-order arrivals; the view's
+  *      min() collapses the pair). Rows from completed refreshes are
+  *      never rewritten — the log already credits their doc, so the
+  *      store always agrees with the log's attribution and the store IS
+  *      authoritative, not merely "seen-by" state. Still O(batch
+  *      grams); a clean replay appends nothing;
   *   5. append the per-doc novelty rows LAST — the commit marker. A
   *      crash between 4 and 5 replays the refresh with identical
   *      results (step 3's invariance); a crash after 5 makes the next
@@ -136,20 +138,28 @@ object NoveltyTable {
 
     // First-seen grows first (safe under the invariant above), the
     // novelty log last — it is the commit marker discovery reads. The
-    // append MIN-MERGES rather than anti-joins: a shingle is (re)written
-    // whenever the batch's first doc is SMALLER than the stored one —
-    // firstSeenView's min() collapses the two rows to the batch's. The
-    // only way a smaller bf can exist is a premature row from a crashed
-    // refresh whose replay absorbed later (out-of-id-order) arrivals:
-    // the log attributes the shingle to bf (step 3 excluded the
-    // premature row from prior art), so without this merge the store's
-    // first_doc would permanently disagree with the log's attribution.
-    // A clean replay (bf = stored) still appends nothing.
+    // append MIN-MERGES rather than anti-joins, but ONLY over rows whose
+    // stored first_doc is in the CURRENT batch: such a row can only be
+    // the premature half of a crashed refresh whose replay absorbed
+    // later (out-of-id-order) arrivals — the log attributes the shingle
+    // to bf (step 3 excluded the premature row from prior art), so the
+    // merge rewrites the store to agree (firstSeenView's min() collapses
+    // the pair). A stored row from a COMPLETED refresh keeps its
+    // attribution even when a smaller-id doc arrives later: the log
+    // already credits the completed doc, so rewriting the store would
+    // break store≡log — and if that later wave crashed between the two
+    // appends, the replay's prior probe would exclude the rewritten row
+    // (first_doc in batch) and score the shingle novel TWICE. A clean
+    // replay (bf = stored) still appends nothing.
     batchFirst
       .join(firstSeenView(spark, firstSeenDir)
           .select(col("shingle"), col("first_doc").as("stored")),
         Seq("shingle"), "left")
-      .filter(col("stored").isNull || col("bf") < col("stored"))
+      .join(newDocs.select(col("doc_id").as("stored"),
+          lit(true).as("stored_in_batch")),
+        Seq("stored"), "left")
+      .filter(col("stored").isNull ||
+        (col("stored_in_batch") && col("bf") < col("stored")))
       .select(col("shingle"), col("bf").as("first_doc"))
       .write.mode(SaveMode.Append).parquet(firstSeenDir)
     scored.write.mode(SaveMode.Append).parquet(logDir)

@@ -129,4 +129,54 @@ class NoveltySpec extends SparkSpec {
     assert(bad.count() == 0,
       "store first_doc disagrees with the novelty log's attribution")
   }
+
+  test("a smaller-id doc in a later wave cannot steal a COMPLETED refresh's attribution") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-nov4").toString
+    val corpus = s"$base/corpus"
+    val fs = s"$base/first_seen"
+    val log = s"$base/log"
+    // Wave 1 COMPLETES: doc 10 is scored, its shingles attributed to 10.
+    Seq((10L, "omega psi chi phi upsilon", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(s"$corpus/documents.parquet")
+    assert(NoveltyTable.maintain(spark, corpus, fs, log) == 1L)
+    // Wave 2 arrives OUT OF ID ORDER: doc 5 shares doc 10's shingles
+    // and adds fresh ones. Simulate the crash window — the refresh
+    // appends wave 2's first-seen rows, then dies before the novelty
+    // commit. The merge must NOT rewrite doc 10's completed rows to 5:
+    // the log already credits 10, and a rewritten row would be excluded
+    // from the replay's prior probe (first_doc in batch) — the shared
+    // shingles would score novel twice.
+    val wave2 = Seq((5L, "omega psi chi beta gamma", "en"))
+      .toDF("doc_id", "text", "lang")
+    wave2.write.mode("append").parquet(s"$corpus/documents.parquet")
+    Extensions.shinglesOfDocs(wave2)
+      .groupBy("shingle").agg(min("doc_id").as("first_doc"))
+      .join(NoveltyTable.firstSeenView(spark, fs).select("shingle"),
+        Seq("shingle"), "left_anti")
+      .write.mode("append").parquet(fs)
+    assert(NoveltyTable.maintain(spark, corpus, fs, log) == 1L)
+    val got = NoveltyTable.noveltyView(spark, log).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "omega psi chi" overlaps doc 10 ("omega psi chi", "psi chi phi"
+    // stay doc 10's); doc 5's fresh shingles are its tail two.
+    assert(got(10L) == ((3L, 3L)), s"completed doc's score changed: $got")
+    assert(got(5L) == ((3L, 2L)), s"later smaller-id doc mis-scored: $got")
+    // Conservation: every stored shingle is novel in exactly one doc,
+    // and the store's attribution equals the log's n_novel per doc.
+    val attrib = NoveltyTable.firstSeenView(spark, fs)
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_attr"))
+    val bad = NoveltyTable.noveltyView(spark, log)
+      .join(attrib, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_attr"), lit(0L)) =!= col("n_novel"))
+    assert(bad.count() == 0,
+      "store first_doc disagrees with the novelty log's attribution")
+    val totNovel = NoveltyTable.noveltyView(spark, log)
+      .agg(sum("n_novel")).collect()(0).getLong(0)
+    val distinctShingles = NoveltyTable.firstSeenView(spark, fs).count()
+    assert(totNovel == distinctShingles,
+      s"conservation broken: $totNovel novel vs $distinctShingles shingles")
+  }
 }
