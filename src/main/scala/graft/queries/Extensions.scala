@@ -1201,10 +1201,17 @@ object Extensions {
       .filter(col("rnk") <= 20)
       .select(col("query_id"), col("neighbor_id").as("cand"),
         col("cos_ppm").as("rel"))
-      .localCheckpoint()
-    // Pool-internal similarities: |Q|·20·19 rows, full vectors by key
-    // join — the re-ranker never touches the corpus again.
-    val sims = pool.select(col("query_id"), col("cand").as("a"))
+    mmrSelect(pool, p => poolSimsFrom(p, e))
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        col("rel").as("cos_ppm"), col("mmr_rank"))
+  }
+
+  /** Pool-internal similarity frame for [[mmrSelect]]: exact pairwise
+    * cosine between a pool's candidates, full vectors fetched by key
+    * join into the quantized frame `e` — |Q|·N·(N−1) rows for an N-item
+    * pool; the re-ranker never touches the corpus beyond this fetch. */
+  private[graft] def poolSimsFrom(pool: DataFrame, e: DataFrame): DataFrame =
+    pool.select(col("query_id"), col("cand").as("a"))
       .join(pool.select(col("query_id"), col("cand").as("b")), "query_id")
       .filter(col("a") =!= col("b"))
       .join(e.select(col("vec_id").as("a"), col("q").as("qa"),
@@ -1214,12 +1221,33 @@ object Extensions {
       .withColumn("dot", dot)
       .withColumn("sim", cosPpm)
       .select("query_id", "a", "b", "sim")
-      .localCheckpoint()
-    // Each round's selection is localCheckpoint-ed: round k's plan
-    // references the running result, so without materialization the
-    // lineage re-executes rounds 1..k−1 inside round k — the CC loop's
-    // quadratic-replan trap, at query-plan grain (measured 5.5 s → ~2 s
-    // for 5 rounds of ≤50-row frames).
+
+  /** The MMR greedy core at POOL grain, shared by one-shot s22 and the
+    * service's diversify dials (CorpusService.diversifiedTopKFor /
+    * hybridTopKFor / chunkTopKFor — the re-ranker belongs on the
+    * request path): consumes a relevance pool (query_id, cand, rel —
+    * ANY retriever's integer-scored top-N drops in) and a builder for
+    * its pool-internal similarity frame (query_id, a, b, sim), returns
+    * the `k` greedy picks per query as (query_id, cand, rel, mmr_rank),
+    * score = 7·rel − 3·max-sim-to-selected (λ = 0.7 kept ×10 in pure
+    * BIGINT), ties by cand.
+    *
+    * Each round's selection is localCheckpoint-ed: round r's plan
+    * references the running result, so without materialization the
+    * lineage re-executes rounds 1..r−1 inside round r — the CC loop's
+    * quadratic-replan trap at query-plan grain (measured 5.5 s → ~2 s
+    * for 5 rounds of ≤50-row frames). Every SUPERSEDED checkpoint
+    * (pool, sims, each intermediate result) is freed as soon as the
+    * next round materializes — only the returned frame's blocks stay
+    * resident, so repeated serving calls cannot accumulate blocks.
+    *
+    * Cost is INDEPENDENT of corpus size — the defining property of a
+    * post-retrieval stage: every round touches ≤|pool| rows per query. */
+  private[graft] def mmrSelect(pool0: DataFrame,
+                               simsOf: DataFrame => DataFrame,
+                               k: Int = 5): DataFrame = {
+    val pool = pool0.localCheckpoint()
+    val sims = simsOf(pool).localCheckpoint()
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("cand").asc)
     var result = pool
@@ -1228,7 +1256,7 @@ object Extensions {
       .select(col("query_id"), col("cand"), col("rel"),
         lit(1).as("mmr_rank"))
       .localCheckpoint()
-    for (k <- 2 to 5) {
+    for (r <- 2 to k) {
       val remaining = pool.join(result.select("query_id", "cand"),
         Seq("query_id", "cand"), "left_anti")
       val maxsim = sims
@@ -1246,11 +1274,14 @@ object Extensions {
         .withColumn("rn", row_number().over(wk))
         .filter(col("rn") === 1)
         .select(col("query_id"), col("cand"), col("rel"),
-          lit(k).as("mmr_rank"))
+          lit(r).as("mmr_rank"))
+      val prev = result
       result = result.unionByName(pick).localCheckpoint()
+      freeCkpt(prev)
     }
-    result.select(col("query_id"), col("cand").as("neighbor_id"),
-      col("rel").as("cos_ppm"), col("mmr_rank"))
+    freeCkpt(pool)
+    freeCkpt(sims)
+    result
   }
 
   /** s16: hybrid retrieval with Reciprocal Rank Fusion — the serving
@@ -1311,7 +1342,7 @@ object Extensions {
       .withColumn("cos_ppm", cosPpm)
       .withColumn("rank_v", row_number().over(wv))
       .filter(col("rank_v") <= k)
-      .select("query_id", "neighbor_id", "rank_v")
+      .select("query_id", "neighbor_id", "cos_ppm", "rank_v")
   }
 
   /** s19: BM25-family lexical ranking — Okapi's two ranking
@@ -3312,6 +3343,46 @@ object Extensions {
     val assigned = centroidRank(e, coarseCentroids(s, dir, e), "vec_id")
       .filter(col("rn") <= 4)
       .select(col("vec_id"), col("cent_id").as("cell"))
+    hardNegativesFrom(assigned, e)
+  }
+
+  /** t26 OFF THE STORED INDEX — the s05→s09 storage-for-recompute swap
+    * applied to hard-negative mining: candidate generation self-joins
+    * the index's thin (cell, vec_id) membership rows (ALL top-4
+    * assignments — exactly t26's multi-assignment) instead of
+    * re-deriving the corpus-wide cell assignment per invocation; the
+    * below-threshold band filter, exact cosine at candidate grain, both
+    * directions, and the top-3 hardest-first window are unchanged
+    * (shared [[hardNegativesFrom]], so the two forms cannot drift).
+    * Output ≡ t26 row-for-row — same oracle SQL, the s05/s09 pattern.
+    *
+    * At 100 TB the per-invocation cost drops from assign-the-corpus
+    * (n·√n integer dots through the broadcast quantizer — the one
+    * deliberate non-equi join in t26's one-shot plan) to a two-column
+    * scan of the index plus the cell-grain self-join: the mining job
+    * rides the same stored artifact every other cell consumer amortizes
+    * (s08 serving, s09 dedup, d13 resolution). PlanSpec pins the
+    * indexed plan contains no nested-loop join. */
+  def hardNegativesIndexed(s: SparkSession, dir: String): DataFrame =
+    hardNegativesAt(s, dir, annIndexPath(s, dir))
+
+  /** [[hardNegativesIndexed]] against an explicit index location — the
+    * entry CorpusService.hardNegativesReport serves off its MAINTAINED
+    * index (`dir` supplies the full vectors for the exact band
+    * scoring; the index supplies the cell membership). */
+  def hardNegativesAt(s: SparkSession, dir: String,
+                      indexPath: String): DataFrame =
+    hardNegativesFrom(
+      s.read.parquet(indexPath).select(col("cell"), col("vec_id")),
+      quantized(s, dir))
+
+  /** The shared scoring core of t26 and its indexed twin, at ASSIGNMENT
+    * grain: `assigned` is any (cell, vec_id) membership frame (recomputed
+    * top-4 for the one-shot, the stored index's thin rows for the
+    * served form); candidates are cell-blocked (never all-pairs), exact
+    * cosine by key join into `e`, kept in the hard-negative band
+    * (below the near-dup cut), symmetrized, top-3 hardest-first. */
+  private def hardNegativesFrom(assigned: DataFrame, e: DataFrame): DataFrame = {
     val cand = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -4052,6 +4123,60 @@ object Extensions {
       |  JOIN sq sx ON sx.vec_id = p.vec_a
       |  JOIN sq sy ON sy.vec_id = p.vec_b) t
       |WHERE cos_ppm >= 350000""".stripMargin
+
+  // t26's oracle = s05's cell-blocked scoring chain with the OPPOSITE
+  // threshold filter (the hard-negative band sits below the near-dup
+  // cut), symmetrized, top-3 per doc. MATERIALIZED where referenced
+  // twice (assigned; the scored pair frame feeds both directions).
+  // Shared verbatim by the indexed twin (the s05/s09 pattern): the two
+  // Spark forms are semantically identical by contract, so they check
+  // against identical SQL.
+  private val hardNegativesOracleSql: String =
+    Seq("ev", "sq").foldLeft(embCtes)((acc, c) =>
+      acc.replace(c + " AS (", c + " AS MATERIALIZED (")) + ", " + centsCte +
+    """adots AS MATERIALIZED (
+      |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
+      |  GROUP BY 1, 2),
+      |ascore AS MATERIALIZED (
+      |  SELECT d.vec_id, d.cent_id,
+      |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+      |  FROM adots d
+      |  JOIN sq x ON x.vec_id = d.vec_id
+      |  JOIN sq y ON y.vec_id = d.cent_id),
+      |assigned AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cent_id AS cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY cos_ppm DESC, cent_id ASC) AS rn
+      |    FROM ascore) t WHERE rn <= 4),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |  FROM assigned x
+      |  JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id),
+      |pdots AS MATERIALIZED (
+      |  SELECT c.vec_a, c.vec_b, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      |  FROM cand c
+      |  JOIN ev a ON a.vec_id = c.vec_a
+      |  JOIN ev b ON b.vec_id = c.vec_b AND b.i = a.i
+      |  GROUP BY 1, 2),
+      |neg AS MATERIALIZED (
+      |  SELECT vec_a, vec_b, cos_ppm FROM (
+      |    SELECT p.vec_a, p.vec_b,
+      |           CAST(floor(p.dot / (sqrt(sx.s2) * sqrt(sy.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+      |    FROM pdots p
+      |    JOIN sq sx ON sx.vec_id = p.vec_a
+      |    JOIN sq sy ON sy.vec_id = p.vec_b) t
+      |  WHERE cos_ppm < 350000),
+      |sym AS (
+      |  SELECT vec_a AS doc_id, vec_b AS negative_id, cos_ppm FROM neg
+      |  UNION ALL
+      |  SELECT vec_b AS doc_id, vec_a AS negative_id, cos_ppm FROM neg)
+      |SELECT doc_id, negative_id, cos_ppm, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |              ORDER BY cos_ppm DESC, negative_id) AS INTEGER) AS rank
+      |  FROM sym) t
+      |WHERE rank <= 3""".stripMargin
 
   // ------------------------------------------------------------------- specs
 
@@ -5201,56 +5326,15 @@ object Extensions {
         |       CAST(mmr_rank AS INTEGER) AS mmr_rank
         |FROM final_sel""".stripMargin)),
 
-    // t26's oracle = s05's cell-blocked scoring chain with the OPPOSITE
-    // threshold filter (the hard-negative band sits below the near-dup
-    // cut), symmetrized, top-3 per doc. MATERIALIZED where referenced
-    // twice (assigned; the scored pair frame feeds both directions).
-    QuerySpec("t26_hard_negatives", hardNegatives, Some(
-      Seq("ev", "sq").foldLeft(embCtes)((acc, c) =>
-        acc.replace(c + " AS (", c + " AS MATERIALIZED (")) + ", " + centsCte +
-      """adots AS MATERIALIZED (
-        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
-        |  GROUP BY 1, 2),
-        |ascore AS MATERIALIZED (
-        |  SELECT d.vec_id, d.cent_id,
-        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM adots d
-        |  JOIN sq x ON x.vec_id = d.vec_id
-        |  JOIN sq y ON y.vec_id = d.cent_id),
-        |assigned AS MATERIALIZED (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cent_id AS cell,
-        |           row_number() OVER (PARTITION BY vec_id
-        |             ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore) t WHERE rn <= 4),
-        |cand AS MATERIALIZED (
-        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |  FROM assigned x
-        |  JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id),
-        |pdots AS MATERIALIZED (
-        |  SELECT c.vec_a, c.vec_b, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM cand c
-        |  JOIN ev a ON a.vec_id = c.vec_a
-        |  JOIN ev b ON b.vec_id = c.vec_b AND b.i = a.i
-        |  GROUP BY 1, 2),
-        |neg AS MATERIALIZED (
-        |  SELECT vec_a, vec_b, cos_ppm FROM (
-        |    SELECT p.vec_a, p.vec_b,
-        |           CAST(floor(p.dot / (sqrt(sx.s2) * sqrt(sy.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |    FROM pdots p
-        |    JOIN sq sx ON sx.vec_id = p.vec_a
-        |    JOIN sq sy ON sy.vec_id = p.vec_b) t
-        |  WHERE cos_ppm < 350000),
-        |sym AS (
-        |  SELECT vec_a AS doc_id, vec_b AS negative_id, cos_ppm FROM neg
-        |  UNION ALL
-        |  SELECT vec_b AS doc_id, vec_a AS negative_id, cos_ppm FROM neg)
-        |SELECT doc_id, negative_id, cos_ppm, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
-        |              ORDER BY cos_ppm DESC, negative_id) AS INTEGER) AS rank
-        |  FROM sym) t
-        |WHERE rank <= 3""".stripMargin)),
+    QuerySpec("t26_hard_negatives", hardNegatives,
+      Some(hardNegativesOracleSql)),
+
+    // t27 is t26 with the assignment READ from the stored index instead
+    // of recomputed — semantically identical by contract, so it is
+    // checked against the IDENTICAL oracle SQL (and QueriesSpec pins
+    // the two Spark plans row-for-row equal), the s05/s09 pattern.
+    QuerySpec("t27_hard_negatives_indexed", hardNegativesIndexed,
+      Some(hardNegativesOracleSql)),
 
     QuerySpec("d15_chunk_dupes", chunkDupes, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

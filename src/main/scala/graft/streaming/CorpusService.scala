@@ -641,7 +641,8 @@ object CorpusService {
                     excludeSelf: Boolean = false,
                     dfCapPpm: Long = 900000L,
                     vectorExact: Boolean = false,
-                    bm25: Boolean = false): DataFrame = {
+                    bm25: Boolean = false,
+                    diversify: Boolean = false): DataFrame = {
     val tf = PostingTable.postingView(spark, p.postings)
     val nn = graft.Tables.t(spark, p.base, "documents")
       .agg(count(lit(1)).as("n_docs"))
@@ -674,7 +675,61 @@ object CorpusService {
           queries.select("vec_id", "embedding"), p.annIndex, excludeSelf,
           k = 20)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_v"))
-    graft.queries.Extensions.rrfFuse(vec, lex)
+    val fused = graft.queries.Extensions.rrfFuse(vec, lex)
+    // `diversify` threads the fused top-10 through the MMR greedy core
+    // (s22's re-ranker on the request path): rel is the RRF score,
+    // candidate-internal similarity is exact cosine over the stored
+    // embeddings (key-join fetch at pool grain), and the returned
+    // `rank` is the MMR pick order — same schema, diversified order.
+    // Re-ranking cost is independent of corpus size (mmrSelect's
+    // contract); checkpoints are freed inside the core.
+    if (!diversify) fused
+    else {
+      val E = graft.queries.Extensions
+      val eq = E.quantizeFrame(graft.Tables.t(spark, p.base, "embeddings"))
+      E.mmrSelect(
+          fused.select(col("query_id"), col("neighbor_id").as("cand"),
+            col("rrf_ppm").as("rel")),
+          pool => E.poolSimsFrom(pool, eq))
+        .select(col("query_id"), col("cand").as("neighbor_id"),
+          col("rel").as("rrf_ppm"), col("mmr_rank").as("rank"))
+    }
+  }
+
+  /** MMR-DIVERSIFIED vector retrieval for external queries — s22 as a
+    * request-path dial off maintained state: the candidate pool is the
+    * top-20 per query from the vector ranker (`vectorExact` = true runs
+    * s01's exact scan over the stored embeddings — bit-identical to
+    * one-shot s22's pool, which is what lets CorpusServiceSpec pin the
+    * served form ≡ one-shot s22 row-for-row; false, the scale path,
+    * takes the pool through the stored ANN index and inherits the
+    * cell-probe family's recall), pool-internal similarities are exact
+    * cosine by key join into the stored embeddings, and the greedy core
+    * (Extensions.mmrSelect — the SAME code path as one-shot s22, so the
+    * two can never drift) picks `k` items maximizing
+    * 7·relevance − 3·max-sim-to-selected. `excludeSelf` is the
+    * corpus-parity dial (the annIvfIndexedQueries contract). */
+  def diversifiedTopKFor(spark: SparkSession, p: Paths, queries: DataFrame,
+                         excludeSelf: Boolean = false,
+                         vectorExact: Boolean = false,
+                         k: Int = 5): DataFrame = {
+    val E = graft.queries.Extensions
+    val eq = E.quantizeFrame(graft.Tables.t(spark, p.base, "embeddings"))
+    val pool =
+      if (vectorExact)
+        E.vecRankExact(eq,
+            E.quantizeFrame(queries.select("vec_id", "embedding")),
+            excludeSelf, k = 20)
+          .select(col("query_id"), col("neighbor_id").as("cand"),
+            col("cos_ppm").as("rel"))
+      else E.annIvfIndexedQueries(spark, p.base,
+          queries.select("vec_id", "embedding"), p.annIndex, excludeSelf,
+          k = 20)
+        .select(col("query_id"), col("neighbor_id").as("cand"),
+          col("cos_ppm").as("rel"))
+    E.mmrSelect(pool, pl => E.poolSimsFrom(pl, eq), k)
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        col("rel").as("cos_ppm"), col("mmr_rank"))
   }
 
   /** The maintained retrieval-grain chunk table (t25's schema;
@@ -755,7 +810,8 @@ object CorpusService {
     * queries guaranteed: an identical passage hashes to the identical
     * vector, lands in the probed cell, and scores 1e6. */
   def chunkTopKFor(spark: SparkSession, p: Paths, queries: DataFrame,
-                   excludeSelf: Boolean = false, k: Int = 5): DataFrame = {
+                   excludeSelf: Boolean = false, k: Int = 5,
+                   diversify: Boolean = false): DataFrame = {
     val E = graft.queries.Extensions
     val qv = E.chunkVectorsOf(
         E.chunksOfDocs(queries.select(col("vec_id").as("doc_id"), col("text"))))
@@ -767,16 +823,61 @@ object CorpusService {
       .select(expr("query_id div 4096").as("query_id"),
         expr("neighbor_id div 4096").as("neighbor_id"),
         col("cos_ppm"))
-    (if (excludeSelf) rolled.filter(col("neighbor_id") =!= col("query_id"))
-     else rolled)
+    val docScores = (if (excludeSelf)
+        rolled.filter(col("neighbor_id") =!= col("query_id"))
+      else rolled)
       .groupBy("query_id", "neighbor_id")
       .agg(max(col("cos_ppm")).as("max_cos_ppm"))
       .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("max_cos_ppm").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "max_cos_ppm", "rank")
+    // `diversify` re-ranks the rolled DOC list through the MMR greedy
+    // core (s22 on the RAG path): the pool is the top-20 docs by
+    // MaxSim, candidate-internal similarity is exact DOC-grain cosine
+    // over the stored embeddings store (vec_id ≡ doc_id — requires the
+    // service to maintain one), and the returned `rank` is the MMR pick
+    // order. Same schema, diversified order — a query matching five
+    // near-identical passages surfaces distinct documents instead.
+    //
+    // Relevance enters the core RANK-COMPRESSED (the reciprocal
+    // 1e6 // (60 + rank), exactly what RRF feeds the hybrid dial): raw
+    // cosines saturate toward 1e6 at the head of a RAG ranking, where
+    // 7·rel − 3·maxsim can never let the diversity term bind (two exact
+    // copies score 7e6 − 3e6 = 4e6, above any honest rival) — the
+    // re-ranker's relevance scale must be commensurate with the λ
+    // split, and ranks are the scale MMR's pool contract already
+    // assumes retrievers agree on.
+    if (!diversify)
+      docScores.filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "max_cos_ppm", "rank")
+    else {
+      val eq = E.quantizeFrame(graft.Tables.t(spark, p.base, "embeddings"))
+      val pool = docScores.filter(col("rank") <= 20)
+        .select(col("query_id"), col("neighbor_id").as("cand"),
+          expr("CAST(1000000 AS BIGINT) div CAST(60 + rank AS BIGINT)")
+            .as("rel"),
+          col("max_cos_ppm"))
+      E.mmrSelect(pool.select("query_id", "cand", "rel"),
+          pl => E.poolSimsFrom(pl, eq), k)
+        .join(pool.select("query_id", "cand", "max_cos_ppm"),
+          Seq("query_id", "cand"))
+        .select(col("query_id"), col("cand").as("neighbor_id"),
+          col("max_cos_ppm"), col("mmr_rank").as("rank"))
+    }
   }
+
+  /** Hard-negative mining off the MAINTAINED index — t26's service twin
+    * (the s05→s09 storage-for-recompute move, closed for the mining
+    * operator): candidates come from the stored index's thin
+    * (cell, vec_id) membership rows instead of a per-invocation
+    * corpus-wide assignment; exact cosine keeps the below-near-dup band,
+    * both directions, top-3 hardest-first per doc — the contrastive
+    * training pairs a finetune pipeline exports each refresh. Run in
+    * any window after [[refreshAnnIndex]]; the report is as-of the
+    * index's last append (not-yet-indexed docs mine nothing until the
+    * next refresh, the same as-of contract as every served artifact). */
+  def hardNegativesReport(spark: SparkSession, p: Paths): DataFrame =
+    graft.queries.Extensions.hardNegativesAt(spark, p.base, p.annIndex)
 
   /** The per-source curation report (t23's rollup) over the MAINTAINED
     * novelty log — the acquisition-decision view ("which crawl source

@@ -579,4 +579,19 @@ class PlanSpec extends SparkSpec {
       l.contains("graft-annidx") && l.contains("FileScan")),
       s"s09 does not read the stored index:\n$p")
   }
+
+  test("t27 reads the stored assignment: no quantizer join in its plan") {
+    // The s09 contract at the hard-negative miner's grain: t26's one
+    // deliberate non-equi join is the broadcast quantizer cross join
+    // (corpus-wide cell assignment per invocation); the indexed twin
+    // replaces it with the stored (cell, vec_id) membership rows, so
+    // its plan must contain NO nested-loop join and must scan the
+    // stored index.
+    val p = planOf(graft.queries.Extensions.hardNegativesIndexed(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"t27 re-derives assignment (nested-loop quantizer join):\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("graft-annidx") && l.contains("FileScan")),
+      s"t27 does not read the stored index:\n$p")
+  }
 }
