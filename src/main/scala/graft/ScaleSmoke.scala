@@ -59,7 +59,17 @@ object ScaleSmoke {
     // PQ assignment is n × ~256 fixed-size codebooks + query-grain ADC
     // (~linear — the codebook count is capped, unlike s14's √n).
     "s17_ann_ivf_sq8_indexed", "s18_chunk_ann",
-    "s19_bm25_topk", "s20_ann_pq")
+    "s19_bm25_topk", "s20_ann_pq",
+    // Round-11 additions: s21's ADC rides the stored index's pruned
+    // cells + 4-byte codes (expect s17's class, far sublinear); s22's
+    // greedy re-rank is corpus-independent by claim — its only
+    // n-dependent stage is the |Q|·n exact pool scan with |Q| = 10, so
+    // the exponent should sit well below 1 (the constant-cost rounds
+    // dominate at this scale); t26 is cell-blocked like s05 (never
+    // all-pairs); t27 is t26 off the stored membership rows — the
+    // assignment recompute gone, expect at or below t26.
+    "s21_ann_ivf_pq_indexed", "s22_mmr_diversified",
+    "t26_hard_negatives", "t27_hard_negatives_indexed")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

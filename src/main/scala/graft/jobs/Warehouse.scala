@@ -72,6 +72,11 @@ object Warehouse {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     write(stage.toString)
     swapStageInto(fs, stage, target)
+    // The swap bypasses Spark's write path, so the session's file-status
+    // cache (shared across InMemoryFileIndex instances for partitioned
+    // reads) can still list the DELETED files — a later read would fail
+    // with FILE_NOT_EXIST mid-scan. Drop the stale entries.
+    spark.catalog.refreshByPath(path)
   }
 
   /** The delete + rename commit of a staged swap. rename reports failure
@@ -135,7 +140,12 @@ object Warehouse {
     write(stage.toString)
     val after = dirFingerprint(fs, target)
     if (before != after) false
-    else { swapStageInto(fs, stage, target); true }
+    else {
+      swapStageInto(fs, stage, target)
+      // Same stale-listing hazard as replaceVia's swap (see there).
+      spark.catalog.refreshByPath(path)
+      true
+    }
   }
 
   /** S8: reset — overwrite with an empty frame of the same schema. */

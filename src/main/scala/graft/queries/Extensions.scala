@@ -1038,10 +1038,13 @@ object Extensions {
     * `_sq8` sidecar and probe its `_quantizer`, so serving is always
     * consistent with the epoch that wrote the stored codes. */
   def annIvfSq8IndexedAt(s: SparkSession, dir: String,
-                         indexPath: String): DataFrame = {
-    val idx = s.read.parquet(indexPath).filter(col("rn") === 1)
+                         indexPath: String,
+                         dropIds: Option[DataFrame] = None): DataFrame = {
+    val idx0 = s.read.parquet(indexPath).filter(col("rn") === 1)
+    val idx = dropIds.fold(idx0)(d =>
+      idx0.join(d.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     val cents = s.read.parquet(indexPath + "/_quantizer")
-    val ranges = s.read.parquet(indexPath + "/_sq8")
+    val ranges = sidecarOf(s, indexPath, "_sq8")
     val eq = quantized(s, dir).filter(col("vec_id") < 10)
     val cellT = idx.schema(idx.schema.fieldIndex("cell")).dataType
     val probes = centroidRank(eq, cents, "vec_id")
@@ -1110,7 +1113,7 @@ object Extensions {
                         indexPath: String): DataFrame = {
     val idx = s.read.parquet(indexPath).filter(col("rn") === 1)
     val cents = s.read.parquet(indexPath + "/_quantizer")
-    val books = s.read.parquet(indexPath + "/_pq")
+    val books = sidecarOf(s, indexPath, "_pq")
     val eq = quantized(s, dir).filter(col("vec_id") < 10)
     val cellT = idx.schema(idx.schema.fieldIndex("cell")).dataType
     val probes = centroidRank(eq, cents, "vec_id")
@@ -2299,13 +2302,34 @@ object Extensions {
     * no quantizeFrame, no label layout) appends through this directly;
     * [[appendAnnIndex]] is the embeddings-table form with discovery and
     * the label-layout guard above it. */
+  /** Read an index sidecar, failing LOUDLY when the index predates the
+    * payload epoch that sidecar carries: an index built before the
+    * SQ8/PQ payloads exist has no `codes`/`pq` columns either, so an
+    * append or code-served query against it cannot be made consistent —
+    * the raw missing-path AnalysisException it would otherwise throw
+    * says nothing about the fix. A sidecar refresh is a retrain-class
+    * event: delete the index directory and rebuild (refreshAnnIndex /
+    * refreshChunkIndex take the build path when the dir is gone). */
+  private def sidecarOf(s: SparkSession, path: String,
+                        name: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+    require(
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p),
+      s"ANN index at $path predates the $name payload epoch (no $name " +
+        "sidecar): its stored rows carry no matching codes, so appending " +
+        "or serving under this epoch is impossible. Rebuild the index — " +
+        "a sidecar refresh is a retrain-class event (delete the index " +
+        "directory and run the build/refresh path again).")
+    s.read.parquet(s"$path/$name")
+  }
+
   private[graft] def appendAnnIndexFrom(s: SparkSession, path: String,
                                         newQ: DataFrame,
                                         meta: Option[DataFrame] = None)
       : Unit = {
-    val cents = s.read.parquet(path + "/_quantizer")
-    indexRows(newQ, cents, meta, s.read.parquet(path + "/_sq8"),
-        s.read.parquet(path + "/_pq"))
+    val cents = sidecarOf(s, path, "_quantizer")
+    indexRows(newQ, cents, meta, sidecarOf(s, path, "_sq8"),
+        sidecarOf(s, path, "_pq"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
   }
@@ -2330,12 +2354,16 @@ object Extensions {
       s.read.parquet(path).distinct()
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(stage)
-      s.read.parquet(path + "/_quantizer")
-        .write.mode("overwrite").parquet(stage + "/_quantizer")
-      s.read.parquet(path + "/_sq8")
-        .write.mode("overwrite").parquet(stage + "/_sq8")
-      s.read.parquet(path + "/_pq")
-        .write.mode("overwrite").parquet(stage + "/_pq")
+      // Carry whichever sidecars this index's epoch has — compaction is
+      // a file-layout operation and must not demand a payload epoch the
+      // index predates (sidecarOf's rebuild contract is for
+      // append/serving, where the codes are actually consumed).
+      Seq("_quantizer", "_sq8", "_pq").foreach { sc =>
+        val sp = new org.apache.hadoop.fs.Path(s"$path/$sc")
+        if (sp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(sp))
+          s.read.parquet(s"$path/$sc")
+            .write.mode("overwrite").parquet(s"$stage/$sc")
+      }
     }
 
   private def annIndexPath(s: SparkSession, dir: String): String =
@@ -2371,10 +2399,11 @@ object Extensions {
     * stored rows — probes and assignments cannot disagree, whatever
     * grew or retrained in between. */
   def annIvfIndexedAt(s: SparkSession, dir: String,
-                      indexPath: String): DataFrame =
+                      indexPath: String,
+                      dropIds: Option[DataFrame] = None): DataFrame =
     annIvfIndexedQueries(s, dir,
       Tables.t(s, dir, "embeddings").filter(col("vec_id") < 10),
-      indexPath, excludeSelf = true)
+      indexPath, excludeSelf = true, dropIds = dropIds)
 
   /** s08's serving entry for an ARBITRARY query frame — the production
     * shape, where queries are EXTERNAL vectors (a user request, another
@@ -2396,9 +2425,10 @@ object Extensions {
   def annIvfIndexedQueries(s: SparkSession, dir: String, queries: DataFrame,
                            indexPath: String,
                            excludeSelf: Boolean = false,
-                           k: Int = 5): DataFrame =
+                           k: Int = 5,
+                           dropIds: Option[DataFrame] = None): DataFrame =
     annIvfIndexedOver(s, quantized(s, dir), quantizeFrame(queries),
-      indexPath, excludeSelf, k)
+      indexPath, excludeSelf, k, dropIds)
 
   /** The grain-agnostic core of indexed ANN serving: `corpus` and `eq`
     * are ALREADY-QUANTIZED (vec_id, q, s2) frames, so the same read
@@ -2408,8 +2438,16 @@ object Extensions {
   private[graft] def annIvfIndexedOver(s: SparkSession, corpus: DataFrame,
                                        eq: DataFrame, indexPath: String,
                                        excludeSelf: Boolean,
-                                       k: Int): DataFrame = {
-    val idx = s.read.parquet(indexPath).filter(col("rn") === 1)
+                                       k: Int,
+                                       dropIds: Option[DataFrame] = None)
+      : DataFrame = {
+    // `dropIds` is the TOMBSTONE dial (CorpusService.deleteDocs): a thin
+    // (vec_id) frame of deleted rows filtered out of the index read, so
+    // serving equals a rebuild-without-the-docs under the same epoch,
+    // until compaction physically removes them.
+    val idx0 = s.read.parquet(indexPath).filter(col("rn") === 1)
+    val idx = dropIds.fold(idx0)(d =>
+      idx0.join(d.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     val cents = s.read.parquet(indexPath + "/_quantizer")
     // Hive partition values round-trip through directory names; cast the
     // probe side to the scan's inferred type so the join key is the bare
@@ -2491,8 +2529,11 @@ object Extensions {
     * the annIvfIndexedQueries contract). */
   def annIvfFilteredQueries(s: SparkSession, dir: String, queries: DataFrame,
                             indexPath: String,
-                            excludeSelf: Boolean = false): DataFrame = {
-    val idx = s.read.parquet(indexPath).filter(col("rn") === 1)
+                            excludeSelf: Boolean = false,
+                            dropIds: Option[DataFrame] = None): DataFrame = {
+    val idx0 = s.read.parquet(indexPath).filter(col("rn") === 1)
+    val idx = dropIds.fold(idx0)(d =>
+      idx0.join(d.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     val eq = quantizeFrame(queries)
     val cents = s.read.parquet(indexPath + "/_quantizer")
     val cellT = idx.schema(idx.schema.fieldIndex("cell")).dataType

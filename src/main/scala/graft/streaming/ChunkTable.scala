@@ -65,9 +65,12 @@ object ChunkTable {
 
   /** One incremental refresh; returns the number of newly chunked docs. */
   def maintain(spark: SparkSession, corpusDir: String,
-               logDir: String): Long =
+               logDir: String,
+               exclude: Option[DataFrame] = None): Long =
     refresh(spark,
-      graft.Tables.t(spark, corpusDir, "documents").select("doc_id", "text"),
+      exclude.foldLeft(
+        graft.Tables.t(spark, corpusDir, "documents").select("doc_id", "text"))(
+        (d, x) => d.join(x.select("doc_id"), Seq("doc_id"), "left_anti")),
       logDir)
 
   /** The refresh core at CANDIDATE grain — `maintain` passes the whole
@@ -159,4 +162,44 @@ object ChunkTable {
                      files: Int = 4): Boolean =
     graft.jobs.Warehouse.tryCoalesceLog(
       spark, vecDir, dedupRows = true, files)
+
+  /** ONE-TIME migration for chunk logs written under an OLDER tiling
+    * definition (artifact-format changes like round 10's last-window
+    * bound fix, (n−1)/48 → max((n−17)/48, 0)): discovery is doc-grain
+    * (a chunked doc is never re-chunked), so a pre-change log keeps its
+    * obsolete tail chunks forever and every artifact derived from it —
+    * chunkView, the vector store, the chunk index — diverges from the
+    * current one-shot definition. This rebuilds the log's EXISTING docs
+    * under the current `chunksOfDocs` (staged swap; docs not yet
+    * chunked stay undiscovered — that remains `maintain`'s job), drops
+    * vector-store rows whose chunk no longer exists (same-id chunks
+    * keep their vectors — the tiling moves WHICH windows exist, not a
+    * window's content), and leaves the chunk index for the caller to
+    * rebuild (delete the dir and refresh — a retrain-class event, the
+    * epoch contract). Run quiesced; idempotent (a re-run rewrites the
+    * same rows). */
+  def rechunk(spark: SparkSession, corpusDir: String, logDir: String,
+              vecDir: Option[String] = None,
+              exclude: Option[org.apache.spark.sql.DataFrame] = None)
+      : Unit = {
+    if (!exists(spark, logDir)) return
+    val processed = chunkView(spark, logDir).select("doc_id").distinct()
+    val docs = exclude.foldLeft(
+        graft.Tables.t(spark, corpusDir, "documents")
+          .select("doc_id", "text"))(
+        (d, x) => d.join(x.select("doc_id"), Seq("doc_id"), "left_anti"))
+      .join(processed, Seq("doc_id"), "left_semi")
+    graft.jobs.Warehouse.replaceReport(spark,
+      Extensions.chunksOfDocs(docs), logDir)
+    vecDir.filter(exists(spark, _)).foreach { vd =>
+      val live = Extensions.chunkVectorsOf(chunkView(spark, logDir))
+        .select("vec_id")
+      require(graft.jobs.Warehouse.guardedRewrite(spark, vd) { stage =>
+        spark.read.parquet(vd).distinct()
+          .join(live, Seq("vec_id"), "left_semi")
+          .repartition(4)
+          .write.mode(SaveMode.Overwrite).parquet(stage)
+      }, s"rechunk: vector store at $vd failed the quiesced rewrite")
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The LLM-data twin of jobs.Main's always-on service: one corpus store
@@ -91,6 +91,14 @@ object CorpusService {
       * instead of re-deriving vectors per invocation (at scale the
       * derivation is a model forward pass, not a map). */
     val chunkVecs = s"$base/dedup/chunk_vecs"
+    /** The deletion tombstone set ([[deleteDocs]]): one doc_id per
+      * deleted document, append-only. PERMANENT — the corpus store is
+      * an append-only stream source that cannot be rewritten without
+      * invalidating checkpoints, so tombstones gate every discovery
+      * anti-join forever (else a purged doc would be re-discovered as
+      * "new"). Thin: 8 bytes per deletion, read as one broadcast-grade
+      * anti-join side. */
+    val tombstones = s"$base/dedup/tombstones"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -134,9 +142,140 @@ object CorpusService {
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
+  // ------------------------------------------------------------ deletion
+
+  /** DELETE documents from the maintained corpus — the lifecycle verb
+    * the reference's S8 reset becomes at service grain (takedowns and
+    * recrawl-replacements are routine at 100 TB; they must not cost a
+    * retrain). The call itself is O(deletions): it appends the ids to
+    * the tombstone set and returns. From that moment every SERVED
+    * surface (ANN in all payloads, hybrid, chunk retrieval, the dedup
+    * report, the log views) excludes the deleted docs — the index reads
+    * filter tombstoned rows until [[purgeTombstoned]] physically
+    * removes them (epoch sidecars stay valid: deletion is NOT a
+    * retrain), the lexical/posting side drops their rows at view grain,
+    * and the derived artifacts (canonical, manifest, scrubbed payload)
+    * exclude them at their next refresh. Discovery anti-joins are gated
+    * by the tombstone set permanently, so a purged doc is never
+    * re-ingested from the append-only corpus store.
+    *
+    * Idempotent and replay-safe: the tombstone view is a distinct
+    * rollup of an append-only log, so calling twice (or a crash between
+    * the append and any later purge) changes nothing. Semantics are the
+    * strict takedown reading: the doc's CONTRIBUTIONS are forgotten too
+    * — its dedup signatures and pairs stop matching future arrivals,
+    * and its novelty first-seen attributions are dropped at purge (a
+    * future doc re-introducing a shingle scores it novel again; the
+    * conservation law holds over the live corpus). */
+  def deleteDocs(spark: SparkSession, p: Paths, docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    docIds.toDF("doc_id").coalesce(1)
+      .write.mode(SaveMode.Append).parquet(p.tombstones)
+  }
+
+  /** The tombstone set (empty-safe, distinct — absorbs replayed
+    * appends). */
+  def tombstoneView(spark: SparkSession, p: Paths): DataFrame =
+    if (exists(spark, p.tombstones))
+      spark.read.parquet(p.tombstones).distinct()
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+
+  /** The tombstone set when any deletion ever happened — None otherwise,
+    * so the no-deletions path pays ZERO plan overhead (every filter
+    * below folds away). */
+  private def tombstonesOpt(spark: SparkSession, p: Paths): Option[DataFrame] =
+    if (exists(spark, p.tombstones)) Some(tombstoneView(spark, p)) else None
+
+  /** Anti-join `df` against the tombstones on `key` (no-op when no
+    * deletion ever happened). */
+  private def dropTombstoned(spark: SparkSession, p: Paths, df: DataFrame,
+                             key: String): DataFrame =
+    tombstonesOpt(spark, p).fold(df)(t =>
+      df.join(t.select(col("doc_id").as(key)), Seq(key), "left_anti"))
+
+  /** Physically remove tombstoned rows from every maintained store —
+    * the deferred half of [[deleteDocs]] (the expensive rewrites, paid
+    * once per compaction window, not per delete). Run QUIESCED (no live
+    * drain — the same contract as every compaction); each store
+    * rewrites through the guarded staged swap, so a concurrent append
+    * parks that store's purge and the method returns false (retry next
+    * window). The tombstone set itself is never cleared: it still gates
+    * discovery against the append-only corpus store. Serving is
+    * unchanged by the purge — the views' anti-joins simply stop finding
+    * rows to drop (spec-pinned). Index sidecars are carried untouched:
+    * like compaction, a purge is a file-layout operation; the epoch
+    * does not move. */
+  def purgeTombstoned(spark: SparkSession, p: Paths): Boolean = {
+    val tomb = tombstoneView(spark, p).localCheckpoint()
+    def purge(path: String, keys: String*): Boolean =
+      !exists(spark, path) ||
+        graft.jobs.Warehouse.guardedRewrite(spark, path) { stage =>
+          keys.foldLeft(spark.read.parquet(path))((d, k) =>
+              d.join(tomb.select(col("doc_id").as(k)), Seq(k), "left_anti"))
+            .repartition(4)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+        }
+    // The serving indexes: filtered rewrite with the sidecars carried
+    // (tryCompactAnnIndex's shape plus the row filter). Chunk-grain
+    // rows key by doc via the vec_id div 4096 packing.
+    def purgeIndex(path: String, docOf: org.apache.spark.sql.Column): Boolean =
+      !exists(spark, path) ||
+        graft.jobs.Warehouse.guardedRewrite(spark, path) { stage =>
+          spark.read.parquet(path).distinct()
+            .withColumn("__doc", docOf)
+            .join(tomb.select(col("doc_id").as("__doc")), Seq("__doc"),
+              "left_anti")
+            .drop("__doc")
+            .repartition(col("cell"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("cell").parquet(stage)
+          // Carry whichever sidecars this index's epoch has (the
+          // tryCompactAnnIndex contract — a purge is a file-layout
+          // operation, not a payload-epoch demand).
+          Seq("_quantizer", "_sq8", "_pq").foreach { sc =>
+            if (exists(spark, s"$path/$sc"))
+              spark.read.parquet(s"$path/$sc")
+                .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(s"$stage/$sc")
+          }
+        }
+    val ok =
+      purge(p.sigs, "doc_id") &&
+      purge(p.pairs, "new_doc", "other_doc") &&
+      purge(p.assigns, "vec_id") &&
+      purge(p.semPairs, "new_vec", "other_vec") &&
+      purge(p.fpSigs, "doc_id") &&
+      purge(p.fpPairs, "doc_a", "doc_b") &&
+      purge(p.postings, "doc_id") &&
+      purge(p.chunkLog, "doc_id") &&
+      purge(p.scrubPostings, "doc_id") &&
+      purge(p.scrubLog, "doc_id") &&
+      purge(p.noveltyLog, "doc_id") &&
+      purge(p.noveltyFirstSeen, "first_doc") &&
+      purgeIndex(p.annIndex, col("vec_id")) &&
+      purgeIndex(p.chunkIndex, expr("CAST(vec_id div 4096 AS BIGINT)")) &&
+      (!exists(spark, p.chunkVecs) ||
+        graft.jobs.Warehouse.guardedRewrite(spark, p.chunkVecs) { stage =>
+          spark.read.parquet(p.chunkVecs)
+            .withColumn("__doc", expr("vec_id div 4096"))
+            .join(tomb.select(col("doc_id").as("__doc")), Seq("__doc"),
+              "left_anti")
+            .drop("__doc")
+            .repartition(4)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+        })
+    graft.queries.Extensions.freeCkpt(tomb)
+    ok
+  }
+
   private def rebuildIndex(spark: SparkSession, p: Paths): Unit =
     graft.jobs.Warehouse.replaceVia(spark, p.annIndex) { stage =>
-      val emb = graft.Tables.t(spark, p.base, "embeddings")
+      val emb = dropTombstoned(spark, p,
+        graft.Tables.t(spark, p.base, "embeddings"), "vec_id")
       graft.queries.Extensions.buildAnnIndexFrom(
         graft.queries.Extensions.quantizeFrame(emb),
         spark.read.parquet(p.cents), stage,
@@ -160,14 +299,30 @@ object CorpusService {
     * with the prefix payload, read by queries. They serve different
     * access paths off the same epoch.) */
   def refreshAnnIndex(spark: SparkSession, p: Paths): Unit =
-    if (exists(spark, p.annIndex))
-      graft.queries.Extensions.appendAnnIndex(spark, p.base, p.annIndex)
+    if (exists(spark, p.annIndex)) tombstonesOpt(spark, p) match {
+      case None =>
+        graft.queries.Extensions.appendAnnIndex(spark, p.base, p.annIndex)
+      case Some(t) =>
+        // Deletions gate append discovery too: the corpus store still
+        // carries a purged doc's embedding, and without this anti-join
+        // the next refresh would re-index it.
+        val newVecs = graft.Tables.t(spark, p.base, "embeddings")
+          .join(spark.read.parquet(p.annIndex).select("vec_id"),
+            Seq("vec_id"), "left_anti")
+          .join(t.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_anti")
+        graft.queries.Extensions.appendAnnIndex(spark, p.base, p.annIndex,
+          newVectors = Some(newVecs))
+    }
     else rebuildIndex(spark, p)
 
   /** ANN top-k served off the maintained index — s08's read path at the
-    * service's index location. */
+    * service's index location. Tombstoned rows are filtered out of the
+    * index read (all serving entries below share this), so post-delete
+    * serving equals a rebuild-without-the-docs under the same epoch. */
   def annTopK(spark: SparkSession, p: Paths): DataFrame =
-    graft.queries.Extensions.annIvfIndexedAt(spark, p.base, p.annIndex)
+    graft.queries.Extensions.annIvfIndexedAt(spark, p.base, p.annIndex,
+      dropIds = tombstoneIds(spark, p))
 
   /** ANN top-k through the index-resident SQ8 codes (s17's read path) —
     * the byte-compressed coarse pass over the same maintained index:
@@ -175,7 +330,15 @@ object CorpusService {
     * scale vs the prefix's 8), the exact rerank fetches full vectors at
     * candidate grain. Same index artifact, second serving dial. */
   def annSq8TopK(spark: SparkSession, p: Paths): DataFrame =
-    graft.queries.Extensions.annIvfSq8IndexedAt(spark, p.base, p.annIndex)
+    graft.queries.Extensions.annIvfSq8IndexedAt(spark, p.base, p.annIndex,
+      dropIds = tombstoneIds(spark, p))
+
+  /** The tombstone set as a thin (vec_id) drop frame for the index
+    * serving entries (doc_id ≡ vec_id, this corpus's id contract);
+    * None when no deletion ever happened — the serving plans then carry
+    * no filter at all. */
+  private def tombstoneIds(spark: SparkSession, p: Paths): Option[DataFrame] =
+    tombstonesOpt(spark, p).map(_.select(col("doc_id").as("vec_id")))
 
   /** ANN top-k for EXTERNAL query vectors ((vec_id, embedding) rows that
     * are not part of the corpus — the request path a deployment actually
@@ -184,7 +347,7 @@ object CorpusService {
     * drop a true neighbor. */
   def annTopKFor(spark: SparkSession, p: Paths, queries: DataFrame): DataFrame =
     graft.queries.Extensions.annIvfIndexedQueries(spark, p.base, queries,
-      p.annIndex)
+      p.annIndex, dropIds = tombstoneIds(spark, p))
 
   /** FILTERED ANN for external query vectors — the request names its
     * metadata filter ((vec_id, embedding, label) rows) and neighbors
@@ -196,7 +359,7 @@ object CorpusService {
   def annTopKFilteredFor(spark: SparkSession, p: Paths,
                          queries: DataFrame): DataFrame =
     graft.queries.Extensions.annIvfFilteredQueries(spark, p.base, queries,
-      p.annIndex)
+      p.annIndex, dropIds = tombstoneIds(spark, p))
 
   private def embeddingCount(spark: SparkSession, p: Paths): Long =
     graft.Tables.t(spark, p.base, "embeddings")
@@ -317,7 +480,10 @@ object CorpusService {
     * payload-axis detail (it carries the hamming distances the
     * summary drops). */
   def fingerprintPairsView(spark: SparkSession, p: Paths): DataFrame =
-    StreamingFingerprint.pairsView(spark, p.fpPairs)
+    dropTombstoned(spark, p,
+      dropTombstoned(spark, p,
+        StreamingFingerprint.pairsView(spark, p.fpPairs), "doc_a"),
+      "doc_b")
 
   /** The ingest-time contamination drop list (empty-safe). A maintained
     * training set that must exclude suite-leaked documents anti-joins
@@ -371,13 +537,21 @@ object CorpusService {
     }
     def ifPresent(dir: String)(view: => DataFrame): Option[DataFrame] =
       if (exists(dir)) Some(view) else None
-    val verbatim = ifPresent(p.pairs)(
-      StreamingDedup.pairsView(spark, p.pairs).select("doc_a", "doc_b"))
+    // Deleted docs leave the cluster graph (both endpoints) and the
+    // corpus projection below, so the refreshed artifact equals the
+    // rebuild-without-the-docs resolution. Removing edges can only
+    // SHRINK the pair universe, which the snapshot probe below already
+    // detects — a post-delete refresh takes the from-scratch path.
+    def liveAB(df: DataFrame): DataFrame =
+      dropTombstoned(spark, p,
+        dropTombstoned(spark, p, df, "doc_a"), "doc_b")
+    val verbatim = ifPresent(p.pairs)(liveAB(
+      StreamingDedup.pairsView(spark, p.pairs).select("doc_a", "doc_b")))
     val semantic =
       if (!includeSemantic) None
-      else ifPresent(p.semPairs)(
+      else ifPresent(p.semPairs)(liveAB(
         StreamingSemanticDedup.pairsView(spark, p.semPairs)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
     // The media axis: fingerprint pairs are doc-id pairs already, so a
     // re-encoded/locally-edited copy resolves to the same canonical as
     // a verbatim or paraphrase one — all three modality graphs merge
@@ -385,9 +559,9 @@ object CorpusService {
     // caller narrowing the mix later triggers the from-scratch rebuild.
     val fingerprint =
       if (!includeFingerprint) None
-      else ifPresent(p.fpPairs)(
+      else ifPresent(p.fpPairs)(liveAB(
         StreamingFingerprint.pairsView(spark, p.fpPairs)
-          .select("doc_a", "doc_b"))
+          .select("doc_a", "doc_b")))
     val allPairs = (verbatim.toSeq ++ semantic.toSeq ++ fingerprint.toSeq)
       .reduceOption(_ unionByName _).map(_.distinct())
     val emptyLabels = spark.createDataFrame(
@@ -423,8 +597,10 @@ object CorpusService {
         spark.read.parquet(p.clusters)
     }
     val canon = graft.queries.Extensions.canonicalResolution(
-      graft.Tables.t(spark, p.base, "documents")
-        .select(col("doc_id"), col("lang")),
+      dropTombstoned(spark, p,
+        graft.Tables.t(spark, p.base, "documents")
+          .select(col("doc_id"), col("lang")),
+        "doc_id"),
       labels)
     graft.jobs.Warehouse.replaceReport(spark, canon, p.canon)
   }
@@ -481,8 +657,13 @@ object CorpusService {
                          decontaminate: Boolean = false,
                          excludeContaminated: Boolean = false,
                          clusterCap: Option[Int] = None): Unit = {
-    val kept = canonicalCorpusView(spark, p)
-      .filter(col("is_kept") === 1).select("doc_id")
+    // The tombstone gate here is a safety net: a canonical artifact
+    // refreshed AFTER the delete already excludes the docs; this keeps
+    // the manifest correct even against a stale canonical.
+    val kept = dropTombstoned(spark, p,
+      canonicalCorpusView(spark, p)
+        .filter(col("is_kept") === 1).select("doc_id"),
+      "doc_id")
     val base = graft.queries.Extensions.trainingManifest(spark, p.base, kept)
     val decon =
       if (!decontaminate) base
@@ -575,39 +756,48 @@ object CorpusService {
     * streaming.IncrementalScrub). Run per drain; returns the number of
     * documents (re)written. */
   def maintainScrub(spark: SparkSession, p: Paths): Long =
-    IncrementalScrub.maintain(spark, p.base, p.scrubPostings, p.scrubLog)
+    IncrementalScrub.maintain(spark, p.base, p.scrubPostings, p.scrubLog,
+      exclude = tombstonesOpt(spark, p))
 
   /** The maintained full-corpus scrub table (latest clean_text per
     * doc). */
   def scrubTableView(spark: SparkSession, p: Paths): DataFrame =
-    IncrementalScrub.scrubTable(spark, p.scrubLog)
+    dropTombstoned(spark, p,
+      IncrementalScrub.scrubTable(spark, p.scrubLog), "doc_id")
 
   /** One incremental novelty refresh (delta-grain: only not-yet-scored
     * docs probe the maintained first-seen table — see
     * streaming.NoveltyTable). Run per drain; returns newly scored docs. */
   def maintainNovelty(spark: SparkSession, p: Paths): Long =
-    NoveltyTable.maintain(spark, p.base, p.noveltyFirstSeen, p.noveltyLog)
+    NoveltyTable.maintain(spark, p.base, p.noveltyFirstSeen, p.noveltyLog,
+      exclude = tombstonesOpt(spark, p))
 
-  /** The maintained per-doc novelty table (t21's schema; empty-safe).
-    * The saturation monitor a deployment plots: novelty_ppm vs doc_id. */
+  /** The maintained per-doc novelty table (t21's schema; empty-safe;
+    * tombstoned docs excluded). The saturation monitor a deployment
+    * plots: novelty_ppm vs doc_id. */
   def noveltyReport(spark: SparkSession, p: Paths): DataFrame =
-    NoveltyTable.noveltyView(spark, p.noveltyLog)
+    dropTombstoned(spark, p,
+      NoveltyTable.noveltyView(spark, p.noveltyLog), "doc_id")
 
   /** One incremental chunk-table refresh (delta-grain: only
     * not-yet-chunked docs are tokenized — see streaming.ChunkTable).
     * Run per drain; returns newly chunked docs. */
   def maintainChunks(spark: SparkSession, p: Paths): Long =
-    ChunkTable.maintain(spark, p.base, p.chunkLog)
+    ChunkTable.maintain(spark, p.base, p.chunkLog,
+      exclude = tombstonesOpt(spark, p))
 
   /** One incremental posting-table refresh (delta-grain: only
     * not-yet-posted docs are tokenized — see streaming.PostingTable).
     * Run per drain; returns newly posted docs. */
   def maintainPostings(spark: SparkSession, p: Paths): Long =
-    PostingTable.maintain(spark, p.base, p.postings)
+    PostingTable.maintain(spark, p.base, p.postings,
+      exclude = tombstonesOpt(spark, p))
 
-  /** The maintained posting table (empty-safe). */
+  /** The maintained posting table (empty-safe; tombstoned docs
+    * excluded). */
   def postingTableView(spark: SparkSession, p: Paths): DataFrame =
-    PostingTable.postingView(spark, p.postings)
+    dropTombstoned(spark, p,
+      PostingTable.postingView(spark, p.postings), "doc_id")
 
   /** HYBRID retrieval served off MAINTAINED state — the request path of
     * modern search (s16's shape, deployable): for each (vec_id, text,
@@ -643,8 +833,13 @@ object CorpusService {
                     vectorExact: Boolean = false,
                     bm25: Boolean = false,
                     diversify: Boolean = false): DataFrame = {
-    val tf = PostingTable.postingView(spark, p.postings)
-    val nn = graft.Tables.t(spark, p.base, "documents")
+    // Tombstoned docs leave both rankers here: their posting rows drop
+    // (df and the doc count follow — exactly the rebuild-without
+    // corpus's statistics), and the vector side filters them below.
+    val tf = dropTombstoned(spark, p,
+      PostingTable.postingView(spark, p.postings), "doc_id")
+    val nn = dropTombstoned(spark, p,
+        graft.Tables.t(spark, p.base, "documents").select("doc_id"), "doc_id")
       .agg(count(lit(1)).as("n_docs"))
     val qtoks = queries
       .select(col("vec_id").as("query_id"),
@@ -667,13 +862,14 @@ object CorpusService {
       if (vectorExact)
         graft.queries.Extensions.vecRankExact(
           graft.queries.Extensions.quantizeFrame(
-            graft.Tables.t(spark, p.base, "embeddings")),
+            dropTombstoned(spark, p,
+              graft.Tables.t(spark, p.base, "embeddings"), "vec_id")),
           graft.queries.Extensions.quantizeFrame(
             queries.select("vec_id", "embedding")),
           excludeSelf, k = 20)
       else graft.queries.Extensions.annIvfIndexedQueries(spark, p.base,
           queries.select("vec_id", "embedding"), p.annIndex, excludeSelf,
-          k = 20)
+          k = 20, dropIds = tombstoneIds(spark, p))
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_v"))
     val fused = graft.queries.Extensions.rrfFuse(vec, lex)
     // `diversify` threads the fused top-10 through the MMR greedy core
@@ -714,7 +910,9 @@ object CorpusService {
                          vectorExact: Boolean = false,
                          k: Int = 5): DataFrame = {
     val E = graft.queries.Extensions
-    val eq = E.quantizeFrame(graft.Tables.t(spark, p.base, "embeddings"))
+    val eq = E.quantizeFrame(
+      dropTombstoned(spark, p,
+        graft.Tables.t(spark, p.base, "embeddings"), "vec_id"))
     val pool =
       if (vectorExact)
         E.vecRankExact(eq,
@@ -724,7 +922,7 @@ object CorpusService {
             col("cos_ppm").as("rel"))
       else E.annIvfIndexedQueries(spark, p.base,
           queries.select("vec_id", "embedding"), p.annIndex, excludeSelf,
-          k = 20)
+          k = 20, dropIds = tombstoneIds(spark, p))
         .select(col("query_id"), col("neighbor_id").as("cand"),
           col("cos_ppm").as("rel"))
     E.mmrSelect(pool, pl => E.poolSimsFrom(pl, eq), k)
@@ -735,7 +933,8 @@ object CorpusService {
   /** The maintained retrieval-grain chunk table (t25's schema;
     * empty-safe) — the embedding job's input, paid once per doc. */
   def chunkTableView(spark: SparkSession, p: Paths): DataFrame =
-    ChunkTable.chunkView(spark, p.chunkLog)
+    dropTombstoned(spark, p, ChunkTable.chunkView(spark, p.chunkLog),
+      "doc_id")
 
   /** Chunk-grain dedup (d15's rollup) over the maintained chunk log:
     * the redundant-vector drop list a RAG corpus applies before
@@ -749,6 +948,23 @@ object CorpusService {
     * chunks. */
   def maintainChunkVectors(spark: SparkSession, p: Paths): Long =
     ChunkTable.maintainVectors(spark, p.chunkLog, p.chunkVecs)
+
+  /** ONE-TIME chunk-tiling migration at service grain (see
+    * ChunkTable.rechunk): rebuilds the maintained chunk log's existing
+    * docs under the current tiling, drops orphaned chunk vectors, and
+    * REBUILDS the chunk index (tiling changes are retrain-class for the
+    * index — its rows key by the packed chunk id). Run quiesced, once,
+    * after upgrading across a chunk-definition change. */
+  def rechunkCorpus(spark: SparkSession, p: Paths): Unit = {
+    ChunkTable.rechunk(spark, p.base, p.chunkLog, Some(p.chunkVecs),
+      exclude = tombstonesOpt(spark, p))
+    if (exists(spark, p.chunkIndex)) {
+      val idxPath = new org.apache.hadoop.fs.Path(p.chunkIndex)
+      idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(idxPath, true)
+      refreshChunkIndex(spark, p)
+    }
+  }
 
   /** The maintained chunk-vector frame: the STORED embedding table
     * when the embedding job maintains one ([[maintainChunkVectors]] —
@@ -774,7 +990,14 @@ object CorpusService {
     * rebuild-class event, exactly like retrainQuantizer's rebuild).
     * Run post-drain after [[maintainChunks]]. */
   def refreshChunkIndex(spark: SparkSession, p: Paths): Unit = {
-    val cv = chunkVectorTable(spark, p).select("vec_id", "q", "s2")
+    // Deletions gate the chunk-vector frame at its packed doc id, on
+    // both the build and append paths (the vector store may not have
+    // been purged yet when the index refreshes).
+    val cv0 = chunkVectorTable(spark, p).select("vec_id", "q", "s2")
+    val cv = tombstonesOpt(spark, p).fold(cv0)(t =>
+      cv0.withColumn("__doc", expr("CAST(vec_id div 4096 AS BIGINT)"))
+        .join(t.select(col("doc_id").as("__doc")), Seq("__doc"), "left_anti")
+        .drop("__doc"))
     if (!exists(spark, p.chunkIndex)) {
       val n = cv.count()
       val stride = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
@@ -817,8 +1040,17 @@ object CorpusService {
         E.chunksOfDocs(queries.select(col("vec_id").as("doc_id"), col("text"))))
       .select(col("vec_id"), col("q"), col("s2"))
     val corpus = chunkVectorTable(spark, p).select("vec_id", "q", "s2")
+    // Chunk-grain tombstones: the index's own rows whose packed doc id
+    // (vec_id div 4096) is deleted — derived from the index read so the
+    // filter stays correct whether or not the chunk log was purged yet.
+    val chunkTomb = tombstonesOpt(spark, p).map { t =>
+      spark.read.parquet(p.chunkIndex).select("vec_id").distinct()
+        .withColumn("__doc", expr("CAST(vec_id div 4096 AS BIGINT)"))
+        .join(t.select(col("doc_id").as("__doc")), Seq("__doc"))
+        .select("vec_id")
+    }
     val served = E.annIvfIndexedOver(spark, corpus, qv, p.chunkIndex,
-      excludeSelf = false, k = 100)
+      excludeSelf = false, k = 100, dropIds = chunkTomb)
     val rolled = served
       .select(expr("query_id div 4096").as("query_id"),
         expr("neighbor_id div 4096").as("neighbor_id"),
@@ -897,8 +1129,7 @@ object CorpusService {
     val d = graft.Tables.t(spark, p.base, "documents")
       .select(col("doc_id"), col("source"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    graft.queries.Extensions.sourceRollup(
-      d, NoveltyTable.noveltyView(spark, p.noveltyLog))
+    graft.queries.Extensions.sourceRollup(d, noveltyReport(spark, p))
   }
 
   /** Read the maintained scrubbed payload (refreshScrubbedCorpus's
@@ -1124,6 +1355,13 @@ object CorpusService {
                   "(no writer should be live between drains)")
               idxCompactions += 1
             }
+            // Deletions drain physically on the same heavy-maintenance
+            // cadence: between drains nothing is live, so the purge's
+            // guarded rewrites must land.
+            if (exists(spark, p.tombstones))
+              require(purgeTombstoned(spark, p),
+                "corpus service: scheduled tombstone purge failed to land " +
+                  "(no writer should be live between drains)")
             // Training handoff: the payload a trainer reads, re-cut to the
             // freshest manifest off the per-drain-maintained scrub table.
             if (scrub) refreshScrubbedCorpus(spark, p)
@@ -1184,12 +1422,18 @@ object CorpusService {
         StreamingFingerprint.pairsView(spark, p.fpPairs)
           .select(col("doc_a"), col("doc_b"), lit("fingerprint").as("m"))
       else verbatim.limit(0)
-    verbatim.unionByName(semantic).unionByName(fingerprint)
+    val report = verbatim.unionByName(semantic).unionByName(fingerprint)
       .groupBy("doc_a", "doc_b")
       .agg(
         max(col("m") === "verbatim").as("verbatim"),
         max(col("m") === "semantic").as("semantic"),
         max(col("m") === "fingerprint").as("fingerprint"),
         array_join(sort_array(collect_set(col("m"))), "+").as("modality"))
+    // Deleted docs leave the report on both sides (their pair rows are
+    // purged at the next compaction; the filter keeps the read correct
+    // in between — and permanently, since a deleted doc's partner may
+    // still be live and its pair row legitimately gone).
+    dropTombstoned(spark, p,
+      dropTombstoned(spark, p, report, "doc_a"), "doc_b")
   }
 }

@@ -70,9 +70,15 @@ object IncrementalScrub {
   /** One incremental refresh; returns the number of documents whose
     * clean_text was (re)written — new docs plus crossing-affected. */
   def maintain(spark: SparkSession, corpusDir: String,
-               postingsDir: String, scrubLogDir: String): Long = {
-    val docs = graft.Tables.t(spark, corpusDir, "documents")
-      .select("doc_id", "text")
+               postingsDir: String, scrubLogDir: String,
+               exclude: Option[DataFrame] = None): Long = {
+    // `exclude` gates discovery (CorpusService's tombstone set): the
+    // corpus store is append-only, so a purged doc would otherwise be
+    // re-discovered as "new" on the next refresh.
+    val docs = exclude.foldLeft(
+      graft.Tables.t(spark, corpusDir, "documents")
+        .select("doc_id", "text"))(
+      (d, x) => d.join(x.select("doc_id"), Seq("doc_id"), "left_anti"))
     val oldPost = postingsView(spark, postingsDir)
     val processed = oldPost.select("doc_id").distinct()
     val newDocs = docs.join(processed, Seq("doc_id"), "left_anti")

@@ -83,12 +83,17 @@ object NoveltyTable {
         StructField("n_novel", LongType),
         StructField("novelty_ppm", LongType))))
 
-  /** One incremental refresh; returns the number of newly scored docs. */
+  /** One incremental refresh; returns the number of newly scored docs.
+    * `exclude` gates discovery (CorpusService's tombstone set): a
+    * deleted doc whose rows were purged must never be re-scored. */
   def maintain(spark: SparkSession, corpusDir: String,
-               firstSeenDir: String, logDir: String): Long =
+               firstSeenDir: String, logDir: String,
+               exclude: Option[DataFrame] = None): Long =
     refresh(spark,
-      graft.Tables.t(spark, corpusDir, "documents")
-        .select("doc_id", "lang", "text"),
+      exclude.foldLeft(
+        graft.Tables.t(spark, corpusDir, "documents")
+          .select("doc_id", "lang", "text"))(
+        (d, x) => d.join(x.select("doc_id"), Seq("doc_id"), "left_anti")),
       firstSeenDir, logDir)
 
   /** The refresh core at CANDIDATE grain — `maintain` passes the whole

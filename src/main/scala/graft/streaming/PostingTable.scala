@@ -60,11 +60,17 @@ object PostingTable {
     postingView(spark, logDir)
       .groupBy("tok").agg(count(lit(1)).as("df"))
 
-  /** One incremental refresh; returns the number of newly posted docs. */
+  /** One incremental refresh; returns the number of newly posted docs.
+    * `exclude` gates discovery (CorpusService's tombstone set): a
+    * deleted doc whose state was purged must never be re-discovered —
+    * the corpus store is append-only, so the gate is permanent. */
   def maintain(spark: SparkSession, corpusDir: String,
-               logDir: String): Long =
+               logDir: String,
+               exclude: Option[DataFrame] = None): Long =
     refresh(spark,
-      graft.Tables.t(spark, corpusDir, "documents").select("doc_id", "text"),
+      exclude.foldLeft(
+        graft.Tables.t(spark, corpusDir, "documents").select("doc_id", "text"))(
+        (d, x) => d.join(x.select("doc_id"), Seq("doc_id"), "left_anti")),
       logDir)
 
   /** The refresh core at CANDIDATE grain — `maintain` passes the whole
