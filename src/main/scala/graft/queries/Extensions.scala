@@ -1394,7 +1394,10 @@ object Extensions {
   private[graft] def bm25Rank(qtoks: DataFrame, tf: DataFrame,
                               dfCapPpm: Long = 1000000L,
                               excludeSelf: Boolean = true,
-                              k: Int = 10): DataFrame = {
+                              k: Int = 10,
+                              selfOf: org.apache.spark.sql.Column =>
+                                org.apache.spark.sql.Column = identity)
+      : DataFrame = {
     val dlen = tf.groupBy("doc_id")
       .agg(sum(col("tf")).cast("long").as("dlen"))
     val tot = dlen.agg(sum("dlen").cast("long").as("total_toks"),
@@ -1407,7 +1410,11 @@ object Extensions {
     val hits = qtoks
       .join(dfx, "tok")
       .join(tf.select(col("doc_id").as("neighbor_id"), col("tok"), col("tf")), "tok")
-    (if (excludeSelf) hits.filter(col("neighbor_id") =!= col("query_id"))
+    // `selfOf` maps a neighbor key to the identity the query id lives
+    // in — identity at doc grain; the packed-id doc extractor
+    // (shiftright 12) when `tf` is CHUNK-grain postings and "self"
+    // means the query's own document.
+    (if (excludeSelf) hits.filter(selfOf(col("neighbor_id")) =!= col("query_id"))
      else hits)
       .join(dlen.select(col("doc_id").as("neighbor_id"), col("dlen")),
         "neighbor_id")
@@ -1728,6 +1735,97 @@ object Extensions {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "max_cos_ppm", "rank")
+  }
+
+  /** Token rows at CHUNK grain — t25's overlapping tiling applied to
+    * the token stream: chunk k of a doc covers tokens
+    * [k·48+1, k·48+64], so a token in an overlap region posts to BOTH
+    * covering chunks (the inverted file must find a phrase wherever its
+    * window lands). Keyed by the PACKED chunk id under the `doc_id`
+    * column name so the doc-grain lexical rankers (bm25Rank /
+    * lexicalRank) consume it verbatim — they are grain-agnostic over
+    * the posting key. */
+  private[graft] def chunkTokens(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, greatest((n - 17) div 48, 0)),
+            |  k -> named_struct('cid', CAST(k AS INT),
+            |                    'toks', slice(t, k * 48 + 1, 64)))"""
+            .stripMargin)).as("c"))
+      .select((col("doc_id") * 4096 + col("c.cid")).as("doc_id"),
+        explode(col("c.toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+
+  /** The chunk-grain VECTOR ranker shared by one-shot s23 and the
+    * served chunk hybrid's exact dial: every corpus chunk scores
+    * against each query's chunk set, a chunk's relevance is its best
+    * match over the query's chunks (the query-side half of MaxSim —
+    * a multi-passage query matches a chunk wherever ANY of its
+    * passages does), top-`k` chunks per query, ties by chunk id.
+    * `queryCh` is (query_id, q, s2) at query-CHUNK grain (one row per
+    * chunk of each query); `corpusCv` is the (vec_id, doc_id, q, s2)
+    * chunk-vector frame. `excludeSelfDoc` drops the query's own
+    * document's chunks (corpus-parity queries). */
+  private[graft] def chunkVecRank(corpusCv: DataFrame, queryCh: DataFrame,
+                                  excludeSelfDoc: Boolean,
+                                  k: Int = 20): DataFrame = {
+    val q = queryCh
+      .select(col("query_id"), col("q").as("qa"), col("s2").as("sa"))
+    val n = corpusCv.select(col("vec_id").as("neighbor_id"),
+      col("doc_id").as("nd"), col("q").as("qb"), col("s2").as("sb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("best_cos_ppm").desc, col("neighbor_id").asc)
+    (if (excludeSelfDoc) q.join(n, col("query_id") =!= col("nd"))
+     else q.crossJoin(n))
+      .withColumn("dot", dot)
+      .withColumn("cos_ppm", cosPpm)
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("cos_ppm")).as("best_cos_ppm"))
+      .withColumn("rank_v", row_number().over(w))
+      .filter(col("rank_v") <= k)
+      .select("query_id", "neighbor_id", "rank_v")
+  }
+
+  /** s23: chunk-grain HYBRID retrieval — the late-interaction fusion a
+    * RAG stack actually runs, closing the grain gap between s16/s19
+    * (doc-grain lexical ∘ doc-grain vector) and s18 (chunk-grain vector
+    * alone): candidates are CHUNKS, the vector ranker is s18's MaxSim
+    * restricted to the query side ([[chunkVecRank]] — a chunk's score
+    * is its best match over the query's chunks), the lexical ranker is
+    * s19's BM25 over the chunk-grain posting rows ([[chunkTokens]] —
+    * document frequency, length normalization, and totals all at chunk
+    * grain, where "document" IS the retrieval unit), and the two rank
+    * lists fuse by the shared [[rrfFuse]]. Lexical recovers the
+    * verbatim phrase whose embedding the hash blurs; vectors recover
+    * the paraphrase sharing no tokens; the fused winner is the chunk a
+    * reader would actually cite. Queries are docs 0–9 (their full
+    * token sets and their chunk vectors), own-document chunks
+    * excluded; output is top-10 CHUNKS per query by fused score.
+    *
+    * Scale shape: the vector side is the honest exact baseline any
+    * s18-family index form drops into (rank-only fusion — the served
+    * twin probes the stored chunk index instead); the lexical side is
+    * one posting join at query grain (Σ df over query tokens, the
+    * s16/s19 serving cost, over a posting table ~1.33× the doc-grain
+    * one — overlap regions post twice); fusion joins two ≤20-row
+    * frames per query. */
+  def chunkHybrid(s: SparkSession, dir: String): DataFrame = {
+    val cv = chunkVectors(s, dir)
+    val vec = chunkVecRank(cv,
+      cv.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("q"), col("s2")),
+      excludeSelfDoc = true)
+    val ctf = chunkTokens(docs(s, dir))
+    val qtoks = tokRows(s, dir)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("tok"))
+      .distinct()
+    val lex = bm25Rank(qtoks, ctf, excludeSelf = true, k = 20,
+        selfOf = shiftright(_, 12))
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_l"))
+    rrfFuse(vec, lex)
   }
 
   /** Connected components over an undirected pair list via min-label
@@ -5638,6 +5736,97 @@ object Extensions {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |              ORDER BY max_cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM rolled) t
-        |WHERE rank <= 5""".stripMargin))
+        |WHERE rank <= 5""".stripMargin)),
+
+    // s23's oracle: the full chunk-grain hybrid in SQL — t25's tiling
+    // feeding BOTH rankers (the hash-derived chunk vectors for the
+    // MaxSim side, the overlapping-window token rows for the BM25
+    // side), s19's exact integer BM25 chain at chunk grain, s16's RRF
+    // fusion. MATERIALIZED on every frame referenced twice.
+    QuerySpec("s23_chunk_hybrid", chunkHybrid, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |cht AS (
+        |  SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+        |         md5(array_to_string(t[k * 48 + 1:k * 48 + 64], ' ')) AS chunk_hash
+        |  FROM toks, UNNEST(range(0, GREATEST((len(t) - 17) // 48, 0) + 1)) u(k)),
+        |cev AS MATERIALIZED (
+        |  SELECT doc_id, doc_id * 4096 + chunk_id AS vec_id, CAST(i AS INTEGER) AS i,
+        |         (('0x' || substr(md5(chunk_hash || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+        |          % 2001) - 1000 AS v
+        |  FROM cht, UNNEST(range(1, 65)) u(i)),
+        |csq AS MATERIALIZED (
+        |  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS s2 FROM cev GROUP BY 1),
+        |cdots AS (
+        |  SELECT a.doc_id AS query_id, b.vec_id AS neighbor_id,
+        |         a.vec_id AS va, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+        |  FROM cev a JOIN cev b ON b.i = a.i
+        |   AND a.doc_id < 10 AND b.doc_id <> a.doc_id
+        |  GROUP BY 1, 2, 3),
+        |chunkbest AS (
+        |  SELECT query_id, neighbor_id, MAX(cos_ppm) AS best_cos_ppm FROM (
+        |    SELECT d.query_id, d.neighbor_id,
+        |           CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |    FROM cdots d
+        |    JOIN csq x ON x.vec_id = d.va
+        |    JOIN csq y ON y.vec_id = d.neighbor_id) s
+        |  GROUP BY 1, 2),
+        |vrank AS (
+        |  SELECT query_id, neighbor_id, rank_v FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY best_cos_ppm DESC, neighbor_id) AS rank_v
+        |    FROM chunkbest) t
+        |  WHERE rank_v <= 20),
+        |ctf AS MATERIALIZED (
+        |  SELECT doc_id * 4096 + k AS cid, t[k * 48 + j] AS tok, count(*) AS tf
+        |  FROM toks,
+        |       UNNEST(range(0, GREATEST((len(t) - 17) // 48, 0) + 1)) u(k),
+        |       UNNEST(range(1, LEAST(64, len(t) - k * 48) + 1)) w(j)
+        |  GROUP BY 1, 2),
+        |dlen AS MATERIALIZED (
+        |  SELECT cid, CAST(SUM(tf) AS BIGINT) AS dlen FROM ctf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(dlen) AS BIGINT) AS total_toks,
+        |               count(*) AS n_docs FROM dlen),
+        |dfx AS (SELECT tok, count(*) AS df FROM ctf GROUP BY 1),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, t[i] AS tok
+        |       FROM toks, UNNEST(range(1, len(t) + 1)) u(i)
+        |       WHERE doc_id < 10),
+        |terms AS (
+        |  SELECT q.query_id, d.cid AS neighbor_id,
+        |         (tot.n_docs * 1000000) // dfx.df AS idf_ppm,
+        |         (d.tf * 2200000 * 1000000) //
+        |           (d.tf * 1000000 +
+        |            (1200000 * (250000 +
+        |              (750000 * ((dl.dlen * tot.n_docs * 1000000)
+        |                         // tot.total_toks)) // 1000000))
+        |             // 1000000) AS sat_ppm
+        |  FROM qt q
+        |  JOIN ctf d ON d.tok = q.tok AND d.cid // 4096 <> q.query_id
+        |  JOIN dfx ON dfx.tok = q.tok
+        |  JOIN dlen dl ON dl.cid = d.cid
+        |  CROSS JOIN tot),
+        |lrank AS (
+        |  SELECT query_id, neighbor_id, rank_l FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY bm25_ppm DESC, neighbor_id) AS rank_l
+        |    FROM (SELECT query_id, neighbor_id,
+        |                 CAST(SUM(((idf_ppm // 1000) * sat_ppm) // 1000) AS BIGINT) AS bm25_ppm
+        |          FROM terms GROUP BY 1, 2) s) t
+        |  WHERE rank_l <= 20),
+        |fused AS (
+        |  SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+        |         COALESCE(v.neighbor_id, l.neighbor_id) AS neighbor_id,
+        |         COALESCE(1000000 // (60 + v.rank_v), 0) +
+        |         COALESCE(1000000 // (60 + l.rank_l), 0) AS rrf_ppm
+        |  FROM vrank v
+        |  FULL JOIN lrank l
+        |    ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id)
+        |SELECT query_id, neighbor_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm, rank
+        |FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY rrf_ppm DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM fused) t
+        |WHERE rank <= 10""".stripMargin))
   )
 }

@@ -157,6 +157,51 @@ object ChunkTable {
     nNew
   }
 
+  // ------------------------------------------------- chunk POSTINGS
+
+  /** The maintained CHUNK-grain posting table (empty-safe): the lexical
+    * half of chunk-hybrid retrieval (s23's serving path), the same
+    * inverted-file idea as PostingTable one grain down — one row per
+    * distinct (packed chunk id, token), keyed `doc_id` so the
+    * grain-agnostic lexical rankers (bm25Rank) consume it verbatim.
+    * Tokens in t25's overlap regions post to BOTH covering chunks. */
+  def postingView(spark: SparkSession, dir: String): DataFrame =
+    if (exists(spark, dir)) spark.read.parquet(dir).distinct()
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("tok", org.apache.spark.sql.types.StringType),
+        StructField("tf", LongType))))
+
+  /** One incremental chunk-posting refresh (doc-grain discovery: a
+    * doc's chunk postings are a pure function of the doc, so new docs
+    * = corpus ∖ posted doc set — the packed ids recover the doc id by
+    * shiftright 12). `exclude` gates discovery (tombstones). */
+  def maintainPostings(spark: SparkSession, corpusDir: String,
+                       dir: String,
+                       exclude: Option[DataFrame] = None): Long = {
+    val processed = postingView(spark, dir)
+      .select(shiftright(col("doc_id"), 12).as("doc_id")).distinct()
+    val newDocs = exclude.foldLeft(
+        graft.Tables.t(spark, corpusDir, "documents")
+          .select("doc_id", "text"))(
+        (d, x) => d.join(x.select("doc_id"), Seq("doc_id"), "left_anti"))
+      .join(processed, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val nNew = newDocs.count()
+    if (nNew == 0) return 0L
+    Extensions.chunkTokens(newDocs)
+      .write.mode(SaveMode.Append).parquet(dir)
+    nNew
+  }
+
+  /** Post-drain compaction for the chunk-posting log. */
+  def compactPostings(spark: SparkSession, dir: String,
+                      files: Int = 4): Boolean =
+    graft.jobs.Warehouse.tryCoalesceLog(
+      spark, dir, dedupRows = true, files)
+
   /** Post-drain compaction for the vector store. */
   def compactVectors(spark: SparkSession, vecDir: String,
                      files: Int = 4): Boolean =

@@ -91,6 +91,9 @@ object CorpusService {
       * instead of re-deriving vectors per invocation (at scale the
       * derivation is a model forward pass, not a map). */
     val chunkVecs = s"$base/dedup/chunk_vecs"
+    /** The maintained CHUNK-grain posting table (ChunkTable's posting
+      * log — the lexical half of served chunk-hybrid retrieval). */
+    val chunkPostings = s"$base/dedup/chunk_postings"
     /** The deletion tombstone set ([[deleteDocs]]): one doc_id per
       * deleted document, append-only. PERMANENT — the corpus store is
       * an append-only stream source that cannot be rewritten without
@@ -258,6 +261,16 @@ object CorpusService {
       purge(p.noveltyFirstSeen, "first_doc") &&
       purgeIndex(p.annIndex, col("vec_id")) &&
       purgeIndex(p.chunkIndex, expr("CAST(vec_id div 4096 AS BIGINT)")) &&
+      (!exists(spark, p.chunkPostings) ||
+        graft.jobs.Warehouse.guardedRewrite(spark, p.chunkPostings) { stage =>
+          spark.read.parquet(p.chunkPostings)
+            .withColumn("__doc", shiftright(col("doc_id"), 12))
+            .join(tomb.select(col("doc_id").as("__doc")), Seq("__doc"),
+              "left_anti")
+            .drop("__doc")
+            .repartition(4)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+        }) &&
       (!exists(spark, p.chunkVecs) ||
         graft.jobs.Warehouse.guardedRewrite(spark, p.chunkVecs) { stage =>
           spark.read.parquet(p.chunkVecs)
@@ -468,6 +481,9 @@ object CorpusService {
       if (exists(spark, p.chunkVecs))
         require(ChunkTable.compactVectors(spark, p.chunkVecs),
           "corpus service: chunk vector store failed to compact post-drain")
+      if (exists(spark, p.chunkPostings))
+        require(ChunkTable.compactPostings(spark, p.chunkPostings),
+          "corpus service: chunk posting log failed to compact post-drain")
     }
     if (canonical) refreshCanonicalCorpus(spark, p)
     if (index) refreshAnnIndex(spark, p)
@@ -949,6 +965,91 @@ object CorpusService {
   def maintainChunkVectors(spark: SparkSession, p: Paths): Long =
     ChunkTable.maintainVectors(spark, p.chunkLog, p.chunkVecs)
 
+  /** One incremental chunk-POSTING refresh (doc-grain discovery,
+    * tombstone-gated). Run post-drain beside [[maintainChunks]] when
+    * the deployment serves chunk-hybrid retrieval. */
+  def maintainChunkPostings(spark: SparkSession, p: Paths): Long =
+    ChunkTable.maintainPostings(spark, p.base, p.chunkPostings,
+      exclude = tombstonesOpt(spark, p))
+
+  /** CHUNK-grain HYBRID retrieval for external TEXT queries — s23 as
+    * the request path (the late-interaction fusion a RAG stack runs):
+    * each (vec_id, text) query is chunked and embedded with the
+    * corpus's own derivation, its chunk vectors rank corpus CHUNKS by
+    * best-match-over-query-chunks (`vectorExact` = true scans the
+    * chunk-vector table — bit-identical to one-shot s23's ranker, the
+    * row-for-row spec pin; false, the scale path, probes the stored
+    * chunk index and inherits cell-probe recall), the query's token
+    * set ranks the same chunks through s19's BM25 over the MAINTAINED
+    * chunk-posting log, and the two top-20s fuse by RRF. Output is
+    * top-10 CHUNKS per query (query_id, neighbor_id = packed chunk id,
+    * rrf_ppm, rank) — the passage list a reader model consumes;
+    * `neighbor_id div 4096` recovers the document. Lexical recovers
+    * verbatim phrases whose embeddings blur (ChunkHybridSpec plants
+    * exactly that); vectors recover paraphrases sharing no tokens.
+    * `excludeSelf` drops the query doc's own chunks (corpus-parity
+    * queries). Tombstoned docs leave both rankers. */
+  def chunkHybridTopKFor(spark: SparkSession, p: Paths, queries: DataFrame,
+                         excludeSelf: Boolean = false,
+                         vectorExact: Boolean = false): DataFrame = {
+    val E = graft.queries.Extensions
+    val qch = E.chunkVectorsOf(
+        E.chunksOfDocs(queries.select(col("vec_id").as("doc_id"), col("text"))))
+      .select(col("doc_id").as("query_id"), col("vec_id"), col("q"), col("s2"))
+    val corpus0 = chunkVectorTable(spark, p).select("vec_id", "doc_id", "q", "s2")
+    val corpus = tombstonesOpt(spark, p).fold(corpus0)(t =>
+      corpus0.join(t, Seq("doc_id"), "left_anti"))
+    val vec =
+      if (vectorExact)
+        E.chunkVecRank(corpus,
+          qch.select(col("query_id"), col("q"), col("s2")), excludeSelf)
+      else {
+        val chunkTomb = tombstonesOpt(spark, p).map { t =>
+          spark.read.parquet(p.chunkIndex).select(col("vec_id")).distinct()
+            .withColumn("__doc", shiftright(col("vec_id"), 12))
+            .join(t.select(col("doc_id").as("__doc")), Seq("__doc"))
+            .select("vec_id")
+        }
+        val served = E.annIvfIndexedOver(spark,
+          corpus.select("vec_id", "q", "s2"),
+          qch.select("vec_id", "q", "s2"), p.chunkIndex,
+          excludeSelf = false, k = 100, dropIds = chunkTomb)
+        val rolled = served
+          .select(shiftright(col("query_id"), 12).as("query_id"),
+            col("neighbor_id"), col("cos_ppm"))
+        (if (excludeSelf)
+           rolled.filter(shiftright(col("neighbor_id"), 12) =!= col("query_id"))
+         else rolled)
+          .groupBy("query_id", "neighbor_id")
+          .agg(max(col("cos_ppm")).as("best_cos_ppm"))
+          .withColumn("rank_v", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("best_cos_ppm").desc, col("neighbor_id").asc)))
+          .filter(col("rank_v") <= 20)
+          .select("query_id", "neighbor_id", "rank_v")
+      }
+    val qtoks = queries
+      .select(col("vec_id").as("query_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val ctf = dropTombstonedChunks(spark, p,
+      ChunkTable.postingView(spark, p.chunkPostings))
+    val lex = E.bm25Rank(qtoks, ctf, excludeSelf = excludeSelf, k = 20,
+        selfOf = shiftright(_, 12))
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_l"))
+    E.rrfFuse(vec, lex)
+  }
+
+  /** Anti-join a packed-chunk-id frame (`doc_id` column carries the
+    * packed id) against the tombstones at DOC grain. */
+  private def dropTombstonedChunks(spark: SparkSession, p: Paths,
+                                   df: DataFrame): DataFrame =
+    tombstonesOpt(spark, p).fold(df)(t =>
+      df.withColumn("__doc", shiftright(col("doc_id"), 12))
+        .join(t.select(col("doc_id").as("__doc")), Seq("__doc"), "left_anti")
+        .drop("__doc"))
+
   /** ONE-TIME chunk-tiling migration at service grain (see
     * ChunkTable.rechunk): rebuilds the maintained chunk log's existing
     * docs under the current tiling, drops orphaned chunk vectors, and
@@ -963,6 +1064,20 @@ object CorpusService {
       idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(idxPath, true)
       refreshChunkIndex(spark, p)
+    }
+    // The chunk-posting log keys by the packed chunk id, so a tiling
+    // change invalidates it the same way: rebuild its already-posted
+    // docs under the current derivation (staged swap).
+    if (exists(spark, p.chunkPostings)) {
+      val posted = ChunkTable.postingView(spark, p.chunkPostings)
+        .select(shiftright(col("doc_id"), 12).as("doc_id")).distinct()
+      val docs = tombstonesOpt(spark, p).foldLeft(
+          graft.Tables.t(spark, p.base, "documents")
+            .select("doc_id", "text"))(
+          (d, x) => d.join(x.select("doc_id"), Seq("doc_id"), "left_anti"))
+        .join(posted, Seq("doc_id"), "left_semi")
+      graft.jobs.Warehouse.replaceReport(spark,
+        graft.queries.Extensions.chunkTokens(docs), p.chunkPostings)
     }
   }
 
