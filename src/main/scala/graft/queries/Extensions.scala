@@ -1110,11 +1110,27 @@ object Extensions {
     annIvfPqIndexedAt(s, dir, annIndexPath(s, dir))
 
   def annIvfPqIndexedAt(s: SparkSession, dir: String,
-                        indexPath: String): DataFrame = {
-    val idx = s.read.parquet(indexPath).filter(col("rn") === 1)
+                        indexPath: String): DataFrame =
+    annIvfPqIndexedOver(s, quantized(s, dir),
+      quantized(s, dir).filter(col("vec_id") < 10), indexPath,
+      excludeSelf = true, k = 5)
+
+  /** The grain-agnostic core of PQ-served ANN (the annIvfIndexedOver
+    * pattern for the third payload): `corpus` supplies the exact-rerank
+    * vectors, `eq` the ALREADY-QUANTIZED query frame, and the chunk
+    * index serves through this directly (CorpusService.chunkTopKFor's
+    * `pq` dial — 4 bytes per chunk vector at the coarse pass, the shape
+    * a 100 TB chunk store needs). `dropIds` is the tombstone filter. */
+  private[graft] def annIvfPqIndexedOver(s: SparkSession, corpus: DataFrame,
+                                         eq: DataFrame, indexPath: String,
+                                         excludeSelf: Boolean, k: Int,
+                                         dropIds: Option[DataFrame] = None)
+      : DataFrame = {
+    val idx0 = s.read.parquet(indexPath).filter(col("rn") === 1)
+    val idx = dropIds.fold(idx0)(d =>
+      idx0.join(d.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     val cents = s.read.parquet(indexPath + "/_quantizer")
     val books = sidecarOf(s, indexPath, "_pq")
-    val eq = quantized(s, dir).filter(col("vec_id") < 10)
     val cellT = idx.schema(idx.schema.fieldIndex("cell")).dataType
     val probes = centroidRank(eq, cents, "vec_id")
       .filter(col("rn") <= 12)
@@ -1128,8 +1144,10 @@ object Extensions {
       .select(col("query_id"), col("sub"), col("cent_id"), col("pdot"))
     // Candidates: partition-pruned thin (cell, vec_id, pq, spq) rows;
     // each candidate's ADC score is 4 broadcast-LUT lookups.
-    val cand0 = idx.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("query_id"))
+    val hits = idx.join(broadcast(probes), "cell")
+    val cand0 = (if (excludeSelf)
+        hits.filter(col("vec_id") =!= col("query_id"))
+      else hits)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         posexplode(col("pq")), col("spq"))
       .select(col("query_id"), col("neighbor_id"),
@@ -1152,7 +1170,7 @@ object Extensions {
     // touch (full neighbor vectors fetched by key join).
     val q = eq.select(col("vec_id").as("query_id"), col("q").as("qa"),
       col("s2").as("sa"))
-    val n = quantized(s, dir)
+    val n = corpus
       .select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
         col("s2").as("sb"))
     val w = Window.partitionBy(col("query_id"))
@@ -1161,7 +1179,7 @@ object Extensions {
       .withColumn("dot", dot)
       .withColumn("cos_ppm", cosPpm)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
   }
 

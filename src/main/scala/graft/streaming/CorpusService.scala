@@ -1149,7 +1149,8 @@ object CorpusService {
     * vector, lands in the probed cell, and scores 1e6. */
   def chunkTopKFor(spark: SparkSession, p: Paths, queries: DataFrame,
                    excludeSelf: Boolean = false, k: Int = 5,
-                   diversify: Boolean = false): DataFrame = {
+                   diversify: Boolean = false,
+                   pq: Boolean = false): DataFrame = {
     val E = graft.queries.Extensions
     val qv = E.chunkVectorsOf(
         E.chunksOfDocs(queries.select(col("vec_id").as("doc_id"), col("text"))))
@@ -1164,8 +1165,18 @@ object CorpusService {
         .join(t.select(col("doc_id").as("__doc")), Seq("__doc"))
         .select("vec_id")
     }
-    val served = E.annIvfIndexedOver(spark, corpus, qv, p.chunkIndex,
-      excludeSelf = false, k = 100, dropIds = chunkTomb)
+    // `pq` swaps the coarse pass to the index-resident PQ codes (s21
+    // at RAG grain — 4 bytes per chunk vector instead of the 32-dim
+    // prefix, the storage shape a 100 TB chunk store needs): probes
+    // prune cells, the broadcast ADC lookup table scores candidates,
+    // the exact rerank and MaxSim rollup are unchanged. Recall is the
+    // PQ family's (exact-twin queries still guaranteed: an identical
+    // passage lands in the probed cell and wins the rerank at 1e6).
+    val served =
+      if (pq) E.annIvfPqIndexedOver(spark, corpus, qv, p.chunkIndex,
+        excludeSelf = false, k = 100, dropIds = chunkTomb)
+      else E.annIvfIndexedOver(spark, corpus, qv, p.chunkIndex,
+        excludeSelf = false, k = 100, dropIds = chunkTomb)
     val rolled = served
       .select(expr("query_id div 4096").as("query_id"),
         expr("neighbor_id div 4096").as("neighbor_id"),

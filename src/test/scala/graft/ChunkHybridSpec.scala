@@ -78,6 +78,46 @@ class ChunkHybridSpec extends SparkSpec {
     } finally oneShot.unpersist()
   }
 
+  test("chunk serving through the index-resident PQ codes (s21 at RAG grain)") {
+    val src = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-cpq").toString
+    val p = CorpusService.Paths(base)
+    Tables.t(spark, src, "documents").select("doc_id", "text", "lang")
+      .write.parquet(p.docs)
+    assert(CorpusService.maintainChunks(spark, p) > 0)
+    assert(CorpusService.maintainChunkVectors(spark, p) > 0)
+    CorpusService.refreshChunkIndex(spark, p)
+    val queries = Tables.t(spark, base, "documents")
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("vec_id"), col("text"))
+    // PQ-coarse recall is bounded below by overlap with the prefix
+    // dial over the SAME index (both share probes and the exact
+    // rerank; only the coarse scorer differs).
+    val prefix = CorpusService.chunkTopKFor(spark, p, queries,
+      excludeSelf = true).persist()
+    val pqd = CorpusService.chunkTopKFor(spark, p, queries,
+      excludeSelf = true, pq = true).persist()
+    try {
+      val inter = pqd.join(prefix, Seq("query_id", "neighbor_id"),
+        "left_semi").count()
+      val total = prefix.count()
+      info(s"chunk PQ-dial overlap@5 vs prefix dial: $inter/$total")
+      assert(inter * 100 >= total * 60,
+        s"chunk PQ overlap@5 $inter/$total below 0.60 floor " +
+          "(measured 0.90 at round 11)")
+    } finally { prefix.unpersist(); pqd.unpersist() }
+    // Exact-twin guarantee survives the 4-byte coarse pass: a verbatim
+    // passage derives the identical chunk vector, lands in the probed
+    // cell, and wins the exact rerank at cos 1e6.
+    val ext = Tables.t(spark, base, "documents").filter(col("doc_id") === 3)
+      .select((col("doc_id") + 900000).as("vec_id"), col("text"))
+    val r1 = CorpusService.chunkTopKFor(spark, p, ext, pq = true)
+      .filter(col("rank") === 1).collect()
+    assert(r1.length == 1 && r1(0).getAs[Long]("max_cos_ppm") == 1000000L &&
+      r1(0).getAs[Long]("neighbor_id") == 3L,
+      s"PQ-dial verbatim query lost its exact twin: ${r1.toSeq}")
+  }
+
   test("a verbatim phrase ranks its exact chunk first even when embeddings blur it") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-chyb2").toString
