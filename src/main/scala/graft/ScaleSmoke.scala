@@ -65,11 +65,21 @@ object ScaleSmoke {
     // greedy re-rank is corpus-independent by claim — its only
     // n-dependent stage is the |Q|·n exact pool scan with |Q| = 10, so
     // the exponent should sit well below 1 (the constant-cost rounds
-    // dominate at this scale); t26 is cell-blocked like s05 (never
-    // all-pairs); t27 is t26 off the stored membership rows — the
-    // assignment recompute gone, expect at or below t26.
+    // dominate at this scale); t26's pair scan is cell-blocked like
+    // s05 (never all-pairs) but its one-shot assignment recompute is
+    // n·√n — measured 1.51, the suite's only super-linear row; t27 is
+    // t26 off the stored membership rows, which deletes exactly that
+    // term (measured 0.55 — the starkest stored-vs-recompute spread
+    // in the suite).
     "s21_ann_ivf_pq_indexed", "s22_mmr_diversified",
-    "t26_hard_negatives", "t27_hard_negatives_indexed")
+    "t26_hard_negatives", "t27_hard_negatives_indexed",
+    // s23's two rankers are both ~linear sweeps at query grain (the
+    // chunk-pair dots and the Σ-df posting join); fusion is rank-only.
+    "s23_chunk_hybrid",
+    // t28's block-hierarchical prefix sum bounds every window partition
+    // at blockDocs rows — expect ~linear in the manifest rows it emits,
+    // with no single-partition window cliff for the exponent to expose.
+    "t28_pack_manifest")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -3353,6 +3353,119 @@ object Extensions {
     manifest.groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
 
+  /** Tokens per training sequence for the pack manifest (t28/t30). Small
+    * relative to a production context window because the synthetic docs
+    * are 30–400 tokens; the arithmetic is length-agnostic. */
+  private[graft] val PackCap = 128L
+
+  /** t28: sequence-packing manifest — the trainer-facing operator GPT-class
+    * pretraining actually runs: concatenate documents in deterministic
+    * doc_id order and split the token stream at every `cap` tokens, so
+    * every training sequence is exactly full (no padding waste) and a
+    * document crossing a boundary is split, not dropped. The output is a
+    * MANIFEST — one row per (document, pack) span with offsets on both
+    * sides — because at 100 TB the packer must not rewrite token payloads:
+    * the trainer's loader slices the original docs by (doc_start,
+    * span_toks) and lays them at pack_start, and the attention-mask /
+    * document-boundary structure is exactly these rows.
+    *
+    * Scale shape — a DISTRIBUTED PREFIX SUM, not a global window: a naive
+    * `SUM(n_toks) OVER (ORDER BY doc_id)` funnels the whole corpus through
+    * ONE window partition (the classic packing scale cliff). Instead the
+    * running offset is computed hierarchically: per-block token subtotals
+    * (one shuffle at block grain, |corpus|/blockDocs rows), an offset
+    * cumsum over that tiny block frame, then a window PARTITIONED by block
+    * (≤ blockDocs rows per partition) plus the broadcast block offset.
+    * Block size is invisible in the result (prefix-sum associativity —
+    * PackSpec pins block=1 ≡ 4096 ≡ one-block); at 10^11 docs the block
+    * frame is ~10^7 rows and the same decomposition applies once more.
+    * The span explode is per-doc arithmetic: a doc starting at `strt`
+    * covers packs ⌊strt/cap⌋..⌊(strt+n−1)/cap⌋. */
+  def packManifest(s: SparkSession, dir: String): DataFrame =
+    packSpans(docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks")), PackCap)
+
+  /** t28's core at frame grain — pack any (doc_id, n_toks) frame; t30
+    * hands in the gated training manifest, the corpus service its
+    * maintained one. `blockDocs` is the prefix-sum block width (result-
+    * invariant; parameterized so PackSpec can prove that). */
+  private[graft] def packSpans(d: DataFrame, cap: Long,
+                               blockDocs: Long = 4096L): DataFrame = {
+    val blocks = d.select(col("doc_id"), col("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("blk", expr(s"doc_id div $blockDocs"))
+    val wB = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = blocks.groupBy("blk").agg(sum("n_toks").as("blk_toks"))
+      .withColumn("blk_off", coalesce(sum("blk_toks").over(wB), lit(0L)))
+      .select("blk", "blk_off")
+    val wIn = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocks
+      .join(broadcast(blkOff), "blk")
+      .withColumn("strt",
+        col("blk_off") + coalesce(sum("n_toks").over(wIn), lit(0L)))
+      .withColumn("pack_id", explode(sequence(
+        expr(s"strt div $cap"), expr(s"(strt + n_toks - 1) div $cap"))))
+      .select(col("doc_id"), col("pack_id"),
+        greatest(col("pack_id") * cap - col("strt"), lit(0L)).as("doc_start"),
+        greatest(col("strt") - col("pack_id") * cap, lit(0L)).as("pack_start"),
+        (least((col("pack_id") + 1L) * cap, col("strt") + col("n_toks")) -
+          greatest(col("pack_id") * cap, col("strt"))).as("span_toks"))
+  }
+
+  /** t29: LEAKAGE-SAFE train/valid/test split — assignment at near-dup
+    * CLUSTER grain, the repair for the doc-grain content-hash split's
+    * blind spot: md5(text) co-splits verbatim copies by construction, but
+    * a near-duplicate differing in one token hashes independently, so
+    * ~20% of near-dup pairs straddle train/test and the eval split is
+    * contaminated before decontamination even runs (SplitSpec measures
+    * the leak on this corpus and pins it nonzero). Here every document
+    * inherits its d06 component's canonical id (itself when unclustered)
+    * and the hash is taken over THAT, so a whole near-dup cluster lands
+    * in one split atomically — the keep-all workflow's complement to
+    * d07's keep-one (which prevents the same leak by deletion).
+    * Cost: the memoized label table + one key-grain left join. */
+  def clusterSplit(s: SparkSession, dir: String): DataFrame =
+    clusterSplitOf(docs(s, dir).select("doc_id"), clusterLabels(s, dir))
+
+  /** t29 at frame grain — split any doc-id frame by any label frame
+    * (the corpus service hands in its maintained cluster labels). */
+  private[graft] def clusterSplitOf(docIds: DataFrame,
+                                    labels: DataFrame): DataFrame = {
+    val bucket = h32(col("canonical_id").cast("string")) % 100
+    docIds.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test"))
+  }
+
+  /** t30: the packed training set — the pipeline's terminal artifact,
+    * composing the dedup/quality/split machinery into what actually ships
+    * to the trainer: canonical keep/drop (d07) ∩ quality gate (t02's
+    * rule) ∩ the leakage-safe TRAIN split (t29's cluster-grain rule — for
+    * kept docs canonical_id = doc_id, so the same rule governs both the
+    * keep-one and keep-all workflows), packed by t28's manifest. All
+    * three gates are key-grain semi-joins over narrow scans; the packer
+    * adds the block-grain prefix sum and nothing corpus-wide beyond it. */
+  def trainingPacks(s: SparkSession, dir: String): DataFrame =
+    packSpans(trainSplitToks(s, dir), PackCap)
+
+  /** t30's gated (doc_id, n_toks) frame, factored so the corpus service
+    * packs its maintained manifest with the identical gate arithmetic. */
+  private[graft] def trainSplitToks(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .join(canonicalCorpus(s, dir).filter(col("is_kept") === 1)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(qualityScore(s, dir).filter(col("quality_ok") === 1)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(clusterSplit(s, dir).filter(col("split") === "train")
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+
   /** t16: DECONTAMINATED corpus materialization — t13's capstone with
     * d09's leakage machinery pointed the production direction: TRAINING
     * documents sharing ANY verbatim 8-gram with the held-out test split
@@ -4038,6 +4151,23 @@ object Extensions {
       |  UNION
       |  SELECT e.doc_a, r.lab FROM e JOIN reach r ON r.doc_id = e.doc_b),
       |labels AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1)
+      |""".stripMargin
+
+  /** t28/t30's packing arithmetic in SQL, over a prior CTE `pd(doc_id,
+    * n_toks)`: the oracle computes the running offset as ONE global
+    * cumsum window — the associativity-equivalent of the Spark side's
+    * block-hierarchical prefix sum (PackSpec pins the equivalence across
+    * block sizes), exact because every value is BIGINT. */
+  private val packSqlTail: String =
+    """c AS (SELECT doc_id, n_toks,
+      |        CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+      |      FROM pd WHERE n_toks > 0)
+      |SELECT doc_id, CAST(u.p AS BIGINT) AS pack_id,
+      |       GREATEST(u.p * 128 - strt, 0) AS doc_start,
+      |       GREATEST(strt - u.p * 128, 0) AS pack_start,
+      |       LEAST((u.p + 1) * 128, strt + n_toks) - GREATEST(u.p * 128, strt) AS span_toks
+      |FROM c, UNNEST(range(strt // 128, (strt + n_toks - 1) // 128 + 1)) u(p)
       |""".stripMargin
 
   private val embCtes: String =
@@ -5845,6 +5975,40 @@ object Extensions {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |              ORDER BY rrf_ppm DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM fused) t
-        |WHERE rank <= 10""".stripMargin))
+        |WHERE rank <= 10""".stripMargin)),
+
+    QuerySpec("t28_pack_manifest", packManifest, Some(
+      """WITH pd AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |""".stripMargin + packSqlTail)),
+
+    // t29's oracle: the d06 label table (single reference — no
+    // MATERIALIZED needed), split bucket hashed over the CANONICAL id.
+    QuerySpec("t29_cluster_split", clusterSplit, Some(ccCtes +
+      """SELECT d.doc_id,
+        |  COALESCE(l.cluster_id, d.doc_id) AS canonical_id,
+        |  CASE WHEN ('0x' || substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id""".stripMargin)),
+
+    // t30: all three gates folded into ONE labels reference (kept ⇒
+    // canonical = doc_id, so the split hash reads the same coalesce),
+    // then t28's packing tail over the gated frame.
+    QuerySpec("t30_training_packs", trainingPacks, Some(ccCtes +
+      """, quality AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS t FROM documents) q
+        |  WHERE len(t) >= 20
+        |    AND (len(list_filter(t, x -> x IN ('a', 'the'))) * 1000000) // len(t) < 300000),
+        |pd AS (
+        |  SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents d
+        |  LEFT JOIN labels l ON l.doc_id = d.doc_id
+        |  JOIN quality q ON q.doc_id = d.doc_id
+        |  WHERE COALESCE(l.cluster_id, d.doc_id) = d.doc_id
+        |    AND ('0x' || substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
+        |""".stripMargin + packSqlTail))
   )
 }

@@ -94,6 +94,10 @@ object CorpusService {
     /** The maintained CHUNK-grain posting table (ChunkTable's posting
       * log — the lexical half of served chunk-hybrid retrieval). */
     val chunkPostings = s"$base/dedup/chunk_postings"
+    /** The maintained PACK MANIFEST ([[refreshPackManifest]] — streamed
+      * t28/t30): the trainer's sequence-packing spans over the
+      * training-set manifest's train split. */
+    val packManifest = s"$base/dedup/pack_manifest"
     /** The deletion tombstone set ([[deleteDocs]]): one doc_id per
       * deleted document, append-only. PERMANENT — the corpus store is
       * an append-only stream source that cannot be rewritten without
@@ -669,10 +673,20 @@ object CorpusService {
     * ⇒ resample). Like one-shot t24 the sample ranks ALL corpus docs,
     * not just gated ones — the cap bounds a cell's REPRESENTATION in
     * the corpus; gating then filters within it. */
+  /** `splitAtClusterGrain` swaps the manifest's content-hash split for
+    * t29's LEAKAGE-SAFE rule: the split bucket hashes the document's
+    * canonical id from the MAINTAINED canonical corpus (no label
+    * recompute), so a whole near-dup cluster lands in one split
+    * atomically — the doc-grain hash co-splits verbatim copies only,
+    * and a near-duplicate differing in one token otherwise straddles
+    * train/test (PackSpec measures that leak nonzero on this corpus).
+    * The decontamination audit keeps its own split definition — it
+    * guards the corpus's held-out text, not the manifest's bucketing. */
   def refreshTrainingSet(spark: SparkSession, p: Paths,
                          decontaminate: Boolean = false,
                          excludeContaminated: Boolean = false,
-                         clusterCap: Option[Int] = None): Unit = {
+                         clusterCap: Option[Int] = None,
+                         splitAtClusterGrain: Boolean = false): Unit = {
     // The tombstone gate here is a safety net: a canonical artifact
     // refreshed AFTER the delete already excludes the docs; this keeps
     // the manifest correct even against a stale canonical.
@@ -680,7 +694,16 @@ object CorpusService {
       canonicalCorpusView(spark, p)
         .filter(col("is_kept") === 1).select("doc_id"),
       "doc_id")
-    val base = graft.queries.Extensions.trainingManifest(spark, p.base, kept)
+    val flat = graft.queries.Extensions.trainingManifest(spark, p.base, kept)
+    val base =
+      if (!splitAtClusterGrain) flat
+      else flat.drop("split").join(
+        graft.queries.Extensions.clusterSplitOf(
+          flat.select("doc_id"),
+          canonicalCorpusView(spark, p)
+            .select(col("doc_id"), col("canonical_id").as("cluster_id")))
+          .select("doc_id", "split"),
+        Seq("doc_id"))
     val decon =
       if (!decontaminate) base
       else base.join(
@@ -735,6 +758,29 @@ object CorpusService {
   /** Read the maintained manifest (refreshTrainingSet's output). */
   def trainingSetView(spark: SparkSession, p: Paths): DataFrame =
     spark.read.parquet(p.trainingSet)
+
+  /** The maintained PACK MANIFEST (streamed t28/t30): sequence-packing
+    * spans over the maintained manifest's TRAIN split — whatever gates
+    * the deployment enabled (canonical keep, quality, decontamination,
+    * cluster cap, cluster-grain split, delete tombstones) are already
+    * baked into the manifest, so the packer composes with all of them
+    * by construction; with the default gates it is one-shot t30
+    * row-for-row (spec-pinned). Refresh AFTER refreshTrainingSet on
+    * the training-handoff cadence; the swap is staged, a trainer never
+    * sees a half-written manifest. Scale: the read partition-prunes to
+    * split=train, and the only corpus-grain step is packSpans'
+    * block-hierarchical prefix sum — no single-partition window. */
+  def refreshPackManifest(spark: SparkSession, p: Paths): Unit =
+    graft.jobs.Warehouse.replaceReport(spark,
+      graft.queries.Extensions.packSpans(
+        trainingSetView(spark, p).filter(col("split") === "train")
+          .select("doc_id", "n_toks"),
+        graft.queries.Extensions.PackCap),
+      p.packManifest)
+
+  /** Read the maintained pack manifest ([[refreshPackManifest]]). */
+  def packManifestView(spark: SparkSession, p: Paths): DataFrame =
+    spark.read.parquet(p.packManifest)
 
   /** The maintained SCRUBBED-CORPUS payload — the text a trainer
     * actually reads: t19's transform (boilerplate segments removed,

@@ -1,0 +1,174 @@
+package graft
+
+import graft.functions.Portable.h32
+import graft.queries.Extensions
+import org.apache.spark.sql.functions._
+
+/** Sequence packing (t28), the leakage-safe cluster-grain split (t29),
+  * and their terminal composition (t30): the pack manifest must tile the
+  * concatenated token stream exactly (every pack full except the last,
+  * every document's spans partitioning its tokens), the distributed
+  * prefix sum must be invariant in its block decomposition (that IS the
+  * claim that lets it scale past a single window partition), the
+  * boundary-split arithmetic must match a hand-computed case, and the
+  * cluster-grain split must co-split every near-dup pair where the
+  * doc-grain content-hash split provably leaks. */
+class PackSpec extends SparkSpec {
+
+  private def docFrame(src: String) =
+    Tables.t(spark, src, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+
+  test("t28 tiles the token stream: full packs, per-doc span partitions") {
+    val src = sf("sf0.001")
+    val d = docFrame(src)
+    val m = Extensions.packManifest(spark, src).cache()
+    try {
+      val totalToks = d.agg(sum("n_toks")).head().getLong(0)
+      assert(m.agg(sum("span_toks")).head().getLong(0) == totalToks,
+        "manifest must conserve every token")
+
+      val lastPack = m.agg(max("pack_id")).head().getLong(0)
+      val shortPacks = m.groupBy("pack_id")
+        .agg(sum("span_toks").as("w"), min("pack_start").as("lo"),
+          max(col("pack_start") + col("span_toks")).as("hi"))
+        .filter(col("w") =!= Extensions.PackCap ||
+          col("lo") =!= 0L || col("hi") =!= col("w"))
+        .filter(col("pack_id") =!= lastPack)
+      assert(shortPacks.count() == 0,
+        "every pack but the last must be exactly full and contiguous")
+
+      val badDocs = m.groupBy("doc_id")
+        .agg(sum("span_toks").as("w"), min("doc_start").as("lo"),
+          max(col("doc_start") + col("span_toks")).as("hi"))
+        .join(d, "doc_id")
+        .filter(col("w") =!= col("n_toks") || col("lo") =!= 0L ||
+          col("hi") =!= col("n_toks"))
+      assert(badDocs.count() == 0,
+        "every document's spans must partition [0, n_toks)")
+    } finally m.unpersist()
+  }
+
+  test("prefix-sum block size is invisible in the manifest") {
+    val d = docFrame(sf("sf0.001"))
+    val base = Extensions.packSpans(d, Extensions.PackCap, 4096L)
+    assertSameRows(base, Extensions.packSpans(d, Extensions.PackCap, 1L),
+      "block=1 (pure block-frame cumsum)")
+    assertSameRows(base,
+      Extensions.packSpans(d, Extensions.PackCap, 1L << 30),
+      "one giant block (pure within-block window)")
+  }
+
+  test("boundary-crossing document splits exactly") {
+    import spark.implicits._
+    val d = Seq((1L, 100L), (2L, 60L), (3L, 5L)).toDF("doc_id", "n_toks")
+    val got = Extensions.packSpans(d, 128L)
+      .orderBy("pack_id", "pack_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L, 100L),   // doc 1 whole, opens pack 0
+      (2L, 0L, 0L, 100L, 28L),  // doc 2 head fills pack 0
+      (2L, 1L, 28L, 0L, 32L),   // doc 2 tail opens pack 1
+      (3L, 1L, 0L, 32L, 5L)),   // doc 3 rides pack 1
+      s"boundary arithmetic: $got")
+  }
+
+  test("t29 co-splits every near-dup pair; the doc-grain split leaks") {
+    val src = sf("sf0.001")
+    val pairs = Extensions.lshPairs(spark, src).cache()
+    try {
+      assert(pairs.count() > 0, "corpus must have verified near-dup pairs")
+
+      // The doc-grain content-hash rule (t13's split) on the pair graph:
+      // near-identical texts hash independently, so some pair straddles
+      // splits — the leak t29 exists to close.
+      val docBucket = Tables.t(spark, src, "documents")
+        .select(col("doc_id"), (h32(col("text")) % 100).as("b"))
+      val leaked = pairs
+        .join(docBucket.select(col("doc_id").as("doc_a"), col("b").as("ba")), "doc_a")
+        .join(docBucket.select(col("doc_id").as("doc_b"), col("b").as("bb")), "doc_b")
+        .filter(idivBucket(col("ba")) =!= idivBucket(col("bb")))
+      assert(leaked.count() > 0,
+        "doc-grain hash split must provably leak on this corpus")
+
+      val sp = Extensions.clusterSplit(spark, src)
+        .select(col("doc_id"), col("split"))
+      val crossSplit = pairs
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .filter(col("sa") =!= col("sb"))
+      assert(crossSplit.count() == 0,
+        "cluster-grain split must co-split every verified near-dup pair")
+    } finally pairs.unpersist()
+  }
+
+  /** Bucket → split-class (0,1,2) so the leak check compares the SPLIT,
+    * not the raw hash (two buckets inside train are not a leak). */
+  private def idivBucket(b: org.apache.spark.sql.Column) =
+    when(b < 80, 0).when(b < 90, 1).otherwise(2)
+
+  test("service pack manifest + cluster-grain split ≡ one-shot t29/t30; deletes propagate") {
+    import graft.streaming.CorpusService
+    val src = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    val p = CorpusService.Paths(base)
+    Tables.t(spark, src, "documents").select("doc_id", "text", "lang")
+      .write.parquet(p.docs)
+    Tables.t(spark, src, "embeddings").write.parquet(p.embeddings)
+    CorpusService.trainQuantizer(spark, p)
+    CorpusService.drainAvailable(spark, p)
+
+    // The dial replaces ONLY the split column: same doc set, and the
+    // split is one-shot t29's cluster-grain rule row-for-row.
+    CorpusService.refreshTrainingSet(spark, p, splitAtClusterGrain = true)
+    val manifest = CorpusService.trainingSetView(spark, p)
+    assertSameRows(manifest.select("doc_id", "split"),
+      Extensions.clusterSplit(spark, base).select("doc_id", "split")
+        .join(manifest.select("doc_id"), "doc_id"),
+      "maintained manifest split vs one-shot t29")
+
+    // The packer over the maintained train split is one-shot t30.
+    CorpusService.refreshPackManifest(spark, p)
+    assertSameRows(CorpusService.packManifestView(spark, p),
+      Extensions.trainingPacks(spark, base),
+      "served pack manifest vs one-shot t30")
+
+    // Takedown two packed docs: the refreshed manifest re-packs without
+    // them — nothing deleted is served, and the stream still tiles
+    // exactly (the spans close over the gap; no hole where the deleted
+    // docs sat).
+    val packed = CorpusService.packManifestView(spark, p)
+      .select("doc_id").distinct().orderBy("doc_id").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    CorpusService.deleteDocs(spark, p, packed)
+    CorpusService.refreshCanonicalCorpus(spark, p)
+    CorpusService.refreshTrainingSet(spark, p, splitAtClusterGrain = true)
+    CorpusService.refreshPackManifest(spark, p)
+    val m2 = CorpusService.packManifestView(spark, p)
+    assert(m2.filter(col("doc_id").isin(packed: _*)).count() == 0,
+      "a deleted doc still has pack spans")
+    val lastPack = m2.agg(max("pack_id")).head().getLong(0)
+    assert(m2.groupBy("pack_id").agg(sum("span_toks").as("w"))
+      .filter(col("w") =!= Extensions.PackCap && col("pack_id") =!= lastPack)
+      .count() == 0,
+      "post-delete pack manifest must still tile exactly")
+  }
+
+  test("t30 packs exactly the gated training docs") {
+    val src = sf("sf0.001")
+    val packsDocs = Extensions.trainingPacks(spark, src)
+      .select("doc_id").distinct()
+    val gated = Extensions.trainSplitToks(spark, src)
+    assertSameRows(packsDocs, gated.select("doc_id"),
+      "t30's doc set ≡ kept ∩ quality ∩ train")
+    // Gates genuinely bite: strictly fewer docs than the corpus, and
+    // no doc outside the canonical keep survives.
+    val all = Tables.t(spark, src, "documents").count()
+    assert(gated.count() < all, "gates must drop something at sf0.001")
+    val kept = Extensions.canonicalCorpus(spark, src)
+      .filter(col("is_kept") === 1).select("doc_id")
+    assert(packsDocs.join(kept, Seq("doc_id"), "left_anti").count() == 0,
+      "every packed doc must be its cluster's canonical")
+  }
+}
