@@ -263,6 +263,10 @@ object CorpusService {
       purge(p.scrubLog, "doc_id") &&
       purge(p.noveltyLog, "doc_id") &&
       purge(p.noveltyFirstSeen, "first_doc") &&
+      // Physical pack-span removal (the view already gates; the next
+      // refreshPackManifest re-packs hole-free — purge just stops the
+      // spans' bytes from outliving the takedown).
+      purge(p.packManifest, "doc_id") &&
       purgeIndex(p.annIndex, col("vec_id")) &&
       purgeIndex(p.chunkIndex, expr("CAST(vec_id div 4096 AS BIGINT)")) &&
       (!exists(spark, p.chunkPostings) ||
@@ -755,9 +759,12 @@ object CorpusService {
     }
   }
 
-  /** Read the maintained manifest (refreshTrainingSet's output). */
+  /** Read the maintained manifest (refreshTrainingSet's output).
+    * Tombstone-gated like every served view: a takedown between delete
+    * and the next refresh must not keep enumerating the doc (the
+    * refresh's own gate then makes the exclusion durable). */
   def trainingSetView(spark: SparkSession, p: Paths): DataFrame =
-    spark.read.parquet(p.trainingSet)
+    dropTombstoned(spark, p, spark.read.parquet(p.trainingSet), "doc_id")
 
   /** The maintained PACK MANIFEST (streamed t28/t30): sequence-packing
     * spans over the maintained manifest's TRAIN split — whatever gates
@@ -778,9 +785,14 @@ object CorpusService {
         graft.queries.Extensions.PackCap),
       p.packManifest)
 
-  /** Read the maintained pack manifest ([[refreshPackManifest]]). */
+  /** Read the maintained pack manifest ([[refreshPackManifest]]).
+    * Tombstoned docs are gated OUT immediately — a takedown between
+    * delete and the next re-pack must not keep serving the doc's spans,
+    * so until the refresh the affected packs read short and the
+    * trainer's loader pads the hole; the next refreshPackManifest
+    * re-packs the stream with no holes (spec-pinned). */
   def packManifestView(spark: SparkSession, p: Paths): DataFrame =
-    spark.read.parquet(p.packManifest)
+    dropTombstoned(spark, p, spark.read.parquet(p.packManifest), "doc_id")
 
   /** The maintained SCRUBBED-CORPUS payload — the text a trainer
     * actually reads: t19's transform (boilerplate segments removed,
@@ -1480,6 +1492,8 @@ object CorpusService {
                    novelty: Boolean = false,
                    chunks: Boolean = false,
                    postings: Boolean = false,
+                   pack: Boolean = false,
+                   splitAtClusterGrain: Boolean = false,
                    maxFilesPerTrigger: Option[Int] = None,
                    taskRetries: Int = 0,
                    retryBackoff: java.time.Duration =
@@ -1509,7 +1523,8 @@ object CorpusService {
           // With a gate registered, its drop list flows into the manifest:
           // suite-leaked docs were caught at arrival, excluded here.
           refreshTrainingSet(spark, p, decontaminate,
-            excludeContaminated = contaminationRef.isDefined)
+            excludeContaminated = contaminationRef.isDefined,
+            splitAtClusterGrain = splitAtClusterGrain)
         }
         ticks += 1
         if (maintainEvery > 0 && ticks % maintainEvery == 0) {
@@ -1537,6 +1552,11 @@ object CorpusService {
             // Training handoff: the payload a trainer reads, re-cut to the
             // freshest manifest off the per-drain-maintained scrub table.
             if (scrub) refreshScrubbedCorpus(spark, p)
+            // The pack manifest rides the same handoff cadence (a global
+            // re-pack per manifest tick would churn every span for one
+            // appended doc; between re-packs the view's tombstone gate
+            // keeps takedowns compliant).
+            if (pack) refreshPackManifest(spark, p)
           }
         }
         next = next.plus(drainEvery)

@@ -675,7 +675,7 @@ class CorpusServiceSpec extends SparkSpec {
     val stats = CorpusService.runScheduled(spark, p,
       stop = () => fakeNow.isAfter(t0.plusMinutes(10)),
       maintainEvery = 1, retrainFactor = 1.2,
-      contaminationRef = Some(refDir),
+      contaminationRef = Some(refDir), pack = true,
       clock = () => fakeNow,
       sleep = d => {
         if (appended < 3) {
@@ -761,6 +761,18 @@ class CorpusServiceSpec extends SparkSpec {
     Seq(p.scrubPostings, p.scrubLog).foreach { d =>
       assert(dataFiles(d) <= 4, s"$d not compacted: ${dataFiles(d)} files")
     }
+
+    // The pack manifest rode the same handoff cadence: its spans are
+    // the one-shot packing arithmetic over the final manifest's train
+    // split (the last maintenance tick re-packed after that tick's
+    // manifest refresh).
+    assertSameRows(
+      CorpusService.packManifestView(spark, p),
+      Extensions.packSpans(
+        CorpusService.trainingSetView(spark, p)
+          .filter(col("split") === "train").select("doc_id", "n_toks"),
+        Extensions.PackCap),
+      "scheduled pack manifest vs one-shot packing over the final manifest")
   }
 
   test("scheduled retry dial: transient tick recovers, permanent stays loud") {

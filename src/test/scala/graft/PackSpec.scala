@@ -142,6 +142,14 @@ class PackSpec extends SparkSpec {
       .select("doc_id").distinct().orderBy("doc_id").limit(2)
       .collect().map(_.getLong(0)).toSeq
     CorpusService.deleteDocs(spark, p, packed)
+    // IMMEDIATE compliance, before any refresh: the views stop serving
+    // the docs' spans (the loader pads the holes until the re-pack).
+    assert(CorpusService.packManifestView(spark, p)
+      .filter(col("doc_id").isin(packed: _*)).count() == 0,
+      "pack view served a deleted doc's spans before the re-pack")
+    assert(CorpusService.trainingSetView(spark, p)
+      .filter(col("doc_id").isin(packed: _*)).count() == 0,
+      "manifest view enumerated a deleted doc before the refresh")
     CorpusService.refreshCanonicalCorpus(spark, p)
     CorpusService.refreshTrainingSet(spark, p, splitAtClusterGrain = true)
     CorpusService.refreshPackManifest(spark, p)
