@@ -2507,6 +2507,31 @@ object Extensions {
   def annIvfIndexed(s: SparkSession, dir: String): DataFrame =
     annIvfIndexedAt(s, dir, annIndexPath(s, dir))
 
+  /** s24: SERVING-QUALITY AUDIT — per-query recall@5 of the
+    * index-served IVF path (s08) against the exact scan (s01), the
+    * health metric an ANN deployment watches continuously: approximate
+    * retrieval trades recall for the cell-probe cost model, and the
+    * trade drifts as the corpus grows within a quantizer epoch (cells
+    * fill unevenly; the probe budget covers less of the mass), so the
+    * audit runs on a schedule and its drop is what triggers a retrain
+    * in practice. Both sides are the deterministic operators already
+    * oracle-pinned (ties broken by neighbor_id), so the audit itself is
+    * hash-exact. Scale: the exact side is the honest cost (one |Q|·n
+    * scan at audit cadence, |Q| = the fixed probe set — NOT per user
+    * query); the served side is the pruned index read. Columns:
+    * (query_id, n_hit, k, recall_ppm), truncating-div ppm. */
+  def recallAudit(s: SparkSession, dir: String): DataFrame = {
+    val exact = annCosineTopK(s, dir).select("query_id", "neighbor_id")
+    val served = annIvfIndexed(s, dir).select("query_id", "neighbor_id")
+    val hits = exact.join(served, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("query_id"), col("n_hit"), col("k"),
+        expr("n_hit * 1000000 div k").as("recall_ppm"))
+  }
+
   /** s08's read path over an EXPLICIT index location — the serving
     * entry for callers that maintain the index as a warehouse artifact
     * (CorpusService.refreshAnnIndex) rather than through the per-JVM
@@ -3414,6 +3439,27 @@ object Extensions {
           greatest(col("pack_id") * cap, col("strt"))).as("span_toks"))
   }
 
+  /** t31: PACK-GRAIN SHARD ASSIGNMENT with epoch-seeded visit order —
+    * the trainer handoff t28's manifest feeds. Each training sequence
+    * (pack) is dealt to one of 8 data-parallel shards by a stable id
+    * hash (a pack never migrates between hosts mid-run; t15 balances
+    * DOC shards by size, but packs are all exactly `cap` tokens, so
+    * plain hashing is already token-balanced), and every epoch gets a
+    * fresh deterministic shuffle of each shard's packs via a seeded
+    * hash ORDER KEY. Emitting the key instead of a materialized
+    * row_number rank is deliberate scale design: ranking within
+    * (epoch, shard) would funnel |packs|/shards rows through single
+    * window partitions — the cliff t28's prefix sum exists to avoid —
+    * while the key is pure projection; the storage layer writes
+    * sortWithinPartitions(ord_key) and the loader streams in order. */
+  def packShards(s: SparkSession, dir: String): DataFrame =
+    packManifest(s, dir).select("pack_id").distinct()
+      .withColumn("epoch", explode(array(lit(0L), lit(1L))))
+      .select(col("pack_id"), col("epoch"),
+        (h32(col("pack_id").cast("string")) % 8).as("shard"),
+        h32(concat(lit("e"), col("epoch").cast("string"), lit(":"),
+          col("pack_id").cast("string"))).as("ord_key"))
+
   /** t29: LEAKAGE-SAFE train/valid/test split — assignment at near-dup
     * CLUSTER grain, the repair for the doc-grain content-hash split's
     * blind spot: md5(text) co-splits verbatim copies by construction, but
@@ -4183,7 +4229,11 @@ object Extensions {
     * invocation) and s08 (assignment read from the materialized index):
     * the two strategies answer the same query and must agree
     * row-for-row, so one SQL text serves both. */
-  private val ivfPrefixOracle: String = embCtes + ", " + centsCte +
+  /** The prefix-then-rerank IVF chain as a reusable CTE block (ends at
+    * `scored` — the exact cosine over the ~100 rerank survivors);
+    * ivfPrefixOracle adds the top-5 cut, s24's audit joins it against
+    * the exact scan instead. */
+  private val ivfChainCtes: String = embCtes + ", " + centsCte +
     """adots AS (
       |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
       |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
@@ -4240,11 +4290,50 @@ object Extensions {
       |  FROM cdots d
       |  JOIN sq x ON x.vec_id = d.query_id
       |  JOIN sq y ON y.vec_id = d.neighbor_id)
-      |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+      |""".stripMargin
+
+  private val ivfPrefixOracle: String = ivfChainCtes +
+    """SELECT query_id, neighbor_id, cos_ppm, rank FROM (
       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
       |              ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
       |  FROM scored) t
       |WHERE rank <= 5""".stripMargin
+
+  /** s24's oracle: the IVF chain's top-5 against the exact scan's
+    * top-5, joined to per-query hit counts — recall in ppm with the
+    * truncating-div idiom. */
+  private val recallAuditOracle: String = ivfChainCtes.stripSuffix("\n") +
+    """,
+      |itop AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |                ORDER BY cos_ppm DESC, neighbor_id) AS rn
+      |    FROM scored) t WHERE rn <= 5),
+      |qdots AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      |  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+      |  GROUP BY 1, 2),
+      |escored AS (
+      |  SELECT d.query_id, d.neighbor_id,
+      |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+      |  FROM qdots d
+      |  JOIN sq x ON x.vec_id = d.query_id
+      |  JOIN sq y ON y.vec_id = d.neighbor_id),
+      |etop AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |                ORDER BY cos_ppm DESC, neighbor_id) AS rn
+      |    FROM escored) t WHERE rn <= 5),
+      |hits AS (
+      |  SELECT e.query_id, count(*) AS c
+      |  FROM etop e JOIN itop i
+      |    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+      |  GROUP BY 1),
+      |ek AS (SELECT query_id, count(*) AS k FROM etop GROUP BY 1)
+      |SELECT ek.query_id, COALESCE(h.c, 0) AS n_hit, ek.k,
+      |       (COALESCE(h.c, 0) * 1000000) // ek.k AS recall_ppm
+      |FROM ek LEFT JOIN hits h ON h.query_id = ek.query_id""".stripMargin
 
   /** The filtered-IVF oracle, shared by s11 (assignment + label
     * joined per invocation) and s12 (both read from the stored
@@ -5977,6 +6066,8 @@ object Extensions {
         |  FROM fused) t
         |WHERE rank <= 10""".stripMargin)),
 
+    QuerySpec("s24_recall_audit", recallAudit, Some(recallAuditOracle)),
+
     QuerySpec("t28_pack_manifest", packManifest, Some(
       """WITH pd AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
@@ -6009,6 +6100,24 @@ object Extensions {
         |  JOIN quality q ON q.doc_id = d.doc_id
         |  WHERE COALESCE(l.cluster_id, d.doc_id) = d.doc_id
         |    AND ('0x' || substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
-        |""".stripMargin + packSqlTail))
+        |""".stripMargin + packSqlTail)),
+
+    // t31's oracle: pack ids are dense 0..ceil(T/cap)-1 by t28's
+    // construction, so the oracle enumerates them from the token total
+    // instead of re-running the packing CTE chain.
+    QuerySpec("t31_pack_shards", packShards, Some(
+      """WITH tot AS (
+        |  SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT CAST(u.p AS BIGINT) AS pack_id
+        |  FROM tot, UNNEST(range(0, (t + 127) // 128)) u(p)),
+        |e AS (
+        |  SELECT pack_id, CAST(u.e AS BIGINT) AS epoch
+        |  FROM p, UNNEST(range(0, 2)) u(e))
+        |SELECT pack_id, epoch,
+        |       ('0x' || substr(md5(CAST(pack_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+        |       ('0x' || substr(md5('e' || epoch || ':' || pack_id), 1, 8))::BIGINT AS ord_key
+        |FROM e""".stripMargin))
   )
 }

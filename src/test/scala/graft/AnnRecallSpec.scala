@@ -83,6 +83,33 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.6, f"IVF∘PQ mean recall@5 $mean%.2f < 0.6")
   }
 
+  test("s24 recall audit ≡ independently measured recall of the served path (sf0.01)") {
+    // The audit operator IS this spec's measurement, productionized: its
+    // per-query n_hit must equal the intersection the spec computes from
+    // the two top-5 sets, and its mean must clear the same cell-probe
+    // floor the direct IVF tests pin. (If these ever disagree, the audit
+    // would silently mis-trigger retrains — the one failure mode a
+    // health metric cannot have.)
+    val dir = sf("sf0.01")
+    Extensions.invalidateAnnIndex(dir)
+    val exact = topSets(Extensions.annCosineTopK(spark, dir))
+    val served = topSets(Extensions.annIvfIndexed(spark, dir))
+    val audit = Extensions.recallAudit(spark, dir)
+      .select("query_id", "n_hit", "k", "recall_ppm").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(audit.keySet == exact.keySet, "audit must cover every probe query")
+    exact.foreach { case (q, truth) =>
+      val (nHit, k, ppm) = audit(q)
+      assert(k == truth.size, s"q$q: k=$k vs |truth|=${truth.size}")
+      val want = served.getOrElse(q, Set.empty).intersect(truth).size.toLong
+      assert(nHit == want, s"q$q: audit n_hit=$nHit vs measured $want")
+      assert(ppm == nHit * 1000000L / k, s"q$q: ppm arithmetic")
+    }
+    val mean = audit.values.map(_._3).sum.toDouble / audit.size / 1e6
+    info(f"audited mean recall@5: $mean%.2f")
+    assert(mean >= 0.6, f"audited mean recall $mean%.2f < 0.6 floor")
+  }
+
   test("IVF ANN achieves recall@5 >= 0.6 vs exact (sf0.01)") {
     val dir = sf("sf0.01")
     val exact = topSets(Extensions.annCosineTopK(spark, dir))

@@ -163,6 +163,41 @@ class PackSpec extends SparkSpec {
       "post-delete pack manifest must still tile exactly")
   }
 
+  test("t31 deals every pack to a stable shard with a fresh per-epoch order") {
+    import spark.implicits._
+    val src = sf("sf0.001")
+    val sh = Extensions.packShards(spark, src).cache()
+    try {
+      val nPacks = Extensions.packManifest(spark, src)
+        .select("pack_id").distinct().count()
+      // Every pack appears exactly once per epoch; shards stay in range.
+      assert(sh.count() == nPacks * 2, "one row per (pack, epoch)")
+      assert(sh.filter(col("shard") < 0 || col("shard") >= 8).count() == 0,
+        "shard out of [0, 8)")
+      // Shard assignment is epoch-INVARIANT (a pack never migrates
+      // between hosts mid-run) ...
+      assert(sh.groupBy("pack_id")
+        .agg(countDistinct("shard").as("n")).filter(col("n") =!= 1L)
+        .count() == 0, "a pack changed shards across epochs")
+      // ... while the visit order is epoch-FRESH: order keys collide
+      // nowhere at this size, and the epoch-1 permutation of at least
+      // one shard differs from epoch-0's.
+      assert(sh.groupBy("epoch", "shard", "ord_key").count()
+        .filter(col("count") > 1).count() == 0, "ord_key collision")
+      def order(e: Long) = sh.filter(col("epoch") === e)
+        .orderBy("shard", "ord_key").select("pack_id")
+        .as[Long].collect().toSeq
+      assert(order(0L) != order(1L),
+        "epoch reshuffle produced the identical visit order")
+      // Hash dealing balances token-uniform packs: no shard is empty
+      // and none holds more than twice the fair share.
+      val sizes = sh.filter(col("epoch") === 0L).groupBy("shard").count()
+        .select("count").as[Long].collect()
+      assert(sizes.length == 8 && sizes.max <= 2 * nPacks / 8,
+        s"shard imbalance: ${sizes.toSeq}")
+    } finally sh.unpersist()
+  }
+
   test("t30 packs exactly the gated training docs") {
     val src = sf("sf0.001")
     val packsDocs = Extensions.trainingPacks(spark, src)
