@@ -624,8 +624,13 @@ object Extensions {
   /** s01: exact brute-force cosine top-5 for the query set (vec_id < 10).
     * O(|Q|·|corpus|) with a row-local integer dot — the correctness
     * baseline every ANN variant is judged against. */
-  def annCosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = quantized(s, dir)
+  def annCosineTopK(s: SparkSession, dir: String): DataFrame =
+    annCosineTopKOf(quantized(s, dir))
+
+  /** s01's core at quantized-frame grain, shared with the maintained
+    * service (whose live corpus is the tombstone-filtered store, not a
+    * table directory). */
+  private[graft] def annCosineTopKOf(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
@@ -2520,9 +2525,16 @@ object Extensions {
     * scan at audit cadence, |Q| = the fixed probe set — NOT per user
     * query); the served side is the pruned index read. Columns:
     * (query_id, n_hit, k, recall_ppm), truncating-div ppm. */
-  def recallAudit(s: SparkSession, dir: String): DataFrame = {
-    val exact = annCosineTopK(s, dir).select("query_id", "neighbor_id")
-    val served = annIvfIndexed(s, dir).select("query_id", "neighbor_id")
+  def recallAudit(s: SparkSession, dir: String): DataFrame =
+    recallAuditOf(annCosineTopK(s, dir), annIvfIndexed(s, dir))
+
+  /** The audit core over any (exact, served) top-k pair — shared with
+    * the maintained service, whose two sides are the tombstone-filtered
+    * live corpus and the stored-index read path. */
+  private[graft] def recallAuditOf(exactTopK: DataFrame,
+                                   servedTopK: DataFrame): DataFrame = {
+    val exact = exactTopK.select("query_id", "neighbor_id")
+    val served = servedTopK.select("query_id", "neighbor_id")
     val hits = exact.join(served, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
     exact.groupBy("query_id").agg(count(lit(1)).as("k"))

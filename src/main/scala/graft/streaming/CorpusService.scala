@@ -423,6 +423,54 @@ object CorpusService {
       trained > 0 && embeddingCount(spark, p) >= factor * trained
     }
 
+  /** s24 off the MAINTAINED surface: per-query recall@5 of [[annTopK]]
+    * — the tombstone-filtered stored-index read path — against the
+    * exact scan over the LIVE corpus (same tombstone filter: a deleted
+    * doc is neither a query nor a truth neighbor). This is the health
+    * metric the one-shot s24 anchors: approximate serving trades recall
+    * for the cell-probe cost model, and the trade drifts as appends
+    * fill cells unevenly within a frozen quantizer epoch, so the audit
+    * runs on the maintenance cadence and its drop — not a growth
+    * ratio — is the retrain signal that tracks what users actually
+    * experience. Cost is |probe set| × live corpus for the exact side
+    * (scheduled, never per-request) plus one pruned index read. */
+  def recallAuditReport(spark: SparkSession, p: Paths): DataFrame = {
+    val live = graft.queries.Extensions.quantizeFrame(dropTombstoned(
+      spark, p, graft.Tables.t(spark, p.base, "embeddings"), "vec_id"))
+    graft.queries.Extensions.recallAuditOf(
+      graft.queries.Extensions.annCosineTopKOf(live),
+      annTopK(spark, p))
+  }
+
+  /** The audited mean recall in ppm — the scalar the retrain decision
+    * keys off (truncating integer mean over the probe queries). */
+  def auditedRecallPpm(spark: SparkSession, p: Paths): Long = {
+    val r = recallAuditReport(spark, p)
+      .agg(sum("recall_ppm").as("s"), count(lit(1)).as("n")).head()
+    if (r.getLong(1) == 0) 0L else r.getLong(0) / r.getLong(1)
+  }
+
+  /** The QUALITY-keyed retrain trigger — [[maybeRetrain]]'s twin keyed
+    * on what users actually experience instead of a growth proxy: when
+    * the audited mean recall of the served path falls below `floorPpm`,
+    * quiesce both ingesters, retrain (rebuilding the index under the
+    * new epoch), and resume on the same checkpoints; at or above the
+    * floor it returns the same handle untouched. The audit pays one
+    * |probe|×corpus exact scan, so it belongs on the maintenance
+    * cadence next to compaction, not on every drain. Growth and quality
+    * triggers compose: growth catches staleness before it bites,
+    * the audit catches the bite itself (skewed appends that degrade
+    * recall without doubling the corpus). */
+  def auditRetrain(spark: SparkSession, p: Paths, r: Running,
+                   floorPpm: Long = 600000L,
+                   interval: String = "5 minutes"): Running =
+    if (auditedRecallPpm(spark, p) >= floorPpm) r
+    else {
+      r.drainAndStop()
+      retrainQuantizer(spark, p)
+      start(spark, p, interval, fingerprint = r.fingerprint.isDefined)
+    }
+
   /** Drain everything currently in both stores through both dedup
     * cycles — and, with `contaminationRef`, through the ingest-time
     * leakage gate against that external eval suite — then compact every

@@ -837,6 +837,63 @@ class CorpusServiceSpec extends SparkSpec {
       s"expected initial + 2 retries before propagating: $permAttempts")
   }
 
+  test("recall audit serves off maintained state; auditRetrain keys on its floor") {
+    val src = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-svcaudit").toString
+    val p = CorpusService.Paths(base)
+    Tables.t(spark, src, "documents").select("doc_id", "text", "lang")
+      .write.parquet(p.docs)
+    Tables.t(spark, src, "embeddings").write.parquet(p.embeddings)
+    CorpusService.trainQuantizer(spark, p)
+    CorpusService.drainAvailable(spark, p, index = true)
+
+    // The report's n_hit must equal an intersection computed
+    // INDEPENDENTLY from the two top-5 sets (the audit cannot be
+    // allowed to drift from what it claims to measure).
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = sets(Extensions.annCosineTopKOf(Extensions.quantizeFrame(
+      Tables.t(spark, base, "embeddings"))))
+    val served = sets(CorpusService.annTopK(spark, p))
+    val rep = CorpusService.recallAuditReport(spark, p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep.keySet == exact.keySet, "audit must cover every probe query")
+    exact.foreach { case (q, truth) =>
+      val want = served.getOrElse(q, Set.empty).intersect(truth).size.toLong
+      assert(rep(q) == want, s"q$q: audit n_hit=${rep(q)} vs measured $want")
+    }
+    val measured = CorpusService.auditedRecallPpm(spark, p)
+    assert(measured > 0, "probe recall must be nonzero on this corpus")
+
+    // At the floor: no-op returning the SAME handle, streams untouched.
+    var r = CorpusService.start(spark, p, interval = "1 second")
+    assert(CorpusService.auditRetrain(spark, p, r, floorPpm = measured,
+      interval = "1 second").docs eq r.docs)
+
+    // Below the floor: quiesce, retrain (epoch moves — anchor
+    // re-recorded, index rebuilt), resume; serving and the audit both
+    // stay live under the new epoch.
+    val anchor1 = CorpusService.trainedCount(spark, p)
+    r = CorpusService.auditRetrain(spark, p, r, floorPpm = measured + 1,
+      interval = "1 second")
+    assert(CorpusService.trainedCount(spark, p).isDefined &&
+      anchor1.isDefined, "trained-count anchor missing")
+    r.drainAndStop()
+    assert(CorpusService.auditedRecallPpm(spark, p) > 0,
+      "audit must still measure after the epoch move")
+
+    // Takedowns flow through the audit: deleting a probe query removes
+    // its row from the report (the doc is neither query nor truth
+    // neighbor on either side).
+    CorpusService.deleteDocs(spark, p, Seq(3L))
+    val after = CorpusService.recallAuditReport(spark, p)
+    assert(after.filter(col("query_id") === 3L).count() == 0,
+      "deleted probe doc still audited")
+    assert(after.count() == exact.size - 1, "audit query-set size")
+  }
+
   test("dedupReport with a many-to-one semIdMap: no self-pairs, no dup rows") {
     // Synthetic pair logs drive the mapping edge cases directly: two
     // vec_ids of one document collapsing to a self-pair (must vanish)
