@@ -1502,7 +1502,11 @@ object CorpusService {
     * tick it runs the heavier maintenance in the same between-drains
     * window — the growth-keyed retrain check (quantizer + assignment
     * table + index REBUILD when the corpus passed `retrainFactor`× its
-    * trained size) or, when no retrain fires, index file compaction —
+    * trained size), then with `auditFloorPpm` set the QUALITY-keyed
+    * check (retrain when the served path's audited mean recall@5 fell
+    * below the floor — [[auditRetrain]]'s decision, paying the audit's
+    * exact scan only on this cadence) or, when no retrain fires, index
+    * file compaction —
     * and (with `scrub`) refreshes the trainer-facing scrubbed payload,
     * which the maintained scrub table turns from a full segment pass
     * into a key join, making the training-handoff cadence affordable
@@ -1532,6 +1536,7 @@ object CorpusService {
                      java.time.Duration.ofMinutes(5),
                    maintainEvery: Int = 12,
                    retrainFactor: Double = 2.0,
+                   auditFloorPpm: Option[Long] = None,
                    includeSemantic: Boolean = true,
                    decontaminate: Boolean = false,
                    contaminationRef: Option[String] = None,
@@ -1581,6 +1586,16 @@ object CorpusService {
             if (grown(spark, p, retrainFactor)) {
               // Rebuilds the index too — a retrain tick needs no separate
               // compaction (the rebuild IS the most compact layout).
+              retrainQuantizer(spark, p)
+              retrains += 1
+            } else if (auditFloorPpm.exists(floor =>
+                exists(spark, p.annIndex) &&
+                  auditedRecallPpm(spark, p) < floor)) {
+              // The QUALITY trigger ([[auditRetrain]]'s decision) on the
+              // same cadence: growth didn't fire, but the served path's
+              // audited recall fell below the floor — skewed appends
+              // under a stale epoch. The audit's exact scan is the cost
+              // of asking; it runs only on maintenance ticks.
               retrainQuantizer(spark, p)
               retrains += 1
             } else if (exists(spark, p.annIndex)) {

@@ -894,6 +894,41 @@ class CorpusServiceSpec extends SparkSpec {
     assert(after.count() == exact.size - 1, "audit query-set size")
   }
 
+  test("scheduled loop retrains on the audit floor when growth does not fire") {
+    val srcDir = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-svcaudsched").toString
+    val p = CorpusService.Paths(base)
+    graft.Tables.t(spark, srcDir, "documents")
+      .select("doc_id", "text", "lang").write.parquet(p.docs)
+    graft.Tables.t(spark, srcDir, "embeddings").write.parquet(p.embeddings)
+
+    // One 5-minute tick per run; the corpus never grows, so the growth
+    // trigger can never fire — whatever retrains happen are the audit's.
+    def oneTick(floor: Option[Long]): CorpusService.CorpusScheduleStats = {
+      val t0 = java.time.LocalDateTime.parse("2024-06-01T12:00:00")
+      var fakeNow = t0
+      CorpusService.runScheduled(spark, p,
+        stop = () => fakeNow.isAfter(t0.plusMinutes(1)),
+        maintainEvery = 1, retrainFactor = 2.0, auditFloorPpm = floor,
+        clock = () => fakeNow, sleep = d => fakeNow = fakeNow.plus(d))
+    }
+
+    // Tick 1 (no floor): builds the index, compacts — the baseline path.
+    assert(oneTick(None) == CorpusService.CorpusScheduleStats(1, 0, 1))
+    val anchor = CorpusService.trainedCount(spark, p)
+    // Tick 2, floor below measured recall: audit runs, passes — still
+    // the compaction path, no retrain.
+    assert(oneTick(Some(1L)) == CorpusService.CorpusScheduleStats(1, 0, 1))
+    // Tick 3, unreachable floor: the audit fails → quality retrain
+    // (which rebuilds the index, so no separate compaction).
+    assert(oneTick(Some(1000001L)) ==
+      CorpusService.CorpusScheduleStats(1, 1, 0))
+    assert(CorpusService.trainedCount(spark, p) == anchor,
+      "audit retrain must re-anchor at the unchanged corpus size")
+    // Serving is intact under the new epoch.
+    assert(CorpusService.annTopK(spark, p).count() > 0)
+  }
+
   test("dedupReport with a many-to-one semIdMap: no self-pairs, no dup rows") {
     // Synthetic pair logs drive the mapping edge cases directly: two
     // vec_ids of one document collapsing to a self-pair (must vanish)
