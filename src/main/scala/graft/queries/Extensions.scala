@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{DotI64, Portable}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3949,6 +3949,121 @@ object Extensions {
         idiv(col("cum_before"), lit(2048L)).as("bin_id"))
   }
 
+  // -------------------------------------------------- BPE tokenizer induction
+
+  /** Merge rounds learned by t32/t33 — the vocab-size dial. 12 keeps the
+    * unrolled DuckDB oracle twin the d13 size class; production would set
+    * vocab_size − |alphabet|. */
+  private[graft] val BpeRounds = 12
+
+  /** Corpus word-frequency table with each word's initial symbol sequence
+    * (characters + a `</w>` end-of-word marker — the Sennrich BPE
+    * alphabet). This is the trainer's ONLY corpus-grain step: one hash
+    * agg collapses the 100 TB token stream to the distinct-word table
+    * (Heaps-law — millions of rows, not billions), and every merge round
+    * after it runs at word grain. The char explode uses an explicit
+    * substring transform, not split(word, ''), whose trailing-empty
+    * behavior differs across engines. */
+  private[graft] def bpeWords(d: DataFrame): DataFrame =
+    d.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("seq", expr(
+        "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))"))
+
+  /** Adjacent symbol pairs weighted by word frequency — the per-round
+    * merge-candidate statistics. Overlapping occurrences count (zip
+    * adjacency), exactly as the reference BPE's get_stats does. */
+  private def bpePairs(words: DataFrame): DataFrame =
+    words.select(col("cnt"), explode(expr(
+        """CASE WHEN size(seq) < 2 THEN CAST(array() AS array<struct<l:string,r:string>>)
+          |ELSE transform(sequence(1, size(seq) - 1),
+          |               i -> named_struct('l', seq[i-1], 'r', seq[i])) END"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+
+  /** One greedy merge application: every leftmost non-overlapping (l, r)
+    * adjacency becomes the fused symbol, as a left fold over the symbol
+    * array. The fold IS the reference semantics: it never chains onto a
+    * symbol it just produced (l+r = l is impossible), and for runs of a
+    * self-pair (l = r) it takes every other occurrence from the run head
+    * — note a string replace(' l r ', ' lr ') would NOT (consecutive
+    * occurrences share their separator space, so runs ≥ 5 regroup). */
+  private def bpeApply(seqCol: Column, l: String, r: String): Column =
+    when(size(seqCol) < 2, seqCol).otherwise(
+      aggregate(seqCol, array().cast("array<string>"),
+        (acc, x) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x)))))
+
+  /** Distributed BPE trainer: the learned merge list plus the word table
+    * tokenized under all of it. Each round is one tiny weighted
+    * pair-count agg, a ONE-ROW argmax collect (count desc, then (l, r)
+    * lexicographic — the scalar decision every distributed BPE trainer
+    * makes per round), and a narrow fold over the word table,
+    * localCheckpoint-ed so round k+1's lineage doesn't replay rounds
+    * 1..k; superseded rounds' blocks are freed eagerly and the caller
+    * owns (and may free) the returned frame's. Stops early if the corpus
+    * runs out of pairs. */
+  private[graft] def bpeTrain(d: DataFrame, rounds: Int = BpeRounds)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var words = bpeWords(d).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= rounds && !exhausted) {
+      val best = bpePairs(words)
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((k, l, r, c))
+        val next = words.withColumn("seq", bpeApply(col("seq"), l, r)).localCheckpoint()
+        freeCkpt(words)
+        words = next
+        k += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** t32: distributed BPE vocabulary induction — the tokenizer-training
+    * operator a pre-training pipeline runs before anything tokenizes.
+    * Output is the learned merge table (rank, lhs, rhs, merged,
+    * pair_count at merge time), ~rounds rows. The oracle twin unrolls
+    * the identical greedy fold per round in DuckDB (bpeVocabOracle). */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val (merges, fin) = bpeTrain(docs(s, dir))
+    freeCkpt(fin)
+    import s.implicits._
+    merges.toDF("rank", "lhs", "rhs", "pair_count")
+      .select(col("rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+      .orderBy(col("rank"))
+  }
+
+  /** t33: BPE token counting — every document tokenized under the t32
+    * vocabulary, reported as whitespace-token vs subword counts plus the
+    * integer subwords-per-word ratio. The per-word subword table is the
+    * broadcast side (Heaps-law small against the corpus), so the corpus
+    * pass is one broadcast join + hash agg — the token-budget accounting
+    * shape (t09/t18/t28 consume counts like these). */
+  def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val (_, fin) = bpeTrain(docs(s, dir))
+    val perWord = fin.select(col("word"), size(col("seq")).cast("long").as("n_sub"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(perWord), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ws_tokens"), sum(col("n_sub")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        ppm(col("n_bpe_tokens"), col("n_ws_tokens")).as("bpe_per_word_ppm"))
+  }
+
   // --------------------------------------------------------------- multimodal
 
   /** m01: multimodal binary-column plumbing — text re-encoded as an opaque
@@ -4565,6 +4680,62 @@ object Extensions {
       |              ORDER BY cos_ppm DESC, negative_id) AS INTEGER) AS rank
       |  FROM sym) t
       |WHERE rank <= 3""".stripMargin
+
+  /** Unrolled DuckDB twin of bpeTrain: w0 is the word-frequency table
+    * with char+`</w>` symbol sequences; each round k derives pair counts
+    * (p_k), the deterministic argmax (b_k), and the merged word table
+    * (w_k) via the SAME leftmost non-overlapping greedy fold —
+    * list_reduce over single-element lists so the accumulator type
+    * unifies. A string-replace formulation would diverge on runs ≥ 5 of
+    * a self-pair (consecutive occurrences share their separator), which
+    * is why both engines fold. Multi-referenced CTEs are MATERIALIZED
+    * (each w_k feeds p_{k+1} and w_{k+1}; inlining re-runs the whole
+    * chain multiplicatively — the d13 lesson). */
+  private def bpeCtes(rounds: Int): String = {
+    val w0 =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+        |         string_split(word, '') || ['</w>'] AS seq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s"""p$k AS (
+         |  SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, unnest(list_zip(seq, seq[2:])) AS z FROM w${k - 1})
+         |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    CASE WHEN len(seq) < 2 THEN seq ELSE
+         |      list_reduce(list_transform(seq, x -> [x]),
+         |        (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$k.l AND x[1] = b$k.r
+         |                         THEN acc[1:len(acc)-1] || [b$k.l || b$k.r]
+         |                         ELSE acc || x END) END AS seq
+         |  FROM w${k - 1}, b$k)""".stripMargin
+    }
+    (w0 +: roundCtes).mkString(",\n")
+  }
+
+  private val bpeVocabOracle: String = {
+    val unions = (1 to BpeRounds).map { k =>
+      s"  SELECT CAST($k AS INTEGER) AS rank, l AS lhs, r AS rhs, l || r AS merged, c AS pair_count FROM b$k"
+    }.mkString("\n  UNION ALL\n")
+    bpeCtes(BpeRounds) +
+      s"\nSELECT rank, lhs, rhs, merged, pair_count FROM (\n$unions) ORDER BY rank"
+  }
+
+  private val bpeTokensOracle: String =
+    bpeCtes(BpeRounds) +
+      s""",
+         |docw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT d.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_ws_tokens,
+         |  CAST(sum(len(ww.seq)) AS BIGINT) AS n_bpe_tokens,
+         |  (CAST(sum(len(ww.seq)) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS bpe_per_word_ppm
+         |FROM docw d JOIN w$BpeRounds ww ON ww.word = d.word
+         |WHERE d.word <> ''
+         |GROUP BY d.doc_id""".stripMargin
 
   // ------------------------------------------------------------------- specs
 
@@ -6130,6 +6301,9 @@ object Extensions {
         |SELECT pack_id, epoch,
         |       ('0x' || substr(md5(CAST(pack_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
         |       ('0x' || substr(md5('e' || epoch || ':' || pack_id), 1, 8))::BIGINT AS ord_key
-        |FROM e""".stripMargin))
+        |FROM e""".stripMargin)),
+
+    QuerySpec("t32_bpe_vocab", bpeVocab, Some(bpeVocabOracle)),
+    QuerySpec("t33_bpe_tokens", bpeTokens, Some(bpeTokensOracle))
   )
 }

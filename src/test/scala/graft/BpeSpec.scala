@@ -1,0 +1,82 @@
+package graft
+
+import graft.queries.Extensions
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer induction (t32) and BPE token counting (t33).
+  *
+  * Pins the three things the DuckDB oracle can't: the merge sequence on a
+  * hand-computed reference corpus (the Sennrich low/lower/newest/widest
+  * example), the leftmost non-overlapping GREEDY application on a run of a
+  * self-pair (the case where a string-replace formulation regroups), and
+  * early stop + checkpoint hygiene of the round loop.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("t32 learns the hand-computed merge sequence on the Sennrich corpus") {
+    // low×5, lower×2, newest×6, widest×3 — the worked example from the
+    // original BPE paper, with ties broken (count desc, (l, r) lexical).
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val (merges, fin) = Extensions.bpeTrain(d, rounds = 5)
+    Extensions.freeCkpt(fin)
+    assert(merges == Seq(
+      (1, "e", "s", 9L),        // es/st/t</w> tie at 9 → lexical smallest
+      (2, "es", "t", 9L),       // est vs t</w> tie → 'es' < 't'
+      (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L),        // lo vs ow tie at 7 → 'l' < 'o'
+      (5, "lo", "w", 7L)),
+      s"merge sequence diverged from the hand computation: $merges")
+  }
+
+  test("merge application is leftmost non-overlapping greedy on self-pair runs") {
+    // One word 'aaaaa': round 1 merges (a,a) count 4 and MUST group as
+    // [aa][aa][a], never [aa][a][aa] — the regrouping a string replace
+    // (' a a ' → ' aa ') produces on runs ≥ 5 because consecutive
+    // occurrences share their separator space.
+    val d = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val (m1, w1) = Extensions.bpeTrain(d, rounds = 1)
+    assert(m1 == Seq((1, "a", "a", 4L)))
+    val seq1 = w1.select(col("seq")).as[Seq[String]].head()
+    Extensions.freeCkpt(w1)
+    assert(seq1 == Seq("aa", "aa", "a", "</w>"),
+      s"greedy grouping broken: $seq1")
+  }
+
+  test("the round loop stops when the corpus runs out of pairs") {
+    val d = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val (m, w) = Extensions.bpeTrain(d, rounds = 12)
+    val fin = w.select(col("seq")).as[Seq[String]].head()
+    Extensions.freeCkpt(w)
+    // 5 chars + </w> = 6 symbols; round 1 applies (a,a) twice, so 4
+    // merge ROUNDS fuse the word whole (6 → 4 → 3 → 2 → 1 symbols).
+    assert(m == Seq((1, "a", "a", 4L), (2, "a", "</w>", 1L),
+      (3, "aa", "a</w>", 1L), (4, "aa", "aaa</w>", 1L)),
+      s"expected early stop after 4 rounds: $m")
+    assert(fin == Seq("aaaaa</w>"), s"exhausted word not fully fused: $fin")
+  }
+
+  test("t32/t33 free their checkpoints; t33 counts are bounded by chars") {
+    val dir = sf("sf0.001")
+    Extensions.bpeVocab(spark, dir).count() // warm any per-dir memos
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Extensions.bpeVocab(spark, dir).count()
+    val afterVocab = spark.sparkContext.getPersistentRDDs.size
+    assert(afterVocab == before,
+      s"bpeVocab retained ${afterVocab - before} checkpoint RDDs")
+
+    val t33 = Extensions.bpeTokens(spark, dir)
+    val bad = t33.join(Tables.t(spark, dir, "documents"), "doc_id")
+      .filter(col("n_bpe_tokens") < col("n_ws_tokens") ||
+        col("n_bpe_tokens") > col("n_chars") + col("n_ws_tokens"))
+    assert(bad.count() == 0,
+      "per-doc BPE token count must sit in [n_words, n_chars + n_words]")
+    val afterTokens = spark.sparkContext.getPersistentRDDs.size
+    // Only the final word table's checkpoint (consumed by the join) may
+    // remain alive per call.
+    assert(afterTokens - afterVocab <= 1,
+      s"bpeTokens retained ${afterTokens - afterVocab} checkpoint RDDs")
+  }
+}
