@@ -3989,14 +3989,18 @@ object Extensions {
     * symbol it just produced (l+r = l is impossible), and for runs of a
     * self-pair (l = r) it takes every other occurrence from the run head
     * — note a string replace(' l r ', ' lr ') would NOT (consecutive
-    * occurrences share their separator space, so runs ≥ 5 regroup). */
+    * occurrences share their separator space, so runs ≥ 5 regroup).
+    * Deliberately no size guard: the fold is correct on 0/1-element
+    * arrays, and referencing `seqCol` exactly once keeps a CHAIN of
+    * applications (bpeTokensUnder folds the whole merge list into one
+    * expression) linear — a guard's second reference would blow the
+    * nested tree up 3^rounds. */
   private def bpeApply(seqCol: Column, l: String, r: String): Column =
-    when(size(seqCol) < 2, seqCol).otherwise(
-      aggregate(seqCol, array().cast("array<string>"),
-        (acc, x) => when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x)))))
+    aggregate(seqCol, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
 
   /** Distributed BPE trainer: the learned merge list plus the word table
     * tokenized under all of it. Each round is one tiny weighted
@@ -4063,6 +4067,80 @@ object Extensions {
       .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
         ppm(col("n_bpe_tokens"), col("n_ws_tokens")).as("bpe_per_word_ppm"))
   }
+
+  /** t32's storage half: persist the learned merge table as the
+    * TOKENIZER ARTIFACT — the rank-ordered merge list is exactly what a
+    * trained tokenizer ships (merges.txt), and unlike a word→subwords
+    * table it tokenizes words the training corpus never saw. One file:
+    * the artifact is `rounds` rows. */
+  private[graft] def buildBpeVocab(s: SparkSession, d: DataFrame,
+                                   path: String,
+                                   rounds: Int = BpeRounds): Unit = {
+    val (merges, fin) = bpeTrain(d, rounds)
+    freeCkpt(fin)
+    import s.implicits._
+    merges.toDF("rank", "lhs", "rhs", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Materialized tokenizer locations, one per corpus dir (built once
+    * per JVM — the offline tokenizer-training job; queries read). Same
+    * staleness contract as annIndexCache: a corpus that grew needs
+    * invalidation, though a FROZEN vocab stays valid for serving — new
+    * words still tokenize; retraining is a quality event, not a
+    * correctness one (the quantizer-epoch asymmetry). */
+  private val bpeVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def invalidateBpeVocab(dir: String): Unit =
+    bpeVocabCache.remove(dir)
+
+  private[graft] def bpeVocabPath(s: SparkSession, dir: String): String =
+    bpeVocabCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-bpevocab")
+        .toFile.getAbsolutePath
+      buildBpeVocab(s, docs(s, dir), p)
+      p
+    })
+
+  /** The stored merge list, rank-ordered — driver-side tokenizer config
+    * (the broadcast-ADC-lookup size class: `rounds` rows, never corpus
+    * grain). */
+  private[graft] def bpeMergesAt(s: SparkSession, path: String): Seq[(String, String)] =
+    s.read.parquet(path).orderBy(col("rank"))
+      .select(col("lhs"), col("rhs")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Tokenize a text frame under a FROZEN merge list: distinct words
+    * fold through the merges in learned rank order (the reference BPE's
+    * apply loop), occurrences broadcast-join back, one hash agg per
+    * doc. This is the every-day serving shape — the corpus pass never
+    * retrains — and it handles unseen words, which is why the artifact
+    * stores merges and not a word table. */
+  private[graft] def bpeTokensUnder(d: DataFrame,
+                                    merges: Seq[(String, String)]): DataFrame = {
+    val occ = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val init = expr(
+      "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))")
+    val folded = merges.foldLeft(init) { case (c, (l, r)) => bpeApply(c, l, r) }
+    val perWord = occ.select(col("word")).distinct()
+      .select(col("word"), size(folded).cast("long").as("n_sub"))
+    occ.join(broadcast(perWord), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ws_tokens"), sum(col("n_sub")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        ppm(col("n_bpe_tokens"), col("n_ws_tokens")).as("bpe_per_word_ppm"))
+  }
+
+  /** t34: BPE token counting OFF THE STORED TOKENIZER — t33's serving
+    * twin (the s05→s09 / t26→t27 move): the merge list is read from the
+    * persisted artifact and applied frozen; no per-invocation training.
+    * Same oracle text as t33 — BpeSpec pins them row-for-row, so the
+    * fold-under-stored-merges path provably reproduces the trained word
+    * table. */
+  def bpeTokensStored(s: SparkSession, dir: String): DataFrame =
+    bpeTokensUnder(docs(s, dir), bpeMergesAt(s, bpeVocabPath(s, dir)))
 
   // --------------------------------------------------------------- multimodal
 
@@ -6304,6 +6382,9 @@ object Extensions {
         |FROM e""".stripMargin)),
 
     QuerySpec("t32_bpe_vocab", bpeVocab, Some(bpeVocabOracle)),
-    QuerySpec("t33_bpe_tokens", bpeTokens, Some(bpeTokensOracle))
+    QuerySpec("t33_bpe_tokens", bpeTokens, Some(bpeTokensOracle)),
+    // t34 shares t33's oracle text — the s05/s09 pattern: one SQL truth,
+    // two plans (retrain-per-call vs fold under the stored merge list).
+    QuerySpec("t34_bpe_tokens_stored", bpeTokensStored, Some(bpeTokensOracle))
   )
 }

@@ -58,6 +58,24 @@ class BpeSpec extends SparkSpec {
     assert(fin == Seq("aaaaa</w>"), s"exhausted word not fully fused: $fin")
   }
 
+  test("t34 off the stored tokenizer ≡ one-shot t33, and handles unseen words") {
+    val dir = sf("sf0.001")
+    assertSameRows(Extensions.bpeTokens(spark, dir),
+      Extensions.bpeTokensStored(spark, dir),
+      "stored-merge fold diverged from the trained word table")
+
+    // The frozen artifact tokenizes words the training corpus never saw
+    // — the property a stored word→seq table could not give.
+    val merges = Extensions.bpeMergesAt(spark,
+      Extensions.bpeVocabPath(spark, dir))
+    val unseen = Seq((99L, "zzqx")).toDF("doc_id", "text")
+    val out = Extensions.bpeTokensUnder(unseen, merges).head()
+    assert(out.getAs[Long]("n_ws_tokens") == 1L &&
+      out.getAs[Long]("n_bpe_tokens") >= 1L &&
+      out.getAs[Long]("n_bpe_tokens") <= 5L,
+      s"unseen word must tokenize under the frozen vocab: $out")
+  }
+
   test("t32/t33 free their checkpoints; t33 counts are bounded by chars") {
     val dir = sf("sf0.001")
     Extensions.bpeVocab(spark, dir).count() // warm any per-dir memos
