@@ -98,6 +98,9 @@ object CorpusService {
       * t28/t30): the trainer's sequence-packing spans over the
       * training-set manifest's train split. */
     val packManifest = s"$base/dedup/pack_manifest"
+    /** The maintained TOKENIZER artifact ([[refreshTokenizer]] — t32's
+      * rank-ordered merge list as service state). */
+    val bpeVocab = s"$base/dedup/bpe_vocab"
     /** The deletion tombstone set ([[deleteDocs]]): one doc_id per
       * deleted document, append-only. PERMANENT — the corpus store is
       * an append-only stream source that cannot be rewritten without
@@ -833,6 +836,46 @@ object CorpusService {
         graft.queries.Extensions.PackCap),
       p.packManifest)
 
+  /** Retrain the maintained TOKENIZER over the live corpus (minus
+    * tombstones — a takedown's text must stop shaping the vocab) and
+    * staged-swap the merge-list artifact. Retrain-CLASS, but unlike the
+    * quantizer a vocab epoch never invalidates anything: a FROZEN merge
+    * list stays correct for serving (unseen words still tokenize), so
+    * refresh tracks distribution drift only and nothing rebuilds.
+    * Rides the maintenance cadence in [[runScheduled]]. */
+  def refreshTokenizer(spark: SparkSession, p: Paths): Unit = {
+    import spark.implicits._
+    val corpus = dropTombstoned(spark, p,
+      graft.Tables.t(spark, p.base, "documents"), "doc_id")
+    val (merges, fin) = graft.queries.Extensions.bpeTrain(corpus)
+    graft.queries.Extensions.freeCkpt(fin)
+    graft.jobs.Warehouse.replaceReport(spark,
+      merges.toDF("rank", "lhs", "rhs", "pair_count")
+        .withColumn("merged", concat(col("lhs"), col("rhs")))
+        .coalesce(1),
+      p.bpeVocab)
+  }
+
+  /** Per-document BPE token counts under the FROZEN stored vocab —
+    * t33/t34's service twin and the unit every token-budget artifact
+    * (training-set manifest, pack manifest) would consume in subword
+    * truth rather than whitespace approximation. Reads the merge list
+    * from [[refreshTokenizer]]'s artifact (never retrains on the read
+    * path) and serves only live documents. Documents ingested AFTER the
+    * last refresh are covered — the frozen merge list tokenizes unseen
+    * words — which is exactly why the artifact stores merges, not a
+    * word table. */
+  def tokenCounts(spark: SparkSession, p: Paths): DataFrame = {
+    require(exists(spark, p.bpeVocab),
+      s"corpus service: no tokenizer artifact at ${p.bpeVocab} — run " +
+        "refreshTokenizer first (training is a maintenance event, not a " +
+        "read-path side effect)")
+    graft.queries.Extensions.bpeTokensUnder(
+      dropTombstoned(spark, p,
+        graft.Tables.t(spark, p.base, "documents"), "doc_id"),
+      graft.queries.Extensions.bpeMergesAt(spark, p.bpeVocab))
+  }
+
   /** Read the maintained pack manifest ([[refreshPackManifest]]).
     * Tombstoned docs are gated OUT immediately — a takedown between
     * delete and the next re-pack must not keep serving the doc's spans,
@@ -1546,6 +1589,7 @@ object CorpusService {
                    chunks: Boolean = false,
                    postings: Boolean = false,
                    pack: Boolean = false,
+                   tokenizer: Boolean = false,
                    splitAtClusterGrain: Boolean = false,
                    maxFilesPerTrigger: Option[Int] = None,
                    taskRetries: Int = 0,
@@ -1620,6 +1664,10 @@ object CorpusService {
             // appended doc; between re-packs the view's tombstone gate
             // keeps takedowns compliant).
             if (pack) refreshPackManifest(spark, p)
+            // The tokenizer rides the heavy-maintenance cadence too:
+            // retrain-class (word-grain cost), drift-tracking only — a
+            // stale-but-frozen vocab serves correctly between ticks.
+            if (tokenizer) refreshTokenizer(spark, p)
           }
         }
         next = next.plus(drainEvery)

@@ -76,6 +76,52 @@ class BpeSpec extends SparkSpec {
       s"unseen word must tokenize under the frozen vocab: $out")
   }
 
+  test("service tokenizer: served ≡ one-shot, frozen vocab covers growth, takedowns gate") {
+    import graft.streaming.CorpusService
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files.createTempDirectory("graft-bpe-svc").toString
+    val p = CorpusService.Paths(base)
+    val src = Tables.t(spark, sf("sf0.001"), "documents")
+    src.write.parquet(p.docs)
+
+    // Reading before any training is a refusal, not a hidden train.
+    intercept[IllegalArgumentException] {
+      CorpusService.tokenCounts(spark, p)
+    }
+
+    CorpusService.refreshTokenizer(spark, p)
+    assertSameRows(CorpusService.tokenCounts(spark, p),
+      Extensions.bpeTokens(spark, base),
+      "served token counts diverged from the one-shot t33")
+
+    // Growth between maintenance ticks: the FROZEN vocab already serves
+    // the new doc (unseen words tokenize) — no refresh needed for
+    // correctness.
+    Seq((900001L, "zzqx gluon zzqx", "xx", "synthetic", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Append).parquet(p.docs)
+    val grownRow = CorpusService.tokenCounts(spark, p)
+      .filter(col("doc_id") === 900001L).head()
+    assert(grownRow.getAs[Long]("n_ws_tokens") == 3L,
+      s"frozen vocab must cover post-refresh ingests: $grownRow")
+
+    // Takedown: served counts drop the doc immediately, and the next
+    // retrain must not let its text shape the vocab — the stored merge
+    // table equals a train over the corpus-without-the-doc.
+    CorpusService.deleteDocs(spark, p, Seq(900001L))
+    assert(CorpusService.tokenCounts(spark, p)
+      .filter(col("doc_id") === 900001L).count() == 0,
+      "tombstoned doc still served")
+    CorpusService.refreshTokenizer(spark, p)
+    val (mRef, fRef) = Extensions.bpeTrain(src)
+    Extensions.freeCkpt(fRef)
+    assertSameRows(
+      spark.read.parquet(p.bpeVocab)
+        .select(col("rank"), col("lhs"), col("rhs"), col("pair_count")),
+      mRef.toDF("rank", "lhs", "rhs", "pair_count"),
+      "post-takedown retrain ≠ rebuild-without-the-doc")
+  }
+
   test("t32/t33 free their checkpoints; t33 counts are bounded by chars") {
     val dir = sf("sf0.001")
     Extensions.bpeVocab(spark, dir).count() // warm any per-dir memos
