@@ -4142,6 +4142,18 @@ object Extensions {
   def bpeTokensStored(s: SparkSession, dir: String): DataFrame =
     bpeTokensUnder(docs(s, dir), bpeMergesAt(s, bpeVocabPath(s, dir)))
 
+  /** t35: sequence packing in SUBWORD truth — t28's block-hierarchical
+    * packer driven by the stored tokenizer's counts instead of
+    * whitespace counts. A trainer's context window is measured in
+    * TOKENS, so the real pack boundaries come from the tokenizer; the
+    * whitespace-count manifest (t28) is the approximation a pipeline
+    * runs only before it has a vocab. Composition, no new shuffle
+    * shape: frozen-merge fold over distinct words → broadcast join →
+    * per-doc agg → the same prefix-sum packer. */
+  def bpePacks(s: SparkSession, dir: String): DataFrame =
+    packSpans(bpeTokensStored(s, dir)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_toks")), PackCap)
+
   // --------------------------------------------------------------- multimodal
 
   /** m01: multimodal binary-column plumbing — text re-encoded as an opaque
@@ -4814,6 +4826,17 @@ object Extensions {
          |FROM docw d JOIN w$BpeRounds ww ON ww.word = d.word
          |WHERE d.word <> ''
          |GROUP BY d.doc_id""".stripMargin
+
+  private val bpePacksOracle: String =
+    bpeCtes(BpeRounds) +
+      s""",
+         |docw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |pd AS (
+         |  SELECT d.doc_id, CAST(sum(len(ww.seq)) AS BIGINT) AS n_toks
+         |  FROM docw d JOIN w$BpeRounds ww ON ww.word = d.word
+         |  WHERE d.word <> '' GROUP BY d.doc_id),
+         |""".stripMargin + packSqlTail
 
   // ------------------------------------------------------------------- specs
 
@@ -6385,6 +6408,7 @@ object Extensions {
     QuerySpec("t33_bpe_tokens", bpeTokens, Some(bpeTokensOracle)),
     // t34 shares t33's oracle text — the s05/s09 pattern: one SQL truth,
     // two plans (retrain-per-call vs fold under the stored merge list).
-    QuerySpec("t34_bpe_tokens_stored", bpeTokensStored, Some(bpeTokensOracle))
+    QuerySpec("t34_bpe_tokens_stored", bpeTokensStored, Some(bpeTokensOracle)),
+    QuerySpec("t35_bpe_packs", bpePacks, Some(bpePacksOracle))
   )
 }
