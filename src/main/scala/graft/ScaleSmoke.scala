@@ -79,7 +79,16 @@ object ScaleSmoke {
     // t28's block-hierarchical prefix sum bounds every window partition
     // at blockDocs rows — expect ~linear in the manifest rows it emits,
     // with no single-partition window cliff for the exponent to expose.
-    "t28_pack_manifest")
+    "t28_pack_manifest",
+    // t32's only corpus-grain stage is the word-frequency hash agg; the
+    // 12 merge rounds run at word grain, and the synthetic corpus's
+    // vocabulary is FIXED (~31 words), so the word table doesn't grow
+    // at 10× — expect well below linear, the Heaps-law claim at its
+    // degenerate extreme. t34 reads the stored merges (memo-amortized
+    // like s17's index) and folds the same fixed distinct-word set:
+    // its corpus-grain work is one broadcast join + agg, ~linear at
+    // most in the explode.
+    "t32_bpe_vocab", "t34_bpe_tokens_stored")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

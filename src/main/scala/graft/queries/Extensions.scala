@@ -4118,8 +4118,22 @@ object Extensions {
     * retrains — and it handles unseen words, which is why the artifact
     * stores merges and not a word table. */
   private[graft] def bpeTokensUnder(d: DataFrame,
-                                    merges: Seq[(String, String)]): DataFrame = {
-    val occ = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+                                    merges: Seq[(String, String)]): DataFrame =
+    bpeOccCounts(d, merges)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ws_tokens"), sum(col("n_sub")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        ppm(col("n_bpe_tokens"), col("n_ws_tokens")).as("bpe_per_word_ppm"))
+
+  /** Word occurrences of `d` carrying their per-word subword count
+    * under `merges`: the distinct words fold once, occurrences
+    * broadcast-join the result — the shared corpus pass under every
+    * frozen-vocab consumer (t34's doc grain, t36's lang grain). */
+  private def bpeOccCounts(d: DataFrame,
+                           merges: Seq[(String, String)]): DataFrame = {
+    val keys = col("doc_id") +:
+      (if (d.columns.contains("lang")) Seq(col("lang")) else Nil)
+    val occ = d.select(keys :+ explode(split(col("text"), " ")).as("word"): _*)
       .filter(col("word") =!= "")
     val init = expr(
       "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))")
@@ -4127,10 +4141,6 @@ object Extensions {
     val perWord = occ.select(col("word")).distinct()
       .select(col("word"), size(folded).cast("long").as("n_sub"))
     occ.join(broadcast(perWord), "word")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_ws_tokens"), sum(col("n_sub")).as("n_bpe_tokens"))
-      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
-        ppm(col("n_bpe_tokens"), col("n_ws_tokens")).as("bpe_per_word_ppm"))
   }
 
   /** t34: BPE token counting OFF THE STORED TOKENIZER — t33's serving
@@ -4141,6 +4151,20 @@ object Extensions {
     * table. */
   def bpeTokensStored(s: SparkSession, dir: String): DataFrame =
     bpeTokensUnder(docs(s, dir), bpeMergesAt(s, bpeVocabPath(s, dir)))
+
+  /** t36: tokenizer FERTILITY by language — subwords-per-word under the
+    * stored vocab, the standard tokenizer-quality audit: a language
+    * whose fertility spikes is under-merged (its scripts never won a
+    * merge round) and pays more context budget per word, which is the
+    * number vocab-size and data-mixture decisions are actually made on.
+    * Same frozen-vocab serving pass as t34, aggregated at (lang) grain
+    * — |langs| output rows. */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame =
+    bpeOccCounts(docs(s, dir), bpeMergesAt(s, bpeVocabPath(s, dir)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .select(col("lang"), col("n_words"), col("n_subwords"),
+        ppm(col("n_subwords"), col("n_words")).as("fertility_ppm"))
 
   /** t35: sequence packing in SUBWORD truth — t28's block-hierarchical
     * packer driven by the stored tokenizer's counts instead of
@@ -4837,6 +4861,19 @@ object Extensions {
          |  FROM docw d JOIN w$BpeRounds ww ON ww.word = d.word
          |  WHERE d.word <> '' GROUP BY d.doc_id),
          |""".stripMargin + packSqlTail
+
+  private val bpeFertilityOracle: String =
+    bpeCtes(BpeRounds) +
+      s""",
+         |docw AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(ww.seq)) AS BIGINT) AS n_subwords,
+         |  (CAST(sum(len(ww.seq)) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS fertility_ppm
+         |FROM docw d JOIN w$BpeRounds ww ON ww.word = d.word
+         |WHERE d.word <> ''
+         |GROUP BY lang""".stripMargin
 
   // ------------------------------------------------------------------- specs
 
@@ -6409,6 +6446,7 @@ object Extensions {
     // t34 shares t33's oracle text — the s05/s09 pattern: one SQL truth,
     // two plans (retrain-per-call vs fold under the stored merge list).
     QuerySpec("t34_bpe_tokens_stored", bpeTokensStored, Some(bpeTokensOracle)),
-    QuerySpec("t35_bpe_packs", bpePacks, Some(bpePacksOracle))
+    QuerySpec("t35_bpe_packs", bpePacks, Some(bpePacksOracle)),
+    QuerySpec("t36_bpe_fertility", bpeFertility, Some(bpeFertilityOracle))
   )
 }

@@ -828,13 +828,26 @@ object CorpusService {
     * sees a half-written manifest. Scale: the read partition-prunes to
     * split=train, and the only corpus-grain step is packSpans'
     * block-hierarchical prefix sum — no single-partition window. */
-  def refreshPackManifest(spark: SparkSession, p: Paths): Unit =
+  def refreshPackManifest(spark: SparkSession, p: Paths,
+                          subword: Boolean = false): Unit = {
+    val train = trainingSetView(spark, p).filter(col("split") === "train")
+    // subword = pack in TOKENIZER truth (t35 as maintained state): span
+    // arithmetic runs over the stored vocab's per-doc counts instead of
+    // the manifest's whitespace counts — the units the trainer's
+    // context window actually measures. Requires a tokenizer artifact;
+    // runScheduled orders refreshTokenizer before the re-pack.
+    val pd =
+      if (subword)
+        train.select("doc_id").join(
+          tokenCounts(spark, p)
+            .select(col("doc_id"), col("n_bpe_tokens").as("n_toks")),
+          "doc_id")
+      else train.select("doc_id", "n_toks")
     graft.jobs.Warehouse.replaceReport(spark,
-      graft.queries.Extensions.packSpans(
-        trainingSetView(spark, p).filter(col("split") === "train")
-          .select("doc_id", "n_toks"),
+      graft.queries.Extensions.packSpans(pd,
         graft.queries.Extensions.PackCap),
       p.packManifest)
+  }
 
   /** Retrain the maintained TOKENIZER over the live corpus (minus
     * tombstones — a takedown's text must stop shaping the vocab) and
@@ -1663,11 +1676,13 @@ object CorpusService {
             // re-pack per manifest tick would churn every span for one
             // appended doc; between re-packs the view's tombstone gate
             // keeps takedowns compliant).
-            if (pack) refreshPackManifest(spark, p)
             // The tokenizer rides the heavy-maintenance cadence too:
             // retrain-class (word-grain cost), drift-tracking only — a
-            // stale-but-frozen vocab serves correctly between ticks.
+            // stale-but-frozen vocab serves correctly between ticks. It
+            // refreshes BEFORE the re-pack so a tokenizer-enabled
+            // service packs in subword truth from the first tick.
             if (tokenizer) refreshTokenizer(spark, p)
+            if (pack) refreshPackManifest(spark, p, subword = tokenizer)
           }
         }
         next = next.plus(drainEvery)

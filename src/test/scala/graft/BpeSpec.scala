@@ -122,6 +122,35 @@ class BpeSpec extends SparkSpec {
       "post-takedown retrain ≠ rebuild-without-the-doc")
   }
 
+  test("subword pack manifest: conserves BPE tokens, tiles exactly full packs") {
+    import graft.streaming.CorpusService
+    val src = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-bpe-pack").toString
+    val p = CorpusService.Paths(base)
+    Tables.t(spark, src, "documents").select("doc_id", "text", "lang")
+      .write.parquet(p.docs)
+    Tables.t(spark, src, "embeddings").write.parquet(p.embeddings)
+    CorpusService.trainQuantizer(spark, p)
+    CorpusService.drainAvailable(spark, p)
+    CorpusService.refreshTrainingSet(spark, p)
+    CorpusService.refreshTokenizer(spark, p)
+    CorpusService.refreshPackManifest(spark, p, subword = true)
+
+    val m = CorpusService.packManifestView(spark, p)
+    val train = CorpusService.trainingSetView(spark, p)
+      .filter(col("split") === "train").select("doc_id")
+    val wantToks = CorpusService.tokenCounts(spark, p)
+      .join(train, "doc_id").agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(m.agg(sum("span_toks")).head().getLong(0) == wantToks,
+      "subword manifest must conserve every BPE token of the train split")
+    val lastPack = m.agg(max("pack_id")).head().getLong(0)
+    val short = m.groupBy("pack_id").agg(sum("span_toks").as("w"))
+      .filter(col("w") =!= Extensions.PackCap)
+      .filter(col("pack_id") =!= lastPack)
+    assert(short.count() == 0,
+      "every pack but the last must be exactly full in subword units")
+  }
+
   test("t32/t33 free their checkpoints; t33 counts are bounded by chars") {
     val dir = sf("sf0.001")
     Extensions.bpeVocab(spark, dir).count() // warm any per-dir memos
