@@ -4166,6 +4166,41 @@ object Extensions {
       .select(col("lang"), col("n_words"), col("n_subwords"),
         ppm(col("n_subwords"), col("n_words")).as("fertility_ppm"))
 
+  /** t37: Count-Min-Sketch heavy hitters — the second SKETCH-family
+    * operator (q17's HLL counts distincts; CMS counts frequencies):
+    * token frequencies estimated from a d×w = 4×256 integer table that
+    * never grows with the corpus, which is what a streaming ingest
+    * monitor keeps per shard where the exact t08 agg would keep the
+    * whole vocabulary. The estimate is min over d md5-bucketed rows
+    * (never an undercount); the report carries the exact count next to
+    * it so the overestimate is auditable, and keeps tokens whose
+    * ESTIMATE clears total/50 — the sketch, not the oracle, makes the
+    * cut, exactly as it would online. Exact-integer md5 bucketing =
+    * hash-identical DuckDB twin. Scale: one 4×-exploded hash agg builds
+    * the sketch; candidates probe it by BROADCAST (1024 rows). */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val D = 4
+    val occ = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    def bucket(jc: Column, tok: Column): Column =
+      pmod(h32(concat(jc.cast("string"), lit(":"), tok)), lit(256L))
+    val rows = occ.select(col("tok"), explode(lit((0 until D).toArray)).as("j"))
+      .select(col("j"), bucket(col("j"), col("tok")).as("b"))
+    val sketch = rows.groupBy("j", "b").agg(count(lit(1)).as("c"))
+    val total = occ.agg(count(lit(1)).as("t"))
+    val cand = occ.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+    cand.select(col("tok"), col("exact_count"),
+        explode(lit((0 until D).toArray)).as("j"))
+      .withColumn("b", bucket(col("j"), col("tok")))
+      .join(broadcast(sketch), Seq("j", "b"))
+      .groupBy("tok", "exact_count").agg(min(col("c")).as("est_count"))
+      .crossJoin(broadcast(total))
+      .filter(col("est_count") >= idiv(col("t"), lit(50L)))
+      .select(col("tok"), col("est_count"), col("exact_count"),
+        (col("est_count") - col("exact_count")).as("overcount"))
+  }
+
   /** t35: sequence packing in SUBWORD truth — t28's block-hierarchical
     * packer driven by the stored tokenizer's counts instead of
     * whitespace counts. A trainer's context window is measured in
@@ -4874,6 +4909,30 @@ object Extensions {
          |FROM docw d JOIN w$BpeRounds ww ON ww.word = d.word
          |WHERE d.word <> ''
          |GROUP BY lang""".stripMargin
+
+  private val cmsOracle: String =
+    """WITH occ AS (
+      |  SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |                   FROM documents) WHERE tok <> ''),
+      |rb AS (
+      |  SELECT tok, j,
+      |         ('0x' || substr(md5(j || ':' || tok), 1, 8))::BIGINT % 256 AS b
+      |  FROM occ, UNNEST(range(0, 4)) u(j)),
+      |sketch AS (SELECT j, b, CAST(count(*) AS BIGINT) AS c FROM rb GROUP BY 1, 2),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM occ),
+      |cand AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+      |         FROM occ GROUP BY 1),
+      |probes AS (
+      |  SELECT tok, exact_count, j,
+      |         ('0x' || substr(md5(j || ':' || tok), 1, 8))::BIGINT % 256 AS b
+      |  FROM cand, UNNEST(range(0, 4)) u(j)),
+      |est AS (
+      |  SELECT p.tok, p.exact_count, min(s.c) AS est_count
+      |  FROM probes p JOIN sketch s ON s.j = p.j AND s.b = p.b
+      |  GROUP BY 1, 2)
+      |SELECT tok, est_count, exact_count,
+      |       est_count - exact_count AS overcount
+      |FROM est, tot WHERE est_count >= t // 50""".stripMargin
 
   // ------------------------------------------------------------------- specs
 
@@ -6447,6 +6506,7 @@ object Extensions {
     // two plans (retrain-per-call vs fold under the stored merge list).
     QuerySpec("t34_bpe_tokens_stored", bpeTokensStored, Some(bpeTokensOracle)),
     QuerySpec("t35_bpe_packs", bpePacks, Some(bpePacksOracle)),
-    QuerySpec("t36_bpe_fertility", bpeFertility, Some(bpeFertilityOracle))
+    QuerySpec("t36_bpe_fertility", bpeFertility, Some(bpeFertilityOracle)),
+    QuerySpec("t37_cms_heavy_hitters", cmsHeavyHitters, Some(cmsOracle))
   )
 }

@@ -594,4 +594,41 @@ class PlanSpec extends SparkSpec {
       l.contains("graft-annidx") && l.contains("FileScan")),
       s"t27 does not read the stored index:\n$p")
   }
+
+  test("t34 joins its per-word subword counts by broadcast only") {
+    // The fold runs over DISTINCT words (Heaps-law small); occurrences
+    // take the counts back via broadcast — a sort-merge join here would
+    // shuffle the whole token stream on the Zipfian word key. The merge
+    // list itself is driver-side config (collected, ~rounds rows), so
+    // no corpus-grain work depends on it.
+    val p = planOf(graft.queries.Extensions.bpeTokensStored(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"t34 has no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"t34 shuffles the token stream on the word key:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"t34 plans a non-equi join:\n$p")
+  }
+
+  test("t35 packs in subword truth: broadcast joins only, doc window at blk grain") {
+    // t28's packer contract must survive the BPE composition: the only
+    // unpartitioned window runs at BLOCK grain (n/4096 rows — the top
+    // level of the two-level prefix sum), the doc-grain window is
+    // partitioned by blk, the block offsets and per-word counts come
+    // back by broadcast, and nothing falls back to a shuffle or
+    // non-equi join.
+    val p = planOf(graft.queries.Extensions.bpePacks(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"t35 has no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"t35 shuffles a corpus-grain join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"t35 plans a non-equi join:\n$p")
+    val docGrainWindows = p.linesIterator.count(l =>
+      l.contains("Window") && l.contains("doc_id"))
+    val partitionedByBlk = p.linesIterator.count(l =>
+      l.contains("Window") && l.contains("doc_id") && l.contains("[blk"))
+    assert(docGrainWindows == partitionedByBlk,
+      s"t35 has a doc-grain window not partitioned by blk:\n$p")
+  }
 }
