@@ -4178,21 +4178,34 @@ object Extensions {
     * cut, exactly as it would online. Exact-integer md5 bucketing =
     * hash-identical DuckDB twin. Scale: one 4×-exploded hash agg builds
     * the sketch; candidates probe it by BROADCAST (1024 rows). */
+  /** CMS geometry: depth 4 rows × width 256 buckets. */
+  private[graft] val CmsDepth = 4
+
+  private[graft] def cmsBucket(jc: Column, tok: Column): Column =
+    pmod(h32(concat(jc.cast("string"), lit(":"), tok)), lit(256L))
+
+  /** The (j, b, c) partial sketch of a docs frame. CMS is a LINEAR
+    * sketch: partial sketches of disjoint doc sets SUM to the union's
+    * sketch row-for-row, which is exactly what lets every shard (or
+    * every service drain) keep a 4×256 table and the monitor merge
+    * them — the property CorpusService.refreshTokenSketch builds on. */
+  private[graft] def cmsSketchOf(d: DataFrame): DataFrame =
+    d.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("tok"), explode(lit((0 until CmsDepth).toArray)).as("j"))
+      .select(col("j"), cmsBucket(col("j"), col("tok")).as("b"))
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+
   def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val D = 4
     val occ = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-    def bucket(jc: Column, tok: Column): Column =
-      pmod(h32(concat(jc.cast("string"), lit(":"), tok)), lit(256L))
-    val rows = occ.select(col("tok"), explode(lit((0 until D).toArray)).as("j"))
-      .select(col("j"), bucket(col("j"), col("tok")).as("b"))
-    val sketch = rows.groupBy("j", "b").agg(count(lit(1)).as("c"))
+    val sketch = cmsSketchOf(docs(s, dir))
     val total = occ.agg(count(lit(1)).as("t"))
     val cand = occ.groupBy("tok").agg(count(lit(1)).as("exact_count"))
     cand.select(col("tok"), col("exact_count"),
-        explode(lit((0 until D).toArray)).as("j"))
-      .withColumn("b", bucket(col("j"), col("tok")))
+        explode(lit((0 until CmsDepth).toArray)).as("j"))
+      .withColumn("b", cmsBucket(col("j"), col("tok")))
       .join(broadcast(sketch), Seq("j", "b"))
       .groupBy("tok", "exact_count").agg(min(col("c")).as("est_count"))
       .crossJoin(broadcast(total))

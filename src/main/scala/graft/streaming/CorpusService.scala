@@ -101,6 +101,11 @@ object CorpusService {
     /** The maintained TOKENIZER artifact ([[refreshTokenizer]] — t32's
       * rank-ordered merge list as service state). */
     val bpeVocab = s"$base/dedup/bpe_vocab"
+    /** The maintained token-frequency CMS log ([[refreshTokenSketch]]):
+      * one append-only table holding BOTH each drain's partial sketch
+      * rows and its processed doc ids, so one parquet append commits
+      * them together — no two-append crash window to replay-converge. */
+    val cmsLog = s"$base/dedup/cms_log"
     /** The deletion tombstone set ([[deleteDocs]]): one doc_id per
       * deleted document, append-only. PERMANENT — the corpus store is
       * an append-only stream source that cannot be rewritten without
@@ -889,6 +894,63 @@ object CorpusService {
       graft.queries.Extensions.bpeMergesAt(spark, p.bpeVocab))
   }
 
+  /** Sketch the not-yet-sketched documents into the maintained CMS log —
+    * t37's monitor as service state. CMS is a LINEAR sketch: each
+    * drain's partial (j, b, c) table sums with the others to the
+    * full-corpus sketch ROW-FOR-ROW (the identity BpeSpec's sibling,
+    * CmsSpec, pins), so the per-drain cost is O(batch) and the merged
+    * view never re-reads old text — the same stored-vs-recompute move
+    * as s08/t27/t34, but for the monitoring plane. Exactly-once by
+    * construction rather than by replay convergence: the partial sketch
+    * rows and the batch's doc ids land in ONE append (kind-tagged rows
+    * in one log), so a crashed refresh either committed both or
+    * neither. Tombstones are NOT subtracted — the sketch is a
+    * frequency MONITOR over everything ever ingested (CMS being linear,
+    * a purge COULD append the negative partial; a takedown's obligation
+    * is on the serving/training artifacts, which all gate). */
+  def refreshTokenSketch(spark: SparkSession, p: Paths): Unit = {
+    val docsF = graft.Tables.t(spark, p.base, "documents")
+      .select("doc_id", "text")
+    val batch =
+      if (exists(spark, p.cmsLog))
+        docsF.join(
+          spark.read.parquet(p.cmsLog).filter(col("kind") === "seen")
+            .select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else docsF
+    if (batch.isEmpty) return
+    val partial = graft.queries.Extensions.cmsSketchOf(batch)
+      .select(lit("cms").as("kind"), lit(null).cast("long").as("doc_id"),
+        col("j"), col("b"), col("c"))
+    val seen = batch.select(lit("seen").as("kind"), col("doc_id"),
+      lit(null).cast("int").as("j"), lit(null).cast("long").as("b"),
+      lit(null).cast("long").as("c"))
+    partial.unionByName(seen)
+      .write.mode(SaveMode.Append).parquet(p.cmsLog)
+  }
+
+  /** The merged full-corpus sketch: sum of every drain's partial — 4×256
+    * rows at most, regardless of corpus size. */
+  def tokenSketchView(spark: SparkSession, p: Paths): DataFrame =
+    spark.read.parquet(p.cmsLog).filter(col("kind") === "cms")
+      .groupBy("j", "b").agg(sum(col("c")).as("c"))
+
+  /** Point-frequency estimates for requested tokens off the maintained
+    * sketch — the CMS read path: never touches the corpus, min over the
+    * 4 bucket rows, an empty bucket reads as 0 (a never-seen token can
+    * estimate 0; estimates never undercount). */
+  def tokenFreqEstimate(spark: SparkSession, p: Paths,
+                        toks: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val E = graft.queries.Extensions
+    toks.toDF("tok")
+      .select(col("tok"), explode(lit((0 until E.CmsDepth).toArray)).as("j"))
+      .withColumn("b", E.cmsBucket(col("j"), col("tok")))
+      .join(broadcast(tokenSketchView(spark, p)), Seq("j", "b"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+  }
+
   /** Read the maintained pack manifest ([[refreshPackManifest]]).
     * Tombstoned docs are gated OUT immediately — a takedown between
     * delete and the next re-pack must not keep serving the doc's spans,
@@ -1603,6 +1665,7 @@ object CorpusService {
                    postings: Boolean = false,
                    pack: Boolean = false,
                    tokenizer: Boolean = false,
+                   sketch: Boolean = false,
                    splitAtClusterGrain: Boolean = false,
                    maxFilesPerTrigger: Option[Int] = None,
                    taskRetries: Int = 0,
@@ -1635,6 +1698,10 @@ object CorpusService {
           refreshTrainingSet(spark, p, decontaminate,
             excludeContaminated = contaminationRef.isDefined,
             splitAtClusterGrain = splitAtClusterGrain)
+          // The frequency monitor rides EVERY drain (O(batch): a
+          // partial sketch of just-arrived docs), unlike the
+          // maintenance-cadence artifacts below.
+          if (sketch) refreshTokenSketch(spark, p)
         }
         ticks += 1
         if (maintainEvery > 0 && ticks % maintainEvery == 0) {
