@@ -122,6 +122,72 @@ class BpeSpec extends SparkSpec {
       "post-takedown retrain ≠ rebuild-without-the-doc")
   }
 
+  /** Reference implementation: naive driver-side Sennrich BPE — per
+    * round, count adjacent pairs weighted by word frequency, take the
+    * (count desc, (l, r) lexical) argmax, apply leftmost
+    * non-overlapping via an explicit index scan. The distributed
+    * trainer must match this EXACTLY, merges and final sequences both. */
+  private def refBpe(words: Map[String, Long], rounds: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Seq[String]]) = {
+    var seqs: Map[String, Seq[String]] =
+      words.keys.map(w => w -> (w.map(_.toString) :+ "</w>")).toMap
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= rounds && !done) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, seq) <- seqs; i <- 0 until seq.length - 1)
+        counts((seq(i), seq(i + 1))) += words(w)
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((k, l, r, c))
+        seqs = seqs.map { case (w, seq) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < seq.length) {
+            if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += seq(i); i += 1 }
+          }
+          w -> out.toSeq
+        }
+        k += 1
+      }
+    }
+    (merges.toSeq, seqs)
+  }
+
+  test("bpeTrain ≡ the reference implementation on random run-heavy corpora") {
+    // Alphabet {a, b} with word lengths up to 7: maximal tie pressure on
+    // the argmax and long self-pair runs ('aaaaaaa') in the apply step —
+    // the two places a distributed reformulation could silently diverge.
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val vocab = Seq.fill(12)(
+        (1 to (1 + rng.nextInt(7))).map(_ => if (rng.nextBoolean()) "a" else "b")
+          .mkString).distinct
+      val docs = (0 until 4).map { i =>
+        (i.toLong, Seq.fill(25)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val d = docs.toDF("doc_id", "text")
+      val freqs = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (w, ws) => w -> ws.size.toLong }
+      val (refMerges, refSeqs) = refBpe(freqs, rounds = 8)
+
+      val (merges, fin) = Extensions.bpeTrain(d, rounds = 8)
+      val got = fin.select(col("word"), col("seq")).as[(String, Seq[String])]
+        .collect().toMap
+      Extensions.freeCkpt(fin)
+      assert(merges == refMerges,
+        s"trial $trial: merge sequences diverged\n got=$merges\n ref=$refMerges")
+      assert(got == refSeqs,
+        s"trial $trial: final tokenizations diverged\n got=$got\n ref=$refSeqs")
+    }
+  }
+
   test("subword pack manifest: conserves BPE tokens, tiles exactly full packs") {
     import graft.streaming.CorpusService
     val src = sf("sf0.001")
