@@ -88,7 +88,14 @@ object ScaleSmoke {
     // like s17's index) and folds the same fixed distinct-word set:
     // its corpus-grain work is one broadcast join + agg, ~linear at
     // most in the explode.
-    "t32_bpe_vocab", "t34_bpe_tokens_stored")
+    "t32_bpe_vocab", "t34_bpe_tokens_stored",
+    // t35 composes t34's pass with t28's block-decomposed packer —
+    // expect the max of their exponents (~0.3); t37's sketch build is
+    // the one honestly linear stage (4× exploded hash agg over the
+    // token stream), with the estimate join constant (1024 rows) —
+    // expect ≤ ~0.5 at this scale where per-job overhead still
+    // dominates.
+    "t35_bpe_packs", "t37_cms_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
