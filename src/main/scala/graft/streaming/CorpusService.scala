@@ -99,8 +99,11 @@ object CorpusService {
       * training-set manifest's train split. */
     val packManifest = s"$base/dedup/pack_manifest"
     /** The maintained TOKENIZER artifact ([[refreshTokenizer]] — t32's
-      * rank-ordered merge list as service state). */
+      * rank-ordered merge list as service state) and its epoch meta
+      * (live doc count at the last train — [[maybeRefreshTokenizer]]'s
+      * growth anchor, the quantMeta pattern). */
     val bpeVocab = s"$base/dedup/bpe_vocab"
+    val bpeVocabMeta = s"$base/dedup/bpe_vocab_meta"
     /** The maintained token-frequency CMS log ([[refreshTokenSketch]]):
       * one append-only table holding BOTH each drain's partial sketch
       * rows and its processed doc ids, so one parquet append commits
@@ -872,6 +875,36 @@ object CorpusService {
         .withColumn("merged", concat(col("lhs"), col("rhs")))
         .coalesce(1),
       p.bpeVocab)
+    Seq(liveDocCount(spark, p)).toDF("trained_count")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.bpeVocabMeta)
+  }
+
+  private def liveDocCount(spark: SparkSession, p: Paths): Long =
+    dropTombstoned(spark, p,
+      graft.Tables.t(spark, p.base, "documents").select("doc_id"),
+      "doc_id").count()
+
+  /** The GROWTH-KEYED tokenizer refresh — what actually rides the
+    * maintenance cadence. [[refreshTokenizer]]'s word agg re-reads the
+    * whole corpus, so unconditionally retraining every tick is exactly
+    * the recompute-per-invocation shape this engine exists to avoid; a
+    * vocab only needs retraining when the distribution has had room to
+    * move, and a FROZEN vocab stays correct meanwhile (unseen words
+    * tokenize). Trains on first call; retrains when the live doc count
+    * clears factor × the count at the last train (the quantizer's
+    * grown() rule, with a lower default because a vocab drifts with
+    * content, not just size); no-ops otherwise. Returns whether it
+    * trained. */
+  def maybeRefreshTokenizer(spark: SparkSession, p: Paths,
+                            factor: Double = 1.25): Boolean = {
+    val retrain =
+      if (!exists(spark, p.bpeVocab) || !exists(spark, p.bpeVocabMeta)) true
+      else {
+        val trained = spark.read.parquet(p.bpeVocabMeta).head().getLong(0)
+        trained > 0 && liveDocCount(spark, p) >= factor * trained
+      }
+    if (retrain) refreshTokenizer(spark, p)
+    retrain
   }
 
   /** Per-document BPE token counts under the FROZEN stored vocab —
@@ -1743,12 +1776,14 @@ object CorpusService {
             // re-pack per manifest tick would churn every span for one
             // appended doc; between re-packs the view's tombstone gate
             // keeps takedowns compliant).
-            // The tokenizer rides the heavy-maintenance cadence too:
-            // retrain-class (word-grain cost), drift-tracking only — a
-            // stale-but-frozen vocab serves correctly between ticks. It
-            // refreshes BEFORE the re-pack so a tokenizer-enabled
-            // service packs in subword truth from the first tick.
-            if (tokenizer) refreshTokenizer(spark, p)
+            // The tokenizer rides the heavy-maintenance cadence too,
+            // GROWTH-KEYED (train on first tick, retrain at 1.25× the
+            // trained corpus) — a stale-but-frozen vocab serves
+            // correctly between retrains, so unconditional per-tick
+            // retraining would be pure recompute. Runs BEFORE the
+            // re-pack so a tokenizer-enabled service packs in subword
+            // truth from the first tick.
+            if (tokenizer) maybeRefreshTokenizer(spark, p)
             if (pack) refreshPackManifest(spark, p, subword = tokenizer)
           }
         }

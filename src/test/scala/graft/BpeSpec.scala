@@ -188,6 +188,38 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer refresh is growth-keyed: first-tick train, no-op, 1.25x retrain") {
+    import graft.streaming.CorpusService
+    import org.apache.spark.sql.SaveMode
+    val src = Tables.t(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-bpe-grow").toString
+    val p = CorpusService.Paths(base)
+    src.limit(400).write.parquet(p.docs)
+
+    assert(CorpusService.maybeRefreshTokenizer(spark, p),
+      "first maintenance tick must train")
+    val v1 = spark.read.parquet(p.bpeVocab).collect().toSet
+
+    // +10% growth: below the 1.25× key — the tick must NOT re-read the
+    // corpus; the artifact stays byte-identical.
+    src.filter(col("doc_id") >= 400 && col("doc_id") < 440)
+      .write.mode(SaveMode.Append).parquet(p.docs)
+    assert(!CorpusService.maybeRefreshTokenizer(spark, p),
+      "a sub-threshold tick retrained")
+    assert(spark.read.parquet(p.bpeVocab).collect().toSet == v1,
+      "no-op tick changed the artifact")
+
+    // Clear 1.25×: retrain fires and the meta re-anchors (so the NEXT
+    // tick is a no-op again).
+    src.filter(col("doc_id") >= 440)
+      .write.mode(SaveMode.Append).parquet(p.docs)
+    assert(CorpusService.maybeRefreshTokenizer(spark, p),
+      "a 1.25x-grown tick did not retrain")
+    assert(!CorpusService.maybeRefreshTokenizer(spark, p),
+      "the re-anchored meta did not absorb the growth")
+  }
+
   test("subword pack manifest: conserves BPE tokens, tiles exactly full packs") {
     import graft.streaming.CorpusService
     val src = sf("sf0.001")
