@@ -392,6 +392,39 @@ object Parity {
       .agg(countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
 
+  /** q35: point-in-interval RANGE JOIN via bucket decomposition — the
+    * error "blast radius": every non-error event of a user falling
+    * inside the 10 minutes after one of that user's errors, paired with
+    * its error and the exact gap. The non-equi time condition defeats
+    * hash joins, so Spark's planner would run |errors| × |events| per
+    * user as a nested loop; the scale form decomposes each window into
+    * the ≤ 2 fixed-width time buckets it overlaps (a narrow explode),
+    * equi-joins on (user_id, bucket), and runs the exact interval test
+    * at candidate grain — candidate volume is bounded by per-bucket
+    * density, never the pairwise product. The oracle states the naive
+    * BETWEEN join; PlanSpec pins that the Spark plan contains no
+    * nested-loop join. Gap arithmetic at microsecond grain
+    * (unix_micros ↔ epoch_us) — whole-second truncation differs across
+    * engines when fractional seconds straddle. */
+  def rangeJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val W = 600L * 1000000L // 10 minutes in microseconds
+    val e = Tables.t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val errs = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("us").as("err_us"))
+      .withColumn("bkt", explode(array_distinct(array(
+        Portable.idiv(col("err_us"), lit(W)),
+        Portable.idiv(col("err_us") + lit(W), lit(W))))))
+    e.filter(col("event_type") =!= "error")
+      .withColumn("bkt", Portable.idiv(col("us"), lit(W)))
+      .join(errs, Seq("user_id", "bkt"))
+      .filter(col("us") > col("err_us") && col("us") <= col("err_us") + lit(W))
+      .select(col("err_id"), col("event_id"), col("user_id"),
+        (col("us") - col("err_us")).as("gap_us"))
+  }
+
   /** As-of attribution: each click event matched to the latest view event
     * of the same user at-or-before the click (Joins.asOf — union + running
     * last-value, one shuffle, no range cross product). */
@@ -1112,6 +1145,18 @@ object Parity {
         |    CAST(row_number() OVER (PARTITION BY campaign_id
         |          ORDER BY n DESC, day ASC) AS INTEGER) AS day_rank
         |  FROM daily) t
-        |WHERE day_rank <= 3""".stripMargin))
+        |WHERE day_rank <= 3""".stripMargin)),
+
+    QuerySpec("q35_range_join", rangeJoinBucketed, Some(
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |err AS (SELECT event_id AS err_id, user_id, us AS err_us
+        |        FROM e WHERE event_type = 'error')
+        |SELECT err.err_id, p.event_id, p.user_id,
+        |       p.us - err.err_us AS gap_us
+        |FROM e p JOIN err
+        |  ON err.user_id = p.user_id
+        | AND p.us > err.err_us AND p.us <= err.err_us + 600000000
+        |WHERE p.event_type <> 'error'""".stripMargin))
   )
 }

@@ -595,6 +595,20 @@ class PlanSpec extends SparkSpec {
       s"t27 does not read the stored index:\n$p")
   }
 
+  test("q35's range join is an equi-join on (user, bucket) — no nested loop") {
+    // The naive BETWEEN join (the oracle's form) plans as a broadcast
+    // nested-loop: |errors| × |events| comparisons per user. The bucket
+    // decomposition exists to replace that with a hash-joinable key; if
+    // a regression lets the non-equi predicate back into the join
+    // condition, this pin catches the plan-shape change.
+    val p = planOf(Parity.rangeJoinBucketed(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q35 plans the pairwise nested loop the bucketing exists to avoid:\n$p")
+    assert(p.contains("Join") && (p.contains("user_id") && p.contains("bkt")),
+      s"q35 lost its (user_id, bkt) equi-join:\n$p")
+  }
+
   test("t34 joins its per-word subword counts by broadcast only") {
     // The fold runs over DISTINCT words (Heaps-law small); occurrences
     // take the counts back via broadcast — a sort-merge join here would
