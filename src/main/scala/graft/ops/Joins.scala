@@ -134,4 +134,31 @@ object Joins {
       }
       .drop(payload, "__kind")
   }
+
+  /** Point-in-interval RANGE JOIN via bucket decomposition: probe rows
+    * (key, t) against interval rows (key, lo, hi), keeping pairs with
+    * t ∈ (lo, hi]. The non-equi time predicate defeats hash joins —
+    * Spark plans the naive form as a broadcast nested loop — so each
+    * interval is exploded to every `bucket`-width bucket it overlaps
+    * (⌈(hi−lo)/bucket⌉+1 rows; pick bucket ≈ the typical interval so
+    * the fan-out stays ~2), the join runs as an EQUI-join on
+    * (key, bucket), and the exact interval test filters at candidate
+    * grain. Candidate volume is bounded by per-bucket density, never
+    * |probe| × |intervals| per key. Bucketing uses true floor division
+    * (pmod-corrected), so negative-domain axes (timestamps before the
+    * epoch, signed offsets) bucket correctly. Both inputs keep all
+    * their columns; collide-free naming is the caller's job (as with
+    * any join). */
+  def rangeJoin(probe: DataFrame, intervals: DataFrame, key: String,
+                t: String, lo: String, hi: String, bucket: Long): DataFrame = {
+    require(bucket > 0, "rangeJoin: bucket width must be positive")
+    def floorDiv(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(bucket))) / bucket).cast("long")
+    probe.withColumn("__bkt", floorDiv(col(t)))
+      .join(intervals.withColumn("__bkt",
+          explode(sequence(floorDiv(col(lo)), floorDiv(col(hi))))),
+        Seq(key, "__bkt"))
+      .filter(col(t) > col(lo) && col(t) <= col(hi))
+      .drop("__bkt")
+  }
 }

@@ -413,14 +413,9 @@ object Parity {
         unix_micros(col("ts")).as("us"))
     val errs = e.filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id"),
-        col("us").as("err_us"))
-      .withColumn("bkt", explode(array_distinct(array(
-        Portable.idiv(col("err_us"), lit(W)),
-        Portable.idiv(col("err_us") + lit(W), lit(W))))))
-    e.filter(col("event_type") =!= "error")
-      .withColumn("bkt", Portable.idiv(col("us"), lit(W)))
-      .join(errs, Seq("user_id", "bkt"))
-      .filter(col("us") > col("err_us") && col("us") <= col("err_us") + lit(W))
+        col("us").as("err_us"), (col("us") + lit(W)).as("err_hi"))
+    Joins.rangeJoin(e.filter(col("event_type") =!= "error"), errs,
+        key = "user_id", t = "us", lo = "err_us", hi = "err_hi", bucket = W)
       .select(col("err_id"), col("event_id"), col("user_id"),
         (col("us") - col("err_us")).as("gap_us"))
   }

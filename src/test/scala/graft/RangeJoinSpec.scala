@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.Joins
+import org.apache.spark.sql.functions._
+
+/** The bucketed point-in-interval range join (ops.Joins.rangeJoin) —
+  * differential-tested against the naive non-equi join it replaces, on
+  * random data chosen to hit the decomposition's edges: negative axis
+  * values (true floor division, not truncation), intervals spanning many
+  * buckets, zero-length intervals, and probes exactly on interval
+  * endpoints (t ∈ (lo, hi] boundary semantics).
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rangeJoin ≡ the naive non-equi join on random signed data") {
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val probes = (0 until 300).map(i =>
+        (i.toLong, rng.nextInt(5).toLong, rng.nextLong() % 10000L))
+        .toDF("pid", "k", "t")
+      val intervals = (0 until 60).map { i =>
+        val lo = rng.nextLong() % 10000L
+        // Spans from zero-length up to ~30 buckets at bucket = 250.
+        (i.toLong, rng.nextInt(5).toLong, lo, lo + rng.nextInt(3) * rng.nextInt(2500))
+      }.toDF("iid", "k", "lo", "hi")
+
+      val naive = probes.join(intervals, Seq("k"))
+        .filter(col("t") > col("lo") && col("t") <= col("hi"))
+        .select("pid", "iid")
+      val bucketed = Joins.rangeJoin(probes, intervals,
+          key = "k", t = "t", lo = "lo", hi = "hi", bucket = 250L)
+        .select("pid", "iid")
+      assertSameRows(bucketed, naive, s"trial $trial")
+    }
+  }
+
+  test("boundary semantics: lo excluded, hi included, across a bucket edge") {
+    val probes = Seq((1L, 0L, 1000L), (2L, 0L, 1001L), (3L, 0L, 2000L),
+      (4L, 0L, 2001L)).toDF("pid", "k", "t")
+    val intervals = Seq((9L, 0L, 1000L, 2000L)).toDF("iid", "k", "lo", "hi")
+    val got = Joins.rangeJoin(probes, intervals, "k", "t", "lo", "hi",
+        bucket = 512L)
+      .select("pid").as[Long].collect().toSet
+    assert(got == Set(2L, 3L), s"(lo, hi] semantics broken: $got")
+  }
+}
