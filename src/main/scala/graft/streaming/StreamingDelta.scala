@@ -107,6 +107,25 @@ object StreamingDelta {
     * event ids arriving within the watermark collapse to one row, and the
     * dedup state is dropped once the watermark passes (bounded memory —
     * a plain dropDuplicates on a stream would keep every id forever). */
+  /** Gap-based SESSION windows over an event-time stream — q16's
+    * sessionization (session_window, 30-minute gap) as a streaming
+    * aggregation: the state store MERGES events into open sessions
+    * across micro-batches (a session split over many batches is one
+    * row), and a session finalizes exactly once when the watermark
+    * passes its close (append mode — emitted sessions are immutable,
+    * the contract a downstream sink wants; no re-emit churn). The
+    * same (user_id, session) grain and output schema as the batch
+    * q16, so StreamingSpec can pin streamed ≡ batch over the same
+    * rows. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
                            tsCol: String, watermark: String = "1 hour")
       : DataFrame =

@@ -38,6 +38,43 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, want, "stream vs batch")
   }
 
+  test("streaming session windows merge across micro-batches and match batch q16") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val stream = ms.toDF().toDF("user_id", "ts")
+    val q = StreamingDelta.sessionCounts(stream, watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // One session split across TWO micro-batches (the state-merge
+      // claim), a second user interleaved, then a far-future flush
+      // event to push the watermark past every session's close.
+      ms.addData((1L, ts("2024-06-01 10:00:00")), (2L, ts("2024-06-01 10:05:00")))
+      q.processAllAvailable()
+      ms.addData((1L, ts("2024-06-01 10:20:00")), (1L, ts("2024-06-01 10:40:00")))
+      q.processAllAvailable()
+      ms.addData((99L, ts("2024-06-02 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // The flush event's own session is still open (never emitted);
+    // everything else must equal the BATCH session_window aggregation
+    // over the same rows — one row per session, counts merged across
+    // the batch split.
+    val closed = Seq(
+      (1L, ts("2024-06-01 10:00:00")), (2L, ts("2024-06-01 10:05:00")),
+      (1L, ts("2024-06-01 10:20:00")), (1L, ts("2024-06-01 10:40:00")))
+      .toDF("user_id", "ts")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+    assertSameRows(spark.table("sess_out"), closed,
+      "streamed sessions vs batch sessionization")
+    assert(spark.table("sess_out").filter(col("user_id") === 1L).count() == 1,
+      "a cross-batch session emitted as more than one row")
+  }
+
   test("foreachBatch upsert path delivers changed rows per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp)]
