@@ -153,7 +153,7 @@ object Joins {
                 t: String, lo: String, hi: String, bucket: Long): DataFrame = {
     require(bucket > 0, "rangeJoin: bucket width must be positive")
     def floorDiv(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(bucket))) / bucket).cast("long")
+      call_function("div", (c - pmod(c, lit(bucket))).cast("long"), lit(bucket))
     probe.withColumn("__bkt", floorDiv(col(t)))
       .join(intervals.withColumn("__bkt",
           explode(sequence(floorDiv(col(lo)), floorDiv(col(hi))))),

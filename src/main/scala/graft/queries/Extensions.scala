@@ -3697,12 +3697,23 @@ object Extensions {
   /** [[hardNegativesIndexed]] against an explicit index location — the
     * entry CorpusService.hardNegativesReport serves off its MAINTAINED
     * index (`dir` supplies the full vectors for the exact band
-    * scoring; the index supplies the cell membership). */
-  def hardNegativesAt(s: SparkSession, dir: String,
-                      indexPath: String): DataFrame =
-    hardNegativesFrom(
-      s.read.parquet(indexPath).select(col("cell"), col("vec_id")),
-      quantized(s, dir))
+    * scoring; the index supplies the cell membership). `dropIds` is the
+    * tombstone dial: deleted docs must appear neither as anchors nor as
+    * negatives in the exported training pairs, so the filter lands on
+    * BOTH the membership rows (candidate generation) and the quantized
+    * vector frame (scoring) — the same immediately-on-delete contract
+    * every other served surface honors. */
+  def hardNegativesAt(s: SparkSession, dir: String, indexPath: String,
+                      dropIds: Option[DataFrame] = None): DataFrame = {
+    val idx0 = s.read.parquet(indexPath).select(col("cell"), col("vec_id"))
+    val e0 = quantized(s, dir)
+    val (idx, e) = dropIds.fold((idx0, e0)) { d =>
+      val t = d.select(col(d.columns.head).as("vec_id"))
+      (idx0.join(t, Seq("vec_id"), "left_anti"),
+        e0.join(t, Seq("vec_id"), "left_anti"))
+    }
+    hardNegativesFrom(idx, e)
+  }
 
   /** The shared scoring core of t26 and its indexed twin, at ASSIGNMENT
     * grain: `assigned` is any (cell, vec_id) membership frame (recomputed

@@ -117,6 +117,13 @@ object CorpusService {
       * "new"). Thin: 8 bytes per deletion, read as one broadcast-grade
       * anti-join side. */
     val tombstones = s"$base/dedup/tombstones"
+    /** The purge WATERMARK: the distinct-tombstone count at the last
+      * purge that landed. Tombstones are permanent (they gate discovery
+      * forever), so without this anchor every maintenance tick after
+      * the first deletion would re-rewrite all ~17 stores despite
+      * nothing new to remove — the purge must be paid once per NEW
+      * deletion, not once per tick. */
+    val purgeMark = s"$base/dedup/purge_mark"
   }
 
   /** Train (or re-train, on corpus refresh) the semantic side's coarse
@@ -226,15 +233,20 @@ object CorpusService {
     * unchanged by the purge — the views' anti-joins simply stop finding
     * rows to drop (spec-pinned). Index sidecars are carried untouched:
     * like compaction, a purge is a file-layout operation; the epoch
-    * does not move. */
+    * does not move. A landed purge records the tombstone count it
+    * drained ([[Paths.purgeMark]]), so [[purgePending]] lets the
+    * maintenance loop skip ticks where no NEW deletion arrived — the
+    * rewrites really are paid once per deletion window, not once per
+    * tick forever after the first delete. */
   def purgeTombstoned(spark: SparkSession, p: Paths): Boolean = {
     val tomb = tombstoneView(spark, p).localCheckpoint()
+    val nTomb = tomb.count()
     def purge(path: String, keys: String*): Boolean =
       !exists(spark, path) ||
         graft.jobs.Warehouse.guardedRewrite(spark, path) { stage =>
           keys.foldLeft(spark.read.parquet(path))((d, k) =>
               d.join(tomb.select(col("doc_id").as(k)), Seq(k), "left_anti"))
-            .repartition(4)
+            .repartition(sizedParts(spark, path))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
         }
     // The serving indexes: filtered rewrite with the sidecars carried
@@ -278,6 +290,10 @@ object CorpusService {
       // refreshPackManifest re-packs hole-free — purge just stops the
       // spans' bytes from outliving the takedown).
       purge(p.packManifest, "doc_id") &&
+      // The training handoff payload: full clean_text rows — the purge
+      // MUST reach it or a takedown's bytes outlive the delete in the
+      // most sensitive store the service maintains.
+      purge(p.scrubbed, "doc_id") &&
       purgeIndex(p.annIndex, col("vec_id")) &&
       purgeIndex(p.chunkIndex, expr("CAST(vec_id div 4096 AS BIGINT)")) &&
       (!exists(spark, p.chunkPostings) ||
@@ -287,7 +303,7 @@ object CorpusService {
             .join(tomb.select(col("doc_id").as("__doc")), Seq("__doc"),
               "left_anti")
             .drop("__doc")
-            .repartition(4)
+            .repartition(sizedParts(spark, p.chunkPostings))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
         }) &&
       (!exists(spark, p.chunkVecs) ||
@@ -297,12 +313,48 @@ object CorpusService {
             .join(tomb.select(col("doc_id").as("__doc")), Seq("__doc"),
               "left_anti")
             .drop("__doc")
-            .repartition(4)
+            .repartition(sizedParts(spark, p.chunkVecs))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
         })
     graft.queries.Extensions.freeCkpt(tomb)
+    // Watermark the purge that landed: the tombstone set is permanent
+    // (it gates discovery forever), so [[purgePending]] needs this
+    // anchor to stop the maintenance loop from re-rewriting every store
+    // on every tick after the first deletion.
+    if (ok)
+      spark.range(1).select(lit(nTomb).as("n_tombstones")).coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(p.purgeMark)
     ok
   }
+
+  /** Partition count for a purge rewrite, derived from the store's
+    * measured on-disk size (~128 MB per output task, floor 1, capped at
+    * the session shuffle parallelism) — the CC loop's measured-size
+    * pattern applied to the one write family that used to be pinned: a
+    * fixed count is either task-per-row at test scale or a 4-task
+    * bottleneck rewriting a 100 TB posting store. */
+  private[graft] def sizedParts(spark: SparkSession, path: String,
+                                targetBytes: Long = 128L << 20): Int = {
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p0).getLength
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(sessionParts.toLong, bytes / targetBytes + 1L).toInt)
+  }
+
+  /** True when the tombstone set has GROWN since the last purge that
+    * landed — [[runScheduled]]'s skip dial. Tombstones are never
+    * cleared (they gate re-discovery forever), so "tombstones exist"
+    * alone would re-rewrite all ~17 maintained stores on every
+    * maintenance tick after the first deletion; the purge is paid once
+    * per new deletion window, as documented. */
+  def purgePending(spark: SparkSession, p: Paths): Boolean =
+    exists(spark, p.tombstones) && {
+      val n = tombstoneView(spark, p).count()
+      !exists(spark, p.purgeMark) ||
+        spark.read.parquet(p.purgeMark).head.getLong(0) < n
+    }
 
   private def rebuildIndex(spark: SparkSession, p: Paths): Unit =
     graft.jobs.Warehouse.replaceVia(spark, p.annIndex) { stage =>
@@ -1490,9 +1542,14 @@ object CorpusService {
     * training pairs a finetune pipeline exports each refresh. Run in
     * any window after [[refreshAnnIndex]]; the report is as-of the
     * index's last append (not-yet-indexed docs mine nothing until the
-    * next refresh, the same as-of contract as every served artifact). */
+    * next refresh, the same as-of contract as every served artifact).
+    * Tombstone-gated on BOTH sides of every pair: a deleted doc appears
+    * neither as anchor nor as negative from the moment of the delete —
+    * a training-pair export that kept serving takedown content until
+    * the purge would violate [[deleteDocs]]'s contract. */
   def hardNegativesReport(spark: SparkSession, p: Paths): DataFrame =
-    graft.queries.Extensions.hardNegativesAt(spark, p.base, p.annIndex)
+    graft.queries.Extensions.hardNegativesAt(spark, p.base, p.annIndex,
+      dropIds = tombstoneIds(spark, p))
 
   /** The per-source curation report (t23's rollup) over the MAINTAINED
     * novelty log — the acquisition-decision view ("which crawl source
@@ -1516,9 +1573,12 @@ object CorpusService {
   }
 
   /** Read the maintained scrubbed payload (refreshScrubbedCorpus's
-    * output). */
+    * output). Tombstone-gated like every other served view — the
+    * scrubbed store carries full clean_text, the MOST sensitive payload
+    * the service holds, so a deleted doc must drop out of this view at
+    * delete time, not at the next refresh. */
   def scrubbedCorpusView(spark: SparkSession, p: Paths): DataFrame =
-    spark.read.parquet(p.scrubbed)
+    dropTombstoned(spark, p, spark.read.parquet(p.scrubbed), "doc_id")
 
   /** The live ingest queries of an always-on corpus service (the
     * fingerprint stream only when started with the media modality on). */
@@ -1764,8 +1824,11 @@ object CorpusService {
             }
             // Deletions drain physically on the same heavy-maintenance
             // cadence: between drains nothing is live, so the purge's
-            // guarded rewrites must land.
-            if (exists(spark, p.tombstones))
+            // guarded rewrites must land. Gated on the purge WATERMARK,
+            // not bare tombstone existence — tombstones are permanent,
+            // so existence alone would re-rewrite every store on every
+            // tick after the first deletion ever.
+            if (purgePending(spark, p))
               require(purgeTombstoned(spark, p),
                 "corpus service: scheduled tombstone purge failed to land " +
                   "(no writer should be live between drains)")

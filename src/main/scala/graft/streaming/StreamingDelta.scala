@@ -103,10 +103,6 @@ object StreamingDelta {
       }
   }
 
-  /** Exactly-once ingestion dedup for an at-least-once source: duplicate
-    * event ids arriving within the watermark collapse to one row, and the
-    * dedup state is dropped once the watermark passes (bounded memory —
-    * a plain dropDuplicates on a stream would keep every id forever). */
   /** Gap-based SESSION windows over an event-time stream — q16's
     * sessionization (session_window, 30-minute gap) as a streaming
     * aggregation: the state store MERGES events into open sessions
@@ -126,6 +122,10 @@ object StreamingDelta {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Exactly-once ingestion dedup for an at-least-once source: duplicate
+    * event ids arriving within the watermark collapse to one row, and the
+    * dedup state is dropped once the watermark passes (bounded memory —
+    * a plain dropDuplicates on a stream would keep every id forever). */
   def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
                            tsCol: String, watermark: String = "1 hour")
       : DataFrame =

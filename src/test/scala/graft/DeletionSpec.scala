@@ -153,6 +153,109 @@ class DeletionSpec extends SparkSpec {
       "post-delete manifest vs never-ingested twin")
   }
 
+  test("delete gates the training-pair export and the scrubbed payload; purge reaches p.scrubbed") {
+    val src = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-delF").toString
+    val p = CorpusService.Paths(base)
+    val docs = Tables.t(spark, src, "documents").select("doc_id", "text", "lang")
+    val emb = Tables.t(spark, src, "embeddings")
+    docs.write.parquet(p.docs)
+    emb.write.parquet(p.embeddings)
+    CorpusService.trainQuantizer(spark, p)
+    CorpusService.drainAvailable(spark, p, index = true, postings = true)
+    CorpusService.refreshTrainingSet(spark, p)
+    CorpusService.refreshScrubbedCorpus(spark, p)
+    // Pick deletions guaranteed to appear in the pre-delete export so
+    // the gate is exercised, not vacuous.
+    val pre = CorpusService.hardNegativesReport(spark, p)
+    val hot = pre.limit(1).collect()(0)
+    val dels2 = Seq(hot.getAs[Long]("doc_id"), hot.getAs[Long]("negative_id"))
+    CorpusService.deleteDocs(spark, p, dels2)
+    // IMMEDIATELY (pre-purge): no deleted doc as anchor OR negative —
+    // a training-pair export is exactly the artifact a takedown must
+    // not leak into, and it ≡ the report off the index rebuilt without
+    // the docs under the same epoch (content-function of the live set).
+    val post = CorpusService.hardNegativesReport(spark, p)
+    assert(post.filter(col("doc_id").isin(dels2: _*) ||
+      col("negative_id").isin(dels2: _*)).count() == 0,
+      "deleted doc leaked into the hard-negative training pairs")
+    // A minus-filter of the pre-delete report is NOT the oracle here —
+    // deleting a doc from the candidate pool re-ranks every survivor's
+    // top-3 window. The twin is the report off the index rebuilt
+    // WITHOUT the docs under the SAME frozen epoch.
+    val twin = java.nio.file.Files
+      .createTempDirectory("graft-delF-twin").toString + "/idx"
+    val embLive = emb.filter(!col("vec_id").isin(dels2: _*))
+    Extensions.buildAnnIndexFrom(
+      Extensions.quantizeFrame(embLive),
+      spark.read.parquet(p.annIndex + "/_quantizer"), twin,
+      meta = Extensions.metaOf(embLive),
+      sq8 = Some(spark.read.parquet(p.annIndex + "/_sq8")),
+      pq = Some(spark.read.parquet(p.annIndex + "/_pq")))
+    assertSameRows(post, Extensions.hardNegativesAt(spark, base, twin),
+      "post-delete hard negatives vs rebuild-without-the-docs twin")
+    // The scrubbed payload (full clean_text!) gates at view grain
+    // immediately too...
+    assert(CorpusService.scrubbedCorpusView(spark, p)
+      .filter(col("doc_id").isin(dels2: _*)).count() == 0,
+      "deleted doc's clean_text still served from the scrubbed view")
+    // ...and the purge physically removes its bytes from the store.
+    assert(CorpusService.purgeTombstoned(spark, p), "purge must land")
+    assert(spark.read.parquet(p.scrubbed)
+      .filter(col("doc_id").isin(dels2: _*)).count() == 0,
+      "purge left deleted clean_text bytes in the scrubbed store")
+  }
+
+  test("purge watermark: re-purge only on NEW deletions; partitions derive from store size") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-delG").toString
+    val p = CorpusService.Paths(base)
+    Seq((1L, "alpha beta gamma delta epsilon", "en"),
+        (2L, "zeta eta theta iota kappa", "en"),
+        (3L, "lambda mu nu xi omicron", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(p.docs)
+    assert(CorpusService.maintainPostings(spark, p) == 3L)
+    // No deletion ever → nothing pending.
+    assert(!CorpusService.purgePending(spark, p))
+    CorpusService.deleteDocs(spark, p, Seq(2L))
+    assert(CorpusService.purgePending(spark, p),
+      "a fresh deletion must schedule a purge")
+    assert(CorpusService.purgeTombstoned(spark, p))
+    // Landed purge clears the pending flag — the maintenance loop must
+    // NOT rewrite ~17 stores on every tick forever after one delete.
+    assert(!CorpusService.purgePending(spark, p),
+      "an already-drained tombstone set must not re-schedule the purge")
+    // A REPLAYED delete (same ids — the idempotent client retry) adds
+    // no distinct tombstone: still nothing pending.
+    CorpusService.deleteDocs(spark, p, Seq(2L))
+    assert(!CorpusService.purgePending(spark, p),
+      "a replayed delete of the same ids must not re-schedule the purge")
+    // A NEW deletion re-arms it.
+    CorpusService.deleteDocs(spark, p, Seq(3L))
+    assert(CorpusService.purgePending(spark, p),
+      "a new deletion must re-schedule the purge")
+    assert(CorpusService.purgeTombstoned(spark, p))
+    assert(!CorpusService.purgePending(spark, p))
+    // Purge-write parallelism derives from measured store size (the CC
+    // loop's pattern): at a target of 1/8 the store's measured bytes
+    // the purge runs through 8 tasks — the fixed repartition(4) this
+    // replaced could never exceed 4 regardless of store size.
+    val postPath = new org.apache.hadoop.fs.Path(p.postings)
+    val postBytes = postPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(postPath).getLength
+    // (sizedParts caps at the session parallelism, which the test
+    // session pins to 4 — widen it for the scaling assertion.)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      assert(CorpusService.sizedParts(spark, p.postings,
+          targetBytes = math.max(1L, postBytes / 8)) > 4,
+        "purge partition count must scale with store size")
+      assert(CorpusService.sizedParts(spark, p.postings) >= 1)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
   test("purged docs never resurrect; novelty forgets deleted attributions") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-delE").toString
