@@ -126,8 +126,15 @@ object Extensions {
     floor(col("dot") / (sqrt(col("sa")) * sqrt(col("sb"))) * lit(1000000.0) + lit(0.5))
       .cast("long")
 
-  /** The deterministic coarse quantizer both IVF operators share (s03,
-    * s05): k ≈ √n centroids, hash-sampled from the corpus itself.
+  /** The FLAT √n-centroid seed frame — now s14's k-means operator
+    * only (clustering a corpus into √n Lloyd-refined groups is that
+    * query's own spec): every IVF/index/dedup path assigns through the
+    * two-level [[coarseCodebooks]] instead, which keeps driver-side
+    * state at 2·∜n rows. The √n analysis below holds for s14's
+    * regime — a clustering job whose output IS the k=√n centroid set —
+    * not as an "any corpus size" broadcastability claim: at 10¹²
+    * vectors this frame is ~0.5 GB, which is exactly why the IVF
+    * family moved off it.
     *
     * CARDINALITY IS THE LOAD-BEARING CHOICE. A fixed sampling stride
     * (an earlier revision used every-50th-vector) makes |centroids|
@@ -269,9 +276,10 @@ object Extensions {
       .agg(countDistinct(col("gram")).as("n_hit_grams"))
   }
 
-  /** DuckDB twin of coarseCentroids' sampling predicate (shared by the
-    * s03/s05 oracles): same hash, same √n stride, same scalar-subquery
-    * count. */
+  /** DuckDB twin of coarseCentroids' sampling predicate — s14's k-means
+    * oracle only (the flat √n seed set is that operator's own spec);
+    * every IVF-family oracle mirrors the two-level assigner via
+    * [[imiCtes]] instead. */
   private val centsCte: String =
     """cents AS (
       |  SELECT vec_id FROM embeddings
@@ -279,6 +287,90 @@ object Extensions {
       |        % (SELECT GREATEST(1, CAST(floor(sqrt(count(*))) AS BIGINT))
       |           FROM embeddings) = 0),
       |""".stripMargin
+
+  /** DuckDB twin of [[coarseCodebooks]] + the per-half scoring chain
+    * every IMI oracle shares: dense-numbered sub-codebooks (top-k by
+    * (h32, id) per sub, salt "b" for sub 1 — same hash, same
+    * sqrt(sqrt(n)) sizing, both engines' sqrt being IEEE-exact where
+    * pow(n, 0.25) is not), half-split rows with within-half index j,
+    * per-half integer-cosine scoring against the matching sub-codebook,
+    * and the per-(vector, sub) rank hrank. Heavy frames MATERIALIZED —
+    * hev feeds both sides of the book-dot join and hrank both sides of
+    * the product-cell join, so default inlining would re-run the chain
+    * multiplicatively (the d13 lesson). */
+  private val imiCtes: String =
+    """dims AS (SELECT MAX(i) AS d FROM ev),
+      |books AS MATERIALIZED (
+      |  SELECT sub, vec_id,
+      |         row_number() OVER (PARTITION BY sub ORDER BY h, vec_id) - 1 AS cent_id
+      |  FROM (
+      |    SELECT 0 AS sub, vec_id,
+      |           ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      |    FROM embeddings
+      |    UNION ALL
+      |    SELECT 1 AS sub, vec_id,
+      |           ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || 'b'), 1, 8))::BIGINT AS h
+      |    FROM embeddings)
+      |  QUALIFY cent_id < (SELECT GREATEST(4, CAST(floor(sqrt(sqrt(count(*)))) AS BIGINT))
+      |                     FROM embeddings)),
+      |hev AS MATERIALIZED (
+      |  SELECT e.vec_id, CASE WHEN e.i <= d.d // 2 THEN 0 ELSE 1 END AS sub,
+      |         CASE WHEN e.i <= d.d // 2 THEN e.i ELSE e.i - d.d // 2 END AS j,
+      |         e.v
+      |  FROM ev e, dims d),
+      |hsq AS MATERIALIZED (
+      |  SELECT vec_id, sub, CAST(SUM(v * v) AS BIGINT) AS s2h
+      |  FROM hev GROUP BY 1, 2),
+      |hrank AS MATERIALIZED (
+      |  SELECT vec_id, sub, cent_id,
+      |         row_number() OVER (PARTITION BY vec_id, sub
+      |           ORDER BY cos_ppm DESC, cent_id ASC) AS hr
+      |  FROM (
+      |    SELECT d.vec_id, d.sub, d.cent_id,
+      |           CAST(floor(d.dot / (sqrt(x.s2h) * sqrt(y.s2h)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+      |    FROM (
+      |      SELECT a.vec_id, bk.sub, bk.cent_id, bk.vec_id AS bvec,
+      |             CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      |      FROM hev a
+      |      JOIN books bk ON bk.sub = a.sub
+      |      JOIN hev b ON b.vec_id = bk.vec_id AND b.sub = bk.sub AND b.j = a.j
+      |      GROUP BY 1, 2, 3, 4) d
+      |    JOIN hsq x ON x.vec_id = d.vec_id AND x.sub = d.sub
+      |    JOIN hsq y ON y.vec_id = d.bvec AND y.sub = d.sub) t),
+      |""".stripMargin
+
+  /** Product-cell ranking over [[imiCtes]]'s hrank: top `perHalf` per
+    * half, cell = sub₀·2²⁰ + sub₁, ranked (hr₀+hr₁, hr₀, cell) — the
+    * [[imiRank]] twin. `extra` restricts the vector side (probe
+    * queries). */
+  private def imiCellsCte(name: String, perHalf: Int,
+                          extra: String = ""): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cent_id * 1048576 + b.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY a.hr + b.hr, a.hr, b.cent_id) AS rn
+       |  FROM hrank a JOIN hrank b
+       |    ON b.vec_id = a.vec_id AND a.sub = 0 AND b.sub = 1
+       |  WHERE a.hr <= $perHalf AND b.hr <= $perHalf$extra),
+       |""".stripMargin
+
+  /** The serving-family assignment block: unique cell per corpus vector
+    * (`assigned`), probe fan for the vec_id < 10 query rows (`probes`,
+    * `nprobe` cells of the 25-cell P=5 product ranking). */
+  private def imiAssignProbeCtes(nprobe: Int): String =
+    imiCtes + imiCellsCte("acells", 1) +
+      imiCellsCte("pcells", 5, " AND a.vec_id < 10") +
+      s"""assigned AS (SELECT vec_id AS neighbor_id, cell FROM acells WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM pcells WHERE rn <= $nprobe),
+         |""".stripMargin
+
+  /** The dedup-family assignment block: s05's 4-cell multi-assignment
+    * as the top-2 × top-2 product. */
+  private val imiAssign4Ctes: String =
+    imiCtes + imiCellsCte("acells", 2) +
+      """assigned AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM acells WHERE rn <= 4),
+        |""".stripMargin
 
   /** One greedy round of the s22 oracle's MMR unroll: from the pool
     * minus everything selected so far, pick the per-query argmax of
@@ -332,14 +424,17 @@ object Extensions {
     * offline quantizer-training job materializes for the streaming
     * semantic-dedup path to probe against (IVF systems train the
     * quantizer offline and stream assignments against it). Same
-    * hash-sampling rule as coarseCentroids, so a stream probing this
-    * table and a one-shot s05 over the same corpus agree exactly. */
+    * two-level codebook rule as coarseCodebooks, so a stream probing
+    * this table and a one-shot s05 over the same corpus agree exactly. */
   private[graft] def trainedCentroids(s: SparkSession, dir: String): DataFrame =
-    coarseCentroids(s, dir, quantized(s, dir))
+    coarseCodebooks(s, dir, quantized(s, dir))
 
-  /** Per-(vector, centroid) cosine with rank 1 = nearest cell: a narrow
-    * map over the corpus (broadcast centroids, integer dot) — no shuffle
-    * until whatever the caller does with the cells. */
+  /** Per-(vector, centroid) cosine with rank 1 = nearest cell over a
+    * FLAT full-width centroid frame — retained for s14's k-means
+    * operator (Lloyd refinement of √n seeds is that query's own spec);
+    * every IVF/index/dedup path assigns through [[imiRank]]'s two-level
+    * codebook instead, whose driver-side state stays ~∜n rows at any
+    * corpus size. */
   private[graft] def centroidRank(v: DataFrame, cents: DataFrame,
                            idCol: String): DataFrame =
     v.crossJoin(broadcast(cents))
@@ -349,6 +444,121 @@ object Extensions {
           .cast("long"))
       .withColumn("rn", row_number().over(Window.partitionBy(col(idCol))
         .orderBy(col("cos_ppm").desc, col("cent_id").asc)))
+
+  /** Cell-id packing for the two-level (IMI-style) coarse quantizer:
+    * cell = subcell₀ · 2²⁰ + subcell₁. Sub-codebooks are dense-numbered
+    * from 0, so any codebook below 2²⁰ entries (a ~10²⁴-vector corpus)
+    * packs collision-free into one BIGINT — the cell stays an ordinary
+    * long join/partition key for every downstream consumer. */
+  private[graft] val CellBase = 1048576L
+
+  /** Spark-side slice expressions for the two vector halves (the IMI
+    * subspaces). Integer `div` keeps odd dims correct: sub 0 takes
+    * ⌊d/2⌋ dims, sub 1 the remainder. */
+  private val sliceH0 = "slice(q, 1, size(q) div 2)"
+  private val sliceH1 = "slice(q, (size(q) div 2) + 1, size(q) - (size(q) div 2))"
+
+  /** The TWO-LEVEL coarse quantizer both IVF serving and semantic dedup
+    * share (the inverted-multi-index construction, Babenko & Lempitsky
+    * 2012): the vector space is split into two halves, each half gets
+    * its own sub-codebook of k = max(4, ⌊∜n⌋) corpus-sampled
+    * half-vectors, and a cell is a PAIR of sub-cell ids — ~√n effective
+    * cells from 2·∜n stored rows.
+    *
+    * CARDINALITY IS THE LOAD-BEARING CHOICE, second iteration. The flat
+    * predecessor held k = √n full-width centroids: per-cell density and
+    * assignment-vs-probe balance were right (√n cells), but the
+    * codebook itself grew as √n rows — ~0.5 GB to broadcast at 10¹²
+    * vectors — and every (re)build paid an n·√n assignment pass, the
+    * measured n^1.5 class (the old t26 exponent). The product structure
+    * keeps the SAME ~√n cell count (so per-cell scan cost, probe recall
+    * geometry, and every downstream cell-blocked join are unchanged in
+    * shape) while the driver-side state drops to 2·∜n rows (~2·10³ at
+    * 10¹² vectors — broadcastable at any realistic corpus size, with
+    * the regime bound now explicit: collision-free packing holds to 2²⁰
+    * entries per sub-codebook) and assignment work drops to n·2·∜n
+    * half-width dots — out of the n^1.5 class entirely.
+    *
+    * Sub-codebook entries are chosen by portable-hash ORDER (the k
+    * smallest (h32(id), id) per sub, salt "b" giving sub 1 an
+    * independent order) rather than the old modulo stride: same
+    * determinism, exactly-k entries with no sampling variance, and no
+    * empty-codebook edge at small n. The top-k is a distributed
+    * TakeOrdered, never a global sort. */
+  private[graft] def coarseCodebooks(s: SparkSession, dir: String,
+                                     e: DataFrame): DataFrame = {
+    val n: Long = corpusCount.computeIfAbsent(dir,
+      _ => Tables.t(s, dir, "embeddings").count())
+    codebooksFrom(e, n)
+  }
+
+  /** The codebook builder over an explicit already-quantized frame —
+    * the chunk-grain index trains through this (its vectors never sit
+    * in an embeddings table). k = max(4, ⌊√√n⌋): two IEEE sqrts, which
+    * are correctly rounded in every engine, where pow(n, 0.25) is not —
+    * the DuckDB twin must land on the identical k. */
+  private[graft] def codebooksFrom(e: DataFrame, n: Long): DataFrame = {
+    val k = math.max(4L,
+      math.floor(math.sqrt(math.sqrt(n.toDouble))).toLong).toInt
+    def book(sub: Int, salt: String, slice: String) =
+      e.select(col("vec_id"), expr(slice).as("qc"))
+        .withColumn("__h",
+          h32(concat(col("vec_id").cast("string"), lit(salt))))
+        .orderBy(col("__h").asc, col("vec_id").asc)
+        .limit(k)
+        .select(lit(sub).as("sub"), col("vec_id"), col("__h"), col("qc"))
+    val w = Window.partitionBy(col("sub"))
+      .orderBy(col("__h").asc, col("vec_id").asc)
+    book(0, "", sliceH0).unionByName(book(1, "b", sliceH1))
+      .withColumn("cent_id", (row_number().over(w) - 1).cast("long"))
+      .withColumn("sc", DotI64(col("qc"), col("qc")))
+      .select("sub", "cent_id", "qc", "sc")
+  }
+
+  /** Two-level cell assignment: rank each vector's HALVES against the
+    * matching sub-codebook (per-half integer cosine, the cosPpm idiom),
+    * keep the top `perHalf` sub-cells per half, and emit the product
+    * cells ranked by (rank₀+rank₁, rank₀, cell) — rank 1 is always the
+    * (nearest, nearest) pair, invariant to `perHalf`. Callers pick
+    * `perHalf` by intent: 1 for the unique serving cell, 2 for dedup's
+    * 4-cell multi-assignment, 5 for probe fans up to 25 cells (s11's
+    * nprobe=20 included).
+    *
+    * Scale shape: the codebook join is ONE broadcast hash join against
+    * 2·∜n rows; per-half ranking windows on (id, sub); the product is a
+    * thin self-pair join on id. Nothing here is a cross join — the old
+    * flat assigner's broadcast nested loop (n·√n full-width rows
+    * through its ranking window) is gone, replaced by n·2·∜n half-width
+    * rows. Returns `v`'s columns plus (cent_id = packed cell, rn). */
+  private[graft] def imiRank(v: DataFrame, books: DataFrame, idCol: String,
+                             perHalf: Int): DataFrame = {
+    val halves = v.select(col(idCol), col("q"))
+      .select(col(idCol),
+        posexplode(array(expr(sliceH0), expr(sliceH1))).as(Seq("sub", "qh")))
+      .withColumn("sh", DotI64(col("qh"), col("qh")))
+    val hw = Window.partitionBy(col(idCol), col("sub"))
+      .orderBy(col("hcos").desc, col("cent_id").asc)
+    val ranked = halves.join(broadcast(books), "sub")
+      .withColumn("hdot", DotI64(col("qh"), col("qc")))
+      .withColumn("hcos",
+        floor(col("hdot") / (sqrt(col("sh")) * sqrt(col("sc")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("hr", row_number().over(hw))
+      .filter(col("hr") <= perHalf)
+      .select(col(idCol), col("sub"), col("cent_id"), col("hr"))
+    val cw = Window.partitionBy(col(idCol))
+      .orderBy((col("__ha") + col("__hb")).asc, col("__ha").asc,
+        col("cent_id").asc)
+    val cells = ranked.filter(col("sub") === 0)
+      .select(col(idCol), col("cent_id").as("__ca"), col("hr").as("__ha"))
+      .join(ranked.filter(col("sub") === 1)
+        .select(col(idCol), col("cent_id").as("__cb"), col("hr").as("__hb")),
+        idCol)
+      .withColumn("cent_id", col("__ca") * lit(CellBase) + col("__cb"))
+      .withColumn("rn", row_number().over(cw))
+      .select(col(idCol), col("cent_id"), col("rn"))
+    v.join(cells, idCol)
+  }
 
   // ------------------------------------------------------------ dedup family
 
@@ -981,11 +1191,11 @@ object Extensions {
     * tracks s03's cell-probe recall. */
   def annIvfSq8(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val cents = coarseCentroids(s, dir, e)
-    val assigned = centroidRank(e, cents, "vec_id")
+    val books = coarseCodebooks(s, dir, e)
+    val assigned = imiRank(e, books, "vec_id", 1)
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
-    val probes = centroidRank(e.filter(col("vec_id") < 10), cents, "vec_id")
+    val probes = imiRank(e.filter(col("vec_id") < 10), books, "vec_id", 5)
       .filter(col("rn") <= 12)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val cellCand = probes.join(assigned, "cell")
@@ -1048,11 +1258,11 @@ object Extensions {
     val idx0 = s.read.parquet(indexPath).filter(col("rn") === 1)
     val idx = dropIds.fold(idx0)(d =>
       idx0.join(d.select(col("vec_id")), Seq("vec_id"), "left_anti"))
-    val cents = s.read.parquet(indexPath + "/_quantizer")
+    val cents = quantizerOf(s, indexPath)
     val ranges = sidecarOf(s, indexPath, "_sq8")
     val eq = quantized(s, dir).filter(col("vec_id") < 10)
     val cellT = idx.schema(idx.schema.fieldIndex("cell")).dataType
-    val probes = centroidRank(eq, cents, "vec_id")
+    val probes = imiRank(eq, cents, "vec_id", 5)
       .filter(col("rn") <= 12)
       .select(col("vec_id").as("query_id"),
         col("cent_id").cast(cellT).as("cell"))
@@ -1134,10 +1344,10 @@ object Extensions {
     val idx0 = s.read.parquet(indexPath).filter(col("rn") === 1)
     val idx = dropIds.fold(idx0)(d =>
       idx0.join(d.select(col("vec_id")), Seq("vec_id"), "left_anti"))
-    val cents = s.read.parquet(indexPath + "/_quantizer")
+    val cents = quantizerOf(s, indexPath)
     val books = sidecarOf(s, indexPath, "_pq")
     val cellT = idx.schema(idx.schema.fieldIndex("cell")).dataType
-    val probes = centroidRank(eq, cents, "vec_id")
+    val probes = imiRank(eq, cents, "vec_id", 5)
       .filter(col("rn") <= 12)
       .select(col("vec_id").as("query_id"),
         col("cent_id").cast(cellT).as("cell"))
@@ -1587,21 +1797,47 @@ object Extensions {
       .agg(sum("col").as("csum"), count(lit(1)).as("n_members"))
   }
 
-  /** s14's refined centroids in the (cent_id, qc, sc) frame shape every
-    * quantizer consumer reads ([[trainedCentroids]]'s contract) — what
-    * `StreamingSemanticDedup.trainQuantizer(refine = true)` writes, so
-    * the streaming semantic-dedup path can probe Lloyd-trained cells
-    * instead of raw hash-sampled seeds. Degenerate zero-sum cells are
-    * filtered exactly as inside the refinement loop. */
-  private[graft] def refinedCentroids(s: SparkSession, dir: String): DataFrame =
-    kmeansSums(s, dir)
-      .groupBy("cell")
-      .agg(expr("array_sort(collect_list(named_struct('pos', pos, 'csum', csum)))")
-        .as("ps"))
-      .select(col("cell").as("cent_id"),
-        expr("transform(ps, x -> x.csum)").as("qc"))
-      .withColumn("sc", DotI64(col("qc"), col("qc")))
-      .filter(col("sc") > 0)
+  /** Lloyd-REFINED sub-codebooks in the (sub, cent_id, qc, sc) frame
+    * shape every quantizer consumer reads ([[trainedCentroids]]'s
+    * contract) — what `StreamingSemanticDedup.trainQuantizer(refine =
+    * true)` writes, so the streaming semantic-dedup path can probe
+    * trained cells instead of raw hash-sampled seeds. s14's two Lloyd
+    * iterations applied PER SUBSPACE (the k-means-per-half training
+    * FAISS runs for an IMI quantizer): each half of the corpus refines
+    * its own ∜n-entry codebook independently, exact integer component
+    * sums (cosine assignment is scale-invariant, so no division ever
+    * happens), degenerate zero-sum entries filtered exactly as in
+    * s14's loop. Per-iteration cost is n·2·∜n half-width dots — the
+    * trainer rides the same complexity class as assignment itself. */
+  private[graft] def refinedCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val halves = e.select(col("vec_id"),
+        posexplode(array(expr(sliceH0), expr(sliceH1))).as(Seq("sub", "qh")))
+      .withColumn("sh", DotI64(col("qh"), col("qh")))
+    def assign(books: DataFrame): DataFrame =
+      halves.join(broadcast(books), "sub")
+        .withColumn("hdot", DotI64(col("qh"), col("qc")))
+        .withColumn("hcos",
+          floor(col("hdot") / (sqrt(col("sh")) * sqrt(col("sc")))
+            * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("hr", row_number().over(
+          Window.partitionBy(col("vec_id"), col("sub"))
+            .orderBy(col("hcos").desc, col("cent_id").asc)))
+        .filter(col("hr") === 1)
+        .select(col("sub"), col("cent_id"), col("qh"))
+    def recenter(a: DataFrame): DataFrame =
+      a.select(col("sub"), col("cent_id"), posexplode(col("qh")))
+        .groupBy(col("sub"), col("cent_id"), col("pos"))
+        .agg(sum("col").as("csum"))
+        .groupBy("sub", "cent_id")
+        .agg(expr("array_sort(collect_list(named_struct('pos', pos, 'csum', csum)))")
+          .as("ps"))
+        .select(col("sub"), col("cent_id"),
+          expr("transform(ps, x -> x.csum)").as("qc"))
+        .withColumn("sc", DotI64(col("qc"), col("qc")))
+        .filter(col("sc") > 0)
+    recenter(assign(recenter(assign(coarseCodebooks(s, dir, e)))))
+  }
 
   /** t24: cluster-balanced corpus subsampling — cap each IVF cell at a
     * fixed budget (8 here), members ranked by the portable id hash
@@ -1619,7 +1855,7 @@ object Extensions {
     * re-assigning. */
   def clusterSample(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val assigned = centroidRank(e, coarseCentroids(s, dir, e), "vec_id")
+    val assigned = imiRank(e, coarseCodebooks(s, dir, e), "vec_id", 1)
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"))
     val w = Window.partitionBy(col("cell"))
@@ -2082,11 +2318,11 @@ object Extensions {
     * a narrow map over the corpus (no shuffle until the per-cell top-k). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val cents = coarseCentroids(s, dir, e)
-    val assigned = centroidRank(e, cents, "vec_id")
+    val books = coarseCodebooks(s, dir, e)
+    val assigned = imiRank(e, books, "vec_id", 1)
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
-    val probes = centroidRank(e.filter(col("vec_id") < 10), cents, "vec_id")
+    val probes = imiRank(e.filter(col("vec_id") < 10), books, "vec_id", 5)
       .filter(col("rn") <= 12)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
@@ -2122,11 +2358,11 @@ object Extensions {
     * global prefix-retention). */
   def annIvfPrefix(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val cents = coarseCentroids(s, dir, e)
-    val assigned = centroidRank(e, cents, "vec_id")
+    val books = coarseCodebooks(s, dir, e)
+    val assigned = imiRank(e, books, "vec_id", 1)
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
-    val probes = centroidRank(e.filter(col("vec_id") < 10), cents, "vec_id")
+    val probes = imiRank(e.filter(col("vec_id") < 10), books, "vec_id", 5)
       .filter(col("rn") <= 12)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val cellCand = probes.join(assigned, "cell")
@@ -2194,13 +2430,13 @@ object Extensions {
   def annIvfFiltered(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
     val lab = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("label"))
-    val cents = coarseCentroids(s, dir, e)
-    val assigned = centroidRank(e, cents, "vec_id")
+    val books = coarseCodebooks(s, dir, e)
+    val assigned = imiRank(e, books, "vec_id", 1)
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
       .join(lab.select(col("vec_id").as("neighbor_id"),
         col("label").as("n_label")), "neighbor_id")
-    val probes = centroidRank(e.filter(col("vec_id") < 10), cents, "vec_id")
+    val probes = imiRank(e.filter(col("vec_id") < 10), books, "vec_id", 5)
       .filter(col("rn") <= 20)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
       .join(lab.select(col("vec_id").as("query_id"),
@@ -2277,7 +2513,7 @@ object Extensions {
   private[graft] def buildAnnIndex(s: SparkSession, dir: String,
                                    path: String): Unit = {
     val e = quantized(s, dir)
-    buildAnnIndexFrom(e, coarseCentroids(s, dir, e), path,
+    buildAnnIndexFrom(e, coarseCodebooks(s, dir, e), path,
       meta = metaOf(Tables.t(s, dir, "embeddings")))
   }
 
@@ -2324,7 +2560,7 @@ object Extensions {
   private def indexRows(e: DataFrame, cents: DataFrame,
                         meta: Option[DataFrame],
                         sq8: DataFrame, pqBooks: DataFrame): DataFrame = {
-    val assigned = centroidRank(e, cents, "vec_id")
+    val assigned = imiRank(e, cents, "vec_id", 2)
       .filter(col("rn") <= 4)
       .select(col("vec_id"), col("rn"), col("cent_id").as("cell"))
     val pfx = e.select(col("vec_id"), expr("slice(q, 1, 32)").as("qp"),
@@ -2431,6 +2667,27 @@ object Extensions {
     * says nothing about the fix. A sidecar refresh is a retrain-class
     * event: delete the index directory and rebuild (refreshAnnIndex /
     * refreshChunkIndex take the build path when the dir is gone). */
+  /** Read an index's `_quantizer` sidecar, failing LOUDLY when the
+    * index predates the two-level quantizer epoch: a flat (cent_id,
+    * qc, sc) sidecar has no `sub` column, its stored cells are single
+    * centroid ids rather than packed sub-cell pairs, and no probe
+    * against it can be made consistent with the IMI assigner — the
+    * raw unresolved-column error it would otherwise throw says nothing
+    * about the fix. Same contract as [[sidecarOf]]: a quantizer-format
+    * migration is a retrain-class event — delete the index directory
+    * and rebuild. */
+  private def quantizerOf(s: SparkSession, path: String): DataFrame = {
+    val q = sidecarOf(s, path, "_quantizer")
+    require(q.columns.contains("sub"),
+      s"ANN index at $path predates the two-level (IMI) quantizer epoch " +
+        "(flat _quantizer sidecar, no `sub` column): its stored cells " +
+        "are single centroid ids, which the product-cell prober cannot " +
+        "serve consistently. Rebuild the index — a quantizer-format " +
+        "migration is a retrain-class event (delete the index directory " +
+        "and run the build/refresh path again).")
+    q
+  }
+
   private def sidecarOf(s: SparkSession, path: String,
                         name: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$name")
@@ -2448,7 +2705,7 @@ object Extensions {
                                         newQ: DataFrame,
                                         meta: Option[DataFrame] = None)
       : Unit = {
-    val cents = sidecarOf(s, path, "_quantizer")
+    val cents = quantizerOf(s, path)
     indexRows(newQ, cents, meta, sidecarOf(s, path, "_sq8"),
         sidecarOf(s, path, "_pq"))
       .repartition(col("cell"))
@@ -2601,12 +2858,12 @@ object Extensions {
     val idx0 = s.read.parquet(indexPath).filter(col("rn") === 1)
     val idx = dropIds.fold(idx0)(d =>
       idx0.join(d.select(col("vec_id")), Seq("vec_id"), "left_anti"))
-    val cents = s.read.parquet(indexPath + "/_quantizer")
+    val cents = quantizerOf(s, indexPath)
     // Hive partition values round-trip through directory names; cast the
     // probe side to the scan's inferred type so the join key is the bare
     // partition attribute (a cast on the scan side would defeat pruning).
     val cellT = idx.schema(idx.schema.fieldIndex("cell")).dataType
-    val probes = centroidRank(eq, cents, "vec_id")
+    val probes = imiRank(eq, cents, "vec_id", 5)
       .filter(col("rn") <= 12)
       .select(col("vec_id").as("query_id"),
         col("cent_id").cast(cellT).as("cell"))
@@ -2688,11 +2945,11 @@ object Extensions {
     val idx = dropIds.fold(idx0)(d =>
       idx0.join(d.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     val eq = quantizeFrame(queries)
-    val cents = s.read.parquet(indexPath + "/_quantizer")
+    val cents = quantizerOf(s, indexPath)
     val cellT = idx.schema(idx.schema.fieldIndex("cell")).dataType
     val qlab = queries.select(col("vec_id").as("query_id"),
       col("label").cast("int").as("q_label"))
-    val probes = centroidRank(eq, cents, "vec_id")
+    val probes = imiRank(eq, cents, "vec_id", 5)
       .filter(col("rn") <= 20)
       .select(col("vec_id").as("query_id"),
         col("cent_id").cast(cellT).as("cell"))
@@ -3629,7 +3886,7 @@ object Extensions {
     * so the two operators' outputs are directly comparable. */
   def semdedupCells(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val assigned = centroidRank(e, coarseCentroids(s, dir, e), "vec_id")
+    val assigned = imiRank(e, coarseCodebooks(s, dir, e), "vec_id", 2)
       .filter(col("rn") <= 4)
       .select(col("vec_id"), col("cent_id").as("cell"))
     val cand = assigned.as("a")
@@ -3668,7 +3925,7 @@ object Extensions {
     * recompute path. */
   def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val assigned = centroidRank(e, coarseCentroids(s, dir, e), "vec_id")
+    val assigned = imiRank(e, coarseCodebooks(s, dir, e), "vec_id", 2)
       .filter(col("rn") <= 4)
       .select(col("vec_id"), col("cent_id").as("cell"))
     hardNegativesFrom(assigned, e)
@@ -4533,28 +4790,8 @@ object Extensions {
     * `scored` — the exact cosine over the ~100 rerank survivors);
     * ivfPrefixOracle adds the top-5 cut, s24's audit joins it against
     * the exact scan instead. */
-  private val ivfChainCtes: String = embCtes + ", " + centsCte +
-    """adots AS (
-      |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-      |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
-      |  GROUP BY 1, 2),
-      |ascore AS (
-      |  SELECT d.vec_id, d.cent_id,
-      |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-      |  FROM adots d
-      |  JOIN sq x ON x.vec_id = d.vec_id
-      |  JOIN sq y ON y.vec_id = d.cent_id),
-      |assigned AS (
-      |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id
-      |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-      |    FROM ascore) t WHERE rn = 1),
-      |probes AS (
-      |  SELECT vec_id AS query_id, cent_id AS cell FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id
-      |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-      |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 12),
-      |ccand AS (
+  private val ivfChainCtes: String = embCtes + ", " + imiAssignProbeCtes(12) +
+    """ccand AS (
       |  SELECT DISTINCT p.query_id, a.neighbor_id
       |  FROM probes p JOIN assigned a ON a.cell = p.cell
       |  WHERE a.neighbor_id <> p.query_id),
@@ -4639,28 +4876,8 @@ object Extensions {
     * joined per invocation) and s12 (both read from the stored
     * index): two strategies, one answer, one SQL text — the s07/s08
     * sharing pattern. */
-  private val filteredIvfOracle: String = embCtes + ", " + centsCte +
-      """adots AS (
-        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
-        |  GROUP BY 1, 2),
-        |ascore AS (
-        |  SELECT d.vec_id, d.cent_id,
-        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM adots d
-        |  JOIN sq x ON x.vec_id = d.vec_id
-        |  JOIN sq y ON y.vec_id = d.cent_id),
-        |assigned AS (
-        |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore) t WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 20),
-        |cand AS (
+  private val filteredIvfOracle: String = embCtes + ", " + imiAssignProbeCtes(20) +
+      """cand AS (
         |  SELECT p.query_id, lq.label, a.neighbor_id
         |  FROM probes p JOIN assigned a ON a.cell = p.cell
         |  JOIN embeddings lq ON lq.vec_id = p.query_id
@@ -4695,28 +4912,8 @@ object Extensions {
     * (index-served) — the ivfPrefixOracle sharing pattern: DuckDB
     * cannot tell where the codes came from, only that the pruned,
     * code-scored, exactly-reranked top-5 is right. */
-  private val ivfSq8Oracle: String = embCtes + ", " + centsCte +
-      """adots AS (
-        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
-        |  GROUP BY 1, 2),
-        |ascore AS (
-        |  SELECT d.vec_id, d.cent_id,
-        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM adots d
-        |  JOIN sq x ON x.vec_id = d.vec_id
-        |  JOIN sq y ON y.vec_id = d.cent_id),
-        |assigned AS (
-        |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore) t WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 12),
-        |ccand AS (
+  private val ivfSq8Oracle: String = embCtes + ", " + imiAssignProbeCtes(12) +
+      """ccand AS (
         |  SELECT DISTINCT p.query_id, a.neighbor_id
         |  FROM probes p JOIN assigned a ON a.cell = p.cell
         |  WHERE a.neighbor_id <> p.query_id),
@@ -4765,24 +4962,8 @@ object Extensions {
         |  FROM scored) t
         |WHERE rank <= 5""".stripMargin
 
-  private val semdedupOracleSql: String = embCtes + ", " + centsCte +
-    """adots AS (
-      |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-      |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
-      |  GROUP BY 1, 2),
-      |ascore AS (
-      |  SELECT d.vec_id, d.cent_id,
-      |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-      |  FROM adots d
-      |  JOIN sq x ON x.vec_id = d.vec_id
-      |  JOIN sq y ON y.vec_id = d.cent_id),
-      |assigned AS (
-      |  SELECT vec_id, cell FROM (
-      |    SELECT vec_id, cent_id AS cell,
-      |           row_number() OVER (PARTITION BY vec_id
-      |             ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-      |    FROM ascore) t WHERE rn <= 4),
-      |cand AS (
+  private val semdedupOracleSql: String = embCtes + ", " + imiAssign4Ctes +
+    """cand AS (
       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
       |  FROM assigned x
       |  JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id),
@@ -4809,24 +4990,8 @@ object Extensions {
   // against identical SQL.
   private val hardNegativesOracleSql: String =
     Seq("ev", "sq").foldLeft(embCtes)((acc, c) =>
-      acc.replace(c + " AS (", c + " AS MATERIALIZED (")) + ", " + centsCte +
-    """adots AS MATERIALIZED (
-      |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-      |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
-      |  GROUP BY 1, 2),
-      |ascore AS MATERIALIZED (
-      |  SELECT d.vec_id, d.cent_id,
-      |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-      |  FROM adots d
-      |  JOIN sq x ON x.vec_id = d.vec_id
-      |  JOIN sq y ON y.vec_id = d.cent_id),
-      |assigned AS MATERIALIZED (
-      |  SELECT vec_id, cell FROM (
-      |    SELECT vec_id, cent_id AS cell,
-      |           row_number() OVER (PARTITION BY vec_id
-      |             ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-      |    FROM ascore) t WHERE rn <= 4),
-      |cand AS MATERIALIZED (
+      acc.replace(c + " AS (", c + " AS MATERIALIZED (")) + ", " + imiAssign4Ctes +
+    """cand AS MATERIALIZED (
       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
       |  FROM assigned x
       |  JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id),
@@ -5357,7 +5522,9 @@ object Extensions {
     // each round keeps ONE label per node (min over self, neighbors,
     // and the label's label — pointer jumping, so coverage grows
     // super-linearly; measured convergence is 9 rounds at BOTH sf0.01
-    // and sf0.1, unrolled to 12 for margin at ~zero marginal cost),
+    // and sf0.1 under the flat quantizer; the IMI cell structure has a
+    // longer-diameter component at sf0.001, measured 14 — unrolled to
+    // 16 for margin at ~zero marginal cost),
     // linear work per round. Depth is guarded, not assumed: a 13th
     // round feeds a sentinel row (doc_id -1, lang 'NONCONVERGED')
     // emitted only if any label still moves — the compare then fails
@@ -5369,24 +5536,8 @@ object Extensions {
     // sf0.1 vs 33 s materialized).
     QuerySpec("d13_semantic_canonical", semanticCanonical,
       Some(Seq("ev", "sq").foldLeft(embCtes)((s, c) =>
-        s.replace(c + " AS (", c + " AS MATERIALIZED (")) + ", " + centsCte +
-      """adots AS MATERIALIZED (
-        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
-        |  GROUP BY 1, 2),
-        |ascore AS MATERIALIZED (
-        |  SELECT d.vec_id, d.cent_id,
-        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM adots d
-        |  JOIN sq x ON x.vec_id = d.vec_id
-        |  JOIN sq y ON y.vec_id = d.cent_id),
-        |assigned AS MATERIALIZED (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cent_id AS cell,
-        |           row_number() OVER (PARTITION BY vec_id
-        |             ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore) t WHERE rn <= 4),
-        |scand AS MATERIALIZED (
+        s.replace(c + " AS (", c + " AS MATERIALIZED (")) + ", " + imiAssign4Ctes +
+      """scand AS MATERIALIZED (
         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
         |  FROM assigned x
         |  JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id),
@@ -5407,8 +5558,8 @@ object Extensions {
         |e AS MATERIALIZED (SELECT doc_a, doc_b FROM spairs
         |      UNION ALL SELECT doc_b, doc_a FROM spairs),
         |l0 AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id, doc_a AS lab FROM e),
-        |""".stripMargin + (1 to 13).map(ccRoundSql).mkString +
-      """labels AS (SELECT doc_id, lab AS cluster_id FROM l12)
+        |""".stripMargin + (1 to 17).map(ccRoundSql).mkString +
+      """labels AS (SELECT doc_id, lab AS cluster_id FROM l16)
         |SELECT d.doc_id, d.lang,
         |  COALESCE(l.cluster_id, d.doc_id) AS canonical_id,
         |  CASE WHEN COALESCE(l.cluster_id, d.doc_id) = d.doc_id
@@ -5418,7 +5569,7 @@ object Extensions {
         |SELECT CAST(-1 AS BIGINT) AS doc_id, 'NONCONVERGED' AS lang,
         |       CAST(-1 AS BIGINT) AS canonical_id, 0 AS is_kept
         |FROM (SELECT 1 AS x) one
-        |WHERE EXISTS (SELECT 1 FROM l12 a JOIN l13 b
+        |WHERE EXISTS (SELECT 1 FROM l16 a JOIN l17 b
         |              ON b.doc_id = a.doc_id AND b.lab <> a.lab)""".stripMargin)),
 
     QuerySpec("t16_decontaminated_corpus", corpusDecontaminated,
@@ -5604,28 +5755,8 @@ object Extensions {
         |FROM d JOIN p ON p.lang = d.lang
         |GROUP BY 1, 2, 3""".stripMargin)),
 
-    QuerySpec("s03_ann_ivf", annIvf, Some(embCtes + ", " + centsCte +
-      """adots AS (
-        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
-        |  GROUP BY 1, 2),
-        |ascore AS (
-        |  SELECT d.vec_id, d.cent_id,
-        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM adots d
-        |  JOIN sq x ON x.vec_id = d.vec_id
-        |  JOIN sq y ON y.vec_id = d.cent_id),
-        |assigned AS (
-        |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore) t WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 12),
-        |cand AS (
+    QuerySpec("s03_ann_ivf", annIvf, Some(embCtes + ", " + imiAssignProbeCtes(12) +
+      """cand AS (
         |  SELECT p.query_id, a.neighbor_id
         |  FROM probes p JOIN assigned a ON a.cell = p.cell
         |  WHERE a.neighbor_id <> p.query_id),
@@ -6026,22 +6157,9 @@ object Extensions {
         |  FROM fused) t
         |WHERE rank <= 10""".stripMargin)),
 
-    QuerySpec("t24_cluster_sample", clusterSample, Some(embCtes + ", " + centsCte +
-      """a0 AS (
-        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
-        |  GROUP BY 1, 2),
-        |s0 AS (
-        |  SELECT d.vec_id, d.cent_id,
-        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM a0 d
-        |  JOIN sq x ON x.vec_id = d.vec_id
-        |  JOIN sq y ON y.vec_id = d.cent_id),
-        |asg1 AS (
-        |  SELECT vec_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM s0) t WHERE rn = 1)
+    QuerySpec("t24_cluster_sample", clusterSample, Some(embCtes + ", " +
+      imiCtes + imiCellsCte("acells", 1) +
+      """asg1 AS (SELECT vec_id, cell FROM acells WHERE rn = 1)
         |SELECT cell, vec_id, smp_rank FROM (
         |  SELECT cell, vec_id,
         |         CAST(row_number() OVER (PARTITION BY cell
@@ -6208,28 +6326,8 @@ object Extensions {
     // MATERIALIZED (the d13 lesson).
     QuerySpec("s21_ann_ivf_pq_indexed", annIvfPqIndexed, Some(
       Seq("ev", "sq").foldLeft(embCtes)((acc, c) =>
-        acc.replace(c + " AS (", c + " AS MATERIALIZED (")) + ", " + centsCte +
-      """adots AS MATERIALIZED (
-        |  SELECT a.vec_id, b.vec_id AS cent_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-        |  FROM ev a JOIN ev b ON b.i = a.i JOIN cents c ON c.vec_id = b.vec_id
-        |  GROUP BY 1, 2),
-        |ascore AS MATERIALIZED (
-        |  SELECT d.vec_id, d.cent_id,
-        |         CAST(floor(d.dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
-        |  FROM adots d
-        |  JOIN sq x ON x.vec_id = d.vec_id
-        |  JOIN sq y ON y.vec_id = d.cent_id),
-        |assigned AS MATERIALIZED (
-        |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore) t WHERE rn = 1),
-        |probes AS MATERIALIZED (
-        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                ORDER BY cos_ppm DESC, cent_id ASC) AS rn
-        |    FROM ascore WHERE vec_id < 10) t WHERE rn <= 12),
-        |ccand AS MATERIALIZED (
+        acc.replace(c + " AS (", c + " AS MATERIALIZED (")) + ", " + imiAssignProbeCtes(12) +
+      """ccand AS MATERIALIZED (
         |  SELECT DISTINCT p.query_id, a.neighbor_id
         |  FROM probes p JOIN assigned a ON a.cell = p.cell
         |  WHERE a.neighbor_id <> p.query_id),

@@ -833,9 +833,9 @@ object CorpusService {
       case Some(cap) =>
         import org.apache.spark.sql.expressions.Window
         val E = graft.queries.Extensions
-        val assigned = E.centroidRank(
+        val assigned = E.imiRank(
             E.quantizeFrame(graft.Tables.t(spark, p.base, "embeddings")),
-            spark.read.parquet(p.cents), "vec_id")
+            spark.read.parquet(p.cents), "vec_id", 1)
           .filter(col("rn") === 1)
           .select(col("vec_id").as("doc_id"), col("cent_id").as("cell"))
         val prevKept =
@@ -1423,13 +1423,7 @@ object CorpusService {
         .join(t.select(col("doc_id").as("__doc")), Seq("__doc"), "left_anti")
         .drop("__doc"))
     if (!exists(spark, p.chunkIndex)) {
-      val n = cv.count()
-      val stride = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
-      val cents = cv
-        .filter(graft.functions.Portable.h32(col("vec_id").cast("string"))
-          % stride === 0)
-        .select(col("vec_id").as("cent_id"), col("q").as("qc"),
-          col("s2").as("sc"))
+      val cents = graft.queries.Extensions.codebooksFrom(cv, cv.count())
       graft.jobs.Warehouse.replaceVia(spark, p.chunkIndex) { stage =>
         graft.queries.Extensions.buildAnnIndexFrom(cv, cents, stage)
       }

@@ -92,7 +92,7 @@ object StreamingSemanticDedup {
     val all = Extensions.quantizeFrame(
       graft.Tables.t(spark, corpusTableDir, "embeddings")
         .select(col("vec_id"), col("embedding")))
-    val assigned = Extensions.centroidRank(all, cents, "vec_id")
+    val assigned = Extensions.imiRank(all, cents, "vec_id", 2)
       .filter(col("rn") <= 4)
       .select(col("vec_id"), col("cent_id").as("cell"))
     // Staged write + swap (replaceReport's machinery): the rebuilt table
@@ -111,7 +111,7 @@ object StreamingSemanticDedup {
       batch.select(col("vec_id"), col("embedding"))).persist()
     try {
       val cents = spark.read.parquet(centDir)
-      val bAssign = Extensions.centroidRank(b, cents, "vec_id")
+      val bAssign = Extensions.imiRank(b, cents, "vec_id", 2)
         .filter(col("rn") <= 4)
         .select(col("vec_id"), col("cent_id").as("cell"))
         .withColumn("is_new", lit(true))

@@ -402,8 +402,8 @@ class CorpusServiceSpec extends SparkSpec {
     // The retrain rebuilt the assignment table under the NEW quantizer:
     // wave-3 batch assignments extend it to the full corpus.
     val cents = spark.read.parquet(p.cents)
-    val assignAll = Extensions.centroidRank(
-        Extensions.quantizeFrame(emb), cents, "vec_id")
+    val assignAll = Extensions.imiRank(
+        Extensions.quantizeFrame(emb), cents, "vec_id", 2)
       .filter(col("rn") <= 4)
       .select(col("vec_id"), col("cent_id").as("cell"))
     assertSameRows(StreamingSemanticDedup.assignTable(spark, p.assigns),

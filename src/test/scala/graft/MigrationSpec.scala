@@ -59,6 +59,39 @@ class MigrationSpec extends SparkSpec {
       "rebuild must restore code-served reads")
   }
 
+  test("a flat (pre-IMI) _quantizer sidecar fails loudly with the rebuild instruction") {
+    val src = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-mig-imi").toString
+    val p = CorpusService.Paths(base)
+    Tables.t(spark, src, "documents").select("doc_id", "text", "lang")
+      .write.parquet(p.docs)
+    Tables.t(spark, src, "embeddings").write.parquet(p.embeddings)
+    CorpusService.trainQuantizer(spark, p)
+    CorpusService.drainAvailable(spark, p, index = true)
+    // Simulate an index whose sidecar predates the two-level quantizer:
+    // the flat format was (cent_id, qc, sc) — no `sub` column.
+    import spark.implicits._
+    graft.jobs.Warehouse.replaceVia(spark, p.annIndex + "/_quantizer") {
+      stage =>
+        Seq((7L, Array(1L, 2L), 5L)).toDF("cent_id", "qc", "sc")
+          .write.mode("overwrite").parquet(stage)
+    }
+    val err = intercept[IllegalArgumentException] {
+      CorpusService.annTopK(spark, p).count()
+    }
+    assert(err.getMessage.contains("retrain-class") &&
+      err.getMessage.contains("IMI"),
+      s"flat-sidecar serving error must carry the rebuild instruction: $err")
+    val appendErr = intercept[IllegalArgumentException] {
+      Extensions.appendAnnIndexFrom(spark, p.annIndex,
+        Extensions.quantizeFrame(
+          Tables.t(spark, src, "embeddings")
+            .select("vec_id", "embedding")).limit(1))
+    }
+    assert(appendErr.getMessage.contains("retrain-class"),
+      s"flat-sidecar append error must carry the rebuild instruction: $appendErr")
+  }
+
   test("rechunk converges an old-tiling chunk log to the current definition") {
     val src = sf("sf0.001")
     val base = java.nio.file.Files.createTempDirectory("graft-mig2").toString

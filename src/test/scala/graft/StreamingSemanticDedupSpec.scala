@@ -142,8 +142,8 @@ class StreamingSemanticDedupSpec extends SparkSpec {
     // quantizer (the re-ingested batch's duplicate appends collapse in
     // the distinct view — identical rows under identical centroids).
     val cents = spark.read.parquet(cent)
-    val expected = Extensions.centroidRank(
-        Extensions.quantizeFrame(emb), cents, "vec_id")
+    val expected = Extensions.imiRank(
+        Extensions.quantizeFrame(emb), cents, "vec_id", 2)
       .filter(col("rn") <= 4)
       .select(col("vec_id"), col("cent_id").as("cell"))
     assertSameRows(StreamingSemanticDedup.assignTable(spark, assign),
