@@ -137,6 +137,25 @@ object Bench {
 
     val prior = priorTimes()
 
+    // LOAD SENTINEL: a fixed, data-independent job (spark.range agg over
+    // a constant row count) timed exactly like a query, half the samples
+    // before the suite and half after. Its code never changes round to
+    // round, so its round-over-round ratio measures the HOST (co-tenant
+    // load, thermal state), not the engine — the normalizer two rounds
+    // of verdicts had to reconstruct from circumstantial drift patterns.
+    // Recorded in BENCH_LOCAL.json and on the driver-contract line as
+    // "sentinel" (seconds).
+    def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    def sentinelOnce(): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.range(200000000L)
+        .selectExpr("sum(id * 3 + 1)", "count(if(id % 7 = 0, 1, null))")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelPre = (1 to 3).map(_ => sentinelOnce())
+
     // A failed query must be visible IN the JSON (not only stderr): its
     // per-query entry becomes JSON `null` — never a numeric sentinel a
     // consumer could sum — and its message goes into an "errors" object;
@@ -221,8 +240,9 @@ object Bench {
     val flakyJson = flaky.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = r3(results.flatMap { case (_, med, _, _) => med }.sum)
+    val sentinel = r3(med(sentinelPre ++ (1 to 3).map(_ => sentinelOnce())))
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"iters":$ns,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sentinel":$sentinel,"queries":$qs,"mins":$mins,"iters":$ns,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
     // Full-fidelity artifact, immune to stdout-tail truncation; next
     // round's priorTimes reads it first.
     try java.nio.file.Files.write(
@@ -236,7 +256,7 @@ object Bench {
     // driver-contract line LAST — and it must fit the window whole.
     println(s"""{"mins":$mins,"iters":$ns}""")
     println(stdoutLine(total, results.map { case (k, med, _, _) => k -> med },
-      errors, flaky, sfDir))
+      errors, flaky, sfDir, sentinel))
     spark.stop()
     // A bench with errored queries must not pass the round gate silently:
     // the total covers only the queries that ran, so comparing it against
@@ -288,7 +308,8 @@ object Bench {
       medians0: Seq[(String, Option[Double])],
       errors: Seq[(String, String)],
       flaky: Seq[(String, Int)],
-      sfDir: String): String = {
+      sfDir: String,
+      sentinel: Double = 0.0): String = {
     val shorts = medians0.map { case (k, _) => shortName(k) }
     val medians =
       if (shorts.distinct.size == shorts.size)
@@ -313,6 +334,7 @@ object Bench {
       else flaky.map { case (k, n) => "\"" + k + "\":" + n }
         .mkString(",\"flaky\":{", ",", "}")
     val sf = new java.io.File(sfDir).getName
-    s"""{"metric":"total","value":${c2(total)},"unit":"sec","queries":$qs$err$flk,"sf":"$sf"}"""
+    val sent = if (sentinel > 0) s""","sentinel":${c2(sentinel)}""" else ""
+    s"""{"metric":"total","value":${c2(total)},"unit":"sec","queries":$qs$err$flk$sent,"sf":"$sf"}"""
   }
 }

@@ -311,7 +311,7 @@ object Extensions {
       |    SELECT 1 AS sub, vec_id,
       |           ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || 'b'), 1, 8))::BIGINT AS h
       |    FROM embeddings)
-      |  QUALIFY cent_id < (SELECT GREATEST(4, CAST(floor(sqrt(sqrt(count(*)))) AS BIGINT))
+      |  QUALIFY cent_id < (SELECT GREATEST(2, CAST(floor(sqrt(sqrt(count(*)))) AS BIGINT))
       |                     FROM embeddings)),
       |hev AS MATERIALIZED (
       |  SELECT e.vec_id, CASE WHEN e.i <= d.d // 2 THEN 0 ELSE 1 END AS sub,
@@ -461,7 +461,7 @@ object Extensions {
   /** The TWO-LEVEL coarse quantizer both IVF serving and semantic dedup
     * share (the inverted-multi-index construction, Babenko & Lempitsky
     * 2012): the vector space is split into two halves, each half gets
-    * its own sub-codebook of k = max(4, ⌊∜n⌋) corpus-sampled
+    * its own sub-codebook of k = max(2, ⌊∜n⌋) corpus-sampled
     * half-vectors, and a cell is a PAIR of sub-cell ids — ~√n effective
     * cells from 2·∜n stored rows.
     *
@@ -494,11 +494,16 @@ object Extensions {
 
   /** The codebook builder over an explicit already-quantized frame —
     * the chunk-grain index trains through this (its vectors never sit
-    * in an embeddings table). k = max(4, ⌊√√n⌋): two IEEE sqrts, which
+    * in an embeddings table). k = max(2, ⌊√√n⌋): two IEEE sqrts, which
     * are correctly rounded in every engine, where pow(n, 0.25) is not —
-    * the DuckDB twin must land on the identical k. */
+    * the DuckDB twin must land on the identical k. The floor is 2, not
+    * 4: the product of floored codebooks is 4 cells, which the
+    * 12-probe fan still covers COMPLETELY, so a tiny corpus (planted
+    * spec fixtures, a service's first wave) serves with exact recall —
+    * a higher floor would mint more cells than probes at small n and
+    * lose vectors a probe never visits. */
   private[graft] def codebooksFrom(e: DataFrame, n: Long): DataFrame = {
-    val k = math.max(4L,
+    val k = math.max(2L,
       math.floor(math.sqrt(math.sqrt(n.toDouble))).toLong).toInt
     def book(sub: Int, salt: String, slice: String) =
       e.select(col("vec_id"), expr(slice).as("qc"))
@@ -1757,9 +1762,13 @@ object Extensions {
     * its own cell at cos 1e6, so cells start non-empty).
     *
     * Scale shape: each iteration is one broadcast-centroid map over
-    * the corpus (n·k integer dots, the documented O(n^1.5) IVF
-    * training trade at k = √n) + one (cell, i)-grain hash agg — no
-    * corpus self-join anywhere, and k stays broadcastable (√n rows).
+    * the corpus (n·k integer dots at k = √n — this operator's own
+    * n^1.5 regime: its OUTPUT is the √n-cluster decomposition, so the
+    * cost is the ask) + one (cell, i)-grain hash agg — no corpus
+    * self-join anywhere. The √n frame broadcasts to ~10⁹ vectors
+    * (~0.25 GB at 64 dims); past that this clustering grain is the
+    * wrong tool, and the IVF serving family does NOT depend on it —
+    * it trains 2·∜n sub-codebooks per [[refinedCentroids]].
     * Output: the refined centroids as exact component sums at
     * (cent_id, i) grain with the final member count. */
   def kmeansRefine(s: SparkSession, dir: String): DataFrame =
@@ -4385,6 +4394,30 @@ object Extensions {
     * doc. This is the every-day serving shape — the corpus pass never
     * retrains — and it handles unseen words, which is why the artifact
     * stores merges and not a word table. */
+  /** FULL tokenization (the subword sequences, not just counts) of an
+    * arbitrary text frame under a FROZEN merge list — the request-path
+    * primitive behind CorpusService.tokenize: one row per word
+    * occurrence, positioned, carrying the word's subword array from
+    * the rank-ordered greedy fold. Distinct words fold ONCE and
+    * broadcast back onto occurrences (the bpeOccCounts shape), so the
+    * per-request cost is |distinct words| folds + one narrow join —
+    * unseen words are simply distinct words whose fold finds fewer
+    * merges, never an error (the frozen-artifact contract). */
+  private[graft] def bpeTokenizeUnder(d: DataFrame,
+                                      merges: Seq[(String, String)])
+      : DataFrame = {
+    val occ = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val init = expr(
+      "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))")
+    val folded = merges.foldLeft(init) { case (c, (l, r)) => bpeApply(c, l, r) }
+    val perWord = occ.select(col("word")).distinct()
+      .select(col("word"), folded.as("subwords"))
+    occ.join(broadcast(perWord), "word")
+      .select(col("doc_id"), col("pos"), col("word"), col("subwords"))
+  }
+
   private[graft] def bpeTokensUnder(d: DataFrame,
                                     merges: Seq[(String, String)]): DataFrame =
     bpeOccCounts(d, merges)

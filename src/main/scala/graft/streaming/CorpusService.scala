@@ -117,6 +117,12 @@ object CorpusService {
       * "new"). Thin: 8 bytes per deletion, read as one broadcast-grade
       * anti-join side. */
     val tombstones = s"$base/dedup/tombstones"
+    /** The maintained RECALL-AUDIT LOG: one row per scheduled audit,
+      * tagged with the quantizer epoch it measured — the served path's
+      * recall as a queryable time series, so drift across appends
+      * within an epoch (and the recovery at each retrain) is a stored
+      * fact, not something reconstructed from scheduler logs. */
+    val auditLog = s"$base/dedup/audit_log"
     /** The purge WATERMARK: the distinct-tombstone count at the last
       * purge that landed. Tombstones are permanent (they gate discovery
       * forever), so without this anchor every maintenance tick after
@@ -316,16 +322,47 @@ object CorpusService {
             .repartition(sizedParts(spark, p.chunkVecs))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
         })
+    // The CMS artifact purges by SUBTRACTION — the linear-sketch
+    // property doing the work a rewrite cannot (partial sketches are
+    // not per-doc rows): append the negated partial sketch of the
+    // tombstoned-and-sketched docs, and the merged view equals the
+    // sketch of a corpus that never held them, bucket-for-bucket
+    // (per-bucket counts are sums of per-doc contributions). "purged"
+    // markers ride the SAME append (one-parquet-commit atomicity, the
+    // cms+seen pattern), so a crash-replayed purge subtracts nothing
+    // twice; the "seen" rows stay — like the tombstones themselves,
+    // they gate re-ingestion from the append-only corpus store forever.
+    val cmsOk = ok && (!exists(spark, p.cmsLog) || {
+      val log = spark.read.parquet(p.cmsLog)
+      val toDrop = tomb
+        .join(log.filter(col("kind") === "seen").select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .join(log.filter(col("kind") === "purged").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      val delDocs = graft.Tables.t(spark, p.base, "documents")
+        .join(toDrop, Seq("doc_id"), "left_semi")
+      if (!delDocs.isEmpty) {
+        val neg = graft.queries.Extensions.cmsSketchOf(delDocs)
+          .select(lit("cms").as("kind"), lit(null).cast("long").as("doc_id"),
+            col("j"), col("b"), (-col("c")).as("c"))
+        val mark = delDocs.select(lit("purged").as("kind"), col("doc_id"),
+          lit(null).cast("int").as("j"), lit(null).cast("long").as("b"),
+          lit(null).cast("long").as("c"))
+        neg.unionByName(mark)
+          .write.mode(SaveMode.Append).parquet(p.cmsLog)
+      }
+      true
+    })
     graft.queries.Extensions.freeCkpt(tomb)
     // Watermark the purge that landed: the tombstone set is permanent
     // (it gates discovery forever), so [[purgePending]] needs this
     // anchor to stop the maintenance loop from re-rewriting every store
     // on every tick after the first deletion.
-    if (ok)
+    if (cmsOk)
       spark.range(1).select(lit(nTomb).as("n_tombstones")).coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(p.purgeMark)
-    ok
+    cmsOk
   }
 
   /** Partition count for a purge rewrite, derived from the store's
@@ -512,6 +549,40 @@ object CorpusService {
       .agg(sum("recall_ppm").as("s"), count(lit(1)).as("n")).head()
     if (r.getLong(1) == 0) 0L else r.getLong(0) / r.getLong(1)
   }
+
+  /** Run the recall audit and APPEND it to the maintained audit log —
+    * the [[runScheduled]] maintenance path's form of [[auditedRecallPpm]]:
+    * same scalar, plus the epoch tag (the trained-corpus anchor the
+    * current quantizer was derived at), the live indexed row count, and
+    * the loop-clock timestamp, as one appended row. The log is the
+    * BENCH-style artifact for serving quality: recall_ppm over
+    * (epoch, time) shows intra-epoch drift as appends fill cells
+    * unevenly and the recovery step at each retrain — the time series a
+    * deployment alerts on. Returns the audited ppm so the caller's
+    * retrain decision reads the same number that was logged (decide
+    * from the log, never from a second audit). */
+  def recordRecallAudit(spark: SparkSession, p: Paths,
+                        at: java.time.LocalDateTime): Long = {
+    val ppm = auditedRecallPpm(spark, p)
+    val epoch = trainedCount(spark, p).getOrElse(0L)
+    val nIndexed = spark.read.parquet(p.annIndex)
+      .filter(col("rn") === 1).count()
+    spark.range(1).select(
+        lit(epoch).as("epoch"),
+        lit(ppm).as("recall_ppm"),
+        lit(nIndexed).as("n_indexed"),
+        lit(at.toString).as("audited_at"))
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(p.auditLog)
+    ppm
+  }
+
+  /** The recall-audit time series (empty-safe). */
+  def auditLogView(spark: SparkSession, p: Paths): DataFrame =
+    if (exists(spark, p.auditLog)) spark.read.parquet(p.auditLog)
+    else spark.range(0).select(
+      col("id").as("epoch"), col("id").as("recall_ppm"),
+      col("id").as("n_indexed"), col("id").cast("string").as("audited_at"))
 
   /** The QUALITY-keyed retrain trigger — [[maybeRetrain]]'s twin keyed
     * on what users actually experience instead of a growth proxy: when
@@ -993,6 +1064,25 @@ object CorpusService {
     * frequency MONITOR over everything ever ingested (CMS being linear,
     * a purge COULD append the negative partial; a takedown's obligation
     * is on the serving/training artifacts, which all gate). */
+  /** Tokenize an EXTERNAL text frame ((doc_id, text) rows — a request,
+    * a new shard, another table) under the service's FROZEN tokenizer
+    * artifact — the request-path verb that makes the tokenizer a
+    * service like [[hybridTopKFor]], not just a maintained corpus view:
+    * one row per word occurrence with its position and subword array,
+    * every word folded under the stored rank-ordered merges. Unseen
+    * words tokenize fine (fewer merges apply — the frozen-merges
+    * contract that makes vocab refresh drift-only), and the per-request
+    * cost is |distinct words| folds + one broadcast join, never a
+    * corpus touch. */
+  def tokenize(spark: SparkSession, p: Paths, texts: DataFrame): DataFrame = {
+    require(exists(spark, p.bpeVocab),
+      s"corpus service: no tokenizer artifact at ${p.bpeVocab} — run " +
+        "refreshTokenizer first (training is a maintenance event, not a " +
+        "read-path side effect)")
+    graft.queries.Extensions.bpeTokenizeUnder(texts,
+      graft.queries.Extensions.bpeMergesAt(spark, p.bpeVocab))
+  }
+
   def refreshTokenSketch(spark: SparkSession, p: Paths): Unit = {
     val docsF = graft.Tables.t(spark, p.base, "documents")
       .select("doc_id", "text")
@@ -1015,10 +1105,14 @@ object CorpusService {
   }
 
   /** The merged full-corpus sketch: sum of every drain's partial — 4×256
-    * rows at most, regardless of corpus size. */
+    * rows at most, regardless of corpus size. Zero buckets are dropped:
+    * a bucket fully cancelled by a purge's negative partial
+    * ([[purgeTombstoned]]'s linear-sketch subtraction) is
+    * indistinguishable from one never written, and both read as 0. */
   def tokenSketchView(spark: SparkSession, p: Paths): DataFrame =
     spark.read.parquet(p.cmsLog).filter(col("kind") === "cms")
       .groupBy("j", "b").agg(sum(col("c")).as("c"))
+      .filter(col("c") =!= 0)
 
   /** Point-frequency estimates for requested tokens off the maintained
     * sketch — the CMS read path: never touches the corpus, min over the
@@ -1799,14 +1893,17 @@ object CorpusService {
               // compaction (the rebuild IS the most compact layout).
               retrainQuantizer(spark, p)
               retrains += 1
-            } else if (auditFloorPpm.exists(floor =>
+            } else if (auditFloorPpm.isDefined &&
                 exists(spark, p.annIndex) &&
-                  auditedRecallPpm(spark, p) < floor)) {
+                recordRecallAudit(spark, p, now) < auditFloorPpm.get) {
               // The QUALITY trigger ([[auditRetrain]]'s decision) on the
               // same cadence: growth didn't fire, but the served path's
               // audited recall fell below the floor — skewed appends
               // under a stale epoch. The audit's exact scan is the cost
-              // of asking; it runs only on maintenance ticks.
+              // of asking; it runs only on maintenance ticks — and every
+              // run LOGS its row first ([[recordRecallAudit]]), so the
+              // retrain decision and the stored time series can never
+              // disagree: what fired is what was recorded.
               retrainQuantizer(spark, p)
               retrains += 1
             } else if (exists(spark, p.annIndex)) {

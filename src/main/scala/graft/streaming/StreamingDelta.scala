@@ -69,6 +69,46 @@ object StreamingDelta {
         col("impression_id"), col("imp_ts"))
   }
 
+  /** q35's blast-radius RANGE JOIN over LIVE streams — the batch
+    * bucket-decomposition (ops.Joins.rangeJoin) as a stream-stream
+    * EQUI-join: each error explodes to the ≤2 fixed-width time buckets
+    * its 10-minute window overlaps, events carry their single bucket,
+    * and the join keys on (user, bucket) with the exact interval test
+    * as the time condition — so the state store partitions by the same
+    * equi key the batch shuffle does (never |errors|×|events| per
+    * user), and the event-time range condition lets Spark expire both
+    * sides' state at the watermark instead of buffering either stream
+    * forever. Timestamp comparisons are microsecond-exact, so the
+    * interval test IS the batch form's (lo, hi] test; gap_us arithmetic
+    * matches q35's unix_micros grain. Streams must carry
+    * (event_id, user_id, ts); same output schema as batch q35, so
+    * StreamingSpec can pin streamed ≡ batch over the same rows split
+    * across micro-batches. */
+  def blastRadius(events: DataFrame, errors: DataFrame,
+                  watermark: String = "30 minutes"): DataFrame = {
+    val W = 600L * 1000000L // 10 minutes in microseconds
+    val probe = events
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("bkt", expr(s"(us - pmod(us, ${W}L)) div ${W}L"))
+    val errs = errors
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+      .withColumn("err_us", unix_micros(col("err_ts")))
+      .withColumn("err_bkt", explode(expr(
+        s"sequence((err_us - pmod(err_us, ${W}L)) div ${W}L," +
+          s" (err_us + ${W}L - pmod(err_us + ${W}L, ${W}L)) div ${W}L)")))
+    probe.join(errs,
+        col("user_id") === col("err_user") &&
+        col("bkt") === col("err_bkt") &&
+        col("ts") > col("err_ts") &&
+        col("ts") <= col("err_ts") + expr("INTERVAL 10 minutes"))
+      .select(col("err_id"), col("event_id"), col("user_id"),
+        (col("us") - col("err_us")).as("gap_us"))
+  }
+
   /** Per-campaign running state emitted each micro-batch. */
   case class CampaignState(campaign_id: Long, total: Long, batches: Int,
                            last_seen: Timestamp)

@@ -176,16 +176,10 @@ class AnnIndexSpec extends SparkSpec {
       .select("vec_id", "q", "s2").persist()
     try {
       val half = cv.filter(pmod(col("vec_id"), lit(2)) === 0)
-      // The chunk corpus trains its own coarse quantizer: hash-sampled
-      // √n of the half it is built over (the coarseCentroids rule at
-      // frame grain).
-      val n = half.count()
-      val stride = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
-      val cents = half
-        .filter(graft.functions.Portable.h32(col("vec_id").cast("string"))
-          % stride === 0)
-        .select(col("vec_id").as("cent_id"), col("q").as("qc"),
-          col("s2").as("sc"))
+      // The chunk corpus trains its own coarse quantizer: the IMI
+      // sub-codebooks over the half it is built over (the
+      // coarseCodebooks rule at frame grain).
+      val cents = Extensions.codebooksFrom(half, half.count())
       val base = java.nio.file.Files.createTempDirectory("graft-chunkidx")
         .toString
       val grown = s"$base/grown"

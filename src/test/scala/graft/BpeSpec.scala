@@ -122,6 +122,56 @@ class BpeSpec extends SparkSpec {
       "post-takedown retrain ≠ rebuild-without-the-doc")
   }
 
+  test("tokenize(texts): request-path subword sequences ≡ driver-side fold, unseen words included") {
+    import graft.streaming.CorpusService
+    val base = java.nio.file.Files.createTempDirectory("graft-bpe-tok").toString
+    val p = CorpusService.Paths(base)
+    Tables.t(spark, sf("sf0.001"), "documents").write.parquet(p.docs)
+    // Reading before any training is a refusal, not a hidden train.
+    intercept[IllegalArgumentException] {
+      CorpusService.tokenize(spark, p, Seq((1L, "a")).toDF("doc_id", "text"))
+    }
+    CorpusService.refreshTokenizer(spark, p)
+    // An EXTERNAL request frame: corpus words, an unseen word, a word
+    // repeated at different positions, and empty-token noise.
+    val req = Seq((501L, "the zzqx the"), (502L, "gluonic  campaign"))
+      .toDF("doc_id", "text")
+    val got = CorpusService.tokenize(spark, p, req)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getSeq[String](3).toList))
+    // Driver-side reference: the stored rank-ordered merges applied
+    // leftmost non-overlapping to chars+</w> — the same fold refBpe
+    // pins for training, applied as a frozen artifact.
+    val merges = spark.read.parquet(p.bpeVocab)
+      .orderBy("rank").collect().map(r =>
+        (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    def fold(w: String): List[String] = {
+      var seq: Seq[String] = w.map(_.toString) :+ "</w>"
+      for ((l, r) <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < seq.length) {
+          if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += seq(i); i += 1 }
+        }
+        seq = out.toSeq
+      }
+      seq.toList
+    }
+    val want = Seq(
+      (501L, 0, "the", fold("the")), (501L, 1, "zzqx", fold("zzqx")),
+      (501L, 2, "the", fold("the")), (502L, 0, "gluonic", fold("gluonic")),
+      (502L, 2, "campaign", fold("campaign")))
+    assert(got.toSeq == want,
+      s"served tokenization diverged from the frozen-merge fold:\n$got")
+    // Subword streams reassemble the word (no token lost to the fold).
+    got.foreach { case (_, _, w, subs) =>
+      assert(subs.mkString == w + "</w>", s"$w -> $subs")
+    }
+  }
+
   /** Reference implementation: naive driver-side Sennrich BPE — per
     * round, count adjacent pairs weighted by word frequency, take the
     * (count desc, (l, r) lexical) argmax, apply leftmost

@@ -927,6 +927,30 @@ class CorpusServiceSpec extends SparkSpec {
       "audit retrain must re-anchor at the unchanged corpus size")
     // Serving is intact under the new epoch.
     assert(CorpusService.annTopK(spark, p).count() > 0)
+
+    // The AUDIT LOG is the decision's record: every audited tick
+    // appended exactly one epoch-tagged row (tick 1 had no floor — no
+    // row; ticks 2 and 3 audited), the retrain-triggering tick's row
+    // is IN the log (what fired is what was recorded), and the series
+    // carries the loop clock, not wall time.
+    val log = CorpusService.auditLogView(spark, p)
+      .orderBy("audited_at").collect()
+    assert(log.length == 2,
+      s"one audit row per audited maintenance tick: ${log.toSeq}")
+    log.foreach { r =>
+      assert(r.getAs[Long]("epoch") == anchor.get,
+        s"audit row must carry its quantizer epoch: $r")
+      assert(r.getAs[Long]("n_indexed") > 0)
+      assert(r.getAs[String]("audited_at").startsWith("2024-06-01T12:0"),
+        s"audit row must carry the loop clock: $r")
+    }
+    val fired = log.last.getAs[Long]("recall_ppm")
+    assert(fired < 1000001L && fired == log.head.getAs[Long]("recall_ppm"),
+      "the logged value is the measured recall that fired the retrain")
+    // A further audited tick under the NEW epoch extends the series —
+    // drift across appends is a queryable time series, per epoch.
+    assert(oneTick(Some(1L)) == CorpusService.CorpusScheduleStats(1, 0, 1))
+    assert(CorpusService.auditLogView(spark, p).count() == 3)
   }
 
   test("dedupReport with a many-to-one semIdMap: no self-pairs, no dup rows") {

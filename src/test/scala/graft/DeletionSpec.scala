@@ -206,6 +206,56 @@ class DeletionSpec extends SparkSpec {
       "purge left deleted clean_text bytes in the scrubbed store")
   }
 
+  test("tokenizer + CMS artifacts converge to rebuild-without-the-docs on delete/purge") {
+    val src = sf("sf0.001")
+    val baseA = java.nio.file.Files.createTempDirectory("graft-delH").toString
+    val pA = CorpusService.Paths(baseA)
+    val docs = Tables.t(spark, src, "documents").select("doc_id", "text", "lang")
+    docs.write.parquet(pA.docs)
+    CorpusService.refreshTokenizer(spark, pA)
+    CorpusService.refreshTokenSketch(spark, pA)
+    CorpusService.deleteDocs(spark, pA, dels)
+    // The token-count view gates immediately (pre-purge).
+    assert(CorpusService.tokenCounts(spark, pA)
+      .filter(col("doc_id").isin(dels: _*)).count() == 0,
+      "deleted docs still served by tokenCounts")
+    // The purge SUBTRACTS the deleted docs' partial sketch — the merged
+    // CMS equals, bucket-for-bucket, the sketch of a corpus that never
+    // held them (linear-sketch exactness, not an approximation claim).
+    assert(CorpusService.purgeTombstoned(spark, pA), "purge must land")
+    val without = docs.filter(!col("doc_id").isin(dels: _*))
+    assertSameRows(CorpusService.tokenSketchView(spark, pA),
+      Extensions.cmsSketchOf(without),
+      "post-purge CMS vs never-ingested sketch")
+    // Replayed delete + purge must not double-subtract ("purged"
+    // markers ride the same append as the negative partial)...
+    CorpusService.deleteDocs(spark, pA, dels)
+    assert(CorpusService.purgeTombstoned(spark, pA))
+    assertSameRows(CorpusService.tokenSketchView(spark, pA),
+      Extensions.cmsSketchOf(without),
+      "replayed purge double-subtracted the CMS")
+    // ...and the next sketch drain must not re-ingest the purged docs
+    // from the (still-complete, append-only) corpus store.
+    CorpusService.refreshTokenSketch(spark, pA)
+    assertSameRows(CorpusService.tokenSketchView(spark, pA),
+      Extensions.cmsSketchOf(without),
+      "sketch maintenance resurrected purged docs")
+    // The next tokenizer retrain converges the stored merge artifact —
+    // and with it the served token counts — to a service that never
+    // ingested the docs.
+    CorpusService.refreshTokenizer(spark, pA)
+    val baseB = java.nio.file.Files.createTempDirectory("graft-delI").toString
+    val pB = CorpusService.Paths(baseB)
+    without.write.parquet(pB.docs)
+    CorpusService.refreshTokenizer(spark, pB)
+    assertSameRows(spark.read.parquet(pA.bpeVocab),
+      spark.read.parquet(pB.bpeVocab),
+      "post-purge retrained merge list vs never-ingested twin")
+    assertSameRows(CorpusService.tokenCounts(spark, pA),
+      CorpusService.tokenCounts(spark, pB),
+      "post-purge token counts vs never-ingested twin")
+  }
+
   test("purge watermark: re-purge only on NEW deletions; partitions derive from store size") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-delG").toString

@@ -118,6 +118,60 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((200L, 100L)), s"got $got")
   }
 
+  test("streaming blast-radius range join ≡ batch q35 over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val evMs = MemoryStream[(Long, Long, Timestamp)]
+    val errMs = MemoryStream[(Long, Long, Timestamp)]
+    val cols = Seq("event_id", "user_id", "ts")
+    val q = StreamingDelta.blastRadius(
+        evMs.toDF().toDF(cols: _*), errMs.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("blast_out")
+      .outputMode("append").start()
+    // Errors at 10:00 (user 1) and 10:07 (user 2 — its 10-minute window
+    // CROSSES the 10:10 bucket boundary, the 2-bucket explode case).
+    val errors = Seq(
+      (900L, 1L, ts("2024-06-01 10:00:00")),
+      (901L, 2L, ts("2024-06-01 10:07:00")))
+    // Events: in-window, boundary-exact (+10:00 → kept, (lo, hi]),
+    // just-outside, before-the-error, cross-bucket in-window (user 2 at
+    // 10:12 — found only if the error explodes to the next bucket),
+    // and a wrong-user decoy. Split across micro-batches.
+    val events = Seq(
+      (1L, 1L, ts("2024-06-01 10:00:30")),
+      (2L, 1L, ts("2024-06-01 10:10:00")),
+      (3L, 1L, Timestamp.valueOf("2024-06-01 10:10:00.000001")),
+      (4L, 1L, ts("2024-06-01 09:59:59")),
+      (5L, 2L, ts("2024-06-01 10:12:00")),
+      (6L, 3L, ts("2024-06-01 10:00:30")))
+    try {
+      errMs.addData(errors.head)
+      evMs.addData(events.take(3): _*)
+      q.processAllAvailable()
+      errMs.addData(errors(1))
+      evMs.addData(events.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // The batch twin: ops.Joins.rangeJoin (q35's exact shape) over the
+    // same rows, one shot.
+    val W = 600L * 1000000L
+    val e = events.toDF(cols: _*)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val errB = errors.toDF(cols: _*)
+      .select(col("event_id").as("err_id"), col("user_id"),
+        unix_micros(col("ts")).as("err_us"),
+        (unix_micros(col("ts")) + lit(W)).as("err_hi"))
+    val batch = graft.ops.Joins.rangeJoin(e, errB,
+        key = "user_id", t = "us", lo = "err_us", hi = "err_hi", bucket = W)
+      .select(col("err_id"), col("event_id"), col("user_id"),
+        (col("us") - col("err_us")).as("gap_us"))
+    assertSameRows(spark.table("blast_out"), batch,
+      "streamed blast radius vs batch range join")
+    // The cross-bucket pair must actually be present (non-vacuous).
+    assert(spark.table("blast_out")
+      .filter(col("err_id") === 901L && col("event_id") === 5L).count() == 1,
+      "cross-bucket in-window event missed by the streamed range join")
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp)]
