@@ -95,7 +95,16 @@ object ScaleSmoke {
     // token stream), with the estimate join constant (1024 rows) —
     // expect ≤ ~0.5 at this scale where per-job overhead still
     // dominates.
-    "t35_bpe_packs", "t37_cms_heavy_hitters")
+    "t35_bpe_packs", "t37_cms_heavy_hitters",
+    // Round-12 additions: the IMI quantizer generation moved every
+    // recompute-the-assignment chain from n·√n full-width dots to
+    // n·2·∜n half-width dots — s03 (assignment + probe + rerank) and
+    // s05 (assignment + cell-blocked pair scan) carry the claim
+    // directly, and t26 above is the anchor whose flat-quantizer
+    // exponent was the suite's only super-linear row (1.51–1.63
+    // measured across rounds); all three should now sit in the
+    // ~n^1.25 class or below.
+    "s03_ann_ivf", "s05_semdedup_cells")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

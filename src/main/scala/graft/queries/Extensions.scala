@@ -167,8 +167,10 @@ object Extensions {
     * count was taken (the memo assumes static table dirs; a stale count
     * silently freezes the √n stride). StreamingSemanticDedup.retrain
     * calls this; static-testdata callers never need to. */
-  private[graft] def invalidateCorpusCount(dir: String): Unit =
+  private[graft] def invalidateCorpusCount(dir: String): Unit = {
     corpusCount.remove(dir)
+    booksCache.remove(dir)
+  }
   private def coarseCentroids(s: SparkSession, dir: String,
                               e: DataFrame): DataFrame = {
     val n: Long = corpusCount.computeIfAbsent(dir,
@@ -520,6 +522,39 @@ object Extensions {
       .select("sub", "cent_id", "qc", "sc")
   }
 
+  /** The sub-codebooks COLLECTED to the driver — ~2·∜n rows of
+    * (dense id, half-vector, norm) per side, the broadcast-ADC size
+    * class (∜10¹² ≈ 10³ rows of 32 longs ≈ 0.25 MB). Collecting them
+    * is what lets [[imiRankB]] run cell assignment as a PURE NARROW
+    * MAP: the codebooks enter the plan as literal arrays folded by
+    * per-row lambdas — zero joins, zero shuffles, zero windows in the
+    * assignment itself (the flat predecessor paid a broadcast cross
+    * join plus an n·√n-row ranking window; the first IMI cut paid a
+    * join + two windows + a self-pair join — measured ~1 s of fixed
+    * stage overhead per query at bench grain). */
+  private[graft] final case class ImiBooks(
+      b0: Seq[(Long, Seq[Long], Long)], b1: Seq[(Long, Seq[Long], Long)])
+
+  private[graft] def collectBooks(books: DataFrame): ImiBooks = {
+    val rows = books.select(col("sub").cast("int"), col("cent_id"),
+      col("qc"), col("sc")).collect()
+    def side(s: Int): Seq[(Long, Seq[Long], Long)] = rows.toSeq
+      .filter(_.getInt(0) == s)
+      .map(r => (r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
+      .sortBy(_._1)
+    ImiBooks(side(0), side(1))
+  }
+
+  /** Collected [[coarseCodebooks]] memoized per corpus dir (the
+    * corpusCount pattern — invalidateCorpusCount drops both, since a
+    * stale codebook is exactly a stale count's failure mode). */
+  private val booksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ImiBooks]()
+  private[graft] def coarseBooks(s: SparkSession, dir: String,
+                                 e: DataFrame): ImiBooks =
+    booksCache.computeIfAbsent(dir,
+      _ => collectBooks(coarseCodebooks(s, dir, e)))
+
   /** Two-level cell assignment: rank each vector's HALVES against the
     * matching sub-codebook (per-half integer cosine, the cosPpm idiom),
     * keep the top `perHalf` sub-cells per half, and emit the product
@@ -529,41 +564,48 @@ object Extensions {
     * 4-cell multi-assignment, 5 for probe fans up to 25 cells (s11's
     * nprobe=20 included).
     *
-    * Scale shape: the codebook join is ONE broadcast hash join against
-    * 2·∜n rows; per-half ranking windows on (id, sub); the product is a
-    * thin self-pair join on id. Nothing here is a cross join — the old
-    * flat assigner's broadcast nested loop (n·√n full-width rows
-    * through its ranking window) is gone, replaced by n·2·∜n half-width
-    * rows. Returns `v`'s columns plus (cent_id = packed cell, rn). */
-  private[graft] def imiRank(v: DataFrame, books: DataFrame, idCol: String,
-                             perHalf: Int): DataFrame = {
-    val halves = v.select(col(idCol), col("q"))
-      .select(col(idCol),
-        posexplode(array(expr(sliceH0), expr(sliceH1))).as(Seq("sub", "qh")))
-      .withColumn("sh", DotI64(col("qh"), col("qh")))
-    val hw = Window.partitionBy(col(idCol), col("sub"))
-      .orderBy(col("hcos").desc, col("cent_id").asc)
-    val ranked = halves.join(broadcast(books), "sub")
-      .withColumn("hdot", DotI64(col("qh"), col("qc")))
-      .withColumn("hcos",
-        floor(col("hdot") / (sqrt(col("sh")) * sqrt(col("sc")))
-          * lit(1000000.0) + lit(0.5)).cast("long"))
-      .withColumn("hr", row_number().over(hw))
-      .filter(col("hr") <= perHalf)
-      .select(col(idCol), col("sub"), col("cent_id"), col("hr"))
-    val cw = Window.partitionBy(col(idCol))
-      .orderBy((col("__ha") + col("__hb")).asc, col("__ha").asc,
-        col("cent_id").asc)
-    val cells = ranked.filter(col("sub") === 0)
-      .select(col(idCol), col("cent_id").as("__ca"), col("hr").as("__ha"))
-      .join(ranked.filter(col("sub") === 1)
-        .select(col(idCol), col("cent_id").as("__cb"), col("hr").as("__hb")),
-        idCol)
-      .withColumn("cent_id", col("__ca") * lit(CellBase) + col("__cb"))
-      .withColumn("rn", row_number().over(cw))
-      .select(col(idCol), col("cent_id"), col("rn"))
-    v.join(cells, idCol)
+    * Scale shape: ONE narrow projection — per row, 2·∜n half-width
+    * interpreted dots against the literal codebook arrays, an
+    * array_sort of ∜n structs per half (ties by sub-cell id, the
+    * window ordering verbatim), and a perHalf² product sorted by
+    * (rank sum, rank₀, cell) — then one posexplode. No join, no
+    * shuffle, no window: the corpus flows through untouched, exactly
+    * the "assignment is a narrow map over the corpus" shape the IVF
+    * scaladocs promise. Returns `v`'s columns plus (cent_id = packed
+    * cell, rn). */
+  private[graft] def imiRankB(v: DataFrame, bk: ImiBooks, idCol: String,
+                              perHalf: Int): DataFrame = {
+    def litBook(side: Seq[(Long, Seq[Long], Long)]) = typedlit(side)
+    def topHalf(qh: Column, sh: Column, book: Column) =
+      slice(array_sort(transform(book, b => struct(
+        (-floor(DotI64(qh, b("_2")) / (sqrt(sh) * sqrt(b("_3")))
+          * lit(1000000.0) + lit(0.5)).cast("long")).as("neg"),
+        b("_1").as("cent")))), 1, perHalf)
+    val withTops = v
+      .withColumn("__qh0", expr(sliceH0))
+      .withColumn("__qh1", expr(sliceH1))
+      .withColumn("__sh0", DotI64(col("__qh0"), col("__qh0")))
+      .withColumn("__sh1", DotI64(col("__qh1"), col("__qh1")))
+      .withColumn("__t0", topHalf(col("__qh0"), col("__sh0"), litBook(bk.b0)))
+      .withColumn("__t1", topHalf(col("__qh1"), col("__sh1"), litBook(bk.b1)))
+      .withColumn("__prod", array_sort(flatten(transform(col("__t0"),
+        (a, i) => transform(col("__t1"), (b, j) => struct(
+          (i + j).as("s"), i.as("ha"),
+          (a("cent") * lit(CellBase) + b("cent")).as("cell")))))))
+    withTops
+      .select(v.columns.map(col) :+
+        posexplode(col("__prod")).as(Seq("__pos", "__pc")): _*)
+      .withColumn("cent_id", col("__pc.cell"))
+      .withColumn("rn", (col("__pos") + 1).cast("int"))
+      .drop("__pos", "__pc")
   }
+
+  /** [[imiRankB]] over an uncollected codebook frame — callers that
+    * read the quantizer from a store (the streaming assignment path,
+    * the index sidecars) pass the frame; the collect is 2·∜n rows. */
+  private[graft] def imiRank(v: DataFrame, books: DataFrame, idCol: String,
+                             perHalf: Int): DataFrame =
+    imiRankB(v, collectBooks(books), idCol, perHalf)
 
   // ------------------------------------------------------------ dedup family
 
@@ -1196,11 +1238,11 @@ object Extensions {
     * tracks s03's cell-probe recall. */
   def annIvfSq8(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val books = coarseCodebooks(s, dir, e)
-    val assigned = imiRank(e, books, "vec_id", 1)
+    val books = coarseBooks(s, dir, e)
+    val assigned = imiRankB(e, books, "vec_id", 1)
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
-    val probes = imiRank(e.filter(col("vec_id") < 10), books, "vec_id", 5)
+    val probes = imiRankB(e.filter(col("vec_id") < 10), books, "vec_id", 5)
       .filter(col("rn") <= 12)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val cellCand = probes.join(assigned, "cell")
@@ -1864,7 +1906,7 @@ object Extensions {
     * re-assigning. */
   def clusterSample(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val assigned = imiRank(e, coarseCodebooks(s, dir, e), "vec_id", 1)
+    val assigned = imiRankB(e, coarseBooks(s, dir, e), "vec_id", 1)
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"))
     val w = Window.partitionBy(col("cell"))
@@ -2327,11 +2369,11 @@ object Extensions {
     * a narrow map over the corpus (no shuffle until the per-cell top-k). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val books = coarseCodebooks(s, dir, e)
-    val assigned = imiRank(e, books, "vec_id", 1)
+    val books = coarseBooks(s, dir, e)
+    val assigned = imiRankB(e, books, "vec_id", 1)
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
-    val probes = imiRank(e.filter(col("vec_id") < 10), books, "vec_id", 5)
+    val probes = imiRankB(e.filter(col("vec_id") < 10), books, "vec_id", 5)
       .filter(col("rn") <= 12)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
@@ -2367,11 +2409,11 @@ object Extensions {
     * global prefix-retention). */
   def annIvfPrefix(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val books = coarseCodebooks(s, dir, e)
-    val assigned = imiRank(e, books, "vec_id", 1)
+    val books = coarseBooks(s, dir, e)
+    val assigned = imiRankB(e, books, "vec_id", 1)
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
-    val probes = imiRank(e.filter(col("vec_id") < 10), books, "vec_id", 5)
+    val probes = imiRankB(e.filter(col("vec_id") < 10), books, "vec_id", 5)
       .filter(col("rn") <= 12)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val cellCand = probes.join(assigned, "cell")
@@ -2439,13 +2481,13 @@ object Extensions {
   def annIvfFiltered(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
     val lab = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("label"))
-    val books = coarseCodebooks(s, dir, e)
-    val assigned = imiRank(e, books, "vec_id", 1)
+    val books = coarseBooks(s, dir, e)
+    val assigned = imiRankB(e, books, "vec_id", 1)
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
       .join(lab.select(col("vec_id").as("neighbor_id"),
         col("label").as("n_label")), "neighbor_id")
-    val probes = imiRank(e.filter(col("vec_id") < 10), books, "vec_id", 5)
+    val probes = imiRankB(e.filter(col("vec_id") < 10), books, "vec_id", 5)
       .filter(col("rn") <= 20)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
       .join(lab.select(col("vec_id").as("query_id"),
@@ -3895,7 +3937,7 @@ object Extensions {
     * so the two operators' outputs are directly comparable. */
   def semdedupCells(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val assigned = imiRank(e, coarseCodebooks(s, dir, e), "vec_id", 2)
+    val assigned = imiRankB(e, coarseBooks(s, dir, e), "vec_id", 2)
       .filter(col("rn") <= 4)
       .select(col("vec_id"), col("cent_id").as("cell"))
     val cand = assigned.as("a")
@@ -3934,7 +3976,7 @@ object Extensions {
     * recompute path. */
   def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val assigned = imiRank(e, coarseCodebooks(s, dir, e), "vec_id", 2)
+    val assigned = imiRankB(e, coarseBooks(s, dir, e), "vec_id", 2)
       .filter(col("rn") <= 4)
       .select(col("vec_id"), col("cent_id").as("cell"))
     hardNegativesFrom(assigned, e)
