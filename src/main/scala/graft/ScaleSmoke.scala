@@ -104,7 +104,12 @@ object ScaleSmoke {
     // exponent was the suite's only super-linear row (1.51–1.63
     // measured across rounds); all three should now sit in the
     // ~n^1.25 class or below.
-    "s03_ann_ivf", "s05_semdedup_cells")
+    "s03_ann_ivf", "s05_semdedup_cells",
+    // t38's stages are hash aggs and 1024-row broadcast joins; its only
+    // unpartitioned window runs at SCORE-DOMAIN grain (ppm-bounded,
+    // corpus-size-independent) and the tie-rank at boundary-class grain
+    // — expect ~linear in the bigram stream, the t20 class.
+    "t38_dsir_select")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

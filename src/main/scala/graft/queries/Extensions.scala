@@ -3504,6 +3504,103 @@ object Extensions {
         idiv(sum(col("p_ppm")), count(lit(1))).as("lm_score_ppm"))
   }
 
+  /** t38: DSIR-style importance resampling — the published data-SELECTION
+    * shape (hashed n-gram importance weights, Xie et al. 2023): score
+    * every document by how much its token-bigram distribution looks like
+    * a TARGET corpus rather than the raw crawl, then keep the top
+    * fraction. The quality gate (t02) names the in-corpus target here —
+    * deployments point `targetDocs` at an external trusted corpus
+    * (Wikipedia, curated books), which is exactly the frame parameter
+    * [[dsirOf]] exposes.
+    *
+    * Features are HASHED bigrams (1024 buckets via the portable h32 —
+    * DSIR's hashed-n-gram device, bounding the feature space regardless
+    * of vocabulary size). Where DSIR scores Σ log(p_target/p_raw), the
+    * cross-engine-exact surrogate is the mean per-occurrence probability
+    * DIFFERENCE in ppm — the same over-represented-in-target contrast
+    * with the same sign structure, in exact integer arithmetic (the t20
+    * precedent: a monotone-equivalent integer image of the float score a
+    * threshold would consume). The sum is shifted by +1e6 per gram
+    * before idiv so the division is always non-negative (idiv/`//`
+    * disagree on negatives across engines).
+    *
+    * Selection is EXACT top-`keepPct`% with deterministic tie-break,
+    * computed scale-safely: a histogram at SCORE-DOMAIN grain (ppm
+    * scores are bounded in [-1e6, 1e6], so the cumulative window runs
+    * over ≤ 2e6+1 rows — corpus-size-INDEPENDENT, unlike a global
+    * rank-over-docs window), a one-row boundary probe, and a ranking
+    * window over only the boundary TIE CLASS (docs sharing the cutoff
+    * score), ordered by doc_id. DSIR's Gumbel-noise sampling is the
+    * randomized variant of the same weight-ordered keep; the
+    * deterministic form is what re-runs and audits need.
+    *
+    * Scale shape: bigrams from the doc-partitioned lead window (t20);
+    * two 1024-bucket hash aggs (map-side combinable) for raw/target
+    * counts; the 1024-row probability table broadcasts back; scoring is
+    * one per-doc hash agg. Nothing corpus-grain is globally sorted. */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame =
+    dsirOf(docs(s, dir),
+      qualityScore(s, dir).filter(col("quality_ok") === 1).select("doc_id"),
+      DsirKeepPct)
+
+  /** Keep fraction for t38, in percent. */
+  private[graft] val DsirKeepPct = 25L
+
+  /** Frame-grain core of t38: `documents` carries (doc_id, text…);
+    * `targetDocs` names the target-distribution doc ids (a subset of
+    * `documents` here; an external corpus in deployment). Emits one row
+    * per document having ≥1 bigram: (doc_id, n_bigrams, dsir_score_ppm,
+    * keep). */
+  private[graft] def dsirOf(documents: DataFrame, targetDocs: DataFrame,
+                            keepPct: Long): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .withColumn("tb", lead(col("tok"), 1).over(w))
+      .filter(col("tb").isNotNull)
+      .select(col("doc_id"),
+        pmod(h32(concat_ws(" ", col("tok"), col("tb"))), lit(1024L)).as("bkt"))
+    val raw = grams.groupBy("bkt").agg(count(lit(1)).as("cr"))
+    val tgt = grams.join(targetDocs, Seq("doc_id"), "left_semi")
+      .groupBy("bkt").agg(count(lit(1)).as("ct"))
+    val probs = raw.join(tgt, Seq("bkt"), "left")
+      .crossJoin(broadcast(raw.agg(sum("cr").as("rt"))))
+      .crossJoin(broadcast(tgt.agg(sum("ct").as("tt"))))
+      .select(col("bkt"), ppm(col("cr"), col("rt")).as("pr"),
+        coalesce(ppm(col("ct"), col("tt")), lit(0L)).as("pt"))
+    val scored = grams.join(broadcast(probs), "bkt")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (idiv(sum(col("pt") - col("pr")) + count(lit(1)) * lit(1000000L),
+          count(lit(1))) - lit(1000000L)).as("dsir_score_ppm"))
+    // Exact top-N selection at score-domain grain: cumulative doc counts
+    // down the (bounded) distinct-score axis, one boundary row, ranking
+    // only within the cutoff-score tie class.
+    val hist = scored.groupBy("dsir_score_ppm").agg(count(lit(1)).as("cnt"))
+    val cw = Window.orderBy(col("dsir_score_ppm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = hist
+      .withColumn("cum", sum(col("cnt")).over(cw))
+      .crossJoin(broadcast(
+        hist.agg(idiv(sum(col("cnt")) * lit(keepPct), lit(100L)).as("n_keep"))))
+      .filter(col("cum") >= col("n_keep"))
+      .orderBy(col("dsir_score_ppm").desc).limit(1)
+      .select(col("dsir_score_ppm").as("s_star"),
+        (col("n_keep") - (col("cum") - col("cnt"))).as("take_at"))
+    val tieKept = scored
+      .join(broadcast(boundary), col("dsir_score_ppm") === col("s_star"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("dsir_score_ppm")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= col("take_at"))
+      .select(col("doc_id"), lit(1).as("kb"))
+    scored.crossJoin(broadcast(boundary))
+      .join(tieKept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"), col("dsir_score_ppm"),
+        when(col("dsir_score_ppm") > col("s_star") || col("kb").isNotNull, 1)
+          .otherwise(0).as("keep"))
+  }
+
   /** d08: fuzzy dedup by edit distance — the modality the hash families
     * (d01–d06) can't see: small character-level edits (typos, OCR noise)
     * that change every shingle. Candidate pairs are BLOCKED by
@@ -6704,6 +6801,52 @@ object Extensions {
     QuerySpec("t34_bpe_tokens_stored", bpeTokensStored, Some(bpeTokensOracle)),
     QuerySpec("t35_bpe_packs", bpePacks, Some(bpePacksOracle)),
     QuerySpec("t36_bpe_fertility", bpeFertility, Some(bpeFertilityOracle)),
-    QuerySpec("t37_cms_heavy_hitters", cmsHeavyHitters, Some(cmsOracle))
+    QuerySpec("t37_cms_heavy_hitters", cmsHeavyHitters, Some(cmsOracle)),
+
+    QuerySpec("t38_dsir_select", dsirSelect, Some(
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |tokrows AS (SELECT doc_id, pos, t[pos] AS tok
+        |            FROM toks, UNNEST(range(1, len(t) + 1)) u(pos)),
+        |big AS MATERIALIZED (
+        |  SELECT a.doc_id,
+        |         ('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 8))::BIGINT % 1024 AS bkt
+        |  FROM tokrows a JOIN tokrows b
+        |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |q AS (SELECT doc_id FROM toks
+        |      WHERE len(t) >= 20
+        |        AND (len(list_filter(t, x -> x IN ('a', 'the'))) * 1000000) // len(t) < 300000),
+        |raw AS MATERIALIZED (SELECT bkt, count(*) AS cr FROM big GROUP BY 1),
+        |tgt AS MATERIALIZED (
+        |  SELECT bkt, count(*) AS ct FROM big
+        |  WHERE doc_id IN (SELECT doc_id FROM q) GROUP BY 1),
+        |probs AS (
+        |  SELECT r.bkt,
+        |         (r.cr * 1000000) // (SELECT SUM(cr) FROM raw) AS pr,
+        |         COALESCE((t.ct * 1000000) // (SELECT SUM(ct) FROM tgt), 0) AS pt
+        |  FROM raw r LEFT JOIN tgt t ON t.bkt = r.bkt),
+        |scored AS MATERIALIZED (
+        |  SELECT g.doc_id, count(*) AS n_bigrams,
+        |         CAST((SUM(p.pt - p.pr) + count(*) * 1000000) // count(*)
+        |              - 1000000 AS BIGINT) AS dsir_score_ppm
+        |  FROM big g JOIN probs p ON p.bkt = g.bkt GROUP BY 1),
+        |hist AS MATERIALIZED (
+        |  SELECT dsir_score_ppm AS sc, count(*) AS cnt FROM scored GROUP BY 1),
+        |nk AS MATERIALIZED (SELECT CAST((SUM(cnt) * 25) // 100 AS BIGINT) AS n_keep FROM hist),
+        |bo AS MATERIALIZED (
+        |  SELECT sc AS s_star,
+        |         (SELECT n_keep FROM nk) - (cum - cnt) AS take_at
+        |  FROM (SELECT sc, cnt, SUM(cnt) OVER (ORDER BY sc DESC) AS cum FROM hist)
+        |  WHERE cum >= (SELECT n_keep FROM nk)
+        |  ORDER BY sc DESC LIMIT 1),
+        |kb AS (
+        |  SELECT doc_id FROM (
+        |    SELECT s.doc_id, row_number() OVER (ORDER BY s.doc_id) AS rn
+        |    FROM scored s JOIN bo ON s.dsir_score_ppm = bo.s_star)
+        |  WHERE rn <= (SELECT take_at FROM bo))
+        |SELECT s.doc_id, s.n_bigrams, s.dsir_score_ppm,
+        |       CASE WHEN s.dsir_score_ppm > (SELECT s_star FROM bo)
+        |              OR s.doc_id IN (SELECT doc_id FROM kb)
+        |            THEN 1 ELSE 0 END AS keep
+        |FROM scored s""".stripMargin))
   )
 }

@@ -313,4 +313,36 @@ class QueriesSpec extends SparkSpec {
     assertSameRows(Extensions.noveltyIncremental(spark, dir), oneShot,
       "t22 ≡ t21|delta")
   }
+
+  test("t38 keeps target-distribution lookalikes and drops off-target docs") {
+    // Four docs speak the target's bigram ("x x"), four speak bigrams the
+    // target never emits (pt = 0 for every bucket they touch, so their
+    // mean pt-pr contrast is negative). keepPct=50 must keep exactly the
+    // four target-aligned docs.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x x x x"), (2L, "x x x x x x"),
+      (3L, "x x x x x x"), (4L, "x x x x x x"),
+      (5L, "u1 u2 u3 u4 u5 u6"), (6L, "v1 v2 v3 v4 v5 v6"),
+      (7L, "w1 w2 w3 w4 w5 w6"), (8L, "z1 z2 z3 z4 z5 z6"))
+      .toDF("doc_id", "text")
+    val target = Seq(Tuple1(1L), Tuple1(2L)).toDF("doc_id")
+    val got = Extensions.dsirOf(docs, target, 50L)
+      .select("doc_id", "keep").as[(Long, Int)].collect().toMap
+    assert(got.size == 8)
+    assert(got.filter(_._2 == 1).keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("t38 boundary ties break deterministically by doc_id and hit the exact count") {
+    // All docs share one score (identical text): the whole corpus is the
+    // boundary tie class. keepPct=50 of 6 docs → exactly the 3 lowest ids.
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, "a b c d e"))
+      .toDF("doc_id", "text")
+    val target = Seq(Tuple1(1L)).toDF("doc_id")
+    val got = Extensions.dsirOf(docs, target, 50L)
+      .filter(col("keep") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
 }
