@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{DotI64, Portable}
+import graft.functions.{DotI64, ImiCells, Portable}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -526,22 +526,26 @@ object Extensions {
     * (dense id, half-vector, norm) per side, the broadcast-ADC size
     * class (∜10¹² ≈ 10³ rows of 32 longs ≈ 0.25 MB). Collecting them
     * is what lets [[imiRankB]] run cell assignment as a PURE NARROW
-    * MAP: the codebooks enter the plan as literal arrays folded by
-    * per-row lambdas — zero joins, zero shuffles, zero windows in the
-    * assignment itself (the flat predecessor paid a broadcast cross
-    * join plus an n·√n-row ranking window; the first IMI cut paid a
-    * join + two windows + a self-pair join — measured ~1 s of fixed
-    * stage overhead per query at bench grain). */
+    * MAP: the codebooks ride inside the [[graft.functions.ImiCells]]
+    * expression as plain JVM arrays — zero joins, zero shuffles, zero
+    * windows in the assignment itself (the flat predecessor paid a
+    * broadcast cross join plus an n·√n-row ranking window; the first
+    * IMI cut paid a join + two windows + a self-pair join — measured
+    * ~1 s of fixed stage overhead per query at bench grain; the
+    * literal-array higher-order-function cut re-evaluated the nested
+    * lambda per outer element — 2.5–5× slower than the join form). */
   private[graft] final case class ImiBooks(
-      b0: Seq[(Long, Seq[Long], Long)], b1: Seq[(Long, Seq[Long], Long)])
+      b0: Array[(Long, Array[Long], Long)],
+      b1: Array[(Long, Array[Long], Long)])
 
   private[graft] def collectBooks(books: DataFrame): ImiBooks = {
     val rows = books.select(col("sub").cast("int"), col("cent_id"),
       col("qc"), col("sc")).collect()
-    def side(s: Int): Seq[(Long, Seq[Long], Long)] = rows.toSeq
+    def side(s: Int): Array[(Long, Array[Long], Long)] = rows.toSeq
       .filter(_.getInt(0) == s)
-      .map(r => (r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
+      .map(r => (r.getLong(1), r.getSeq[Long](2).toArray, r.getLong(3)))
       .sortBy(_._1)
+      .toArray
     ImiBooks(side(0), side(1))
   }
 
@@ -564,41 +568,22 @@ object Extensions {
     * 4-cell multi-assignment, 5 for probe fans up to 25 cells (s11's
     * nprobe=20 included).
     *
-    * Scale shape: ONE narrow projection — per row, 2·∜n half-width
-    * interpreted dots against the literal codebook arrays, an
-    * array_sort of ∜n structs per half (ties by sub-cell id, the
-    * window ordering verbatim), and a perHalf² product sorted by
-    * (rank sum, rank₀, cell) — then one posexplode. No join, no
-    * shuffle, no window: the corpus flows through untouched, exactly
-    * the "assignment is a narrow map over the corpus" shape the IVF
-    * scaladocs promise. Returns `v`'s columns plus (cent_id = packed
-    * cell, rn). */
+    * Scale shape: ONE narrow projection — the whole per-half ranking
+    * and product enumeration runs inside the native
+    * [[graft.functions.ImiCells]] expression (per row: 2·∜n half-width
+    * dots, two perHalf-selection passes, an anti-diagonal product emit
+    * — no per-entry allocation, child stays codegen'd), then one
+    * posexplode. No join, no shuffle, no window: the corpus flows
+    * through untouched, exactly the "assignment is a narrow map over
+    * the corpus" shape the IVF scaladocs promise. Returns `v`'s
+    * columns plus (cent_id = packed cell, rn). */
   private[graft] def imiRankB(v: DataFrame, bk: ImiBooks, idCol: String,
-                              perHalf: Int): DataFrame = {
-    def litBook(side: Seq[(Long, Seq[Long], Long)]) = typedlit(side)
-    def topHalf(qh: Column, sh: Column, book: Column) =
-      slice(array_sort(transform(book, b => struct(
-        (-floor(DotI64(qh, b("_2")) / (sqrt(sh) * sqrt(b("_3")))
-          * lit(1000000.0) + lit(0.5)).cast("long")).as("neg"),
-        b("_1").as("cent")))), 1, perHalf)
-    val withTops = v
-      .withColumn("__qh0", expr(sliceH0))
-      .withColumn("__qh1", expr(sliceH1))
-      .withColumn("__sh0", DotI64(col("__qh0"), col("__qh0")))
-      .withColumn("__sh1", DotI64(col("__qh1"), col("__qh1")))
-      .withColumn("__t0", topHalf(col("__qh0"), col("__sh0"), litBook(bk.b0)))
-      .withColumn("__t1", topHalf(col("__qh1"), col("__sh1"), litBook(bk.b1)))
-      .withColumn("__prod", array_sort(flatten(transform(col("__t0"),
-        (a, i) => transform(col("__t1"), (b, j) => struct(
-          (i + j).as("s"), i.as("ha"),
-          (a("cent") * lit(CellBase) + b("cent")).as("cell")))))))
-    withTops
-      .select(v.columns.map(col) :+
-        posexplode(col("__prod")).as(Seq("__pos", "__pc")): _*)
-      .withColumn("cent_id", col("__pc.cell"))
+                              perHalf: Int): DataFrame =
+    v.select(v.columns.map(col) :+
+        posexplode(ImiCells(col("q"), bk.b0, bk.b1, perHalf))
+          .as(Seq("__pos", "cent_id")): _*)
       .withColumn("rn", (col("__pos") + 1).cast("int"))
-      .drop("__pos", "__pc")
-  }
+      .drop("__pos")
 
   /** [[imiRankB]] over an uncollected codebook frame — callers that
     * read the quantizer from a store (the streaming assignment path,
