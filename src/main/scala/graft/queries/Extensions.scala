@@ -3524,12 +3524,67 @@ object Extensions {
     * counts; the 1024-row probability table broadcasts back; scoring is
     * one per-doc hash agg. Nothing corpus-grain is globally sorted. */
   def dsirSelect(s: SparkSession, dir: String): DataFrame =
-    dsirOf(docs(s, dir),
-      qualityScore(s, dir).filter(col("quality_ok") === 1).select("doc_id"),
-      DsirKeepPct)
+    dsirOf(docs(s, dir), qualityOkDocs(docs(s, dir)), DsirKeepPct)
 
   /** Keep fraction for t38, in percent. */
   private[graft] val DsirKeepPct = 25L
+
+  /** The t02 quality predicate at frame grain — the doc-id set t38's
+    * in-corpus target names and the service's weight trainer gates
+    * through tombstones (dir-based qualityScore can't drop a tombstone
+    * set it doesn't know about). Same predicate as qualityScore's
+    * `quality_ok`. */
+  private[graft] def qualityOkDocs(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 20 &&
+        ppm(expr("size(filter(t, x -> x IN ('a', 'the')))").cast("long"),
+          size(col("t")).cast("long")) < 300000)
+      .select("doc_id")
+
+  /** One row per bigram OCCURRENCE, hashed into t38's 1024 feature
+    * buckets. A pure narrow map (the shinglesOfDocs shape: row-local
+    * array transform + explode) — the score only consumes the bigram
+    * MULTISET, so no doc-partitioned ordering window is ever needed,
+    * and every recompute of this frame is shuffle-free. */
+  private[graft] def dsirGramsOf(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) < 2 THEN CAST(array() AS array<string>)
+          |ELSE transform(sequence(0, size(t) - 2),
+          |               i -> concat_ws(' ', t[i], t[i+1])) END"""
+          .stripMargin)).as("big"))
+      .select(col("doc_id"), pmod(h32(col("big")), lit(1024L)).as("bkt"))
+
+  /** The frozen per-bucket weight table: raw-corpus and target ppm
+    * frequencies per hashed-bigram bucket — ≤1024 rows regardless of
+    * corpus size (broadcast class; the artifact the corpus service
+    * freezes per epoch). Buckets the target never emits carry pt=0. */
+  private[graft] def dsirWeightsFrom(documents: DataFrame,
+                                     targetDocs: DataFrame): DataFrame = {
+    val grams = dsirGramsOf(documents)
+    val raw = grams.groupBy("bkt").agg(count(lit(1)).as("cr"))
+    val tgt = grams.join(targetDocs, Seq("doc_id"), "left_semi")
+      .groupBy("bkt").agg(count(lit(1)).as("ct"))
+    raw.join(tgt, Seq("bkt"), "left")
+      .crossJoin(broadcast(raw.agg(sum("cr").as("rt"))))
+      .crossJoin(broadcast(tgt.agg(sum("ct").as("tt"))))
+      .select(col("bkt"), ppm(col("cr"), col("rt")).as("pr"),
+        coalesce(ppm(col("ct"), col("tt")), lit(0L)).as("pt"))
+  }
+
+  /** Per-doc importance scores under a FROZEN weight table (the serving
+    * path: one narrow gram map + a ≤1024-row broadcast join + one
+    * per-doc hash agg). Buckets absent from the table — possible only
+    * for documents ingested after the freeze — contribute 0, the
+    * neutral element of the contrast. */
+  private[graft] def dsirScoresUnder(documents: DataFrame,
+                                     weights: DataFrame): DataFrame =
+    dsirGramsOf(documents).join(broadcast(weights), Seq("bkt"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (idiv(sum(coalesce(col("pt"), lit(0L)) - coalesce(col("pr"), lit(0L)))
+          + count(lit(1)) * lit(1000000L),
+          count(lit(1))) - lit(1000000L)).as("dsir_score_ppm"))
 
   /** Frame-grain core of t38: `documents` carries (doc_id, text…);
     * `targetDocs` names the target-distribution doc ids (a subset of
@@ -3537,31 +3592,17 @@ object Extensions {
     * per document having ≥1 bigram: (doc_id, n_bigrams, dsir_score_ppm,
     * keep). */
   private[graft] def dsirOf(documents: DataFrame, targetDocs: DataFrame,
-                            keepPct: Long): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = documents
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .select(col("doc_id"), col("pos"), col("col").as("tok"))
-      .withColumn("tb", lead(col("tok"), 1).over(w))
-      .filter(col("tb").isNotNull)
-      .select(col("doc_id"),
-        pmod(h32(concat_ws(" ", col("tok"), col("tb"))), lit(1024L)).as("bkt"))
-    val raw = grams.groupBy("bkt").agg(count(lit(1)).as("cr"))
-    val tgt = grams.join(targetDocs, Seq("doc_id"), "left_semi")
-      .groupBy("bkt").agg(count(lit(1)).as("ct"))
-    val probs = raw.join(tgt, Seq("bkt"), "left")
-      .crossJoin(broadcast(raw.agg(sum("cr").as("rt"))))
-      .crossJoin(broadcast(tgt.agg(sum("ct").as("tt"))))
-      .select(col("bkt"), ppm(col("cr"), col("rt")).as("pr"),
-        coalesce(ppm(col("ct"), col("tt")), lit(0L)).as("pt"))
-    val scored = grams.join(broadcast(probs), "bkt")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        (idiv(sum(col("pt") - col("pr")) + count(lit(1)) * lit(1000000L),
-          count(lit(1))) - lit(1000000L)).as("dsir_score_ppm"))
-    // Exact top-N selection at score-domain grain: cumulative doc counts
-    // down the (bounded) distinct-score axis, one boundary row, ranking
-    // only within the cutoff-score tie class.
+                            keepPct: Long): DataFrame =
+    dsirKeepTop(
+      dsirScoresUnder(documents, dsirWeightsFrom(documents, targetDocs)),
+      keepPct)
+
+  /** Exact top-`keepPct`% of a scored frame with deterministic
+    * tie-break: cumulative doc counts down the (bounded) distinct-score
+    * axis, one boundary row, ranking only within the cutoff-score tie
+    * class. Emits the scored rows plus `keep`. */
+  private[graft] def dsirKeepTop(scored: DataFrame,
+                                 keepPct: Long): DataFrame = {
     val hist = scored.groupBy("dsir_score_ppm").agg(count(lit(1)).as("cnt"))
     val cw = Window.orderBy(col("dsir_score_ppm").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

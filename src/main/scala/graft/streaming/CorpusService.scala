@@ -104,6 +104,12 @@ object CorpusService {
       * growth anchor, the quantMeta pattern). */
     val bpeVocab = s"$base/dedup/bpe_vocab"
     val bpeVocabMeta = s"$base/dedup/bpe_vocab_meta"
+    /** The maintained DSIR importance-weight artifact
+      * ([[refreshDsirWeights]] — t38's frozen per-bucket weight table
+      * as service state) and its epoch meta (the bpeVocabMeta
+      * pattern). */
+    val dsirWeights = s"$base/dedup/dsir_weights"
+    val dsirWeightsMeta = s"$base/dedup/dsir_weights_meta"
     /** The maintained token-frequency CMS log ([[refreshTokenSketch]]):
       * one append-only table holding BOTH each drain's partial sketch
       * rows and its processed doc ids, so one parquet append commits
@@ -1050,6 +1056,67 @@ object CorpusService {
       graft.queries.Extensions.bpeMergesAt(spark, p.bpeVocab))
   }
 
+  /** Retrain the maintained DSIR importance WEIGHTS (t38 as service
+    * state) over the live corpus — both the raw distribution and the
+    * quality-gated target exclude tombstoned docs, so a takedown's text
+    * stops shaping the selection pressure at the next retrain — and
+    * staged-swap the ≤1024-row weight artifact. The tokenizer's
+    * freeze contract applies verbatim: FROZEN weights score documents
+    * ingested after the freeze (unseen buckets contribute the neutral
+    * 0), so refresh tracks distribution drift only and nothing
+    * rebuilds. Rides the maintenance cadence via
+    * [[maybeRefreshDsirWeights]]. */
+  def refreshDsirWeights(spark: SparkSession, p: Paths): Unit = {
+    import spark.implicits._
+    val E = graft.queries.Extensions
+    val corpus = dropTombstoned(spark, p,
+      graft.Tables.t(spark, p.base, "documents"), "doc_id")
+    graft.jobs.Warehouse.replaceReport(spark,
+      E.dsirWeightsFrom(corpus, E.qualityOkDocs(corpus)).coalesce(1),
+      p.dsirWeights)
+    Seq(liveDocCount(spark, p)).toDF("trained_count")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.dsirWeightsMeta)
+  }
+
+  /** The GROWTH-KEYED weight refresh ([[maybeRefreshTokenizer]]'s rule
+    * verbatim): train on first call, retrain when the live corpus
+    * clears factor× the trained count, no-op otherwise. Returns whether
+    * it trained. */
+  def maybeRefreshDsirWeights(spark: SparkSession, p: Paths,
+                              factor: Double = 1.25): Boolean = {
+    val retrain =
+      if (!exists(spark, p.dsirWeights) || !exists(spark, p.dsirWeightsMeta))
+        true
+      else {
+        val trained = spark.read.parquet(p.dsirWeightsMeta).head().getLong(0)
+        trained > 0 && liveDocCount(spark, p) >= factor * trained
+      }
+    if (retrain) refreshDsirWeights(spark, p)
+    retrain
+  }
+
+  /** Per-document importance scores under the FROZEN stored weights —
+    * t38's serving path (the tokenCounts pattern: never retrains on
+    * read, serves only live documents, covers post-freeze ingests). */
+  def importanceScores(spark: SparkSession, p: Paths): DataFrame = {
+    require(exists(spark, p.dsirWeights),
+      s"corpus service: no DSIR weight artifact at ${p.dsirWeights} — run " +
+        "refreshDsirWeights first (training is a maintenance event, not " +
+        "a read-path side effect)")
+    graft.queries.Extensions.dsirScoresUnder(
+      dropTombstoned(spark, p,
+        graft.Tables.t(spark, p.base, "documents"), "doc_id"),
+      spark.read.parquet(p.dsirWeights))
+  }
+
+  /** The served importance SELECTION: exact deterministic top-`keepPct`%
+    * of the live corpus by frozen-weight score — what a data-mix
+    * curator reads to cut the next training slice. */
+  def importanceSelect(spark: SparkSession, p: Paths,
+      keepPct: Long = graft.queries.Extensions.DsirKeepPct): DataFrame =
+    graft.queries.Extensions.dsirKeepTop(
+      importanceScores(spark, p), keepPct)
+
   /** Sketch the not-yet-sketched documents into the maintained CMS log —
     * t37's monitor as service state. CMS is a LINEAR sketch: each
     * drain's partial (j, b, c) table sums with the others to the
@@ -1846,6 +1913,7 @@ object CorpusService {
                    postings: Boolean = false,
                    pack: Boolean = false,
                    tokenizer: Boolean = false,
+                   importance: Boolean = false,
                    sketch: Boolean = false,
                    splitAtClusterGrain: Boolean = false,
                    maxFilesPerTrigger: Option[Int] = None,
@@ -1938,6 +2006,10 @@ object CorpusService {
             // re-pack so a tokenizer-enabled service packs in subword
             // truth from the first tick.
             if (tokenizer) maybeRefreshTokenizer(spark, p)
+            // The DSIR weight table rides the same growth-keyed rule: a
+            // frozen table scores post-freeze ingests, so retraining is
+            // a drift event, never a serving prerequisite.
+            if (importance) maybeRefreshDsirWeights(spark, p)
             if (pack) refreshPackManifest(spark, p, subword = tokenizer)
           }
         }

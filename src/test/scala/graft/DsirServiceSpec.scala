@@ -1,0 +1,85 @@
+package graft
+
+import graft.queries.Extensions
+import graft.streaming.CorpusService
+import org.apache.spark.sql.functions._
+
+/** The maintained DSIR importance artifact (t38 as service state): a
+  * FROZEN per-bucket weight table trained on the live corpus (the
+  * tokenizer pattern — frozen weights score unseen documents, so refresh
+  * is drift-only), growth-keyed retrain, tombstone-gated serving, and
+  * delete/retrain convergence to a rebuild-without-the-docs twin. */
+class DsirServiceSpec extends SparkSpec {
+
+  private def freshService(src: String): CorpusService.Paths = {
+    val base = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    val p = CorpusService.Paths(base)
+    Tables.t(spark, src, "documents").select("doc_id", "text", "lang")
+      .write.parquet(p.docs)
+    p
+  }
+
+  test("served importance selection ≡ one-shot t38 on the same corpus") {
+    val p = freshService(sf("sf0.001"))
+    CorpusService.refreshDsirWeights(spark, p)
+    assertSameRows(CorpusService.importanceSelect(spark, p),
+      Extensions.dsirSelect(spark, p.base),
+      "served DSIR selection vs one-shot t38")
+  }
+
+  test("weight refresh is growth-keyed: no-op below factor, retrain at 2x") {
+    import spark.implicits._
+    val p = freshService(sf("sf0.001"))
+    assert(CorpusService.maybeRefreshDsirWeights(spark, p),
+      "first call must train")
+    assert(!CorpusService.maybeRefreshDsirWeights(spark, p),
+      "unchanged corpus must not retrain")
+    val grown = Tables.t(spark, p.base, "documents")
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    grown.write.mode("append").parquet(p.docs)
+    assert(CorpusService.maybeRefreshDsirWeights(spark, p),
+      "a 2x corpus must retrain")
+  }
+
+  test("scores serve docs ingested after the freeze (frozen-weights contract)") {
+    import spark.implicits._
+    val p = freshService(sf("sf0.001"))
+    CorpusService.refreshDsirWeights(spark, p)
+    val frozen = spark.read.parquet(p.dsirWeights).collect().toSet
+    Seq((1000001L, "zq9 zq8 zq7 zq9 zq8", "en"))
+      .toDF("doc_id", "text", "lang").write.mode("append").parquet(p.docs)
+    val row = CorpusService.importanceScores(spark, p)
+      .filter(col("doc_id") === 1000001L).collect()
+    // The new doc is scored (under the frozen table — unseen buckets
+    // contribute 0), and the artifact itself did not move.
+    assert(row.length == 1, "post-freeze doc not served a score")
+    assert(spark.read.parquet(p.dsirWeights).collect().toSet == frozen,
+      "read path retrained the weights")
+  }
+
+  test("deletion gates scores immediately; retrain converges to the never-ingested twin") {
+    val src = sf("sf0.001")
+    val dels = Seq(3L, 17L, 42L)
+    val pA = freshService(src)
+    CorpusService.refreshDsirWeights(spark, pA)
+    CorpusService.deleteDocs(spark, pA, dels)
+    assert(CorpusService.importanceScores(spark, pA)
+      .filter(col("doc_id").isin(dels: _*)).count() == 0,
+      "deleted docs still served an importance score")
+    // The retrain (tombstone-gated on BOTH the raw and the target
+    // distribution) converges weights, scores, and the selection to a
+    // service that never held the docs.
+    CorpusService.refreshDsirWeights(spark, pA)
+    val pB = freshService(src)
+    Tables.t(spark, src, "documents").select("doc_id", "text", "lang")
+      .filter(!col("doc_id").isin(dels: _*))
+      .write.mode("overwrite").parquet(pB.docs)
+    CorpusService.refreshDsirWeights(spark, pB)
+    assertSameRows(spark.read.parquet(pA.dsirWeights),
+      spark.read.parquet(pB.dsirWeights),
+      "post-delete retrained weights vs never-ingested twin")
+    assertSameRows(CorpusService.importanceSelect(spark, pA),
+      CorpusService.importanceSelect(spark, pB),
+      "post-delete served selection vs never-ingested twin")
+  }
+}
