@@ -3627,6 +3627,69 @@ object Extensions {
           .otherwise(0).as("keep"))
   }
 
+  /** t39's histogram geometry: equi-width bins of `HistBinW` tokens,
+    * capped at `HistMaxBin` so the sketch is FIXED-SIZE (≤1024 rows per
+    * language) regardless of corpus size or a pathological outlier
+    * document. */
+  private[graft] val HistBinW = 16L
+  private[graft] val HistMaxBin = 1023L
+
+  /** One (lang, bin, cnt) histogram row set — the mergeable LINEAR
+    * sketch itself: per-bucket counts are sums of per-doc
+    * contributions, so partial histograms of disjoint batches SUM to
+    * the corpus histogram row-for-row (the CMS property, powering the
+    * service's per-drain maintenance and purge-by-subtraction). */
+  private[graft] def histSketchOf(documents: DataFrame): DataFrame =
+    documents.select(col("lang"),
+      least(idiv(size(split(col("text"), " ")).cast("long"), lit(HistBinW)),
+        lit(HistMaxBin)).as("bin"))
+      .groupBy("lang", "bin").agg(count(lit(1)).as("cnt"))
+
+  /** Integer quantile estimates off a (lang, bin, cnt) histogram:
+    * rank r(q) = ⌈n·q/100⌉ located by a per-lang cumulative sum over
+    * the ≤1024-row bin axis, estimate = bin floor + truncated linear
+    * interpolation within the bin — all exact integer arithmetic, so
+    * the DuckDB twin is hash-identical. The window is partitioned by
+    * lang and bounded by the FIXED bin count — never corpus-grain. */
+  private[graft] def quantilesOfHist(hist: DataFrame): DataFrame = {
+    val tot = hist.groupBy("lang").agg(sum("cnt").as("nd"))
+    val cw = Window.partitionBy(col("lang")).orderBy(col("bin"))
+    hist.withColumn("cum", sum(col("cnt")).over(cw))
+      .join(broadcast(tot), "lang")
+      .withColumn("q", explode(array(lit(50L), lit(90L), lit(99L))))
+      .withColumn("r", idiv(col("nd") * col("q") + lit(99L), lit(100L)))
+      .filter(col("cum") - col("cnt") < col("r") && col("r") <= col("cum"))
+      .withColumn("est", col("bin") * lit(HistBinW) +
+        idiv((col("r") - (col("cum") - col("cnt"))) * lit(HistBinW),
+          col("cnt")))
+      .groupBy("lang")
+      .agg(max(col("nd")).as("n_docs"),
+        max(when(col("q") === 50, col("est"))).as("p50_est"),
+        max(when(col("q") === 90, col("est"))).as("p90_est"),
+        max(when(col("q") === 99, col("est"))).as("p99_est"))
+  }
+
+  /** t39: per-language document-length quantiles off a MERGEABLE
+    * equi-width histogram sketch — the third sketch family (q17's HLL
+    * counts distincts, t37's CMS counts frequencies; this one answers
+    * ORDER STATISTICS): p50/p90/p99 token-count estimates within one
+    * bin width (16 tokens) of the exact order statistic, from a
+    * fixed-size (≤1024 rows/lang) histogram that never re-reads the
+    * corpus once built. The curation read: "how long are my documents
+    * per language, and is the tail drifting" — the dashboard quantile
+    * a t-digest serves in float engines, here exact-integer so it
+    * hash-matches DuckDB.
+    *
+    * Scale shape: ONE map-side-combinable hash agg over the corpus
+    * builds the sketch; everything after runs at sketch grain (≤1024
+    * rows/lang cumulative window, |langs|-row broadcast). The sketch
+    * is LINEAR — disjoint batches' partials sum to the corpus sketch —
+    * which is what the service's per-drain maintenance
+    * (CorpusService.refreshLengthHistogram) and deletion-by-
+    * subtraction ride. */
+  def lengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    quantilesOfHist(histSketchOf(docs(s, dir)))
+
   /** d08: fuzzy dedup by edit distance — the modality the hash families
     * (d01–d06) can't see: small character-level edits (typos, OCR noise)
     * that change every shingle. Candidate pairs are BLOCKED by
@@ -6873,6 +6936,30 @@ object Extensions {
         |       CASE WHEN s.dsir_score_ppm > (SELECT s_star FROM bo)
         |              OR s.doc_id IN (SELECT doc_id FROM kb)
         |            THEN 1 ELSE 0 END AS keep
-        |FROM scored s""".stripMargin))
+        |FROM scored s""".stripMargin)),
+
+    QuerySpec("t39_length_quantiles", lengthQuantiles, Some(
+      """WITH d AS (
+        |  SELECT lang, least(len(string_split(text, ' ')) // 16, 1023) AS bin
+        |  FROM documents),
+        |hist AS MATERIALIZED (
+        |  SELECT lang, bin, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS nd FROM hist GROUP BY 1),
+        |cum AS (
+        |  SELECT lang, bin, cnt,
+        |         SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum
+        |  FROM hist),
+        |qs AS (
+        |  SELECT c.lang, u.q, t.nd,
+        |         c.bin * 16 + ((((t.nd * u.q + 99) // 100)
+        |                        - (c.cum - c.cnt)) * 16) // c.cnt AS est
+        |  FROM cum c JOIN tot t USING (lang), UNNEST([50, 90, 99]) u(q)
+        |  WHERE c.cum - c.cnt < (t.nd * u.q + 99) // 100
+        |    AND (t.nd * u.q + 99) // 100 <= c.cum)
+        |SELECT lang, MAX(nd) AS n_docs,
+        |       CAST(MAX(CASE WHEN q = 50 THEN est END) AS BIGINT) AS p50_est,
+        |       CAST(MAX(CASE WHEN q = 90 THEN est END) AS BIGINT) AS p90_est,
+        |       CAST(MAX(CASE WHEN q = 99 THEN est END) AS BIGINT) AS p99_est
+        |FROM qs GROUP BY 1""".stripMargin))
   )
 }

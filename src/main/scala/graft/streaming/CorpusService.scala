@@ -115,6 +115,10 @@ object CorpusService {
       * rows and its processed doc ids, so one parquet append commits
       * them together — no two-append crash window to replay-converge. */
     val cmsLog = s"$base/dedup/cms_log"
+    /** The maintained length-histogram log ([[refreshLengthHistogram]]
+      * — t39's mergeable quantile sketch as service state, the cmsLog
+      * pattern verbatim: kind-tagged partial+seen rows in one append). */
+    val histLog = s"$base/dedup/hist_log"
     /** The deletion tombstone set ([[deleteDocs]]): one doc_id per
       * deleted document, append-only. PERMANENT — the corpus store is
       * an append-only stream source that cannot be rewritten without
@@ -359,16 +363,40 @@ object CorpusService {
       }
       true
     })
+    // The length-histogram artifact purges by the same linear-sketch
+    // subtraction (refreshLengthHistogram's (lang, bin, cnt) partials
+    // sum, so the tombstoned docs' negated partial cancels exactly).
+    val histOk = cmsOk && (!exists(spark, p.histLog) || {
+      val log = spark.read.parquet(p.histLog)
+      val toDrop = tomb
+        .join(log.filter(col("kind") === "seen").select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .join(log.filter(col("kind") === "purged").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      val delDocs = graft.Tables.t(spark, p.base, "documents")
+        .join(toDrop, Seq("doc_id"), "left_semi")
+      if (!delDocs.isEmpty) {
+        val neg = graft.queries.Extensions.histSketchOf(delDocs)
+          .select(lit("hist").as("kind"), lit(null).cast("long").as("doc_id"),
+            col("lang"), col("bin"), (-col("cnt")).as("cnt"))
+        val mark = delDocs.select(lit("purged").as("kind"), col("doc_id"),
+          lit(null).cast("string").as("lang"), lit(null).cast("long").as("bin"),
+          lit(null).cast("long").as("cnt"))
+        neg.unionByName(mark)
+          .write.mode(SaveMode.Append).parquet(p.histLog)
+      }
+      true
+    })
     graft.queries.Extensions.freeCkpt(tomb)
     // Watermark the purge that landed: the tombstone set is permanent
     // (it gates discovery forever), so [[purgePending]] needs this
     // anchor to stop the maintenance loop from re-rewriting every store
     // on every tick after the first deletion.
-    if (cmsOk)
+    if (histOk)
       spark.range(1).select(lit(nTomb).as("n_tombstones")).coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(p.purgeMark)
-    cmsOk
+    histOk
   }
 
   /** Partition count for a purge rewrite, derived from the store's
@@ -1171,6 +1199,50 @@ object CorpusService {
       .write.mode(SaveMode.Append).parquet(p.cmsLog)
   }
 
+  /** Histogram the not-yet-histogrammed documents into the maintained
+    * length-sketch log — t39's quantile sketch as service state, the
+    * [[refreshTokenSketch]] pattern verbatim: the equi-width histogram
+    * is a LINEAR sketch (per-(lang, bin) counts sum across disjoint
+    * batches), so per-drain partials are O(batch) and the merged view
+    * never re-reads old text; the partial rows and the batch's doc ids
+    * ride ONE kind-tagged append (no crash window); deletions leave by
+    * negative-partial subtraction at purge. */
+  def refreshLengthHistogram(spark: SparkSession, p: Paths): Unit = {
+    val docsF = graft.Tables.t(spark, p.base, "documents")
+      .select("doc_id", "lang", "text")
+    val batch =
+      if (exists(spark, p.histLog))
+        docsF.join(
+          spark.read.parquet(p.histLog).filter(col("kind") === "seen")
+            .select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else docsF
+    if (batch.isEmpty) return
+    val partial = graft.queries.Extensions.histSketchOf(batch)
+      .select(lit("hist").as("kind"), lit(null).cast("long").as("doc_id"),
+        col("lang"), col("bin"), col("cnt"))
+    val seen = batch.select(lit("seen").as("kind"), col("doc_id"),
+      lit(null).cast("string").as("lang"), lit(null).cast("long").as("bin"),
+      lit(null).cast("long").as("cnt"))
+    partial.unionByName(seen)
+      .write.mode(SaveMode.Append).parquet(p.histLog)
+  }
+
+  /** The merged full-corpus length histogram: sum of every drain's
+    * partial — ≤1024 rows per language regardless of corpus size, with
+    * purge-cancelled zero bins dropped (the [[tokenSketchView]]
+    * contract). */
+  def lengthHistogramView(spark: SparkSession, p: Paths): DataFrame =
+    spark.read.parquet(p.histLog).filter(col("kind") === "hist")
+      .groupBy("lang", "bin").agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+
+  /** Per-language p50/p90/p99 document-length estimates off the
+    * MAINTAINED histogram — t39's serving path: never touches the
+    * corpus, runs entirely at sketch grain. */
+  def lengthQuantiles(spark: SparkSession, p: Paths): DataFrame =
+    graft.queries.Extensions.quantilesOfHist(lengthHistogramView(spark, p))
+
   /** The merged full-corpus sketch: sum of every drain's partial — 4×256
     * rows at most, regardless of corpus size. Zero buckets are dropped:
     * a bucket fully cancelled by a purge's negative partial
@@ -1951,6 +2023,9 @@ object CorpusService {
           // partial sketch of just-arrived docs), unlike the
           // maintenance-cadence artifacts below.
           if (sketch) refreshTokenSketch(spark, p)
+          // The length-histogram sketch rides the same monitoring-plane
+          // cadence and flag (both are O(batch) linear-sketch partials).
+          if (sketch) refreshLengthHistogram(spark, p)
         }
         ticks += 1
         if (maintainEvery > 0 && ticks % maintainEvery == 0) {

@@ -314,6 +314,27 @@ class QueriesSpec extends SparkSpec {
       "t22 ≡ t21|delta")
   }
 
+  test("t39 histogram quantile estimates sit within one bin width of the exact order statistic") {
+    import spark.implicits._
+    val exactLens = Tables.t(spark, dir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val est = Extensions.lengthQuantiles(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (lang, n, p50, p90, p99) =>
+      val lens = exactLens(lang)
+      assert(n == lens.length)
+      Seq((50L, p50), (90L, p90), (99L, p99)).foreach { case (q, e) =>
+        val r = ((n * q + 99L) / 100L).toInt // ceil rank, 1-based
+        val exact = lens(r - 1)
+        assert(math.abs(e - exact) <= Extensions.HistBinW,
+          s"$lang p$q est $e vs exact $exact")
+      }
+    }
+  }
+
   test("t38 keeps target-distribution lookalikes and drops off-target docs") {
     // Four docs speak the target's bigram ("x x"), four speak bigrams the
     // target never emits (pt = 0 for every bucket they touch, so their
