@@ -161,4 +161,45 @@ object Joins {
       .filter(col(t) > col(lo) && col(t) <= col(hi))
       .drop("__bkt")
   }
+
+  /** INTERVAL-OVERLAP JOIN via bucket decomposition — [[rangeJoin]]'s
+    * shape generalized from point-in-interval to interval×interval:
+    * left rows carry half-open [llo, lhi), right rows [rlo, rhi);
+    * pairs with a non-empty intersection are kept. Both sides explode
+    * to every `bucket`-width bucket they overlap and the join runs as
+    * an EQUI-join on (keys, bucket) with the exact overlap test at
+    * candidate grain — a naive formulation's per-key |left|×|right|
+    * nested loop becomes per-bucket-density work.
+    *
+    * EXACTLY-ONCE without a distinct shuffle: a pair overlapping k
+    * shared buckets would surface k times, so it is emitted only in
+    * the LATER of the two intervals' first buckets — max(⌊llo⌋, ⌊rlo⌋)
+    * — which overlap guarantees both sides exploded into (each
+    * interval covers its own first bucket, and overlap puts the
+    * other's first bucket at or before the shared region's bucket).
+    * A row-local predicate, the d08 own+successor-bucket doctrine.
+    *
+    * Empty/inverted intervals (hi ≤ lo) are dropped before the explode
+    * (they can overlap nothing, and a descending `sequence` would
+    * explode the wrong buckets). True floor division (pmod-corrected,
+    * BIGINT `div`), so negative axes bucket correctly. Self-joins must
+    * alias columns apart first — the rangeJoin naming contract. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          keys: Seq[String], llo: String, lhi: String,
+                          rlo: String, rhi: String, bucket: Long): DataFrame = {
+    require(bucket > 0, "intervalOverlapJoin: bucket width must be positive")
+    def floorDiv(c: org.apache.spark.sql.Column) =
+      call_function("div", (c - pmod(c, lit(bucket))).cast("long"), lit(bucket))
+    val l = left.filter(col(lhi) > col(llo))
+      .withColumn("__bkt",
+        explode(sequence(floorDiv(col(llo)), floorDiv(col(lhi)))))
+    val r = right.filter(col(rhi) > col(rlo))
+      .withColumn("__bkt",
+        explode(sequence(floorDiv(col(rlo)), floorDiv(col(rhi)))))
+    l.join(r, keys :+ "__bkt")
+      .filter(col(llo) < col(rhi) && col(rlo) < col(lhi))
+      .filter(col("__bkt") ===
+        greatest(floorDiv(col(llo)), floorDiv(col(rlo))))
+      .drop("__bkt")
+  }
 }

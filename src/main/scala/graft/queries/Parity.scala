@@ -348,6 +348,42 @@ object Parity {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** q36: INTERVAL-OVERLAP JOIN — concurrent-session pairs: every pair
+    * of sessions from DIFFERENT users that were live at the same time
+    * for ≥ 25 minutes (the co-presence/concurrency read an audience-
+    * overlap or abuse-correlation analysis needs). q16's sessionization
+    * feeds ops.Joins.intervalOverlapJoin: both session sets explode to
+    * their 1-hour time buckets, the join is an EQUI-join on bucket with
+    * the exact overlap test at candidate grain, and bucket-ownership
+    * (emit at the later interval's first bucket) makes each pair
+    * surface exactly once without a distinct — where the oracle's
+    * naive self-join with two range predicates would plan as a nested
+    * loop over |sessions|² (PlanSpec pins no-NLJ). Microsecond-grain
+    * arithmetic (unix_micros ↔ epoch_us), the q35 convention; same-user
+    * pairs cannot overlap by construction (a session's end is
+    * last-event + gap, and the next session starts at least gap after
+    * the last event) and are excluded with the unordered-pair dedup
+    * (user_a < user_b). */
+  def sessionOverlaps(s: SparkSession, dir: String): DataFrame = {
+    val minOverlapUs = 25L * 60L * 1000000L
+    val bucketUs = 3600L * 1000000L
+    val sess = eventSessions(s, dir).select(col("user_id"),
+      unix_micros(col("session_start")).as("st"),
+      unix_micros(col("session_end")).as("en"))
+    val a = sess.select(col("user_id").as("user_a"),
+      col("st").as("a_st"), col("en").as("a_en"))
+    val b = sess.select(col("user_id").as("user_b"),
+      col("st").as("b_st"), col("en").as("b_en"))
+    Joins.intervalOverlapJoin(a, b, keys = Seq.empty,
+        llo = "a_st", lhi = "a_en", rlo = "b_st", rhi = "b_en",
+        bucket = bucketUs)
+      .filter(col("user_a") < col("user_b"))
+      .withColumn("overlap_us",
+        least(col("a_en"), col("b_en")) - greatest(col("a_st"), col("b_st")))
+      .filter(col("overlap_us") >= minOverlapUs)
+      .select("user_a", "a_st", "user_b", "b_st", "overlap_us")
+  }
+
   /** Sessionized funnel: per-day session counts, view-session counts, and
     * view→click conversion — the composite analytic a funnel dashboard
     * runs: q16's session_window sessionization feeding per-session flag
@@ -1152,6 +1188,29 @@ object Parity {
         |FROM e p JOIN err
         |  ON err.user_id = p.user_id
         | AND p.us > err.err_us AND p.us <= err.err_us + 600000000
-        |WHERE p.event_type <> 'error'""".stripMargin))
+        |WHERE p.event_type <> 'error'""".stripMargin)),
+
+    QuerySpec("q36_session_overlaps", sessionOverlaps, Some(
+      """WITH lagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM lagged),
+        |s AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(min(ts)) AS st,
+        |         epoch_us(max(ts) + INTERVAL 30 MINUTE) AS en
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT a.user_id AS user_a, a.st AS a_st,
+        |       b.user_id AS user_b, b.st AS b_st,
+        |       least(a.en, b.en) - greatest(a.st, b.st) AS overlap_us
+        |FROM s a JOIN s b
+        |  ON a.user_id < b.user_id AND a.st < b.en AND b.st < a.en
+        |WHERE least(a.en, b.en) - greatest(a.st, b.st) >= 1500000000""".stripMargin))
   )
 }

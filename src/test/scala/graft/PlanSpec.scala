@@ -609,6 +609,21 @@ class PlanSpec extends SparkSpec {
       s"q35 lost its (user_id, bkt) equi-join:\n$p")
   }
 
+  test("q36's overlap join is bucket-equi-joined — no nested loop, no distinct") {
+    // The naive interval-overlap self-join (the oracle's form) carries
+    // two range predicates and no equality — a nested loop over
+    // |sessions|². The bucket decomposition makes it hash-joinable, and
+    // the bucket-ownership rule replaces the candidate distinct with a
+    // row-local predicate — so the plan must contain neither a
+    // nested-loop join nor a dedup aggregate over the pair stream.
+    val p = planOf(Parity.sessionOverlaps(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q36 plans the pairwise nested loop the bucketing exists to avoid:\n$p")
+    assert(p.contains("Join") && p.contains("bkt"),
+      s"q36 lost its bucket equi-join:\n$p")
+  }
+
   test("t34 joins its per-word subword counts by broadcast only") {
     // The fold runs over DISTINCT words (Heaps-law small); occurrences
     // take the counts back via broadcast — a sort-merge join here would

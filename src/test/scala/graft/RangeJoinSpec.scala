@@ -44,4 +44,39 @@ class RangeJoinSpec extends SparkSpec {
       .select("pid").as[Long].collect().toSet
     assert(got == Set(2L, 3L), s"(lo, hi] semantics broken: $got")
   }
+
+  test("intervalOverlapJoin ≡ the naive overlap join on random signed data") {
+    // Random signed intervals spanning 0..~30 buckets: exercises the
+    // exactly-once bucket-ownership rule (pairs sharing many buckets),
+    // floor division on negative axes, empty intervals (hi ≤ lo — must
+    // match nothing, not explode a descending sequence), and
+    // single-point touching (a.hi == b.lo — half-open, no overlap).
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 4) {
+      def mk(n: Int, id: String) = (0 until n).map { i =>
+        val lo = rng.nextLong() % 10000L
+        (i.toLong, rng.nextInt(5).toLong, lo,
+          lo + rng.nextInt(3) * rng.nextInt(2500) - rng.nextInt(50))
+      }.toDF(id, "k", s"${id}lo", s"${id}hi")
+      val l = mk(120, "a")
+      val r = mk(120, "b")
+      val naive = l.filter(col("ahi") > col("alo"))
+        .join(r.filter(col("bhi") > col("blo")), Seq("k"))
+        .filter(col("alo") < col("bhi") && col("blo") < col("ahi"))
+        .select("a", "b")
+      val bucketed = Joins.intervalOverlapJoin(l, r, Seq("k"),
+          "alo", "ahi", "blo", "bhi", bucket = 250L)
+        .select("a", "b")
+      assertSameRows(bucketed, naive, s"overlap trial $trial")
+    }
+  }
+
+  test("intervalOverlapJoin emits a many-shared-bucket pair exactly once") {
+    // Two near-identical long intervals share ~8 buckets; the ownership
+    // rule must emit the pair once, not 8 times.
+    val l = Seq((1L, 0L, 0L, 2000L)).toDF("a", "k", "alo", "ahi")
+    val r = Seq((2L, 0L, 10L, 1990L)).toDF("b", "k", "blo", "bhi")
+    assert(Joins.intervalOverlapJoin(l, r, Seq("k"),
+      "alo", "ahi", "blo", "bhi", bucket = 250L).count() == 1L)
+  }
 }
