@@ -109,7 +109,15 @@ object ScaleSmoke {
     // unpartitioned window runs at SCORE-DOMAIN grain (ppm-bounded,
     // corpus-size-independent) and the tie-rank at boundary-class grain
     // — expect ~linear in the bigram stream, the t20 class.
-    "t38_dsir_select")
+    "t38_dsir_select",
+    // t39 is ONE map-side-combinable agg over the corpus plus
+    // sketch-grain windows (≤1024 bins/lang) — expect deep sub-linear;
+    // q36's overlap join is bucket-equi-joined with output ~pair count,
+    // which grows ~quadratically in per-bucket session DENSITY — the
+    // scaled corpus multiplies users in the same wall-clock span, so
+    // the exponent reads the output's growth, not a plan cliff (the
+    // no-NLJ pin is the plan evidence).
+    "t39_length_quantiles", "q36_session_overlaps")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
