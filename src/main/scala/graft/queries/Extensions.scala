@@ -3560,8 +3560,11 @@ object Extensions {
     * corpus size (broadcast class; the artifact the corpus service
     * freezes per epoch). Buckets the target never emits carry pt=0. */
   private[graft] def dsirWeightsFrom(documents: DataFrame,
-                                     targetDocs: DataFrame): DataFrame = {
-    val grams = dsirGramsOf(documents)
+                                     targetDocs: DataFrame): DataFrame =
+    dsirWeightsFromGrams(dsirGramsOf(documents), targetDocs)
+
+  private def dsirWeightsFromGrams(grams: DataFrame,
+                                   targetDocs: DataFrame): DataFrame = {
     val raw = grams.groupBy("bkt").agg(count(lit(1)).as("cr"))
     val tgt = grams.join(targetDocs, Seq("doc_id"), "left_semi")
       .groupBy("bkt").agg(count(lit(1)).as("ct"))
@@ -3579,7 +3582,11 @@ object Extensions {
     * neutral element of the contrast. */
   private[graft] def dsirScoresUnder(documents: DataFrame,
                                      weights: DataFrame): DataFrame =
-    dsirGramsOf(documents).join(broadcast(weights), Seq("bkt"), "left")
+    dsirScoresUnderGrams(dsirGramsOf(documents), weights)
+
+  private def dsirScoresUnderGrams(grams: DataFrame,
+                                   weights: DataFrame): DataFrame =
+    grams.join(broadcast(weights), Seq("bkt"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (idiv(sum(coalesce(col("pt"), lit(0L)) - coalesce(col("pr"), lit(0L)))
@@ -3592,10 +3599,17 @@ object Extensions {
     * per document having ≥1 bigram: (doc_id, n_bigrams, dsir_score_ppm,
     * keep). */
   private[graft] def dsirOf(documents: DataFrame, targetDocs: DataFrame,
-                            keepPct: Long): DataFrame =
+                            keepPct: Long): DataFrame = {
+    // The gram frame feeds THREE aggregations (raw counts, target
+    // counts, scoring); materialize it once — (doc_id, bkt) rows, ~16
+    // bytes each — instead of re-tokenizing the corpus per consumer
+    // (the d06 eager-checkpoint pattern; serving reuses nothing and
+    // skips this).
+    val grams = dsirGramsOf(documents).localCheckpoint()
     dsirKeepTop(
-      dsirScoresUnder(documents, dsirWeightsFrom(documents, targetDocs)),
+      dsirScoresUnderGrams(grams, dsirWeightsFromGrams(grams, targetDocs)),
       keepPct)
+  }
 
   /** Exact top-`keepPct`% of a scored frame with deterministic
     * tie-break: cumulative doc counts down the (bounded) distinct-score
