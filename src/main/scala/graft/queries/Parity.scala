@@ -364,10 +364,19 @@ object Parity {
     * last-event + gap, and the next session starts at least gap after
     * the last event) and are excluded with the unordered-pair dedup
     * (user_a < user_b). */
-  def sessionOverlaps(s: SparkSession, dir: String): DataFrame = {
-    val minOverlapUs = 25L * 60L * 1000000L
-    val bucketUs = 3600L * 1000000L
-    val sess = eventSessions(s, dir).select(col("user_id"),
+  def sessionOverlaps(s: SparkSession, dir: String): DataFrame =
+    sessionOverlapsOf(eventSessions(s, dir))
+
+  /** q36's pairing thresholds, shared with the streaming twin
+    * (streaming.SessionOverlapTable). */
+  private[graft] val SessMinOverlapUs = 25L * 60L * 1000000L
+  private[graft] val SessBucketUs = 3600L * 1000000L
+
+  /** Frame-grain core of q36 over (user_id, session_start, session_end)
+    * rows — the one-shot form the streaming cycle's accumulated pair
+    * log is spec-pinned against. */
+  private[graft] def sessionOverlapsOf(sessions: DataFrame): DataFrame = {
+    val sess = sessions.select(col("user_id"),
       unix_micros(col("session_start")).as("st"),
       unix_micros(col("session_end")).as("en"))
     val a = sess.select(col("user_id").as("user_a"),
@@ -376,11 +385,11 @@ object Parity {
       col("st").as("b_st"), col("en").as("b_en"))
     Joins.intervalOverlapJoin(a, b, keys = Seq.empty,
         llo = "a_st", lhi = "a_en", rlo = "b_st", rhi = "b_en",
-        bucket = bucketUs)
+        bucket = SessBucketUs)
       .filter(col("user_a") < col("user_b"))
       .withColumn("overlap_us",
         least(col("a_en"), col("b_en")) - greatest(col("a_st"), col("b_st")))
-      .filter(col("overlap_us") >= minOverlapUs)
+      .filter(col("overlap_us") >= SessMinOverlapUs)
       .select("user_a", "a_st", "user_b", "b_st", "overlap_us")
   }
 

@@ -75,6 +75,59 @@ class StreamingSpec extends SparkSpec {
       "a cross-batch session emitted as more than one row")
   }
 
+  test("streamed session-overlap pairs ≡ batch q36 over the closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sesspair").toString
+    val sessLog = s"$base/sessions"
+    val pairLog = s"$base/pairs"
+    val ms = MemoryStream[(Long, Timestamp)]
+    val stream = ms.toDF().toDF("user_id", "ts")
+    val q = StreamingDelta.sessionCounts(stream, watermark = "1 minute")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sesspair-ck").toString)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.SessionOverlapTable.ingest(spark, b, sessLog, pairLog))
+      .start()
+    try {
+      // u2's session closes a full micro-batch BEFORE u1/u3/u98's (the
+      // 10:37 flush advances the watermark past only u2's close), so
+      // the (u1, u2) pair must be discovered by the NEW×LOG join when
+      // u1 closes later — the cross-batch case — while (u1, u3) is a
+      // same-batch new-new pair. u98 grazes u1 (22 min) and u3 (23
+      // min), both under the 25-minute floor.
+      ms.addData((1L, ts("2024-06-01 10:00:00")), (1L, ts("2024-06-01 10:29:00")),
+        (2L, ts("2024-06-01 10:05:00")))
+      q.processAllAvailable()
+      ms.addData((3L, ts("2024-06-01 10:30:00")), (98L, ts("2024-06-01 10:37:00")))
+      q.processAllAvailable()
+      ms.addData((99L, ts("2024-06-02 00:00:00")))
+      q.processAllAvailable()
+      ms.addData((97L, ts("2024-06-03 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // u99's flush session closes too (the final flush triggers a
+    // watermark-advance batch past its end); only u97's stays open.
+    val closed = Seq(
+      (1L, ts("2024-06-01 10:00:00")), (1L, ts("2024-06-01 10:29:00")),
+      (2L, ts("2024-06-01 10:05:00")), (3L, ts("2024-06-01 10:30:00")),
+      (98L, ts("2024-06-01 10:37:00")), (99L, ts("2024-06-02 00:00:00")))
+      .toDF("user_id", "ts")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"))
+    // Sanity: the log holds exactly the closed sessions (u99/u97 open).
+    assertSameRows(spark.read.parquet(sessLog), closed,
+      "session log vs the expected closed set")
+    val got = graft.streaming.SessionOverlapTable.pairsView(spark, pairLog)
+    assertSameRows(got,
+      graft.queries.Parity.sessionOverlapsOf(closed),
+      "streamed overlap pairs vs one-shot q36 over the closed sessions")
+    assert(got.count() == 2, "expected exactly the (1,2) and (1,3) pairs")
+  }
+
   test("foreachBatch upsert path delivers changed rows per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp)]
