@@ -2145,8 +2145,8 @@ object Extensions {
     * while a billion-node graph at 100 TB still fans out. The
     * repartition column matches the groupBy key, so the explicit
     * exchange REPLACES the aggregation's (no extra shuffle).
-    * `maxRounds` bounds the worst case (rounds needed = component
-    * diameter). */
+    * `maxRounds` bounds the worst case (rounds needed =
+    * ⌈component diameter / hopsPerRound⌉ + 1). */
   /** Frees a localCheckpoint's materialized blocks (df.unpersist is a
     * CacheManager no-op for them; the blocks belong to the LogicalRDD).
     * Walks EVERY LogicalRDD in the plan, not just the first: a caller
@@ -2189,16 +2189,36 @@ object Extensions {
     val edges = edges0.repartition(loopParts, col("doc_b")).localCheckpoint()
     nodes0.unpersist()
     edges0.unpersist()
+    // HOP UNROLLING: on a key-grain label frame every round's cost is
+    // task scheduling + planning, not data — measured ~0.21 s/round on a
+    // 1828-node sf0.1 graph whatever the row count. So each
+    // checkpoint/checksum ROUND runs `hopsPerRound` propagation HOPS
+    // chained in ONE plan: rounds needed drop from the component
+    // diameter D to ⌈D/k⌉ (+1 to observe the fixpoint) while the
+    // per-round plan stays three small stage-sets. k = 3 is the measured
+    // knee — at k = 5 Catalyst's re-optimization of the nested
+    // join/agg chain costs more than the saved rounds (1.37 s vs
+    // 0.37 s/round); pointer-doubling was measured and rejected too
+    // (a local-min's label is itself, so l(l(v)) is usually a no-op
+    // under min-label semantics: 15→11 hops for 2× the jobs). This is
+    // what un-regressed d13 after the IMI cell structure produced a
+    // longer-chained pair graph than the flat quantizer's.
+    val hopsPerRound = 3
     var prevSum = checksum(labels)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = labels.union(
-          edges.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-            .select(col("doc_a").as("doc_id"), col("label")))
-        .repartition(loopParts, col("doc_id"))
-        .groupBy("doc_id").agg(min("label").as("label"))
-        .localCheckpoint()
+      var cur = labels
+      var h = 0
+      while (h < hopsPerRound) {
+        cur = cur.union(
+            edges.join(cur.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+              .select(col("doc_a").as("doc_id"), col("label")))
+          .repartition(loopParts, col("doc_id"))
+          .groupBy("doc_id").agg(min("label").as("label"))
+        h += 1
+      }
+      val next = cur.localCheckpoint()
       val nextSum = checksum(next)
       // next is already materialized (eager checkpoint): the previous
       // round's blocks can be dropped deterministically instead of
@@ -2215,7 +2235,8 @@ object Extensions {
     // diameter exceeds maxRounds the loop exits on the bound with labels
     // still in flight — silently handing those to a dedup pipeline would
     // under-merge clusters with no signal. Callers with genuinely deeper
-    // graphs raise maxRounds (rounds needed = component diameter).
+    // graphs raise maxRounds (rounds needed =
+    // ⌈component diameter / hopsPerRound⌉ + 1).
     require(converged,
       s"connectedComponents: not converged after $maxRounds rounds — " +
         "a component's diameter exceeds maxRounds; raise it")
