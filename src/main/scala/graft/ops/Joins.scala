@@ -183,23 +183,55 @@ object Joins {
     * (they can overlap nothing, and a descending `sequence` would
     * explode the wrong buckets). True floor division (pmod-corrected,
     * BIGINT `div`), so negative axes bucket correctly. Self-joins must
-    * alias columns apart first — the rangeJoin naming contract. */
+    * alias columns apart first — the rangeJoin naming contract.
+    *
+    * HOT-BUCKET DEFENSE (`salt`, default 1 = off): with `keys` empty
+    * the equi-join key is the time bucket ALONE, so join parallelism
+    * is bounded by distinct buckets and a peak-hour bucket runs its
+    * per-bucket-density² candidate work in ONE task. `salt > 1` applies
+    * the [[saltedJoin]] doctrine to the EXPLODED frames: each left
+    * (row, bucket) candidate gets a deterministic xxhash64 salt (whole
+    * row INCLUDING the bucket, so one interval's buckets spread
+    * independently; retry-safe, per the saltedJoin rationale) and the
+    * right side's exploded rows replicate `salt`×, the join running on
+    * (keys, bucket, salt). Every candidate pair still meets exactly
+    * once (at the left row's salt), so the output — and the
+    * exactly-once first-bucket emission — is identical for any salt;
+    * per-task candidate work drops to density²/salt at the price of
+    * salt× right-side shuffle volume. Size `salt` ≈ peak-bucket
+    * density / the per-task candidate budget; uniform workloads leave
+    * it at 1 and let per-bucket parallelism carry. */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
                           keys: Seq[String], llo: String, lhi: String,
-                          rlo: String, rhi: String, bucket: Long): DataFrame = {
+                          rlo: String, rhi: String, bucket: Long,
+                          salt: Int = 1): DataFrame = {
     require(bucket > 0, "intervalOverlapJoin: bucket width must be positive")
+    require(salt >= 1, "intervalOverlapJoin: salt must be >= 1")
     def floorDiv(c: org.apache.spark.sql.Column) =
       call_function("div", (c - pmod(c, lit(bucket))).cast("long"), lit(bucket))
-    val l = left.filter(col(lhi) > col(llo))
+    val l0 = left.filter(col(lhi) > col(llo))
       .withColumn("__bkt",
         explode(sequence(floorDiv(col(llo)), floorDiv(col(lhi)))))
-    val r = right.filter(col(rhi) > col(rlo))
+    val r0 = right.filter(col(rhi) > col(rlo))
       .withColumn("__bkt",
         explode(sequence(floorDiv(col(rlo)), floorDiv(col(rhi)))))
-    l.join(r, keys :+ "__bkt")
+    val (l, r, joinKeys) =
+      if (salt <= 1) (l0, r0, keys :+ "__bkt")
+      else {
+        val saltSrc = l0.schema.fields
+          .filter(f => hashable(f.dataType)).map(f => col(f.name))
+        // Replication by explode over a literal array — a narrow
+        // generator inside whole-stage codegen, not the cross join a
+        // range-frame replica would plan as a nested loop.
+        (l0.withColumn("__salt",
+            pmod(xxhash64(saltSrc.toSeq: _*), lit(salt.toLong)).cast("int")),
+          r0.withColumn("__salt", explode(lit((0 until salt).toArray))),
+          keys ++ Seq("__bkt", "__salt"))
+      }
+    l.join(r, joinKeys)
       .filter(col(llo) < col(rhi) && col(rlo) < col(lhi))
       .filter(col("__bkt") ===
         greatest(floorDiv(col(llo)), floorDiv(col(rlo))))
-      .drop("__bkt")
+      .drop("__bkt", "__salt")
   }
 }

@@ -372,6 +372,14 @@ object Parity {
   private[graft] val SessMinOverlapUs = 25L * 60L * 1000000L
   private[graft] val SessBucketUs = 3600L * 1000000L
 
+  /** q36's hot-bucket salt: the join's only equi key is the hour
+    * bucket, so a peak-hour bucket's density² candidate work would run
+    * in one task — the salt spreads it across 8 (output invariant;
+    * RangeJoinSpec pins salted ≡ unsalted and the planted hot bucket
+    * landing on >1 partition). Production sizes this as peak-bucket
+    * density / per-task candidate budget. */
+  private[graft] val SessOverlapSalt = 8
+
   /** Frame-grain core of q36 over (user_id, session_start, session_end)
     * rows — the one-shot form the streaming cycle's accumulated pair
     * log is spec-pinned against. */
@@ -385,7 +393,7 @@ object Parity {
       col("st").as("b_st"), col("en").as("b_en"))
     Joins.intervalOverlapJoin(a, b, keys = Seq.empty,
         llo = "a_st", lhi = "a_en", rlo = "b_st", rhi = "b_en",
-        bucket = SessBucketUs)
+        bucket = SessBucketUs, salt = SessOverlapSalt)
       .filter(col("user_a") < col("user_b"))
       .withColumn("overlap_us",
         least(col("a_en"), col("b_en")) - greatest(col("a_st"), col("b_st")))

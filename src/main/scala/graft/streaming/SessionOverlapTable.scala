@@ -65,11 +65,13 @@ object SessionOverlapTable {
         Joins.intervalOverlapJoin(a,
             asIntervals(spark.read.parquet(sessLog), "b"), Seq.empty,
             "a_st", "a_en", "b_st", "b_en",
-            graft.queries.Parity.SessBucketUs)
+            graft.queries.Parity.SessBucketUs,
+            salt = graft.queries.Parity.SessOverlapSalt)
           .filter(col("a_user") =!= col("b_user"))))
     val newNew = finish(
       Joins.intervalOverlapJoin(a, asIntervals(sessions, "b"), Seq.empty,
-          "a_st", "a_en", "b_st", "b_en", graft.queries.Parity.SessBucketUs)
+          "a_st", "a_en", "b_st", "b_en", graft.queries.Parity.SessBucketUs,
+          salt = graft.queries.Parity.SessOverlapSalt)
         .filter(col("a_user") < col("b_user")))
     val pairs = newOld.fold(newNew)(_.unionByName(newNew))
     if (!pairs.isEmpty)

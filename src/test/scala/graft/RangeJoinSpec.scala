@@ -79,4 +79,72 @@ class RangeJoinSpec extends SparkSpec {
     assert(Joins.intervalOverlapJoin(l, r, Seq("k"),
       "alo", "ahi", "blo", "bhi", bucket = 250L).count() == 1L)
   }
+
+  /** A keys-empty workload with one PLANTED HOT BUCKET: 200 of the 260
+    * left intervals (and 200 of the right) live inside bucket 40, the
+    * rest scatter — the peak-hour shape whose density² candidate work
+    * would otherwise run in one task. */
+  private def hotBucketFrames(seed: Int) = {
+    val rng = new scala.util.Random(seed)
+    def mk(id: String) = ((0 until 200).map { i =>
+      // All inside bucket [10000, 10250) at bucket = 250.
+      val lo = 10000L + rng.nextInt(200)
+      (i.toLong, lo, lo + 1 + rng.nextInt(45))
+    } ++ (200 until 260).map { i =>
+      val lo = rng.nextLong() % 8000L
+      (i.toLong, lo, lo + rng.nextInt(3) * rng.nextInt(1500) - rng.nextInt(40))
+    }).toDF(id, s"${id}lo", s"${id}hi")
+    (mk("a"), mk("b"))
+  }
+
+  test("salted intervalOverlapJoin ≡ unsalted on a planted hot bucket") {
+    // The salt only routes candidate pairs to reducers; the output —
+    // including the exactly-once first-bucket emission — must be
+    // identical row-for-row for any salt.
+    for (trial <- 1 to 3) {
+      val (l, r) = hotBucketFrames(seed = 100 + trial)
+      val unsalted = Joins.intervalOverlapJoin(l, r, Seq.empty,
+        "alo", "ahi", "blo", "bhi", bucket = 250L).select("a", "b")
+      val salted = Joins.intervalOverlapJoin(l, r, Seq.empty,
+        "alo", "ahi", "blo", "bhi", bucket = 250L, salt = 8).select("a", "b")
+      assert(unsalted.count() > 1000L, "hot bucket not actually dense")
+      assertSameRows(salted, unsalted, s"hot-bucket trial $trial")
+    }
+  }
+
+  test("the salt spreads the hot bucket across >1 partition") {
+    // Unsalted, the hot bucket is ONE join key = one reducer; salted,
+    // its pairs must surface from several. spark_partition_id() is read
+    // directly on the join output (the filters above it are narrow, so
+    // the id reflects the join's exchange). Broadcast is disabled for
+    // the probe: at test size Spark would broadcast-hash the right side
+    // and the partition ids would reflect the left INPUT splits, not
+    // the reducer layout the assertion is about.
+    // …and AQE's post-shuffle coalescing is held off for the same
+    // reason: on a test-sized shuffle it folds all reducers back into
+    // one partition, masking the key-spread this test asserts (at real
+    // density AQE would keep — or further split — the partitions).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val (l, r) = hotBucketFrames(seed = 7)
+      def hotParts(salt: Int): Long =
+        Joins.intervalOverlapJoin(l, r, Seq.empty,
+            "alo", "ahi", "blo", "bhi", bucket = 250L, salt = salt)
+          .filter(col("alo") >= 10000L && col("alo") < 10250L)
+          .select(spark_partition_id().as("p"))
+          .distinct().count()
+      assert(hotParts(salt = 1) == 1L,
+        "unsalted hot bucket unexpectedly spread (test premise broken)")
+      assert(hotParts(salt = 8) >= 3L,
+        "salt failed to spread the hot bucket's work")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        prevCoalesce)
+    }
+  }
 }
