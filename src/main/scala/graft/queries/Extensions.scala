@@ -3662,11 +3662,24 @@ object Extensions {
           .otherwise(0).as("keep"))
   }
 
-  /** t39's histogram geometry: equi-width bins of `HistBinW` tokens,
-    * capped at `HistMaxBin` so the sketch is FIXED-SIZE (≤1024 rows per
-    * language) regardless of corpus size or a pathological outlier
-    * document. */
+  /** t39's histogram geometry: TWO-TIER equi-width bins so the sketch
+    * stays FIXED-SIZE (≤1024 rows per language) while covering
+    * long-document corpora. Tier 1: bins 0..511 of `HistBinW` = 16
+    * tokens each, covering [0, 8192) — the body of any web/document
+    * corpus, at dashboard-grade resolution. Tier 2: bins 512..1023 of
+    * `HistBinW2` = 2048 tokens each, covering [8192, 1 056 768) — the
+    * book/transcript tail (a round-12 single-tier cap saturated at
+    * 16.4k tokens, silently flooring p99 on long-document corpora).
+    * Lengths ≥ ~1.06M tokens saturate into bin 1023 (the one remaining
+    * — and documented — regime bound; a corpus whose p99 exceeds a
+    * million tokens needs a third tier, not a bigger cap). Accuracy:
+    * quantile estimates land within ONE BIN WIDTH of the exact order
+    * statistic — 16 tokens in tier 1, 2048 in tier 2 (HistSpec pins
+    * both tiers). */
   private[graft] val HistBinW = 16L
+  private[graft] val HistTier1Bins = 512L
+  private[graft] val HistTier1Cap = HistTier1Bins * HistBinW // 8192
+  private[graft] val HistBinW2 = 2048L
   private[graft] val HistMaxBin = 1023L
 
   /** One (lang, bin, cnt) histogram row set — the mergeable LINEAR
@@ -3674,29 +3687,40 @@ object Extensions {
     * contributions, so partial histograms of disjoint batches SUM to
     * the corpus histogram row-for-row (the CMS property, powering the
     * service's per-drain maintenance and purge-by-subtraction). */
-  private[graft] def histSketchOf(documents: DataFrame): DataFrame =
+  private[graft] def histSketchOf(documents: DataFrame): DataFrame = {
+    val n = size(split(col("text"), " ")).cast("long")
     documents.select(col("lang"),
-      least(idiv(size(split(col("text"), " ")).cast("long"), lit(HistBinW)),
-        lit(HistMaxBin)).as("bin"))
+      when(n < lit(HistTier1Cap), idiv(n, lit(HistBinW)))
+        .otherwise(least(
+          lit(HistTier1Bins) + idiv(n - lit(HistTier1Cap), lit(HistBinW2)),
+          lit(HistMaxBin))).as("bin"))
       .groupBy("lang", "bin").agg(count(lit(1)).as("cnt"))
+  }
 
   /** Integer quantile estimates off a (lang, bin, cnt) histogram:
     * rank r(q) = ⌈n·q/100⌉ located by a per-lang cumulative sum over
     * the ≤1024-row bin axis, estimate = bin floor + truncated linear
-    * interpolation within the bin — all exact integer arithmetic, so
-    * the DuckDB twin is hash-identical. The window is partitioned by
-    * lang and bounded by the FIXED bin count — never corpus-grain. */
+    * interpolation within the bin (tier-dependent floor and width —
+    * the inverse of [[histSketchOf]]'s geometry) — all exact integer
+    * arithmetic, so the DuckDB twin is hash-identical. The window is
+    * partitioned by lang and bounded by the FIXED bin count — never
+    * corpus-grain. */
   private[graft] def quantilesOfHist(hist: DataFrame): DataFrame = {
     val tot = hist.groupBy("lang").agg(sum("cnt").as("nd"))
     val cw = Window.partitionBy(col("lang")).orderBy(col("bin"))
+    val lowEdge = when(col("bin") < lit(HistTier1Bins),
+        col("bin") * lit(HistBinW))
+      .otherwise(lit(HistTier1Cap) +
+        (col("bin") - lit(HistTier1Bins)) * lit(HistBinW2))
+    val width = when(col("bin") < lit(HistTier1Bins), lit(HistBinW))
+      .otherwise(lit(HistBinW2))
     hist.withColumn("cum", sum(col("cnt")).over(cw))
       .join(broadcast(tot), "lang")
       .withColumn("q", explode(array(lit(50L), lit(90L), lit(99L))))
       .withColumn("r", idiv(col("nd") * col("q") + lit(99L), lit(100L)))
       .filter(col("cum") - col("cnt") < col("r") && col("r") <= col("cum"))
-      .withColumn("est", col("bin") * lit(HistBinW) +
-        idiv((col("r") - (col("cum") - col("cnt"))) * lit(HistBinW),
-          col("cnt")))
+      .withColumn("est", lowEdge +
+        idiv((col("r") - (col("cum") - col("cnt"))) * width, col("cnt")))
       .groupBy("lang")
       .agg(max(col("nd")).as("n_docs"),
         max(when(col("q") === 50, col("est"))).as("p50_est"),
@@ -3708,9 +3732,10 @@ object Extensions {
     * equi-width histogram sketch — the third sketch family (q17's HLL
     * counts distincts, t37's CMS counts frequencies; this one answers
     * ORDER STATISTICS): p50/p90/p99 token-count estimates within one
-    * bin width (16 tokens) of the exact order statistic, from a
-    * fixed-size (≤1024 rows/lang) histogram that never re-reads the
-    * corpus once built. The curation read: "how long are my documents
+    * bin width of the exact order statistic — 16 tokens below 8192,
+    * 2048 tokens up to ~1.06M (the two-tier geometry; saturating
+    * above, see [[HistBinW]]) — from a fixed-size (≤1024 rows/lang)
+    * histogram that never re-reads the corpus once built. The curation read: "how long are my documents
     * per language, and is the tail drifting" — the dashboard quantile
     * a t-digest serves in float engines, here exact-integer so it
     * hash-matches DuckDB.
@@ -6975,8 +7000,11 @@ object Extensions {
 
     QuerySpec("t39_length_quantiles", lengthQuantiles, Some(
       """WITH d AS (
-        |  SELECT lang, least(len(string_split(text, ' ')) // 16, 1023) AS bin
-        |  FROM documents),
+        |  SELECT lang,
+        |         CASE WHEN nt < 8192 THEN nt // 16
+        |              ELSE least(512 + (nt - 8192) // 2048, 1023) END AS bin
+        |  FROM (SELECT lang, len(string_split(text, ' ')) AS nt
+        |        FROM documents)),
         |hist AS MATERIALIZED (
         |  SELECT lang, bin, count(*) AS cnt FROM d GROUP BY 1, 2),
         |tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS nd FROM hist GROUP BY 1),
@@ -6986,8 +7014,11 @@ object Extensions {
         |  FROM hist),
         |qs AS (
         |  SELECT c.lang, u.q, t.nd,
-        |         c.bin * 16 + ((((t.nd * u.q + 99) // 100)
-        |                        - (c.cum - c.cnt)) * 16) // c.cnt AS est
+        |         (CASE WHEN c.bin < 512 THEN c.bin * 16
+        |               ELSE 8192 + (c.bin - 512) * 2048 END)
+        |         + ((((t.nd * u.q + 99) // 100) - (c.cum - c.cnt))
+        |            * (CASE WHEN c.bin < 512 THEN 16 ELSE 2048 END))
+        |           // c.cnt AS est
         |  FROM cum c JOIN tot t USING (lang), UNNEST([50, 90, 99]) u(q)
         |  WHERE c.cum - c.cnt < (t.nd * u.q + 99) // 100
         |    AND (t.nd * u.q + 99) // 100 <= c.cum)

@@ -13,6 +13,32 @@ import org.apache.spark.sql.functions._
 class HistSpec extends SparkSpec {
   import spark.implicits._
 
+  test("tier-2 regime: long documents (>16.4k tokens) stay within one tier-2 bin width") {
+    // The round-12 single-tier geometry saturated every length above
+    // 16 384 into the last bin — a long-document corpus's p99 silently
+    // floored. The two-tier geometry must land within HistBinW2 (2048
+    // tokens) of the exact order statistic for book-length docs.
+    val lens = Seq(120L, 300L, 9000L, 17500L, 21000L, 26000L, 33000L,
+      48000L, 52000L, 90000L)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, "xx", ("w " * (n.toInt - 1) + "w"))
+    }.toDF("doc_id", "lang", "text")
+    val got = Extensions.quantilesOfHist(Extensions.histSketchOf(docs))
+      .select("p50_est", "p90_est", "p99_est").head()
+    // Exact order statistics at rank ceil(10*q/100): p50 = lens(4),
+    // p90 = lens(8), p99 = lens(9).
+    val exact = Seq(lens(4), lens(8), lens(9))
+    exact.zipWithIndex.foreach { case (e, i) =>
+      val est = got.getLong(i)
+      assert(math.abs(est - e) <= Extensions.HistBinW2,
+        s"quantile $i: est $est vs exact $e drifted past one tier-2 bin")
+    }
+    // …and the sketch itself stays inside the fixed 1024-bin budget.
+    val maxBin = Extensions.histSketchOf(docs).agg(max("bin")).head.getLong(0)
+    assert(maxBin <= Extensions.HistMaxBin && maxBin > Extensions.HistTier1Bins,
+      s"long docs landed at bin $maxBin — not in tier 2")
+  }
+
   test("partial histograms of a split corpus sum to the one-shot sketch") {
     val d = Tables.t(spark, sf("sf0.001"), "documents")
     val even = d.filter(col("doc_id") % 2 === 0)

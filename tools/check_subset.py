@@ -58,14 +58,14 @@ def frames_equal(got: pd.DataFrame, want: pd.DataFrame) -> bool:
     return True
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
-        if name in SKIP:
+        if name in SKIP or (only is not None and name not in only):
             n_skip += 1
             continue
         t0 = time.time()
@@ -91,4 +91,7 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # Optional 3rd arg: comma-separated query names — check only those
+    # (pairs with graft.Verify's own only-these-queries filter).
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
