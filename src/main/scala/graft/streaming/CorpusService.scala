@@ -110,6 +110,12 @@ object CorpusService {
       * pattern). */
     val dsirWeights = s"$base/dedup/dsir_weights"
     val dsirWeightsMeta = s"$base/dedup/dsir_weights_meta"
+    /** The maintained per-document importance-score log
+      * ([[refreshImportanceScores]] — t38's scoring as SCORE-ON-INGEST
+      * state): append-only (doc_id, n_bigrams, dsir_score_ppm, epoch)
+      * rows, each scored under the frozen weight epoch tagged on it;
+      * the view reads the current epoch only. */
+    val dsirScoreLog = s"$base/dedup/dsir_scores"
     /** The maintained token-frequency CMS log ([[refreshTokenSketch]]):
       * one append-only table holding BOTH each drain's partial sketch
       * rows and its processed doc ids, so one parquet append commits
@@ -310,6 +316,9 @@ object CorpusService {
       // MUST reach it or a takedown's bytes outlive the delete in the
       // most sensitive store the service maintains.
       purge(p.scrubbed, "doc_id") &&
+      // Per-doc importance scores are derived from the deleted text;
+      // the view already gates, the purge removes the rows' bytes.
+      purge(p.dsirScoreLog, "doc_id") &&
       purgeIndex(p.annIndex, col("vec_id")) &&
       purgeIndex(p.chunkIndex, expr("CAST(vec_id div 4096 AS BIGINT)")) &&
       (!exists(spark, p.chunkPostings) ||
@@ -1097,13 +1106,28 @@ object CorpusService {
   def refreshDsirWeights(spark: SparkSession, p: Paths): Unit = {
     import spark.implicits._
     val E = graft.queries.Extensions
+    // Epoch BEFORE the meta overwrite: the score log tags every row
+    // with the epoch that scored it, so a retrain must mint a new one
+    // (monotone counter — the trained count alone can move DOWN after
+    // a takedown-driven retrain and would collide with an old epoch).
+    val nextEpoch = 1L + (if (exists(spark, p.dsirWeightsMeta))
+      dsirEpoch(spark, p) else 0L)
     val corpus = dropTombstoned(spark, p,
       graft.Tables.t(spark, p.base, "documents"), "doc_id")
     graft.jobs.Warehouse.replaceReport(spark,
       E.dsirWeightsFrom(corpus, E.qualityOkDocs(corpus)).coalesce(1),
       p.dsirWeights)
-    Seq(liveDocCount(spark, p)).toDF("trained_count")
+    Seq((liveDocCount(spark, p), nextEpoch)).toDF("trained_count", "epoch")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.dsirWeightsMeta)
+  }
+
+  /** The current DSIR weight EPOCH (monotone per retrain; 0 for a
+    * pre-epoch meta written before the score log existed — its next
+    * retrain mints epoch 1). */
+  private[graft] def dsirEpoch(spark: SparkSession, p: Paths): Long = {
+    val m = spark.read.parquet(p.dsirWeightsMeta)
+    if (m.columns.contains("epoch")) m.select("epoch").head().getLong(0)
+    else 0L
   }
 
   /** The GROWTH-KEYED weight refresh ([[maybeRefreshTokenizer]]'s rule
@@ -1144,6 +1168,58 @@ object CorpusService {
       keepPct: Long = graft.queries.Extensions.DsirKeepPct): DataFrame =
     graft.queries.Extensions.dsirKeepTop(
       importanceScores(spark, p), keepPct)
+
+  /** SCORE-ON-INGEST: score the not-yet-scored documents under the
+    * CURRENT frozen weight epoch and append them to the maintained
+    * score log — t38's scoring as per-drain state, the
+    * [[refreshLengthHistogram]] cadence applied to the selection
+    * plane. The frozen-weights contract is what makes this EXACT:
+    * a document's score depends only on its own bigrams and the
+    * epoch's ≤1024-row weight table, so scores accumulated across
+    * drains equal a one-shot [[importanceScores]] over the same
+    * corpus row-for-row (DsirServiceSpec pins it across ≥2 drains).
+    * Per-drain cost is O(batch) — one narrow gram map over just the
+    * new docs + the broadcast weight join; the log never re-reads old
+    * text. A retrain mints a new epoch: the next refresh re-scores
+    * the whole live corpus under it (scores are per-doc values of the
+    * epoch, not linear-sketch partials — subtraction cannot carry
+    * them across weight tables), and stale-epoch rows stop being
+    * read. Crash-replayed appends are absorbed by the view's distinct
+    * (deterministic scoring — identical rows). */
+  def refreshImportanceScores(spark: SparkSession, p: Paths): Unit = {
+    require(exists(spark, p.dsirWeights) && exists(spark, p.dsirWeightsMeta),
+      s"corpus service: no DSIR weight artifact at ${p.dsirWeights} — run " +
+        "refreshDsirWeights first (training is a maintenance event, not " +
+        "a read-path side effect)")
+    val epoch = dsirEpoch(spark, p)
+    val docsF = graft.Tables.t(spark, p.base, "documents")
+      .select("doc_id", "text")
+    val batch =
+      if (exists(spark, p.dsirScoreLog))
+        docsF.join(
+          spark.read.parquet(p.dsirScoreLog)
+            .filter(col("epoch") === epoch).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else docsF
+    if (batch.isEmpty) return
+    graft.queries.Extensions.dsirScoresUnder(
+        batch, spark.read.parquet(p.dsirWeights))
+      .withColumn("epoch", lit(epoch))
+      .write.mode(SaveMode.Append).parquet(p.dsirScoreLog)
+  }
+
+  /** The accumulated importance scores at the CURRENT weight epoch —
+    * the maintained twin of [[importanceScores]] (tombstone-gated,
+    * stale epochs invisible, replayed appends collapsed). */
+  def importanceScoresView(spark: SparkSession, p: Paths): DataFrame = {
+    require(exists(spark, p.dsirWeightsMeta),
+      "corpus service: no DSIR weight artifact — nothing has scored yet")
+    dropTombstoned(spark, p,
+      spark.read.parquet(p.dsirScoreLog)
+        .filter(col("epoch") === dsirEpoch(spark, p))
+        .drop("epoch").distinct(),
+      "doc_id")
+  }
 
   /** Sketch the not-yet-sketched documents into the maintained CMS log —
     * t37's monitor as service state. CMS is a LINEAR sketch: each
@@ -2026,6 +2102,11 @@ object CorpusService {
           // The length-histogram sketch rides the same monitoring-plane
           // cadence and flag (both are O(batch) linear-sketch partials).
           if (sketch) refreshLengthHistogram(spark, p)
+          // Score-on-ingest rides every drain too (O(batch) under the
+          // frozen weights), once the first maintenance tick has
+          // trained a weight epoch to score under.
+          if (importance && exists(spark, p.dsirWeights))
+            refreshImportanceScores(spark, p)
         }
         ticks += 1
         if (maintainEvery > 0 && ticks % maintainEvery == 0) {

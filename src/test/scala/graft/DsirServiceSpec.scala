@@ -57,6 +57,46 @@ class DsirServiceSpec extends SparkSpec {
       "read path retrained the weights")
   }
 
+  test("score-on-ingest across drains ≡ one-shot scores; idempotent; epoch-aware") {
+    import spark.implicits._
+    val p = freshService(sf("sf0.001"))
+    val all = Tables.t(spark, p.base, "documents")
+      .select("doc_id", "text", "lang").collect()
+    // Rebuild the corpus store in two waves around one weight epoch.
+    val (w1, w2) = all.partition(_.getLong(0) % 2 == 0)
+    spark.createDataFrame(spark.sparkContext.parallelize(w1.toSeq),
+        Tables.t(spark, p.base, "documents").schema)
+      .write.mode("overwrite").parquet(p.docs)
+    CorpusService.refreshDsirWeights(spark, p)
+    // Drain 1: scores wave 1 under the frozen epoch.
+    CorpusService.refreshImportanceScores(spark, p)
+    // Drain 2: wave 2 arrives post-freeze; only IT is scored (O(batch)).
+    spark.createDataFrame(spark.sparkContext.parallelize(w2.toSeq),
+        Tables.t(spark, p.base, "documents").schema)
+      .write.mode("append").parquet(p.docs)
+    CorpusService.refreshImportanceScores(spark, p)
+    assertSameRows(CorpusService.importanceScoresView(spark, p),
+      CorpusService.importanceScores(spark, p),
+      "accumulated per-drain scores vs one-shot under the same epoch")
+    // Idempotent: a drain with nothing new appends nothing.
+    val nFiles = new java.io.File(p.dsirScoreLog)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    CorpusService.refreshImportanceScores(spark, p)
+    assert(new java.io.File(p.dsirScoreLog)
+      .listFiles().count(_.getName.endsWith(".parquet")) == nFiles,
+      "a no-op drain appended score rows")
+    // A retrain mints a new epoch: stale rows stop being read, the next
+    // refresh re-scores the live corpus under the new weights, and the
+    // view again equals the one-shot.
+    val e1 = CorpusService.dsirEpoch(spark, p)
+    CorpusService.refreshDsirWeights(spark, p)
+    assert(CorpusService.dsirEpoch(spark, p) == e1 + 1, "epoch not minted")
+    CorpusService.refreshImportanceScores(spark, p)
+    assertSameRows(CorpusService.importanceScoresView(spark, p),
+      CorpusService.importanceScores(spark, p),
+      "post-retrain accumulated scores vs one-shot under the new epoch")
+  }
+
   test("deletion gates scores immediately; retrain converges to the never-ingested twin") {
     val src = sf("sf0.001")
     val dels = Seq(3L, 17L, 42L)
