@@ -84,4 +84,20 @@ object SessionOverlapTable {
     if (exists(spark, pairLog)) spark.read.parquet(pairLog).distinct()
     else spark.range(0).select(col("id").as("user_a"), col("id").as("a_st"),
       col("id").as("user_b"), col("id").as("b_st"), col("id").as("overlap_us"))
+
+  /** Compact both append-only logs in place (the StreamingDedup
+    * compactLogs contract): rows deduped — safe because every reader
+    * goes through a distinct view, and it makes crash-replayed batch
+    * duplicates physically gone instead of absorbed per read — and the
+    * per-append small files coalesced. Caller must be quiesced (no
+    * live writer), the standard streamed-log compaction rule; `false`
+    * (writer raced) is retryable. Without this, [[pairsView]]'s
+    * distinct cost grows with HISTORY rather than with the live pair
+    * set. */
+  def compactLogs(spark: SparkSession, sessLog: String, pairLog: String,
+                  files: Int = 4): Boolean =
+    graft.jobs.Warehouse.tryCoalesceLog(spark, sessLog,
+      dedupRows = true, files) &&
+      graft.jobs.Warehouse.tryCoalesceLog(spark, pairLog,
+        dedupRows = true, files)
 }

@@ -126,6 +126,28 @@ class StreamingSpec extends SparkSpec {
       graft.queries.Parity.sessionOverlapsOf(closed),
       "streamed overlap pairs vs one-shot q36 over the closed sessions")
     assert(got.count() == 2, "expected exactly the (1,2) and (1,3) pairs")
+
+    // Compaction: plant a crash-replayed duplicate append, compact, and
+    // pin the view unchanged with the duplicates PHYSICALLY gone (the
+    // signature-log convention absorbs them per read; compaction stops
+    // the read cost growing with history).
+    val before = graft.streaming.SessionOverlapTable
+      .pairsView(spark, pairLog).collect().toSet
+    spark.read.parquet(pairLog).limit(1)
+      .write.mode("append").parquet(pairLog)
+    assert(spark.read.parquet(pairLog).count() >
+      spark.read.parquet(pairLog).distinct().count(),
+      "replayed append did not create a physical duplicate (test premise)")
+    assert(graft.streaming.SessionOverlapTable
+      .compactLogs(spark, sessLog, pairLog), "compaction must land")
+    assert(spark.read.parquet(pairLog).count() ==
+      spark.read.parquet(pairLog).distinct().count(),
+      "compaction left physical duplicates in the pair log")
+    assert(graft.streaming.SessionOverlapTable
+      .pairsView(spark, pairLog).collect().toSet == before,
+      "compaction changed the pair view")
+    assertSameRows(spark.read.parquet(sessLog), closed,
+      "compaction changed the session log content")
   }
 
   test("foreachBatch upsert path delivers changed rows per micro-batch") {
