@@ -2826,6 +2826,11 @@ object Extensions {
   def annIvfIndexed(s: SparkSession, dir: String): DataFrame =
     annIvfIndexedAt(s, dir, annIndexPath(s, dir))
 
+  /** [[annIvfIndexed]] at an explicit probe width — the serving dial
+    * (AnnRecallSpec prices two settings against the exact scan). */
+  def annIvfIndexed(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    annIvfIndexedAt(s, dir, annIndexPath(s, dir), nprobe = nprobe)
+
   /** s24: SERVING-QUALITY AUDIT — per-query recall@5 of the
     * index-served IVF path (s08) against the exact scan (s01), the
     * health metric an ANN deployment watches continuously: approximate
@@ -2867,10 +2872,11 @@ object Extensions {
     * grew or retrained in between. */
   def annIvfIndexedAt(s: SparkSession, dir: String,
                       indexPath: String,
-                      dropIds: Option[DataFrame] = None): DataFrame =
+                      dropIds: Option[DataFrame] = None,
+                      nprobe: Int = DefaultNprobe): DataFrame =
     annIvfIndexedQueries(s, dir,
       Tables.t(s, dir, "embeddings").filter(col("vec_id") < 10),
-      indexPath, excludeSelf = true, dropIds = dropIds)
+      indexPath, excludeSelf = true, dropIds = dropIds, nprobe = nprobe)
 
   /** s08's serving entry for an ARBITRARY query frame — the production
     * shape, where queries are EXTERNAL vectors (a user request, another
@@ -2893,9 +2899,17 @@ object Extensions {
                            indexPath: String,
                            excludeSelf: Boolean = false,
                            k: Int = 5,
-                           dropIds: Option[DataFrame] = None): DataFrame =
+                           dropIds: Option[DataFrame] = None,
+                           nprobe: Int = DefaultNprobe): DataFrame =
     annIvfIndexedOver(s, quantized(s, dir), quantizeFrame(queries),
-      indexPath, excludeSelf, k, dropIds)
+      indexPath, excludeSelf, k, dropIds, nprobe)
+
+  /** The default probe width of the served IVF read path — the one the
+    * benchmark queries and the s03 oracle pin (12 of the P=5 product
+    * ranking's 25 cells). Deployments turn [[annIvfIndexedQueries]]'
+    * `nprobe` per request class; the recall audit prices each setting
+    * (the audit log records the width per row). */
+  val DefaultNprobe = 12
 
   /** The grain-agnostic core of indexed ANN serving: `corpus` and `eq`
     * are ALREADY-QUANTIZED (vec_id, q, s2) frames, so the same read
@@ -2906,8 +2920,10 @@ object Extensions {
                                        eq: DataFrame, indexPath: String,
                                        excludeSelf: Boolean,
                                        k: Int,
-                                       dropIds: Option[DataFrame] = None)
+                                       dropIds: Option[DataFrame] = None,
+                                       nprobe: Int = DefaultNprobe)
       : DataFrame = {
+    require(nprobe >= 1, "annIvfIndexedOver: nprobe must be >= 1")
     // `dropIds` is the TOMBSTONE dial (CorpusService.deleteDocs): a thin
     // (vec_id) frame of deleted rows filtered out of the index read, so
     // serving equals a rebuild-without-the-docs under the same epoch,
@@ -2920,8 +2936,14 @@ object Extensions {
     // probe side to the scan's inferred type so the join key is the bare
     // partition attribute (a cast on the scan side would defeat pruning).
     val cellT = idx.schema(idx.schema.fieldIndex("cell")).dataType
-    val probes = imiRank(eq, cents, "vec_id", 5)
-      .filter(col("rn") <= 12)
+    // The ranking width covers the probe budget (perHalf² ranked
+    // product cells ≥ nprobe) and never shrinks below the default 5 —
+    // the P=5 ranking's top-12 is what the s03/s08 oracles pin, so a
+    // SMALLER nprobe is a pure prefix of the pinned ranking, and a
+    // larger one widens the ranking only as far as it must.
+    val perHalf = math.max(5, math.ceil(math.sqrt(nprobe.toDouble)).toInt)
+    val probes = imiRank(eq, cents, "vec_id", perHalf)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"),
         col("cent_id").cast(cellT).as("cell"))
     // Candidate generation reads the index: neighbor prefixes and norms

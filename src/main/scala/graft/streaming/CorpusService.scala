@@ -483,10 +483,15 @@ object CorpusService {
   /** ANN top-k served off the maintained index — s08's read path at the
     * service's index location. Tombstoned rows are filtered out of the
     * index read (all serving entries below share this), so post-delete
-    * serving equals a rebuild-without-the-docs under the same epoch. */
-  def annTopK(spark: SparkSession, p: Paths): DataFrame =
+    * serving equals a rebuild-without-the-docs under the same epoch.
+    * `nprobe` is the recall/latency dial every real ANN deployment
+    * tunes (more probed cells = more of the corpus mass scored); the
+    * recall audit prices each setting and logs the width per row. */
+  def annTopK(spark: SparkSession, p: Paths,
+              nprobe: Int = graft.queries.Extensions.DefaultNprobe)
+      : DataFrame =
     graft.queries.Extensions.annIvfIndexedAt(spark, p.base, p.annIndex,
-      dropIds = tombstoneIds(spark, p))
+      dropIds = tombstoneIds(spark, p), nprobe = nprobe)
 
   /** ANN top-k through the index-resident SQ8 codes (s17's read path) —
     * the byte-compressed coarse pass over the same maintained index:
@@ -509,9 +514,11 @@ object CorpusService {
     * serves) off the maintained index. No self-exclusion: external ids
     * share no space with corpus ids, so a numeric collision must not
     * drop a true neighbor. */
-  def annTopKFor(spark: SparkSession, p: Paths, queries: DataFrame): DataFrame =
+  def annTopKFor(spark: SparkSession, p: Paths, queries: DataFrame,
+                 nprobe: Int = graft.queries.Extensions.DefaultNprobe)
+      : DataFrame =
     graft.queries.Extensions.annIvfIndexedQueries(spark, p.base, queries,
-      p.annIndex, dropIds = tombstoneIds(spark, p))
+      p.annIndex, dropIds = tombstoneIds(spark, p), nprobe = nprobe)
 
   /** FILTERED ANN for external query vectors — the request names its
     * metadata filter ((vec_id, embedding, label) rows) and neighbors
@@ -577,18 +584,22 @@ object CorpusService {
     * ratio — is the retrain signal that tracks what users actually
     * experience. Cost is |probe set| × live corpus for the exact side
     * (scheduled, never per-request) plus one pruned index read. */
-  def recallAuditReport(spark: SparkSession, p: Paths): DataFrame = {
+  def recallAuditReport(spark: SparkSession, p: Paths,
+      nprobe: Int = graft.queries.Extensions.DefaultNprobe): DataFrame = {
     val live = graft.queries.Extensions.quantizeFrame(dropTombstoned(
       spark, p, graft.Tables.t(spark, p.base, "embeddings"), "vec_id"))
     graft.queries.Extensions.recallAuditOf(
       graft.queries.Extensions.annCosineTopKOf(live),
-      annTopK(spark, p))
+      annTopK(spark, p, nprobe))
   }
 
   /** The audited mean recall in ppm — the scalar the retrain decision
-    * keys off (truncating integer mean over the probe queries). */
-  def auditedRecallPpm(spark: SparkSession, p: Paths): Long = {
-    val r = recallAuditReport(spark, p)
+    * keys off (truncating integer mean over the probe queries). The
+    * `nprobe` passed here is what a deployment uses to PRICE the
+    * recall/latency dial: audit two widths, read two recalls. */
+  def auditedRecallPpm(spark: SparkSession, p: Paths,
+      nprobe: Int = graft.queries.Extensions.DefaultNprobe): Long = {
+    val r = recallAuditReport(spark, p, nprobe)
       .agg(sum("recall_ppm").as("s"), count(lit(1)).as("n")).head()
     if (r.getLong(1) == 0) 0L else r.getLong(0) / r.getLong(1)
   }
@@ -605,14 +616,16 @@ object CorpusService {
     * retrain decision reads the same number that was logged (decide
     * from the log, never from a second audit). */
   def recordRecallAudit(spark: SparkSession, p: Paths,
-                        at: java.time.LocalDateTime): Long = {
-    val ppm = auditedRecallPpm(spark, p)
+      at: java.time.LocalDateTime,
+      nprobe: Int = graft.queries.Extensions.DefaultNprobe): Long = {
+    val ppm = auditedRecallPpm(spark, p, nprobe)
     val epoch = trainedCount(spark, p).getOrElse(0L)
     val nIndexed = spark.read.parquet(p.annIndex)
       .filter(col("rn") === 1).count()
     spark.range(1).select(
         lit(epoch).as("epoch"),
         lit(ppm).as("recall_ppm"),
+        lit(nprobe.toLong).as("nprobe"),
         lit(nIndexed).as("n_indexed"),
         lit(at.toString).as("audited_at"))
       .coalesce(1)
@@ -620,11 +633,15 @@ object CorpusService {
     ppm
   }
 
-  /** The recall-audit time series (empty-safe). */
+  /** The recall-audit time series (empty-safe). Each row carries the
+    * probe width it was measured at — recall is only comparable within
+    * an nprobe setting, and the (nprobe, recall_ppm) pairs ARE the
+    * priced dial a deployment reads to pick its request-class width. */
   def auditLogView(spark: SparkSession, p: Paths): DataFrame =
     if (exists(spark, p.auditLog)) spark.read.parquet(p.auditLog)
     else spark.range(0).select(
       col("id").as("epoch"), col("id").as("recall_ppm"),
+      col("id").as("nprobe"),
       col("id").as("n_indexed"), col("id").cast("string").as("audited_at"))
 
   /** The QUALITY-keyed retrain trigger — [[maybeRetrain]]'s twin keyed
@@ -1466,7 +1483,9 @@ object CorpusService {
                     dfCapPpm: Long = 900000L,
                     vectorExact: Boolean = false,
                     bm25: Boolean = false,
-                    diversify: Boolean = false): DataFrame = {
+                    diversify: Boolean = false,
+                    nprobe: Int = graft.queries.Extensions.DefaultNprobe)
+      : DataFrame = {
     // Tombstoned docs leave both rankers here: their posting rows drop
     // (df and the doc count follow — exactly the rebuild-without
     // corpus's statistics), and the vector side filters them below.
@@ -1503,7 +1522,7 @@ object CorpusService {
           excludeSelf, k = 20)
       else graft.queries.Extensions.annIvfIndexedQueries(spark, p.base,
           queries.select("vec_id", "embedding"), p.annIndex, excludeSelf,
-          k = 20, dropIds = tombstoneIds(spark, p))
+          k = 20, dropIds = tombstoneIds(spark, p), nprobe = nprobe)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_v"))
     val fused = graft.queries.Extensions.rrfFuse(vec, lex)
     // `diversify` threads the fused top-10 through the MMR greedy core

@@ -121,6 +121,30 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.6, f"IVF mean recall@5 $mean%.2f < 0.6")
   }
 
+  test("nprobe is a live recall dial on the served index path (two settings)") {
+    // The serving entries expose the probe width every real ANN
+    // deployment tunes. On the near-uniform embeddings recall tracks
+    // the corpus fraction scanned, so widening 12 → 25 probed cells
+    // must buy recall: floor 0.6 at the pinned default, 0.8 at the
+    // widened setting, and wide ≥ narrow (same index, same epoch).
+    val dir = sf("sf0.01")
+    val exact = topSets(Extensions.annCosineTopK(spark, dir))
+    def mean(nprobe: Int): Double = {
+      val served = topSets(Extensions.annIvfIndexed(spark, dir, nprobe))
+      val rs = exact.map { case (q, truth) =>
+        served.getOrElse(q, Set.empty).intersect(truth).size.toDouble /
+          truth.size
+      }
+      rs.sum / rs.size
+    }
+    val narrow = mean(Extensions.DefaultNprobe)
+    val wide = mean(25)
+    assert(narrow >= 0.6, f"served recall@5 at nprobe=12 $narrow%.2f < 0.6")
+    assert(wide >= 0.8, f"served recall@5 at nprobe=25 $wide%.2f < 0.8")
+    assert(wide >= narrow,
+      f"widening the probe budget lost recall: $wide%.2f < $narrow%.2f")
+  }
+
   test("SQ8 coarse pass achieves recall@5 >= 0.9 vs exact (sf0.01)") {
     // s13's 8-bit codes quantize each dimension to 255 levels of its
     // corpus range — a relative error ~1/255 per dim, far below the

@@ -943,6 +943,11 @@ class CorpusServiceSpec extends SparkSpec {
       assert(r.getAs[Long]("n_indexed") > 0)
       assert(r.getAs[String]("audited_at").startsWith("2024-06-01T12:0"),
         s"audit row must carry the loop clock: $r")
+      // Recall is only comparable within a probe width, so the row
+      // records the width it was measured at (the serving dial).
+      assert(r.getAs[Long]("nprobe") ==
+        graft.queries.Extensions.DefaultNprobe.toLong,
+        s"audit row must record its probe width: $r")
     }
     val fired = log.last.getAs[Long]("recall_ppm")
     assert(fired < 1000001L && fired == log.head.getAs[Long]("recall_ppm"),
