@@ -117,7 +117,12 @@ object ScaleSmoke {
     // scaled corpus multiplies users in the same wall-clock span, so
     // the exponent reads the output's growth, not a plan cliff (the
     // no-NLJ pin is the plan evidence).
-    "t39_length_quantiles", "q36_session_overlaps")
+    "t39_length_quantiles", "q36_session_overlaps",
+    // t40 composes five families end-to-end: every gate is a key-grain
+    // semi/anti join, the selection window runs at score-domain grain,
+    // and the packer is t28's block prefix sum — expect the t30 class
+    // (the 8-gram contamination stream is the dominant linear term).
+    "t40_curation_manifest")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -1583,6 +1583,93 @@ object Extensions extends ExtCore with ExtDedup with ExtSimilarity
         |            THEN 1 ELSE 0 END AS keep
         |FROM scored s""".stripMargin)),
 
+    // t40's oracle: the composed pipeline assembled from the pieces'
+    // own oracle texts — ccCtes' labels (d07/t29's grain), t30's
+    // quality gate, t16's contamination CTEs verbatim, t38's scoring
+    // chain (docCtes already provides its toks/tokrows), one gated pd,
+    // then t28's packing arithmetic with t31's shard deal on top.
+    QuerySpec("t40_curation_manifest", curationManifest, Some(ccCtes +
+      """, quality AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS t FROM documents) qq
+        |  WHERE len(t) >= 20
+        |    AND (len(list_filter(t, x -> x IN ('a', 'the'))) * 1000000) // len(t) < 300000),
+        |gd AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
+        |         string_split(text, ' ') AS t
+        |  FROM documents),
+        |grams16 AS (
+        |  SELECT DISTINCT doc_id, bucket,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |         t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS gram
+        |  FROM gd, UNNEST(range(1, greatest(len(t) - 6, 1))) u(i)),
+        |testg AS (SELECT DISTINCT gram FROM grams16 WHERE bucket >= 90),
+        |badtrain AS (
+        |  SELECT DISTINCT g.doc_id
+        |  FROM grams16 g JOIN testg tg ON tg.gram = g.gram
+        |  WHERE g.bucket < 80),
+        |big AS MATERIALIZED (
+        |  SELECT a.doc_id,
+        |         ('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 8))::BIGINT % 1024 AS bkt
+        |  FROM tokrows a JOIN tokrows b
+        |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |raw AS MATERIALIZED (SELECT bkt, count(*) AS cr FROM big GROUP BY 1),
+        |tgt AS MATERIALIZED (
+        |  SELECT bkt, count(*) AS ct FROM big
+        |  WHERE doc_id IN (SELECT doc_id FROM quality) GROUP BY 1),
+        |probs AS (
+        |  SELECT r.bkt,
+        |         (r.cr * 1000000) // (SELECT SUM(cr) FROM raw) AS pr,
+        |         COALESCE((t.ct * 1000000) // (SELECT SUM(ct) FROM tgt), 0) AS pt
+        |  FROM raw r LEFT JOIN tgt t ON t.bkt = r.bkt),
+        |scored AS MATERIALIZED (
+        |  SELECT g.doc_id, count(*) AS n_bigrams,
+        |         CAST((SUM(p.pt - p.pr) + count(*) * 1000000) // count(*)
+        |              - 1000000 AS BIGINT) AS dsir_score_ppm
+        |  FROM big g JOIN probs p ON p.bkt = g.bkt GROUP BY 1),
+        |shist AS MATERIALIZED (
+        |  SELECT dsir_score_ppm AS sc, count(*) AS cnt FROM scored GROUP BY 1),
+        |nk AS MATERIALIZED (SELECT CAST((SUM(cnt) * 25) // 100 AS BIGINT) AS n_keep FROM shist),
+        |bo AS MATERIALIZED (
+        |  SELECT sc AS s_star,
+        |         (SELECT n_keep FROM nk) - (cum - cnt) AS take_at
+        |  FROM (SELECT sc, cnt, SUM(cnt) OVER (ORDER BY sc DESC) AS cum FROM shist)
+        |  WHERE cum >= (SELECT n_keep FROM nk)
+        |  ORDER BY sc DESC LIMIT 1),
+        |kb AS (
+        |  SELECT doc_id FROM (
+        |    SELECT s.doc_id, row_number() OVER (ORDER BY s.doc_id) AS rn
+        |    FROM scored s JOIN bo ON s.dsir_score_ppm = bo.s_star)
+        |  WHERE rn <= (SELECT take_at FROM bo)),
+        |dsel AS MATERIALIZED (
+        |  SELECT s.doc_id FROM scored s
+        |  WHERE s.dsir_score_ppm > (SELECT s_star FROM bo)
+        |     OR s.doc_id IN (SELECT doc_id FROM kb)),
+        |pd AS (
+        |  SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents d
+        |  LEFT JOIN labels l ON l.doc_id = d.doc_id
+        |  JOIN quality q2 ON q2.doc_id = d.doc_id
+        |  JOIN dsel ds ON ds.doc_id = d.doc_id
+        |  LEFT JOIN badtrain b ON b.doc_id = d.doc_id
+        |  WHERE b.doc_id IS NULL
+        |    AND COALESCE(l.cluster_id, d.doc_id) = d.doc_id
+        |    AND ('0x' || substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
+        |c AS (SELECT doc_id, n_toks,
+        |        CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+        |      FROM pd WHERE n_toks > 0),
+        |spans AS (
+        |  SELECT doc_id, CAST(u.p AS BIGINT) AS pack_id,
+        |         GREATEST(u.p * 128 - strt, 0) AS doc_start,
+        |         GREATEST(strt - u.p * 128, 0) AS pack_start,
+        |         LEAST((u.p + 1) * 128, strt + n_toks) - GREATEST(u.p * 128, strt) AS span_toks
+        |  FROM c, UNNEST(range(strt // 128, (strt + n_toks - 1) // 128 + 1)) u(p))
+        |SELECT doc_id, pack_id, doc_start, pack_start, span_toks,
+        |       ('0x' || substr(md5(CAST(pack_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+        |FROM spans""".stripMargin)),
+
     QuerySpec("t39_length_quantiles", lengthQuantiles, Some(
       """WITH d AS (
         |  SELECT lang,

@@ -567,8 +567,16 @@ private[queries] trait ExtText { this: Extensions.type =>
     * tie-break: cumulative doc counts down the (bounded) distinct-score
     * axis, one boundary row, ranking only within the cutoff-score tie
     * class. Emits the scored rows plus `keep`. */
-  private[graft] def dsirKeepTop(scored: DataFrame,
+  private[graft] def dsirKeepTop(scored0: DataFrame,
                                  keepPct: Long): DataFrame = {
+    // The scored frame feeds THREE consumers (the score histogram, the
+    // tie-class ranking, and the final keep projection); materialize it
+    // once — (doc_id, n_bigrams, score) rows — instead of re-running
+    // the scoring subtree per reference (the dsirOf gram-checkpoint
+    // rationale one level up: un-materialized, t38's plan re-planned
+    // the whole weight chain 4× and the composed t40 plan carried 30
+    // copies of its scalar broadcasts).
+    val scored = scored0.localCheckpoint()
     val hist = scored.groupBy("dsir_score_ppm").agg(count(lit(1)).as("cnt"))
     val cw = Window.orderBy(col("dsir_score_ppm").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -995,6 +1003,37 @@ private[queries] trait ExtText { this: Extensions.type =>
     * adds the block-grain prefix sum and nothing corpus-wide beyond it. */
   def trainingPacks(s: SparkSession, dir: String): DataFrame =
     packSpans(trainSplitToks(s, dir), PackCap)
+
+  /** t40: the END-TO-END CURATION PIPELINE as ONE query — the composed
+    * artifact every upstream operator exists to feed, materialized as
+    * the final training manifest a loader ships from: documents that
+    * survive near-dup canonical keep (d07 over the d03 LSH graph) ∧
+    * the quality gate (t02) ∧ the leakage-safe cluster-grain TRAIN
+    * split (t29) ∧ decontamination against the held-out eval split
+    * (t16's drop set, Bloom-prefiltered 8-gram evidence) ∧ DSIR
+    * importance selection (t38's exact top-25%), packed into
+    * exactly-full training sequences (t28's distributed prefix sum)
+    * and dealt to data-parallel shards by the stable pack-id hash
+    * (t31's rule). One row per (document, pack) span with its shard —
+    * offsets on both sides, so the loader slices original docs without
+    * any packer rewrite.
+    *
+    * The composition is pure plan surgery — five key-grain semi/anti
+    * joins over the operators' existing frames feeding the block-grain
+    * packer; no driver-side glue beyond the memoized cluster-label
+    * fixpoint every d07 consumer shares (a checkpointed leaf in this
+    * plan), no collect, no cartesian (PlanSpec pins the plan shape).
+    * At 100 TB every gate shuffles at doc-key grain and the packer at
+    * block grain — nothing new materializes beyond what the component
+    * operators already pay. */
+  def curationManifest(s: SparkSession, dir: String): DataFrame = {
+    val gated = trainSplitToks(s, dir)
+      .join(contaminatedTrainDocs(s, dir), Seq("doc_id"), "left_anti")
+      .join(dsirSelect(s, dir).filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    packSpans(gated, PackCap)
+      .withColumn("shard", h32(col("pack_id").cast("string")) % 8)
+  }
 
   /** t30's gated (doc_id, n_toks) frame, factored so the corpus service
     * packs its maintained manifest with the identical gate arithmetic. */

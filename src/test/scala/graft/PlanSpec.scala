@@ -624,6 +624,28 @@ class PlanSpec extends SparkSpec {
       s"q36 lost its bucket equi-join:\n$p")
   }
 
+  test("t40's composed pipeline plan: no cartesian, no unbounded nested loop") {
+    // The end-to-end curation manifest composes five operator families
+    // in ONE plan. The pin: nothing pairwise survives the composition —
+    // no CartesianProduct anywhere, and every BroadcastNestedLoopJoin
+    // is one of the component operators' sanctioned SCALAR broadcasts
+    // (dsirKeepTop's ≤1-row n_keep / boundary frames): broadcast-build
+    // Cross shape, bounded count (the boundary subtree instantiates
+    // once per broadcast reference — 6 today; the tripwire catches a
+    // data×data loop sneaking in, which would also break the shape
+    // assertion since inequality joins carry non-Cross types).
+    val p = planOf(graft.queries.Extensions.curationManifest(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"t40 plans a cartesian product:\n$p")
+    val bnljLines = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnljLines.forall(_.contains("BuildRight, Cross")),
+      s"t40 has a non-scalar nested-loop join:\n${bnljLines.mkString("\n")}")
+    assert(bnljLines.size <= 8,
+      s"t40 has ${bnljLines.size} nested-loop joins — more than the " +
+        s"composed operators' sanctioned scalar broadcasts:\n$p")
+  }
+
   test("t34 joins its per-word subword counts by broadcast only") {
     // The fold runs over DISTINCT words (Heaps-law small); occurrences
     // take the counts back via broadcast — a sort-merge join here would
