@@ -188,23 +188,30 @@ object Joins {
     * HOT-BUCKET DEFENSE (`salt`, default 1 = off): with `keys` empty
     * the equi-join key is the time bucket ALONE, so join parallelism
     * is bounded by distinct buckets and a peak-hour bucket runs its
-    * per-bucket-density² candidate work in ONE task. `salt > 1` applies
-    * the [[saltedJoin]] doctrine to the EXPLODED frames: each left
-    * (row, bucket) candidate gets a deterministic xxhash64 salt (whole
-    * row INCLUDING the bucket, so one interval's buckets spread
-    * independently; retry-safe, per the saltedJoin rationale) and the
-    * right side's exploded rows replicate `salt`×, the join running on
-    * (keys, bucket, salt). Every candidate pair still meets exactly
-    * once (at the left row's salt), so the output — and the
-    * exactly-once first-bucket emission — is identical for any salt;
-    * per-task candidate work drops to density²/salt at the price of
-    * salt× right-side shuffle volume. Size `salt` ≈ peak-bucket
-    * density / the per-task candidate budget; uniform workloads leave
-    * it at 1 and let per-bucket parallelism carry. */
+    * per-bucket-density² candidate work in ONE task. `salt > 1`
+    * applies the [[saltedJoin]] doctrine to the exploded frames — but
+    * ADAPTIVELY, only inside buckets that are actually hot: one
+    * bucket-grain count over the right side finds the (keys, bucket)
+    * groups holding more than `hotRows` rows; left candidates in those
+    * buckets get a deterministic xxhash64 salt (whole row INCLUDING
+    * the bucket; retry-safe, the saltedJoin rationale) while right
+    * candidates there replicate `salt`× (explode over a literal array
+    * — a narrow generator, never a cross join); everything outside
+    * rides salt 0 unreplicated. Both sides read hotness off the SAME
+    * broadcast set, so every candidate pair still meets exactly once
+    * and the output — including the exactly-once first-bucket
+    * emission — is identical for any (salt, hotRows). Hot buckets'
+    * per-task candidate work drops to density²/salt; a workload with
+    * no hot bucket pays one cheap combinable count and zero
+    * replication (an UNCONDITIONAL salt was measured 5× slower on the
+    * uniform q36 bench: the whole right side replicated 8× through a
+    * broadcast hash join that has no reducer skew to fix). Size
+    * `hotRows` ≈ the per-task candidate budget's square root. */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
                           keys: Seq[String], llo: String, lhi: String,
                           rlo: String, rhi: String, bucket: Long,
-                          salt: Int = 1): DataFrame = {
+                          salt: Int = 1,
+                          hotRows: Long = 4096L): DataFrame = {
     require(bucket > 0, "intervalOverlapJoin: bucket width must be positive")
     require(salt >= 1, "intervalOverlapJoin: salt must be >= 1")
     def floorDiv(c: org.apache.spark.sql.Column) =
@@ -215,18 +222,29 @@ object Joins {
     val r0 = right.filter(col(rhi) > col(rlo))
       .withColumn("__bkt",
         explode(sequence(floorDiv(col(rlo)), floorDiv(col(rhi)))))
+    val bktKeys = keys :+ "__bkt"
     val (l, r, joinKeys) =
-      if (salt <= 1) (l0, r0, keys :+ "__bkt")
+      if (salt <= 1) (l0, r0, bktKeys)
       else {
+        val hot = r0.groupBy(bktKeys.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > hotRows)
+          .select(bktKeys.map(col): _*)
+          .withColumn("__hot", lit(1))
         val saltSrc = l0.schema.fields
           .filter(f => hashable(f.dataType)).map(f => col(f.name))
-        // Replication by explode over a literal array — a narrow
-        // generator inside whole-stage codegen, not the cross join a
-        // range-frame replica would plan as a nested loop.
-        (l0.withColumn("__salt",
-            pmod(xxhash64(saltSrc.toSeq: _*), lit(salt.toLong)).cast("int")),
-          r0.withColumn("__salt", explode(lit((0 until salt).toArray))),
-          keys ++ Seq("__bkt", "__salt"))
+        val lS = l0.join(broadcast(hot), bktKeys, "left")
+          .withColumn("__salt",
+            when(col("__hot").isNotNull,
+              pmod(xxhash64(saltSrc.toSeq: _*), lit(salt.toLong)).cast("int"))
+              .otherwise(lit(0)))
+          .drop("__hot")
+        val rS = r0.join(broadcast(hot), bktKeys, "left")
+          .withColumn("__salt",
+            explode(when(col("__hot").isNotNull,
+              lit((0 until salt).toArray)).otherwise(array(lit(0)))))
+          .drop("__hot")
+        (lS, rS, bktKeys :+ "__salt")
       }
     l.join(r, joinKeys)
       .filter(col(llo) < col(rhi) && col(rlo) < col(lhi))

@@ -106,7 +106,8 @@ class RangeJoinSpec extends SparkSpec {
       val unsalted = Joins.intervalOverlapJoin(l, r, Seq.empty,
         "alo", "ahi", "blo", "bhi", bucket = 250L).select("a", "b")
       val salted = Joins.intervalOverlapJoin(l, r, Seq.empty,
-        "alo", "ahi", "blo", "bhi", bucket = 250L, salt = 8).select("a", "b")
+        "alo", "ahi", "blo", "bhi", bucket = 250L, salt = 8,
+        hotRows = 50L).select("a", "b")
       assert(unsalted.count() > 1000L, "hot bucket not actually dense")
       assertSameRows(salted, unsalted, s"hot-bucket trial $trial")
     }
@@ -133,7 +134,8 @@ class RangeJoinSpec extends SparkSpec {
       val (l, r) = hotBucketFrames(seed = 7)
       def hotParts(salt: Int): Long =
         Joins.intervalOverlapJoin(l, r, Seq.empty,
-            "alo", "ahi", "blo", "bhi", bucket = 250L, salt = salt)
+            "alo", "ahi", "blo", "bhi", bucket = 250L, salt = salt,
+            hotRows = 50L)
           .filter(col("alo") >= 10000L && col("alo") < 10250L)
           .select(spark_partition_id().as("p"))
           .distinct().count()
