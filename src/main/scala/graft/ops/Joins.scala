@@ -226,11 +226,17 @@ object Joins {
     val (l, r, joinKeys) =
       if (salt <= 1) (l0, r0, bktKeys)
       else {
+        // Checkpointed: the hot set is bucket-grain (tiny at any data
+        // size) but feeds BOTH sides' broadcast joins — without the
+        // materialization each broadcast re-runs the right side's
+        // count aggregation (measured ~2× the session recompute on
+        // q36's bench).
         val hot = r0.groupBy(bktKeys.map(col): _*)
           .agg(count(lit(1)).as("__n"))
           .filter(col("__n") > hotRows)
           .select(bktKeys.map(col): _*)
           .withColumn("__hot", lit(1))
+          .localCheckpoint()
         val saltSrc = l0.schema.fields
           .filter(f => hashable(f.dataType)).map(f => col(f.name))
         val lS = l0.join(broadcast(hot), bktKeys, "left")

@@ -384,9 +384,15 @@ object Parity {
     * rows — the one-shot form the streaming cycle's accumulated pair
     * log is spec-pinned against. */
   private[graft] def sessionOverlapsOf(sessions: DataFrame): DataFrame = {
+    // Materialized once: the session frame feeds THREE consumers (both
+    // join sides and the hot-bucket census) — un-checkpointed, each
+    // re-runs the session_window aggregation over the full event
+    // stream (the t38 gram-checkpoint rationale; sessions are this
+    // query's OWN grain, orders of magnitude below event grain).
     val sess = sessions.select(col("user_id"),
       unix_micros(col("session_start")).as("st"),
       unix_micros(col("session_end")).as("en"))
+      .localCheckpoint()
     val a = sess.select(col("user_id").as("user_a"),
       col("st").as("a_st"), col("en").as("a_en"))
     val b = sess.select(col("user_id").as("user_b"),
