@@ -184,6 +184,9 @@ object ScaleSmoke {
     val maxVec = rd("embeddings").agg(max("vec_id")).head.getLong(0) + 1
     val maxOrd = rd("orders").agg(max("o_orderkey")).head.getLong(0) + 1
     val maxCust = rd("customer").agg(max("c_custkey")).head.getLong(0) + 1
+    val events = graft.Tables.t(s, src, "events")
+    val maxEvt = events.agg(max("event_id")).head.getLong(0) + 1
+    val maxUser = events.agg(max("user_id")).head.getLong(0) + 1
 
     (0 until reps).foreach { k =>
       val docs0 = rd("documents")
@@ -217,6 +220,19 @@ object ScaleSmoke {
       append(rd("lineitem")
         .withColumn("l_orderkey", col("l_orderkey") + lit(k * maxOrd)),
         "lineitem")
+
+      // Events replicate with fresh USERS inside the SAME wall-clock
+      // span (ids offset, timestamps untouched): sessionization stays
+      // per-user exact while per-hour-bucket session density grows
+      // reps× — precisely the peak-hour regime q36's exponent is
+      // supposed to read (its overlap OUTPUT grows ~density² per
+      // bucket, so the exponent measures output growth, not a plan
+      // cliff). Read through Tables.t (the ts-encoding normalizer) and
+      // written back as session-tz timestamps.
+      append(events
+        .withColumn("event_id", col("event_id") + lit(k * maxEvt))
+        .withColumn("user_id", col("user_id") + lit(k * maxUser)),
+        "events")
     }
   }
 }
