@@ -1238,6 +1238,21 @@ object CorpusService {
       "doc_id")
   }
 
+  /** [[importanceSelect]] off the MAINTAINED score log — the
+    * storage-for-recompute swap applied to the selection verb: the
+    * exact top-`keepPct`% cut runs over [[importanceScoresView]]'s
+    * accumulated rows instead of re-scoring the live corpus, so the
+    * per-call cost is the score-domain selection alone (no gram map,
+    * no corpus scan). Current as of the last drain: docs ingested
+    * since are not yet in the log (the next [[refreshImportanceScores]]
+    * folds them in), which is the same freshness contract every other
+    * maintained artifact carries. With the log drained-current,
+    * ≡ [[importanceSelect]] row-for-row (DsirServiceSpec). */
+  def importanceSelectMaintained(spark: SparkSession, p: Paths,
+      keepPct: Long = graft.queries.Extensions.DsirKeepPct): DataFrame =
+    graft.queries.Extensions.dsirKeepTop(
+      importanceScoresView(spark, p), keepPct)
+
   /** Sketch the not-yet-sketched documents into the maintained CMS log —
     * t37's monitor as service state. CMS is a LINEAR sketch: each
     * drain's partial (j, b, c) table sums with the others to the

@@ -95,6 +95,11 @@ class DsirServiceSpec extends SparkSpec {
     assertSameRows(CorpusService.importanceScoresView(spark, p),
       CorpusService.importanceScores(spark, p),
       "post-retrain accumulated scores vs one-shot under the new epoch")
+    // The maintained selection verb rides the log: with the log
+    // drained-current it must equal the rescoring form row-for-row.
+    assertSameRows(CorpusService.importanceSelectMaintained(spark, p),
+      CorpusService.importanceSelect(spark, p),
+      "maintained selection vs rescoring selection")
   }
 
   test("deletion gates scores immediately; retrain converges to the never-ingested twin") {
