@@ -1300,8 +1300,8 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
     * while a billion-node graph at 100 TB still fans out. The
     * repartition column matches the groupBy key, so the explicit
     * exchange REPLACES the aggregation's (no extra shuffle).
-    * `maxRounds` bounds the worst case (rounds needed =
-    * ⌈component diameter / hopsPerRound⌉ + 1). */
+    * `maxRounds` bounds the worst case (with the ramp backstop at hop
+    * cap 3, rounds needed ≤ ⌈component diameter / 3⌉ + 3). */
   /** Frees a localCheckpoint's materialized blocks (df.unpersist is a
     * CacheManager no-op for them; the blocks belong to the LogicalRDD).
     * Walks EVERY LogicalRDD in the plan, not just the first: a caller
@@ -1320,12 +1320,18 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       val r = labels.agg(sum(col("label"))).head
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    val nodes0 = edges0.select(col("doc_a").as("doc_id")).distinct().persist()
     // Size the loop from the measured node count (~1M labels per loop
     // partition, capped at the session setting), then re-lay BOTH loop
     // frames at that partitioning: a labels layout left at the session's
     // partition count re-imposes session-grain stages on every round.
-    val nNodes = nodes0.count()
+    // Node and edge counts come from ONE aggregate over the persisted
+    // edge frame — a separate distinct+count pair would add a whole
+    // job to a loop whose per-job scheduling cost is the thing being
+    // minimized.
+    val degRow = edges0
+      .agg(count(lit(1)).as("m2"), count_distinct(col("doc_a")).as("n")).head
+    val nEdges = degRow.getLong(0) / 2 // undirected pairs (edges0 doubled)
+    val nNodes = degRow.getLong(1)
     val sessionParts =
       pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(1,
@@ -1338,27 +1344,41 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
     // frames at sf0.1. After the checkpoint the loop plans against the
     // materialized RDD. (On a multi-node cluster with executor churn,
     // swap for reliable checkpoint(dir) — same shape, durable blocks.)
-    var labels = nodes0.repartition(loopParts, col("doc_id"))
+    var labels = edges0.select(col("doc_a").as("doc_id")).distinct()
+      .repartition(loopParts, col("doc_id"))
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
     val edges = edges0.repartition(loopParts, col("doc_b")).localCheckpoint()
-    nodes0.unpersist()
     edges0.unpersist()
-    // HOP UNROLLING: on a key-grain label frame every round's cost is
-    // task scheduling + planning, not data — measured ~0.21 s/round on a
-    // 1828-node sf0.1 graph whatever the row count. So each
-    // checkpoint/checksum ROUND runs `hopsPerRound` propagation HOPS
-    // chained in ONE plan: rounds needed drop from the component
-    // diameter D to ⌈D/k⌉ (+1 to observe the fixpoint) while the
-    // per-round plan stays three small stage-sets. k = 3 is the measured
-    // knee — at k = 5 Catalyst's re-optimization of the nested
-    // join/agg chain costs more than the saved rounds (1.37 s vs
-    // 0.37 s/round); pointer-doubling was measured and rejected too
-    // (a local-min's label is itself, so l(l(v)) is usually a no-op
-    // under min-label semantics: 15→11 hops for 2× the jobs). This is
-    // what un-regressed d13 after the IMI cell structure produced a
-    // longer-chained pair graph than the flat quantizer's.
-    val hopsPerRound = 3
+    // HOP UNROLLING, sized to the GRAPH: on a key-grain label frame each
+    // checkpoint/checksum ROUND costs task scheduling + planning
+    // (~0.15-0.21 s measured at sf0.1 whatever the row count), and each
+    // HOP inside a round costs one join+agg stage-set (~0.16-0.43 s
+    // depending on graph size). Chaining k hops per round cuts rounds
+    // from the component diameter D to ⌈D/k⌉+1 but raises total hops
+    // from D+1 to ~D+k — a win only when rounds dominate, i.e. on DEEP
+    // graphs. Measured at sf0.1: d13's chain-like pair graph (1828
+    // nodes, avg degree 2.87, D = 14) wants k = 3 (15→6 rounds,
+    // 4.72→3.84 s); d06's LSH graph is a near-MATCHING (477 nodes, avg
+    // degree 1.07, D = 1) where an unconditional k = 3 tripled the hop
+    // work for nothing (3.1→4.1 s min-grain — the round-13 regression).
+    //
+    // The initial k comes from a DEGREE proxy computed from counts the
+    // loop already takes: every node in a pair graph has degree ≥ 1, so
+    // at most n·(avgDeg−1) nodes have degree ≥ 2 — avgDeg < 1.5 means
+    // under half the nodes connect to more than one edge and the graph
+    // is dominated by isolated pairs / tiny stars (shallow ⇒ k = 1).
+    // Denser graphs start at the measured deep-graph knee k = 3 (k = 5
+    // re-optimization cost and pointer-doubling were both measured and
+    // rejected in round 13). The proxy can guess wrong (a long path
+    // hiding in a matching keeps avgDeg < 1.5), so a RAMP backstop
+    // escalates k by 1 per non-converged round once the round count
+    // passes the shallow budget — a misjudged deep graph pays a bounded
+    // few extra k=1 rounds, never an unconverged exit.
+    val avgDeg = 2.0 * nEdges / math.max(1L, nNodes)
+    val hopCap = 3
+    val shallowRoundBudget = 3
+    var hopsPerRound = if (avgDeg < 1.5) 1 else hopCap
     var prevSum = checksum(labels)
     var rounds = 0
     var converged = false
@@ -1383,6 +1403,8 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       converged = nextSum == prevSum
       prevSum = nextSum
       rounds += 1
+      if (!converged && rounds >= shallowRoundBudget)
+        hopsPerRound = math.min(hopCap, hopsPerRound + 1)
     }
     freeCkpt(edges)
     if (!converged) freeCkpt(labels)
@@ -1390,8 +1412,8 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
     // diameter exceeds maxRounds the loop exits on the bound with labels
     // still in flight — silently handing those to a dedup pipeline would
     // under-merge clusters with no signal. Callers with genuinely deeper
-    // graphs raise maxRounds (rounds needed =
-    // ⌈component diameter / hopsPerRound⌉ + 1).
+    // graphs raise maxRounds (the ramp reaches the hop cap after the
+    // shallow budget, so rounds needed ≤ ⌈diameter / hopCap⌉ + 3).
     require(converged,
       s"connectedComponents: not converged after $maxRounds rounds — " +
         "a component's diameter exceeds maxRounds; raise it")
