@@ -638,8 +638,21 @@ object CorpusService {
     * an nprobe setting, and the (nprobe, recall_ppm) pairs ARE the
     * priced dial a deployment reads to pick its request-class width. */
   def auditLogView(spark: SparkSession, p: Paths): DataFrame =
-    if (exists(spark, p.auditLog)) spark.read.parquet(p.auditLog)
-    else spark.range(0).select(
+    if (exists(spark, p.auditLog)) {
+      // The nprobe column was added after the log format shipped: a log
+      // whose older parquet files lack it must read with mergeSchema
+      // (plain read infers from a SAMPLED file — the column would
+      // nondeterministically vanish or the read fail on a mixed log),
+      // and pre-upgrade rows surface as nprobe NULL → the default width
+      // they were in fact measured at (the dsirEpoch missing-column
+      // pattern).
+      val raw = spark.read.option("mergeSchema", "true").parquet(p.auditLog)
+      if (raw.columns.contains("nprobe"))
+        raw.withColumn("nprobe", coalesce(col("nprobe"),
+          lit(graft.queries.Extensions.DefaultNprobe.toLong)))
+      else raw.withColumn("nprobe",
+        lit(graft.queries.Extensions.DefaultNprobe.toLong))
+    } else spark.range(0).select(
       col("id").as("epoch"), col("id").as("recall_ppm"),
       col("id").as("nprobe"),
       col("id").as("n_indexed"), col("id").cast("string").as("audited_at"))
@@ -1209,8 +1222,16 @@ object CorpusService {
         "refreshDsirWeights first (training is a maintenance event, not " +
         "a read-path side effect)")
     val epoch = dsirEpoch(spark, p)
-    val docsF = graft.Tables.t(spark, p.base, "documents")
-      .select("doc_id", "text")
+    // Tombstone-gated at SCORING time, not just at read: scores are
+    // per-doc rows (not linear-sketch partials), so a tombstoned doc
+    // never needs one — and gating here is what makes purge FINAL.
+    // Ungated, the next drain after purgeTombstoned physically removed
+    // a doc's (doc_id, n_bigrams, dsir_score_ppm) rows would re-read
+    // the deleted text and re-append rows DERIVED from it, silently
+    // un-doing the takedown until an unrelated future purge.
+    val docsF = dropTombstoned(spark, p,
+      graft.Tables.t(spark, p.base, "documents").select("doc_id", "text"),
+      "doc_id")
     val batch =
       if (exists(spark, p.dsirScoreLog))
         docsF.join(
@@ -1219,8 +1240,21 @@ object CorpusService {
           Seq("doc_id"), "left_anti")
       else docsF
     if (batch.isEmpty) return
-    graft.queries.Extensions.dsirScoresUnder(
-        batch, spark.read.parquet(p.dsirWeights))
+    val scored = graft.queries.Extensions.dsirScoresUnder(
+      batch, spark.read.parquet(p.dsirWeights))
+    // A ≤1-token doc has NO bigrams, so dsirScoresUnder emits no row
+    // for it — without a marker it re-enters `batch` on every drain
+    // forever (the left_anti never shrinks, batch.isEmpty never fires,
+    // and each drain re-runs the gram map over the same short docs —
+    // defeating the O(new-docs-only) per-drain cost on short-doc-heavy
+    // corpora). Record it as (n_bigrams = 0, score NULL) in the same
+    // atomic append; [[importanceScoresView]] filters markers out, so
+    // the selection plane never sees a scoreless doc.
+    val markers = batch.select("doc_id")
+      .join(scored.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("n_bigrams", lit(0L))
+      .withColumn("dsir_score_ppm", lit(null).cast("long"))
+    scored.unionByName(markers)
       .withColumn("epoch", lit(epoch))
       .write.mode(SaveMode.Append).parquet(p.dsirScoreLog)
   }
@@ -1234,6 +1268,10 @@ object CorpusService {
     dropTombstoned(spark, p,
       spark.read.parquet(p.dsirScoreLog)
         .filter(col("epoch") === dsirEpoch(spark, p))
+        // Zero-bigram MARKER rows (n_bigrams = 0) exist so the drain's
+        // not-yet-scored set shrinks; they carry no score and must not
+        // reach the selection plane.
+        .filter(col("n_bigrams") > 0)
         .drop("epoch").distinct(),
       "doc_id")
   }

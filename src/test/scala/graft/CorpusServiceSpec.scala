@@ -958,6 +958,31 @@ class CorpusServiceSpec extends SparkSpec {
     assert(CorpusService.auditLogView(spark, p).count() == 3)
   }
 
+  test("auditLogView reads a mixed-schema log (pre-nprobe files upgraded)") {
+    // The nprobe column was added after the log format shipped. A plain
+    // parquet read infers the schema from a SAMPLED file, so a log
+    // mixing pre- and post-upgrade files could nondeterministically
+    // drop the column; the view must mergeSchema and surface legacy
+    // rows at the default width they were in fact measured at.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    val p = CorpusService.Paths(base)
+    Seq((5L, 700000L, 100L, "2024-06-01T12:00:00"))
+      .toDF("epoch", "recall_ppm", "n_indexed", "audited_at")
+      .coalesce(1).write.mode("append").parquet(p.auditLog)
+    Seq((5L, 720000L, 25L, 100L, "2024-06-01T12:05:00"))
+      .toDF("epoch", "recall_ppm", "nprobe", "n_indexed", "audited_at")
+      .coalesce(1).write.mode("append").parquet(p.auditLog)
+    val rows = CorpusService.auditLogView(spark, p)
+      .orderBy("audited_at").collect()
+    assert(rows.length == 2, s"mixed-schema log lost rows: ${rows.toSeq}")
+    assert(rows.head.getAs[Long]("nprobe") ==
+      graft.queries.Extensions.DefaultNprobe.toLong,
+      "legacy row must surface at the default probe width")
+    assert(rows.last.getAs[Long]("nprobe") == 25L,
+      "post-upgrade row must keep its recorded width")
+  }
+
   test("dedupReport with a many-to-one semIdMap: no self-pairs, no dup rows") {
     // Synthetic pair logs drive the mapping edge cases directly: two
     // vec_ids of one document collapsing to a self-pair (must vanish)

@@ -102,6 +102,61 @@ class DsirServiceSpec extends SparkSpec {
       "maintained selection vs rescoring selection")
   }
 
+  test("purge is final: purged docs never re-enter the score log on later drains") {
+    val p = freshService(sf("sf0.001"))
+    val dels = Seq(3L, 17L, 42L)
+    CorpusService.refreshDsirWeights(spark, p)
+    CorpusService.refreshImportanceScores(spark, p)
+    CorpusService.deleteDocs(spark, p, dels)
+    assert(CorpusService.purgeTombstoned(spark, p), "purge must land")
+    assert(spark.read.parquet(p.dsirScoreLog)
+      .filter(col("doc_id").isin(dels: _*)).count() == 0,
+      "purge left score rows behind")
+    // The regression this pins: an ungated drain would see the purged
+    // docs as not-yet-scored, re-read their (still-stored, tombstone-
+    // gated) text, and re-append rows derived from it.
+    CorpusService.refreshImportanceScores(spark, p)
+    assert(spark.read.parquet(p.dsirScoreLog)
+      .filter(col("doc_id").isin(dels: _*)).count() == 0,
+      "a post-purge drain re-scored tombstoned docs — purge is not final")
+    // And across a retrain epoch: the wholesale re-score under the new
+    // weights must skip them too.
+    CorpusService.refreshDsirWeights(spark, p)
+    CorpusService.refreshImportanceScores(spark, p)
+    assert(spark.read.parquet(p.dsirScoreLog)
+      .filter(col("doc_id").isin(dels: _*)).count() == 0,
+      "a post-retrain drain re-scored tombstoned docs")
+  }
+
+  test("zero-bigram docs leave the not-yet-scored set after one drain") {
+    import spark.implicits._
+    val p = freshService(sf("sf0.001"))
+    Seq((9000001L, "solo", "en"), (9000002L, "", "en"))
+      .toDF("doc_id", "text", "lang").write.mode("append").parquet(p.docs)
+    CorpusService.refreshDsirWeights(spark, p)
+    CorpusService.refreshImportanceScores(spark, p)
+    // Marker rows landed (n_bigrams = 0, no score) …
+    assert(spark.read.parquet(p.dsirScoreLog)
+      .filter(col("doc_id") >= 9000000L && col("n_bigrams") === 0L)
+      .count() == 2, "zero-bigram docs got no marker row")
+    // … the selection plane never sees them …
+    assert(CorpusService.importanceScoresView(spark, p)
+      .filter(col("doc_id") >= 9000000L).count() == 0,
+      "a scoreless doc surfaced in the score view")
+    assertSameRows(CorpusService.importanceSelectMaintained(spark, p),
+      CorpusService.importanceSelect(spark, p),
+      "maintained selection with markers vs rescoring selection")
+    // … and the next drain is a no-op (the O(new-docs-only) contract on
+    // short-doc-heavy corpora: without markers these docs re-entered
+    // the batch forever).
+    val nFiles = new java.io.File(p.dsirScoreLog)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    CorpusService.refreshImportanceScores(spark, p)
+    assert(new java.io.File(p.dsirScoreLog)
+      .listFiles().count(_.getName.endsWith(".parquet")) == nFiles,
+      "a drain after the marker append still re-scored zero-bigram docs")
+  }
+
   test("deletion gates scores immediately; retrain converges to the never-ingested twin") {
     val src = sf("sf0.001")
     val dels = Seq(3L, 17L, 42L)
