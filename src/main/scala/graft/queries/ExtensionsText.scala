@@ -888,6 +888,10 @@ private[queries] trait ExtText { this: Extensions.type =>
     * are 30–400 tokens; the arithmetic is length-agnostic. */
   private[graft] val PackCap = 128L
 
+  /** Default data-parallel shard count for the curation manifest's
+    * pack deal (t40 / the service's maintained pack manifest). */
+  private[graft] val CurationShards = 8
+
   /** t28: sequence-packing manifest — the trainer-facing operator GPT-class
     * pretraining actually runs: concatenate documents in deterministic
     * doc_id order and split the token stream at every `cap` tokens, so
@@ -1026,13 +1030,23 @@ private[queries] trait ExtText { this: Extensions.type =>
     * At 100 TB every gate shuffles at doc-key grain and the packer at
     * block grain — nothing new materializes beyond what the component
     * operators already pay. */
-  def curationManifest(s: SparkSession, dir: String): DataFrame = {
+  def curationManifest(s: SparkSession, dir: String): DataFrame =
+    curationManifest(s, dir, CurationShards)
+
+  /** The shard deal is PARAMETRIC — the count is what a data-parallel
+    * trainer varies per job (t31's stable-hash rule: a pack's shard
+    * depends only on its own id and the count, so re-deals at another
+    * count never reshuffle history non-deterministically). The 2-arg
+    * form (the registered query) fixes the default. */
+  def curationManifest(s: SparkSession, dir: String,
+                       shardCount: Int): DataFrame = {
+    require(shardCount > 0, s"curationManifest: shardCount $shardCount")
     val gated = trainSplitToks(s, dir)
       .join(contaminatedTrainDocs(s, dir), Seq("doc_id"), "left_anti")
       .join(dsirSelect(s, dir).filter(col("keep") === 1).select("doc_id"),
         Seq("doc_id"), "left_semi")
     packSpans(gated, PackCap)
-      .withColumn("shard", h32(col("pack_id").cast("string")) % 8)
+      .withColumn("shard", h32(col("pack_id").cast("string")) % shardCount)
   }
 
   /** t30's gated (doc_id, n_toks) frame, factored so the corpus service
@@ -1075,10 +1089,29 @@ private[queries] trait ExtText { this: Extensions.type =>
     * broadcast Bloom is built on the TEST grams (the small side) and
     * filters the train gram stream below the exact join. */
   private[graft] def contaminatedTrainDocs(s: SparkSession,
-                                           dir: String): DataFrame = {
-    val g = grams8(s, dir)
+                                           dir: String): DataFrame =
+    contaminatedTrainDocsOf(s, dir + "#test8",
+      docs(s, dir).select("doc_id", "text"))
+
+  /** [[contaminatedTrainDocs]] at FRAME grain: evidence (both the test
+    * gram set and the train gram stream) comes from the caller's
+    * document frame, so the corpus service can hand in its
+    * TOMBSTONE-GATED corpus — a taken-down test doc's grams must stop
+    * dropping train docs, exactly as its text stops shaping every other
+    * maintained artifact. `bloomKey` memoizes the test-side sketch:
+    * callers with different evidence frames over one dir MUST use
+    * distinct keys (a sketch built on the smaller frame would silently
+    * miss the larger frame's grams — Bloom false negatives are missed
+    * contamination). Staleness is one-directional: a sketch built
+    * before a DELETE is a superset (safe — the exact join above
+    * rejects), a sketch built before an INGEST misses the new grams,
+    * which is why every drain invalidates the dir's sketches. */
+  private[graft] def contaminatedTrainDocsOf(s: SparkSession,
+      bloomKey: String, d: DataFrame): DataFrame = {
+    val g = grams8OfDocs(
+      d.select(col("doc_id"), splitBucket.as("bucket"), col("text")))
     val testGrams = g.filter(col("bucket") >= 90).select("gram").distinct()
-    bloomFiltered(s, dir + "#test8", testGrams, g.filter(col("bucket") < 80))
+    bloomFiltered(s, bloomKey, testGrams, g.filter(col("bucket") < 80))
       .join(testGrams, "gram")
       .select("doc_id").distinct()
   }

@@ -703,6 +703,14 @@ object CorpusService {
     StreamingDedup.ingestAvailable(spark, p.docs, p.sigs, p.pairs, p.docsCkpt)
     StreamingSemanticDedup.ingestAvailable(spark, p.embeddings, p.cents,
       p.assigns, p.semPairs, p.embCkpt, maxFilesPerTrigger)
+    // The drain may have appended documents, so every memoized Bloom
+    // sketch over this corpus dir is now a potential UNDER-approximation
+    // — and Bloom false negatives below an exact contamination join are
+    // missed contamination (the one error the pre-pass contract
+    // forbids; deletes are the safe direction, a stale superset).
+    // Rebuild cost only lands when a decontaminating refresh actually
+    // runs, and that path is corpus-scale anyway.
+    graft.queries.Extensions.invalidateBloom(p.base)
     contaminationRef.foreach { ref =>
       StreamingContamination.ingestAvailable(spark, p.docs, ref,
         p.contam, p.contamCkpt)
@@ -941,11 +949,24 @@ object CorpusService {
     * train/test (PackSpec measures that leak nonzero on this corpus).
     * The decontamination audit keeps its own split definition — it
     * guards the corpus's held-out text, not the manifest's bucketing. */
+  /** `dsirSelect` wires the IMPORTANCE gate (t38) into the maintained
+    * chain: the manifest keeps only docs inside the maintained
+    * selection's exact top-`keepPct`% cut ([[importanceSelectMaintained]]
+    * — the accumulated score log under the CURRENT weight epoch, no
+    * re-scoring). This is what completes t40's service twin: a pipeline
+    * that curates with DSIR one-shot but serves a manifest without it
+    * ships different training data than it validated. Requires weights
+    * + a drained score log (run [[refreshImportanceScores]] first on
+    * the cadence — [[runScheduled]] orders weights → scores → manifest
+    * → pack); docs ingested since the last drain are not yet scored and
+    * so not yet selected, the same freshness contract as every
+    * maintained artifact. */
   def refreshTrainingSet(spark: SparkSession, p: Paths,
                          decontaminate: Boolean = false,
                          excludeContaminated: Boolean = false,
                          clusterCap: Option[Int] = None,
-                         splitAtClusterGrain: Boolean = false): Unit = {
+                         splitAtClusterGrain: Boolean = false,
+                         dsirSelect: Boolean = false): Unit = {
     // The tombstone gate here is a safety net: a canonical artifact
     // refreshed AFTER the delete already excludes the docs; this keeps
     // the manifest correct even against a stale canonical.
@@ -963,15 +984,33 @@ object CorpusService {
             .select(col("doc_id"), col("canonical_id").as("cluster_id")))
           .select("doc_id", "split"),
         Seq("doc_id"))
+    // Decontamination evidence is the LIVE corpus, not the raw store:
+    // the append-only document log keeps taken-down rows forever
+    // (tombstones gate them), and a tombstoned test-bucket doc's grams
+    // must not keep dropping train docs after the takedown. Distinct
+    // bloom key from the one-shot's raw-store sketch — the gated gram
+    // set is smaller, and a shared key would hand the one-shot caller
+    // a sketch with false negatives (missed contamination).
     val decon =
       if (!decontaminate) base
       else base.join(
-        graft.queries.Extensions.contaminatedTrainDocs(spark, p.base),
+        graft.queries.Extensions.contaminatedTrainDocsOf(spark,
+          p.base + "#test8@live",
+          dropTombstoned(spark, p,
+            graft.Tables.t(spark, p.base, "documents")
+              .select("doc_id", "text"),
+            "doc_id")),
         Seq("doc_id"), "left_anti")
-    val gated =
+    val gated0 =
       if (!excludeContaminated) decon
       else decon.join(contaminationView(spark, p).select("doc_id"),
         Seq("doc_id"), "left_anti")
+    val gated =
+      if (!dsirSelect) gated0
+      else gated0.join(
+        importanceSelectMaintained(spark, p)
+          .filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"), "left_semi")
     val manifest = clusterCap match {
       case None => gated
       case Some(cap) =>
@@ -1032,8 +1071,15 @@ object CorpusService {
     * sees a half-written manifest. Scale: the read partition-prunes to
     * split=train, and the only corpus-grain step is packSpans'
     * block-hierarchical prefix sum — no single-partition window. */
+  /** `shardCount` adds t31's stable shard deal to the maintained packs
+    * (the t40 composition's terminal column): each pack's shard depends
+    * only on its own id and the count, so the column is a pure
+    * projection — no extra shuffle, re-packs keep unchanged packs on
+    * their shards. None (the default) preserves the un-sharded t30
+    * shape. */
   def refreshPackManifest(spark: SparkSession, p: Paths,
-                          subword: Boolean = false): Unit = {
+                          subword: Boolean = false,
+                          shardCount: Option[Int] = None): Unit = {
     val train = trainingSetView(spark, p).filter(col("split") === "train")
     // subword = pack in TOKENIZER truth (t35 as maintained state): span
     // arithmetic runs over the stored vocab's per-doc counts instead of
@@ -1047,9 +1093,11 @@ object CorpusService {
             .select(col("doc_id"), col("n_bpe_tokens").as("n_toks")),
           "doc_id")
       else train.select("doc_id", "n_toks")
+    val spans = graft.queries.Extensions.packSpans(pd,
+      graft.queries.Extensions.PackCap)
     graft.jobs.Warehouse.replaceReport(spark,
-      graft.queries.Extensions.packSpans(pd,
-        graft.queries.Extensions.PackCap),
+      shardCount.fold(spans)(n => spans.withColumn("shard",
+        graft.functions.Portable.h32(col("pack_id").cast("string")) % n)),
       p.packManifest)
   }
 
@@ -2116,7 +2164,19 @@ object CorpusService {
     * the loop correct at all: drains resume from their checkpoints and
     * every artifact lands by staged swap, so a retry re-runs idempotent
     * steps. `onTickStart` is an observation seam (metrics, test
-    * injection) running INSIDE the retry scope. */
+    * injection) running INSIDE the retry scope.
+    *
+    * THE CURATION CADENCE (`importance` + `importanceSelect` + `pack`):
+    * within every tick the order is weights → scores → manifest → pack.
+    * Drain ticks score the new batch under the frozen epoch BEFORE the
+    * manifest refresh reads the selection (the first importanceSelect
+    * drain bootstraps the weight epoch — one batch deep, the cheapest
+    * that train will ever be); maintenance ticks that retrain the
+    * weights re-run scores and the gated manifest downstream of the new
+    * epoch before the packer cuts spans. End state after any drain:
+    * manifest + pack ≡ the one-shot t40 composition over the same live
+    * corpus (CorpusServiceSpec pins it across drains and a takedown),
+    * with `packShards` adding t31's stable shard deal to the packs. */
   def runScheduled(spark: SparkSession, p: Paths, stop: () => Boolean,
                    drainEvery: java.time.Duration =
                      java.time.Duration.ofMinutes(5),
@@ -2134,6 +2194,8 @@ object CorpusService {
                    pack: Boolean = false,
                    tokenizer: Boolean = false,
                    importance: Boolean = false,
+                   importanceSelect: Boolean = false,
+                   packShards: Option[Int] = None,
                    sketch: Boolean = false,
                    splitAtClusterGrain: Boolean = false,
                    maxFilesPerTrigger: Option[Int] = None,
@@ -2145,6 +2207,9 @@ object CorpusService {
                      () => java.time.LocalDateTime.now(),
                    sleep: java.time.Duration => Unit =
                      d => Thread.sleep(d.toMillis)): CorpusScheduleStats = {
+    require(!importanceSelect || importance,
+      "runScheduled: importanceSelect gates the manifest on the DSIR " +
+        "selection, which only exists when `importance` maintains it")
     if (trainedCount(spark, p).isEmpty) trainQuantizer(spark, p)
     var ticks = 0
     var retrains = 0
@@ -2162,11 +2227,29 @@ object CorpusService {
             postings = postings)
           refreshCanonicalCorpus(spark, p, includeSemantic,
             includeFingerprint = fingerprint)
+          // THE CURATION CADENCE within a tick is weights → scores →
+          // manifest → pack (the pack riding the maintenance block
+          // below): scores must exist under the current epoch before a
+          // DSIR-gated manifest reads the selection, and the manifest
+          // must exist before the packer cuts spans from its train
+          // split. With importanceSelect the FIRST drain bootstraps the
+          // weight epoch (the corpus is one batch deep — the cheapest
+          // the train will ever be); plain `importance` keeps weight
+          // training strictly on the maintenance cadence.
+          if (importance && importanceSelect && !exists(spark, p.dsirWeights))
+            refreshDsirWeights(spark, p)
+          // Score-on-ingest rides every drain (O(batch) under the
+          // frozen weights), once a weight epoch exists to score under
+          // — and BEFORE the manifest, so a DSIR-gated refresh reads a
+          // selection that covers this drain's docs.
+          if (importance && exists(spark, p.dsirWeights))
+            refreshImportanceScores(spark, p)
           // With a gate registered, its drop list flows into the manifest:
           // suite-leaked docs were caught at arrival, excluded here.
           refreshTrainingSet(spark, p, decontaminate,
             excludeContaminated = contaminationRef.isDefined,
-            splitAtClusterGrain = splitAtClusterGrain)
+            splitAtClusterGrain = splitAtClusterGrain,
+            dsirSelect = importanceSelect)
           // The frequency monitor rides EVERY drain (O(batch): a
           // partial sketch of just-arrived docs), unlike the
           // maintenance-cadence artifacts below.
@@ -2174,11 +2257,6 @@ object CorpusService {
           // The length-histogram sketch rides the same monitoring-plane
           // cadence and flag (both are O(batch) linear-sketch partials).
           if (sketch) refreshLengthHistogram(spark, p)
-          // Score-on-ingest rides every drain too (O(batch) under the
-          // frozen weights), once the first maintenance tick has
-          // trained a weight epoch to score under.
-          if (importance && exists(spark, p.dsirWeights))
-            refreshImportanceScores(spark, p)
         }
         ticks += 1
         if (maintainEvery > 0 && ticks % maintainEvery == 0) {
@@ -2236,9 +2314,24 @@ object CorpusService {
             if (tokenizer) maybeRefreshTokenizer(spark, p)
             // The DSIR weight table rides the same growth-keyed rule: a
             // frozen table scores post-freeze ingests, so retraining is
-            // a drift event, never a serving prerequisite.
-            if (importance) maybeRefreshDsirWeights(spark, p)
-            if (pack) refreshPackManifest(spark, p, subword = tokenizer)
+            // a drift event, never a serving prerequisite. When a
+            // retrain DOES mint a new epoch, the curation cadence
+            // (weights → scores → manifest → pack) re-runs downstream
+            // of it in order: the old epoch's rows stop being read, so
+            // the score log must re-cover the live corpus before a
+            // DSIR-gated manifest cuts the selection, and the manifest
+            // before the pack below — otherwise this tick would pack
+            // yesterday's selection under today's weights.
+            if (importance && maybeRefreshDsirWeights(spark, p)) {
+              refreshImportanceScores(spark, p)
+              if (importanceSelect)
+                refreshTrainingSet(spark, p, decontaminate,
+                  excludeContaminated = contaminationRef.isDefined,
+                  splitAtClusterGrain = splitAtClusterGrain,
+                  dsirSelect = true)
+            }
+            if (pack) refreshPackManifest(spark, p, subword = tokenizer,
+              shardCount = packShards)
           }
         }
         next = next.plus(drainEvery)

@@ -894,6 +894,71 @@ class CorpusServiceSpec extends SparkSpec {
     assert(after.count() == exact.size - 1, "audit query-set size")
   }
 
+  test("scheduled curation cadence e2e: two drains + takedown, manifest+pack ≡ one-shot t40") {
+    // The full always-on chain (weights → scores → manifest → pack)
+    // driven ONLY by runScheduled ticks: ingest wave 1, drain; ingest
+    // wave 2 and take down two already-packed docs, drain again. After
+    // each drain the maintained sharded pack manifest must equal the
+    // one-shot t40 composition over the live corpus — including across
+    // the weight-epoch retrain wave 2's growth triggers and the
+    // physical purge the takedown schedules.
+    val src = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-svct40")
+      .toString
+    val p = CorpusService.Paths(base)
+    val docsAll = Tables.t(spark, src, "documents")
+      .select("doc_id", "text", "lang").cache()
+    val cut = docsAll.agg(expr("percentile_approx(doc_id, 0.5)")).head()
+      .get(0).toString.toDouble.toLong
+    docsAll.filter(col("doc_id") <= cut)
+      .write.mode("append").parquet(p.docs)
+    Tables.t(spark, src, "embeddings").filter(col("vec_id") <= cut)
+      .write.mode("append").parquet(p.embeddings)
+
+    val t0 = java.time.LocalDateTime.parse("2024-06-01T12:00:00")
+    def oneTick(): Unit = {
+      var fakeNow = t0
+      val stats = CorpusService.runScheduled(spark, p,
+        stop = () => fakeNow.isAfter(t0.plusMinutes(1)),
+        maintainEvery = 1, retrainFactor = 2.0,
+        includeSemantic = false, scrub = false,
+        decontaminate = true, splitAtClusterGrain = true,
+        importance = true, importanceSelect = true,
+        pack = true,
+        packShards = Some(graft.queries.Extensions.CurationShards),
+        clock = () => fakeNow, sleep = d => fakeNow = fakeNow.plus(d))
+      assert(stats.drainTicks == 1, s"expected one drain tick: $stats")
+    }
+    oneTick()
+    assertSameRows(CorpusService.packManifestView(spark, p),
+      graft.queries.Extensions.curationManifest(spark, base),
+      "drain-1 maintained curation pack vs one-shot t40")
+
+    // Wave 2 arrives; two packed docs are taken down before the drain.
+    val dels = CorpusService.packManifestView(spark, p)
+      .select("doc_id").distinct().orderBy("doc_id").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    docsAll.filter(col("doc_id") > cut)
+      .write.mode("append").parquet(p.docs)
+    Tables.t(spark, src, "embeddings").filter(col("vec_id") > cut)
+      .write.mode("append").parquet(p.embeddings)
+    CorpusService.deleteDocs(spark, p, dels)
+    oneTick()
+    val twin = java.nio.file.Files
+      .createTempDirectory("graft-svct40twin").toString
+    docsAll.filter(!col("doc_id").isin(dels: _*))
+      .write.parquet(s"$twin/documents.parquet")
+    docsAll.unpersist()
+    assertSameRows(CorpusService.packManifestView(spark, p),
+      graft.queries.Extensions.curationManifest(spark, twin),
+      "drain-2 maintained curation pack vs never-ingested one-shot twin")
+    // The takedown's score rows were physically purged on the tick and
+    // never re-scored (purge finality inside the scheduled loop).
+    assert(spark.read.parquet(p.dsirScoreLog)
+      .filter(col("doc_id").isin(dels: _*)).count() == 0,
+      "scheduled purge left / re-created score rows for taken-down docs")
+  }
+
   test("scheduled loop retrains on the audit floor when growth does not fire") {
     val srcDir = sf("sf0.001")
     val base = java.nio.file.Files.createTempDirectory("graft-svcaudsched").toString

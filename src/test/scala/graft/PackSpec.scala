@@ -198,6 +198,90 @@ class PackSpec extends SparkSpec {
     } finally sh.unpersist()
   }
 
+  test("t40's shard deal is parametric: stable under the count, green at two counts") {
+    val src = sf("sf0.001")
+    val default = Extensions.curationManifest(spark, src).cache()
+    try {
+      // The registered 2-arg form IS the parametric form at the default.
+      assertSameRows(default,
+        Extensions.curationManifest(spark, src, Extensions.CurationShards),
+        "registered t40 vs parametric form at the default count")
+      val at3 = Extensions.curationManifest(spark, src, 3)
+      // Same spans whatever the count — only the deal column moves, and
+      // it stays in range and depends on pack_id alone (t31's rule: one
+      // shard per pack, never per span).
+      assertSameRows(default.drop("shard"), at3.drop("shard"),
+        "shard count must not perturb the pack spans")
+      assert(at3.filter(col("shard") < 0 || col("shard") >= 3).count() == 0,
+        "shard out of [0, 3)")
+      assert(at3.groupBy("pack_id")
+        .agg(countDistinct("shard").as("n")).filter(col("n") =!= 1L)
+        .count() == 0, "a pack's spans straddle shards")
+    } finally default.unpersist()
+  }
+
+  test("DSIR-gated maintained manifest + sharded pack ≡ one-shot t40, across a retrain and a takedown") {
+    import graft.streaming.CorpusService
+    val src = sf("sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-t40").toString
+    val p = CorpusService.Paths(base)
+    Tables.t(spark, src, "documents").select("doc_id", "text", "lang")
+      .write.parquet(p.docs)
+    Tables.t(spark, src, "embeddings").write.parquet(p.embeddings)
+    CorpusService.trainQuantizer(spark, p)
+    CorpusService.drainAvailable(spark, p)
+
+    // The full curation cadence, by hand, in its documented order:
+    // weights → scores → manifest (all five gates) → sharded pack.
+    def refreshChain(): Unit = {
+      CorpusService.refreshImportanceScores(spark, p)
+      CorpusService.refreshTrainingSet(spark, p, decontaminate = true,
+        splitAtClusterGrain = true, dsirSelect = true)
+      CorpusService.refreshPackManifest(spark, p,
+        shardCount = Some(Extensions.CurationShards))
+    }
+    CorpusService.refreshDsirWeights(spark, p)
+    refreshChain()
+    assertSameRows(CorpusService.packManifestView(spark, p),
+      Extensions.curationManifest(spark, base),
+      "maintained curation pack vs one-shot t40")
+    // The manifest itself carries the DSIR cut: every doc inside the
+    // maintained selection's keep set, none outside it.
+    assert(CorpusService.trainingSetView(spark, p)
+      .join(CorpusService.importanceSelectMaintained(spark, p)
+        .filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"), "left_anti").count() == 0,
+      "manifest doc outside the DSIR keep set")
+
+    // Across a RETRAIN EPOCH: new weights, wholesale re-score, re-gate,
+    // re-pack — still the one-shot twin (same corpus, same selection).
+    CorpusService.refreshDsirWeights(spark, p)
+    refreshChain()
+    assertSameRows(CorpusService.packManifestView(spark, p),
+      Extensions.curationManifest(spark, base),
+      "post-retrain maintained curation pack vs one-shot t40")
+
+    // TAKEDOWN: delete two packed docs; after the refresh chain the
+    // maintained pack equals one-shot t40 over a corpus that NEVER
+    // held them (weights retrained tombstone-gated, purged score rows
+    // never re-enter, canonical labels rebuilt).
+    val dels = CorpusService.packManifestView(spark, p)
+      .select("doc_id").distinct().orderBy("doc_id").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    CorpusService.deleteDocs(spark, p, dels)
+    CorpusService.refreshCanonicalCorpus(spark, p)
+    CorpusService.refreshDsirWeights(spark, p)
+    refreshChain()
+    val twin = java.nio.file.Files.createTempDirectory("graft-t40twin")
+      .toString
+    Tables.t(spark, src, "documents").select("doc_id", "text", "lang")
+      .filter(!col("doc_id").isin(dels: _*))
+      .write.parquet(s"$twin/documents.parquet")
+    assertSameRows(CorpusService.packManifestView(spark, p),
+      Extensions.curationManifest(spark, twin),
+      "post-takedown maintained curation pack vs never-ingested twin")
+  }
+
   test("t30 packs exactly the gated training docs") {
     val src = sf("sf0.001")
     val packsDocs = Extensions.trainingPacks(spark, src)
