@@ -186,7 +186,17 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           try {
-            spec.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val df = spec.build(spark, sfDir)
+            df.write.format("noop").mode("overwrite").save()
+            // Release the iteration's per-invocation eager checkpoints
+            // once the measured action is done (OUTSIDE nothing — the
+            // free itself is timed; it is a handful of async unpersist
+            // calls): each iteration rebuilds from scratch, so without
+            // this a 5-iteration run of a checkpointing query pins 5
+            // generations of blocks and later queries pay the GC.
+            // Memoized frames are pinned and survive (their reuse
+            // across iterations is part of the measured design).
+            graft.queries.Extensions.freeCkptFresh(df)
             true
           } catch {
             case e: Throwable =>

@@ -63,6 +63,10 @@ object Probe {
     }
     println(f"PROBE-SENTINEL pre=${(1 to 3).map(_ => sentinelOnce()).min}%.3f")
     time("d06-pairs-only", (s, d) => graft.queries.Extensions.lshPairs(s, d))
+    time("t02-fresh", graft.queries.Extensions.qualityScore)
+    time("t40-warm", graft.queries.Extensions.curationManifest(_, _))
+    time("t02-after-t40", graft.queries.Extensions.qualityScore)
+    time("q36", graft.queries.Parity.sessionOverlaps)
     time("d06", graft.queries.Extensions.dedupClusters)
     time("d13", graft.queries.Extensions.semanticCanonical)
     println(f"PROBE-SENTINEL post=${(1 to 3).map(_ => sentinelOnce()).min}%.3f")

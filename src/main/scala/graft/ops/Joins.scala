@@ -68,6 +68,12 @@ object Joins {
 
   private def spark(df: DataFrame) = df.sparkSession
 
+  /** Max hot (keys, bucket) groups the interval join inlines as a
+    * driver-local broadcast relation before falling back to a
+    * distributed hot frame. Sized well past any plausible skew census
+    * (each row is a handful of longs) while bounding driver memory. */
+  private[graft] val HotSetCap = 100000
+
   /** xxhash64/hash reject MapType anywhere in the type (no canonical
     * entry order); everything else is fair salt input. */
   private def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
@@ -226,31 +232,53 @@ object Joins {
     val (l, r, joinKeys) =
       if (salt <= 1) (l0, r0, bktKeys)
       else {
-        // Checkpointed: the hot set is bucket-grain (tiny at any data
-        // size) but feeds BOTH sides' broadcast joins — without the
-        // materialization each broadcast re-runs the right side's
-        // count aggregation (measured ~2× the session recompute on
-        // q36's bench).
-        val hot = r0.groupBy(bktKeys.map(col): _*)
+        // The census decides per (keys, bucket) group whether to salt.
+        // Its RESULT is bucket-grain — almost always tiny, usually
+        // EMPTY — so the decision is read once on the driver (capped):
+        //  - no hot group: the salt machinery vanishes entirely — the
+        //    plan IS the unsalted plan, and the census (one combinable
+        //    count + an empty collect) is the only price a uniform
+        //    workload pays. This is most workloads most of the time.
+        //  - ≤ HotSetCap groups: the hot set becomes a broadcast LOCAL
+        //    relation — no eager checkpoint to leak, no per-broadcast
+        //    job to re-build it (the round-13 checkpoint existed only
+        //    to keep two broadcast exchanges from re-running the
+        //    census; a driver-local row set needs neither).
+        //  - wider than the cap (a pathology — millions of
+        //    simultaneously hot groups): fall back to the checkpointed
+        //    distributed hot frame; the caller's post-action
+        //    freeCkptFresh releases it.
+        // Every path reads the SAME census, so both sides agree on
+        // hotness and each candidate pair still meets exactly once.
+        val census = r0.groupBy(bktKeys.map(col): _*)
           .agg(count(lit(1)).as("__n"))
           .filter(col("__n") > hotRows)
           .select(bktKeys.map(col): _*)
-          .withColumn("__hot", lit(1))
-          .localCheckpoint()
-        val saltSrc = l0.schema.fields
-          .filter(f => hashable(f.dataType)).map(f => col(f.name))
-        val lS = l0.join(broadcast(hot), bktKeys, "left")
-          .withColumn("__salt",
-            when(col("__hot").isNotNull,
-              pmod(xxhash64(saltSrc.toSeq: _*), lit(salt.toLong)).cast("int"))
-              .otherwise(lit(0)))
-          .drop("__hot")
-        val rS = r0.join(broadcast(hot), bktKeys, "left")
-          .withColumn("__salt",
-            explode(when(col("__hot").isNotNull,
-              lit((0 until salt).toArray)).otherwise(array(lit(0)))))
-          .drop("__hot")
-        (lS, rS, bktKeys :+ "__salt")
+        val hotLocal = census.limit(HotSetCap + 1).collect()
+        if (hotLocal.isEmpty) (l0, r0, bktKeys)
+        else {
+          val hot =
+            if (hotLocal.length <= HotSetCap)
+              r0.sparkSession
+                .createDataFrame(java.util.Arrays.asList(hotLocal: _*),
+                  census.schema)
+                .withColumn("__hot", lit(1))
+            else census.withColumn("__hot", lit(1)).localCheckpoint()
+          val saltSrc = l0.schema.fields
+            .filter(f => hashable(f.dataType)).map(f => col(f.name))
+          val lS = l0.join(broadcast(hot), bktKeys, "left")
+            .withColumn("__salt",
+              when(col("__hot").isNotNull,
+                pmod(xxhash64(saltSrc.toSeq: _*), lit(salt.toLong)).cast("int"))
+                .otherwise(lit(0)))
+            .drop("__hot")
+          val rS = r0.join(broadcast(hot), bktKeys, "left")
+            .withColumn("__salt",
+              explode(when(col("__hot").isNotNull,
+                lit((0 until salt).toArray)).otherwise(array(lit(0)))))
+            .drop("__hot")
+          (lS, rS, bktKeys :+ "__salt")
+        }
       }
     l.join(r, joinKeys)
       .filter(col(llo) < col(rhi) && col(rlo) < col(lhi))

@@ -1312,6 +1312,41 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** RDD ids of checkpoints that are APPLICATION-SCOPED memo state
+    * (clusterCache today): [[freeCkptFresh]] must never free them —
+    * their memo would hand later consumers a frame whose blocks are
+    * gone and whose lineage is truncated (unrecoverable). */
+  private val pinnedCkpts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  private[graft] def pinCkpt(df: DataFrame): DataFrame = {
+    df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.foreach(pinnedCkpts.add(_))
+    df
+  }
+
+  private[graft] def unpinCkpt(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.foreach(pinnedCkpts.remove(_))
+
+  /** Free every PER-INVOCATION checkpoint in a frame's plan, skipping
+    * pinned memo state — the release a caller runs once its terminal
+    * action over the frame has completed. This is the checkpoint
+    * LIFECYCLE for the serving path: eager localCheckpoints (q36's
+    * session frame, the interval join's hot census, dsirKeepTop's
+    * scored frame, the CC loop's final labels) otherwise pin block-
+    * manager memory until driver GC happens to collect the RDD handle
+    * — benign in a one-shot batch job, a slow leak in an always-on
+    * service or a bench loop. After the release the frame must not be
+    * re-executed (its checkpointed sub-plans cannot recompute). */
+  private[graft] def freeCkptFresh(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.filterNot(r => pinnedCkpts.contains(r.id))
+      .foreach(_.unpersist(blocking = false))
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges0 = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))

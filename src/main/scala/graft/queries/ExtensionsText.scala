@@ -781,7 +781,9 @@ private[queries] trait ExtText { this: Extensions.type =>
     val it = clusterCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey.endsWith("@@" + dir)) { freeCkpt(e.getValue); it.remove() }
+      if (e.getKey.endsWith("@@" + dir)) {
+        unpinCkpt(e.getValue); freeCkpt(e.getValue); it.remove()
+      }
     }
   }
 
@@ -795,9 +797,14 @@ private[queries] trait ExtText { this: Extensions.type =>
     val cached = clusterCache.get(key)
     if (cached != null) cached
     else {
-      val fresh = dedupClusters(s, dir).localCheckpoint()
+      val built = dedupClusters(s, dir)
+      val fresh = built.localCheckpoint()
+      // The CC loop's own final-labels checkpoint is now copied into
+      // `fresh` — free it, or every memo build pins two label frames.
+      freeCkpt(built)
       val winner = clusterCache.putIfAbsent(key, fresh)
-      if (winner != null) { freeCkpt(fresh); winner } else fresh
+      if (winner != null) { freeCkpt(fresh); winner }
+      else pinCkpt(fresh)
     }
   }
 

@@ -1051,6 +1051,10 @@ object CorpusService {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("split").parquet(stage)
     }
+    // The manifest is on disk — release the refresh's per-invocation
+    // checkpoints (the DSIR gate's dsirKeepTop `scored` frame rides
+    // this plan) so a scheduled service doesn't pin one per tick.
+    graft.queries.Extensions.freeCkptFresh(manifest)
   }
 
   /** Read the maintained manifest (refreshTrainingSet's output).
@@ -1095,10 +1099,10 @@ object CorpusService {
       else train.select("doc_id", "n_toks")
     val spans = graft.queries.Extensions.packSpans(pd,
       graft.queries.Extensions.PackCap)
-    graft.jobs.Warehouse.replaceReport(spark,
-      shardCount.fold(spans)(n => spans.withColumn("shard",
-        graft.functions.Portable.h32(col("pack_id").cast("string")) % n)),
-      p.packManifest)
+    val out = shardCount.fold(spans)(n => spans.withColumn("shard",
+      graft.functions.Portable.h32(col("pack_id").cast("string")) % n))
+    graft.jobs.Warehouse.replaceReport(spark, out, p.packManifest)
+    graft.queries.Extensions.freeCkptFresh(out)
   }
 
   /** Retrain the maintained TOKENIZER over the live corpus (minus

@@ -77,6 +77,12 @@ object SessionOverlapTable {
     if (!pairs.isEmpty)
       pairs.write.mode(SaveMode.Append).parquet(pairLog)
     sessions.write.mode(SaveMode.Append).parquet(sessLog)
+    // The appends are durable — release the cycle's eager checkpoints
+    // (the interval joins' hot-census frames live in `pairs`' plan).
+    // Without this every drain of the always-on service pins another
+    // census's blocks until driver GC (the CC loop's freeCkpt
+    // discipline, applied to the serving path).
+    graft.queries.Extensions.freeCkptFresh(pairs)
   }
 
   /** The accumulated pair log (empty-schema frame before any pair). */

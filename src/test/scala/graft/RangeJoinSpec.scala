@@ -113,6 +113,52 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint lifecycle: repeated q36 and service cycles release their blocks") {
+    import graft.queries.Extensions
+    def ckptIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+    def live(ids: Seq[Int]): Seq[Int] = {
+      val p = spark.sparkContext.getPersistentRDDs
+      ids.filter(p.contains)
+    }
+    // One-shot q36 (session frame + hot census checkpoints), N times:
+    // each invocation's blocks are released by the post-action free.
+    for (_ <- 1 to 3) {
+      val f = graft.queries.Parity.sessionOverlaps(spark, sf("sf0.001"))
+      f.write.format("noop").mode("overwrite").save()
+      val ids = ckptIds(f)
+      assert(ids.nonEmpty, "q36 lost its eager checkpoints — test is vacuous")
+      assert(live(ids).nonEmpty, "checkpoint blocks missing before release")
+      Extensions.freeCkptFresh(f)
+      assert(live(ids).isEmpty,
+        s"q36 checkpoint blocks survived the release: ${live(ids)}")
+    }
+    // The always-on service cycle frees its own census checkpoints per
+    // drain — the block-manager RDD set it adds must return to baseline
+    // after every ingest (no slow leak across ticks).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-seslog")
+    val (sessLog, pairLog) =
+      (s"$dir/sessions", s"$dir/pairs")
+    def batch(off: Long) = (0L until 40L).map { i =>
+      (off + i,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1000 + i * 7)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(5000 + i * 7)))
+    }.toDF("user_id", "session_start", "session_end")
+    for (tick <- 0 to 2) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      graft.streaming.SessionOverlapTable.ingest(spark, batch(tick * 100L),
+        sessLog, pairLog)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty,
+        s"service ingest tick $tick leaked checkpoint RDDs: $leaked")
+    }
+    assert(graft.streaming.SessionOverlapTable
+      .pairsView(spark, pairLog).count() > 0, "cycle produced no pairs")
+  }
+
   test("the salt spreads the hot bucket across >1 partition") {
     // Unsalted, the hot bucket is ONE join key = one reducer; salted,
     // its pairs must surface from several. spark_partition_id() is read
