@@ -37,6 +37,35 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parsePrior(line) == Map("a" -> 2.0))
   }
 
+  test("the compare pass reads the prior MINS map, raw and driver-wrapped") {
+    val line = """{"queries":{"a":2.0},"mins":{"a":1.0,"b":0.4},"iters":{"a":7}}"""
+    assert(Bench.parsePriorKey(line, "mins") == Map("a" -> 1.0, "b" -> 0.4))
+    val wrapped =
+      """{"tail": "\"queries\":{\"a\":2.0},\"mins\":{\"a\":1.1},\"sf\":\"x\"}"}"""
+    assert(Bench.parsePriorKey(wrapped, "mins") == Map("a" -> 1.1))
+    assert(Bench.parsePriorKey("{\"n\":1}", "mins").isEmpty)
+  }
+
+  test("compare pass skips a prior artifact at a different scale factor") {
+    val line = """{"queries":{"a":2.0},"mins":{"a":1.0},"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parsePriorSf(line).contains("sf0.1"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "BENCH_LOCAL.json"), line)
+    assert(Bench.priorMinTimes(dir, sf = "/root/testdata/sf0.1") ==
+      Map("a" -> 1.0))
+    assert(Bench.priorMinTimes(dir, sf = "/root/testdata/sf0.001").isEmpty)
+  }
+
+  test("regression verdicts: host drift absolves, residual cost convicts") {
+    // 1.4x raw but the flat band moved 1.3x too -> host.
+    assert(Bench.regressionVerdict(1.4 / 1.3) == "host")
+    // 2x raw on a flat host -> real.
+    assert(Bench.regressionVerdict(2.0) == "real")
+    // Exactly at the band edge stays host (no false alarm on noise).
+    assert(Bench.regressionVerdict(1.15) == "host")
+  }
+
   // --- round-7 layout: the final stdout line must survive the driver's
   // tail-window capture WHOLE, and BENCH_LOCAL.json is the preferred,
   // truncation-immune prior. ---
