@@ -108,6 +108,26 @@ private[queries] trait ExtDedup { this: Extensions.type =>
     }.reduce(_ union _)
   }
 
+  /** [[bandedSignatures]] computed from the DOCUMENT frame by the native
+    * one-pass kernel (functions.MinhashSig) instead of the exploded
+    * shingle aggregation: per doc it is one generated-code call over
+    * the raw text — no corpus×shingles rows, no distinct shuffle (min
+    * is duplicate-insensitive), no 16-column hash aggregation. Same
+    * signatures row-for-row (DedupSpec pins it): the kernel hashes the
+    * identical 3-token byte slices with the identical per-permutation
+    * transform. Docs with <3 tokens have no shingles and thus no rows,
+    * matching the aggregate form. */
+  private[graft] def bandedSignaturesOfDocs(d: DataFrame): DataFrame = {
+    val sig = d.select(col("doc_id"),
+        graft.functions.MinhashSig(col("text")).as("ms"))
+      .filter(size(col("ms")) > 0)
+    (0 until 4).map { b =>
+      sig.select(lit(b).as("band"), col("doc_id"),
+        col("ms")(4 * b).as("b0"), col("ms")(4 * b + 1).as("b1"),
+        col("ms")(4 * b + 2).as("b2"), col("ms")(4 * b + 3).as("b3"))
+    }.reduce(_ union _)
+  }
+
   private[graft] val bandEq = Seq("band", "b0", "b1", "b2", "b3")
     .map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
 
@@ -138,17 +158,29 @@ private[queries] trait ExtDedup { this: Extensions.type =>
   }
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    val d = docs(s, dir).select("doc_id", "text")
     // One self-join on (band, 4-minhash signature) over the band-exploded
     // table instead of four separate self-joins: a single shuffle whose
     // identical build/probe exchanges Spark deduplicates (ReuseExchange),
     // where the per-band version shuffled the signature table 8 times.
-    val banded = bandedSignatures(sh)
+    // Signatures come from the native per-row kernel and verification
+    // runs at PAIR grain against the raw texts (two key-grain joins +
+    // one kernel call per candidate) — the exploded distinct shingle
+    // frame and its three corpus-wide verify joins are gone from this
+    // plan entirely. The per-pair trade: a doc in k candidate pairs
+    // re-hashes its shingles k times, row-local CPU bounded by the LSH
+    // collision count, bought against two corpus-grain shuffles.
+    val banded = bandedSignaturesOfDocs(d)
     val cand = banded.as("a")
       .join(banded.as("b"), bandEq && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifiedJaccard(cand, sh, "doc_a", "doc_b")
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("__ta")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("__tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.ShingleJaccardPpm(col("__ta"), col("__tb"))
+          .as("jaccard_ppm"))
   }
 
   /** Token-frequency SimHash at `bits` width (32 or 64). All signed

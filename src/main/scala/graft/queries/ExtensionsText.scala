@@ -1135,9 +1135,12 @@ private[queries] trait ExtText { this: Extensions.type =>
     * Canonical orientation: the new doc is `new_doc`; a new-new pair is
     * emitted once (smaller id first). */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val banded = bandedSignatures(sh)
-    val cutoff = docs(s, dir).agg((max(col("doc_id")) * 9).as("c9"))
+    val d = docs(s, dir).select("doc_id", "text")
+    // Native signatures + pair-grain verification (the d03 rationale:
+    // no exploded shingle frame, no corpus-wide verify joins; the
+    // delta shape is unchanged — only the batch side probes).
+    val banded = bandedSignaturesOfDocs(d)
+    val cutoff = d.agg((max(col("doc_id")) * 9).as("c9"))
     val withCut = banded.crossJoin(broadcast(cutoff))
     val newSide = withCut.filter(col("doc_id") * 10 > col("c9"))
     val cand = newSide.as("a")
@@ -1146,7 +1149,14 @@ private[queries] trait ExtText { this: Extensions.type =>
           col("a.doc_id") < col("b.doc_id")))
       .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("other_doc"))
       .distinct()
-    verifiedJaccard(cand, sh, "new_doc", "other_doc")
+    cand
+      .join(d.select(col("doc_id").as("new_doc"), col("text").as("__ta")),
+        "new_doc")
+      .join(d.select(col("doc_id").as("other_doc"), col("text").as("__tb")),
+        "other_doc")
+      .select(col("new_doc"), col("other_doc"),
+        graft.functions.ShingleJaccardPpm(col("__ta"), col("__tb"))
+          .as("jaccard_ppm"))
   }
 
   /** d11: exact-substring duplication detection — the memorization-grade

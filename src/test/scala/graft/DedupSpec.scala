@@ -267,6 +267,53 @@ class DedupSpec extends SparkSpec {
       s"salting must split the hot key: $saMax vs $unMax")
   }
 
+  test("native minhash kernel ≡ the aggregate signature form, incl. edge docs") {
+    import spark.implicits._
+    // Real corpus plus the tokenization edge cases the byte-scan kernel
+    // must reproduce exactly: <3 tokens (no signature), consecutive
+    // spaces (empty tokens kept — split limit -1), trailing space
+    // (trailing empty token kept), and multi-byte UTF-8.
+    val edge = Seq(
+      (900001L, "", "en"), (900002L, "a", "en"), (900003L, "a b", "en"),
+      (900004L, "a b c", "en"), (900005L, "a  b  c d", "en"),
+      (900006L, "a b c ", "en"), (900007L, "héllo wörld déjà vu ☃", "en"),
+      (900008L, "x x x x x x", "en"))
+      .toDF("doc_id", "text", "lang")
+    val d = Tables.t(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "text", "lang").unionByName(edge)
+    assertSameRows(
+      Extensions.bandedSignaturesOfDocs(d),
+      Extensions.bandedSignatures(Extensions.shinglesOfDocs(d)),
+      "native banded signatures vs exploded-aggregate form")
+  }
+
+  test("pair-grain jaccard kernel ≡ the frame-grain verify on LSH candidates") {
+    import spark.implicits._
+    val src = sf("sf0.001")
+    // Every LSH candidate pair of the corpus, verified both ways.
+    val d03 = Extensions.dedupMinhashLsh(spark, src)
+    val sh = Extensions.shinglesOfDocs(
+      Tables.t(spark, src, "documents").select("doc_id", "text", "lang"))
+    assertSameRows(d03,
+      Extensions.verifiedJaccard(
+        d03.select("doc_a", "doc_b"), sh, "doc_a", "doc_b"),
+      "kernel-verified jaccard vs frame-grain verifiedJaccard")
+    assert(d03.count() > 0, "no candidates — equivalence test is vacuous")
+    // Duplicate shingles inside a doc must not skew the DISTINCT-set
+    // arithmetic (the kernel dedups byte slices, not occurrences).
+    val pairs = Seq((1L, "p q r p q r p q r", "en"),
+      (2L, "p q r s t u", "en")).toDF("doc_id", "text", "lang")
+    val kernel = pairs.as("x").filter(col("doc_id") === 1L)
+      .crossJoin(pairs.as("y").filter(col("doc_id") === 2L))
+      .select(graft.functions.ShingleJaccardPpm(
+        col("x.text"), col("y.text")).as("j"))
+      .head().getLong(0)
+    // doc1 distinct shingles: {p q r, q r p, r p q} (7 windows, 3
+    // distinct); doc2: {p q r, q r s, r s t, s t u}; common = 1,
+    // union = 6 -> 166666 ppm.
+    assert(kernel == 166666L, s"duplicate-shingle arithmetic: $kernel")
+  }
+
   test("d14 size-bucket block is lossless: ≡ d02 row-for-row") {
     // The block is a NECESSARY condition of J ≥ 0.8 (size ratio within
     // [0.8, 1.25] → same or adjacent log-1.25 bucket), so the
