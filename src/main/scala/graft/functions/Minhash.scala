@@ -109,6 +109,70 @@ object MinhashKernel {
     else common.toLong * 1000000L / union
   }
 
+  private val W1Prefix = "w1#".getBytes("UTF-8")
+
+  /** Token-frequency SimHash at `bits` width (32 or 64), one row-local
+    * pass — the native twin of the (doc, token)-count aggregation form
+    * (ExtensionsDedup.simhashSig): tokens are `split(text, ' ')` with
+    * empties kept, per-distinct-token occurrence counts weight the
+    * ±1 bit contributions, bit k reads h32(token) for k < 32 and the
+    * independently salted h32("w1#" + token) above, and a positive sum
+    * sets the bit. Matches the aggregate form bit-for-bit (DedupSpec).
+    */
+  def simhash(text: UTF8String, bits: Int): Long = {
+    val bytes = text.getBytes
+    val sp = spacePositions(bytes)
+    val tokens = sp.length + 1
+    // Distinct tokens with occurrence counts (UTF8String keys compare
+    // by bytes, so slices are exact).
+    val counts = new java.util.HashMap[UTF8String, Int]()
+    var i = 0
+    while (i < tokens) {
+      val from = if (i == 0) 0 else sp(i - 1) + 1
+      val until = if (i == tokens - 1) bytes.length else sp(i)
+      val tok = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, from, until))
+      counts.merge(tok, 1, (a, b) => a + b)
+      i += 1
+    }
+    val sums = new Array[Long](bits)
+    val d = md.get()
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val tb = e.getKey.getBytes
+      val c = e.getValue.toLong
+      d.reset()
+      d.update(tb)
+      val dig0 = d.digest()
+      val h0 = ((dig0(0) & 0xffL) << 24) | ((dig0(1) & 0xffL) << 16) |
+        ((dig0(2) & 0xffL) << 8) | (dig0(3) & 0xffL)
+      var h1 = 0L
+      if (bits > 32) {
+        d.reset()
+        d.update(W1Prefix)
+        d.update(tb)
+        val dig1 = d.digest()
+        h1 = ((dig1(0) & 0xffL) << 24) | ((dig1(1) & 0xffL) << 16) |
+          ((dig1(2) & 0xffL) << 8) | (dig1(3) & 0xffL)
+      }
+      var k = 0
+      while (k < bits) {
+        val h = if (k < 32) h0 else h1
+        val sign = if (((h >> (k % 32)) & 1L) == 1L) 1L else -1L
+        sums(k) += c * sign
+        k += 1
+      }
+    }
+    var sig = 0L
+    var k = 0
+    while (k < bits) {
+      if (sums(k) > 0L) sig += (1L << k)
+      k += 1
+    }
+    sig
+  }
+
   private def shingleSet(text: UTF8String): java.util.HashSet[UTF8String] = {
     val bytes = text.getBytes
     val sp = spacePositions(bytes)
@@ -204,4 +268,37 @@ object ShingleJaccardPpm {
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(ShingleJaccardPpm(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
+}
+
+/** Per-document token-frequency SimHash as a native codegen expression
+  * — replaces the tokRows explode + (doc, token)-count shuffle + `bits`
+  * conditional-sum aggregation with one generated-code call per row
+  * (the MinhashSig rationale for the SimHash family, d04/d12). */
+case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits == 32 || bits == 64, s"simhash width $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash_sig requires a string input, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashKernel.simhash(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinhashKernel.simhash($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashSig {
+  def apply(c: Column, bits: Int): Column =
+    ColumnBridge.column(SimhashSig(ColumnBridge.expression(c), bits))
 }

@@ -197,7 +197,22 @@ private[queries] trait ExtDedup { this: Extensions.type =>
     * is a bitwise OR), but the ORACLE must write it as
     * (-9223372036854775807 - 1): DuckDB refuses both `1 << 63` and the
     * raw negative literal. */
-  private[queries] def simhashSig(s: SparkSession, dir: String, bits: Int): DataFrame = {
+  private[graft] def simhashSig(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    require(bits == 32 || bits == 64, s"simhash width $bits")
+    // Native per-row kernel (functions.SimhashSig) — the aggregate form
+    // it replaces (kept below as the spec's equivalence anchor) paid a
+    // tokRows explode, a (doc, token)-count shuffle, and a `bits`-column
+    // conditional-sum aggregation per document.
+    docs(s, dir).select(col("doc_id"),
+      graft.functions.SimhashSig(col("text"), bits).as("simhash"))
+  }
+
+  /** The exploded-aggregation form of [[simhashSig]] — retained as the
+    * independent implementation DedupSpec pins the kernel against
+    * (bit-for-bit, both widths), and as the shape the DuckDB oracle
+    * mirrors. */
+  private[graft] def simhashSigAgg(s: SparkSession, dir: String,
+                                   bits: Int): DataFrame = {
     require(bits == 32 || bits == 64, s"simhash width $bits")
     val tokc = tokRows(s, dir).groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))

@@ -314,6 +314,15 @@ class DedupSpec extends SparkSpec {
     assert(kernel == 166666L, s"duplicate-shingle arithmetic: $kernel")
   }
 
+  test("native simhash kernel ≡ the aggregate form at both widths") {
+    val src = sf("sf0.001")
+    for (bits <- Seq(32, 64))
+      assertSameRows(
+        Extensions.simhashSig(spark, src, bits),
+        Extensions.simhashSigAgg(spark, src, bits),
+        s"native simhash vs exploded-aggregate form at $bits bits")
+  }
+
   test("d14 size-bucket block is lossless: ≡ d02 row-for-row") {
     // The block is a NECESSARY condition of J ≥ 0.8 (size ratio within
     // [0.8, 1.25] → same or adjacent log-1.25 bucket), so the
