@@ -54,9 +54,8 @@ object StreamingDedup {
                    sigDir: String, pairsDir: String): Unit = {
     if (batch.isEmpty) return
     val b = batch.select(col("doc_id"), col("text"), col("lang")).persist()
-    val bSh = Extensions.shinglesOfDocs(b).persist()
     try {
-      val bSig = Extensions.bandedSignatures(bSh)
+      val bSig = Extensions.bandedSignaturesOfDocs(b)
         .withColumn("is_new", lit(true))
       val tSig = sigTable(spark, sigDir).withColumn("is_new", lit(false))
       // Probe: batch vs (table ∪ batch). An old partner always pairs; a
@@ -67,29 +66,36 @@ object StreamingDedup {
             (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
         .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("other_doc"))
         .distinct()
-      // Exact verification needs partner shingles: rebuild them from the
-      // corpus store at candidate grain (semi-join fetch). Batch docs are
-      // EXCLUDED from the fetch — the corpus dir already contains the
-      // batch's file, so refetching a new-new partner would put its
-      // shingle rows in the frame twice (once via bSh, once via
-      // partnerSh), quadrupling verifiedJaccard's intersection count and
-      // doubling each n_sh — inflated jaccard_ppm, false pairs past the
-      // 0.8 gate. bSh already covers them.
+      // Exact verification at PAIR grain from raw texts (the d03/d10
+      // kernel): new-doc text from the batch, partner text from the
+      // batch first (new-new pairs) falling back to a candidate-grain
+      // semi-join fetch of the corpus store. The old frame-grain verify
+      // had to carefully EXCLUDE batch docs from the corpus fetch (the
+      // store already holds the batch's file, and duplicated shingle
+      // rows quadrupled the intersection count); the pair-grain kernel
+      // reads each side's text exactly once, so the hazard class is
+      // gone by construction.
       val partnerIds = cand.select(col("other_doc").as("doc_id")).distinct()
         .join(b.select("doc_id"), Seq("doc_id"), "left_anti")
-      val partnerSh = Extensions.shinglesOfDocs(
-        spark.read.schema(docSchema).parquet(corpusDir)
-          .join(partnerIds, "doc_id", "left_semi"))
-      val verified = Extensions.verifiedJaccard(cand,
-          bSh.unionByName(partnerSh), "new_doc", "other_doc")
+      val partnerTexts = spark.read.schema(docSchema).parquet(corpusDir)
+        .join(partnerIds, Seq("doc_id"), "left_semi")
+        .select("doc_id", "text")
+      val allTexts = b.select("doc_id", "text").unionByName(partnerTexts)
+      val verified = cand
+        .join(b.select(col("doc_id").as("new_doc"), col("text").as("__ta")),
+          "new_doc")
+        .join(allTexts.select(col("doc_id").as("other_doc"),
+          col("text").as("__tb")), "other_doc")
+        .select(col("new_doc"), col("other_doc"),
+          graft.functions.ShingleJaccardPpm(col("__ta"), col("__tb"))
+            .as("jaccard_ppm"))
         .filter(col("jaccard_ppm") >= 800000)
-        .select("new_doc", "other_doc", "jaccard_ppm")
       // Order is load-bearing (recache-by-path): the pair plan reads the
       // signature table lazily, so it must be fully consumed by its write
       // BEFORE the batch signatures are appended to that same path.
       verified.write.mode(SaveMode.Append).parquet(pairsDir)
       bSig.drop("is_new").write.mode(SaveMode.Append).parquet(sigDir)
-    } finally { bSh.unpersist(); b.unpersist() }
+    } finally b.unpersist()
   }
 
   /** Start the continuous dedup over `corpusDir` (the document store the
