@@ -323,6 +323,30 @@ class DedupSpec extends SparkSpec {
         s"native simhash vs exploded-aggregate form at $bits bits")
   }
 
+  test("bit-parallel levenshtein ≡ the built-in on random/unicode/long strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    val alphabets = Seq("ab", "abcde", "abcdefghij xyz", "αβγδé☃汉字")
+    def randStr(maxLen: Int): String = {
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      val chars = alpha.toCharArray // NOTE: surrogate-free alphabets here
+      (0 until rnd.nextInt(maxLen + 1))
+        .map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }
+    val pairs = (Seq(("", ""), ("", "abc"), ("abc", ""),
+      ("☃汉", "汉☃"), ("a" * 80, "a" * 79 + "b"), // >64 cp fallback path
+      ("exact same", "exact same")) ++
+      (1 to 400).map(_ => (randStr(24), randStr(24))))
+      .toDF("a", "b")
+    val diff = pairs.select(
+        org.apache.spark.sql.functions.levenshtein(col("a"), col("b"))
+          .as("builtin"),
+        graft.functions.LevenshteinBp(col("a"), col("b")).as("bp"))
+      .filter(col("builtin") =!= col("bp"))
+    assert(diff.count() == 0,
+      s"kernel deviates from built-in: ${diff.take(5).toSeq}")
+  }
+
   test("d14 size-bucket block is lossless: ≡ d02 row-for-row") {
     // The block is a NECESSARY condition of J ≥ 0.8 (size ratio within
     // [0.8, 1.25] → same or adjacent log-1.25 bucket), so the
