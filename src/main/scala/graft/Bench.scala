@@ -40,11 +40,17 @@ import org.apache.spark.sql.SparkSession
   * min-grain ratio vs prior exceeds 1.25× (and ≥ 0.15 s absolute) get
   * two extra interleaved confirm iterations, and BENCH_LOCAL.json
   * carries a "regressions" object with each suspect's prior/current/
-  * confirmed mins, its drift-adjusted ratio, and a "real"/"host"
-  * verdict. The host normalizer is the median cur/prior ratio over
-  * ALL compared queries — the same workload mix on both hosts — which
-  * tracks memory-bound drift the arithmetic sentinel cannot
-  * (round-13's t02 false alarm burned a judge round on exactly this).
+  * confirmed mins, its drift-adjusted ratio, and a "real"/"host"/
+  * "cross-host" verdict. The host normalizer is the median cur/prior
+  * ratio over ALL compared queries — the same workload mix on both
+  * hosts — which tracks memory-bound drift the arithmetic sentinel
+  * cannot (round-13's t02 false alarm burned a judge round on exactly
+  * this). "real" additionally requires the prior artifact to be
+  * SAME-HOST ATTESTED (its sentinel within 1.25× of this run's);
+  * an over-band suspect against a different host's prior is
+  * "cross-host" — adjudicate it with the cross-commit same-host A/B
+  * (tools/ab_bench.sh), which interleaves a PRIOR BUILD against the
+  * current one in alternating JVMs on one machine.
   *
   * Output formatting is part of the contract — the driver captures only
   * a ~2000-char TAIL of stdout, so the artifact layout is split:
@@ -124,6 +130,20 @@ object Bench {
       }
   }
 
+  /** The prior artifact's load-sentinel seconds, or None (a clipped
+    * driver tail that lost the final stdout line). The HOST FINGERPRINT
+    * of the compare pass: a prior whose sentinel sits outside the
+    * same-host band cannot support a "real" regression verdict — the
+    * round-14 driver artifact carried eight "real" flags on untouched
+    * code whose prior mins came from a different machine, exactly the
+    * memory-bound drift class the workload-median normalizer is
+    * documented not to fully correct. */
+  private[graft] def parsePriorSentinel(raw: String): Option[Double] = {
+    val text = raw.replace("\\\"", "\"")
+    """"sentinel"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toDouble)
+  }
+
   /** The prior artifact's scale-factor basename ("sf0.1"), or None.
     * The compare pass only runs against a SAME-SF prior — an sf0.001
     * iteration run against an sf0.1 baseline produces ratio garbage
@@ -141,7 +161,15 @@ object Bench {
     * driver tail) or with a DIFFERENT scale factor than `sf` yield
     * empty and the compare pass skips. */
   private[graft] def priorMinTimes(dir: String = ".",
-                                   sf: String = ""): Map[String, Double] = {
+                                   sf: String = ""): Map[String, Double] =
+    priorMinsAndSentinel(dir, sf)._1
+
+  /** The prior artifact's (mins, sentinel) — sentinel from the SAME
+    * artifact that supplied the mins, so the host fingerprint the
+    * verdict column consults can never describe a different file than
+    * the numbers it qualifies. */
+  private[graft] def priorMinsAndSentinel(dir: String = ".", sf: String = "")
+      : (Map[String, Double], Option[Double]) = {
     def readAll(p: String): String =
       try new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
@@ -163,8 +191,8 @@ object Bench {
     candidates.iterator.map(readAll)
       .filter(raw => sf.isEmpty ||
         parsePriorSf(raw).forall(_ == new java.io.File(sf).getName))
-      .map(parsePriorKey(_, "mins"))
-      .find(_.nonEmpty).getOrElse(Map.empty)
+      .map(raw => (parsePriorKey(raw, "mins"), parsePriorSentinel(raw)))
+      .find(_._1.nonEmpty).getOrElse((Map.empty, None))
   }
 
   def main(args: Array[String]): Unit = {
@@ -176,6 +204,20 @@ object Bench {
     // iterations per query move the median far enough from single-pause
     // territory that the gate number stops tracking the host.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "5").toInt.max(1)
+    // A/B HARNESS HOOKS. SPARK_GRAFT_ONLY=<a,b,...> restricts the run to
+    // the named queries (full names or short keys) — the cross-commit
+    // A/B orchestrator (tools/ab_bench.sh) uses it to interleave a PRIOR
+    // BUILD against the current one on the same host without paying two
+    // full-suite runs per flag. A restricted run SKIPS the regression-
+    // compare pass: the workload-median host normalizer is only sound
+    // over the full suite mix (a hand-picked subset of suspects would
+    // normalize suspects against themselves). SPARK_GRAFT_OUT overrides
+    // the full-fidelity artifact path (each A/B leg writes its own).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val specs = SparkEntry.specs.filter(sp =>
+      only.forall(o => o(sp.name) || o(shortName(sp.name))))
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -227,7 +269,7 @@ object Bench {
       .toInt.max(iters)
     var errors = Vector.empty[(String, String)]
     var flaky = Vector.empty[(String, Int)]
-    val results = SparkEntry.specs.map { spec =>
+    val results = specs.map { spec =>
       // Isolation: every query starts from a cleared cache (queries
       // manage their own persist/unpersist; anything still cached here
       // is a leak by definition). Heap isolation is per-ITERATION, in
@@ -315,7 +357,9 @@ object Bench {
     //    co-tenant burst cannot sit on one query's whole sample.
     //  - verdict "real" iff the confirmed min still exceeds
     //    1.15 × prior × hostDrift; otherwise "host".
-    val priorMin = priorMinTimes(sf = sfDir)
+    val (priorMin, priorSentinel) =
+      if (only.isDefined) (Map.empty[String, Double], None)
+      else priorMinsAndSentinel(sf = sfDir)
     val curMinByName = results.collect {
       case (k, _, Some(mn), _) => k -> mn
     }.toMap
@@ -331,7 +375,7 @@ object Bench {
     val suspects = compared.filter { case (_, (p, cur, r)) =>
       r > 1.25 * hostDrift && cur - p >= 0.15
     }.keys.toSeq.sorted
-    val specByName = SparkEntry.specs.map(s => s.name -> s).toMap
+    val specByName = specs.map(s => s.name -> s).toMap
     var confirmMin = Map.empty[String, Double]
     for (pass <- 1 to 2; name <- suspects) {
       specByName.get(name).foreach { spec =>
@@ -349,11 +393,17 @@ object Bench {
           math.min(t, confirmMin.getOrElse(name, Double.MaxValue)))
       }
     }
+    // The post-suite sentinel samples land here (after the confirm pass
+    // — still "after the workload", which is what the pre/post split
+    // exists to bracket) so the verdict column can consult the CURRENT
+    // host fingerprint against the prior artifact's.
+    val sentinelRaw = med(sentinelPre ++ (1 to 3).map(_ => sentinelOnce()))
+    val hostAttested = sameHost(priorSentinel, sentinelRaw)
     val regressions = suspects.map { name =>
       val (p, cur, _) = compared(name)
       val confirmed = math.min(cur, confirmMin.getOrElse(name, cur))
       val adj = confirmed / (p * math.max(hostDrift, 1e-9))
-      (name, p, cur, confirmed, adj, regressionVerdict(adj))
+      (name, p, cur, confirmed, adj, regressionVerdict(adj, hostAttested))
     }
 
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
@@ -369,22 +419,24 @@ object Bench {
     val flakyJson = flaky.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = r3(results.flatMap { case (_, med, _, _) => med }.sum)
-    val sentinel = r3(med(sentinelPre ++ (1 to 3).map(_ => sentinelOnce())))
+    val sentinel = r3(sentinelRaw)
     val regJson = regressions.map { case (k, p, cur, conf, adj, v) =>
       "\"" + k + "\":{\"prior_min\":" + r3(p) + ",\"min\":" + r3(cur) +
         ",\"confirmed_min\":" + r3(conf) + ",\"drift_adj_ratio\":" + r3(adj) +
         ",\"verdict\":\"" + v + "\"}"
     }.mkString("{", ",", "}")
+    val priorSentJson =
+      priorSentinel.fold("")(p => s""","prior_sentinel":${r3(p)}""")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","sentinel":$sentinel,"host_drift":${r3(hostDrift)},"queries":$qs,"mins":$mins,"iters":$ns,"errors":$errJson,"flaky":$flakyJson,"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sentinel":$sentinel$priorSentJson,"host_drift":${r3(hostDrift)},"queries":$qs,"mins":$mins,"iters":$ns,"errors":$errJson,"flaky":$flakyJson,"regressions":$regJson,"sf":"$sfDir"}"""
     // Full-fidelity artifact, immune to stdout-tail truncation; next
     // round's priorTimes reads it first.
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     catch {
       case e: Exception =>
-        System.err.println(s"[bench] BENCH_LOCAL.json not written: ${e.getMessage}")
+        System.err.println(s"[bench] $outPath not written: ${e.getMessage}")
     }
     // Diagnostics first (clipped harmlessly by the tail window), the
     // driver-contract line LAST — and it must fit the window whole.
@@ -400,12 +452,34 @@ object Bench {
     if (errors.nonEmpty) sys.exit(1)
   }
 
-  /** A suspect's verdict after the confirm pass: "real" iff its
+  /** Same-host attestation for the compare pass: the prior artifact's
+    * arithmetic sentinel within 1.25× of this run's (either direction).
+    * Wider drift means a different machine or a machine in a different
+    * load/thermal regime — either way the prior min is not evidence a
+    * "real" verdict can stand on (the workload-median normalizer
+    * corrects CPU-bound drift but is documented not to fully correct
+    * memory-bound drift, and the sentinel is the only host fingerprint
+    * artifacts carry). An ABSENT prior sentinel (clipped driver tail)
+    * also fails attestation: "real" is reserved for evidence that can
+    * prove same-host, never defaulted to. */
+  private[graft] def sameHost(priorSentinel: Option[Double],
+                              curSentinel: Double): Boolean =
+    priorSentinel.exists(p => p > 0 && curSentinel > 0 &&
+      math.max(p / curSentinel, curSentinel / p) <= 1.25)
+
+  /** A suspect's verdict after the confirm pass. "real" iff its
     * drift-adjusted ratio (confirmed min / (prior min × host drift))
-    * still exceeds the band — the host normalizer is the median ratio
-    * of the FLAT queries, i.e. the same workload mix on both hosts. */
-  private[graft] def regressionVerdict(driftAdjRatio: Double): String =
-    if (driftAdjRatio > 1.15) "real" else "host"
+    * still exceeds the band AND the prior artifact is same-host
+    * attested ([[sameHost]]); an over-band ratio against a DIFFERENT
+    * host's prior is "cross-host" — a suspect worth a same-host A/B
+    * (tools/ab_bench.sh), never a conviction (round 14 shipped eight
+    * "real" flags on untouched code whose priors came from another
+    * machine; a verdict that flips with the host is not a verdict). */
+  private[graft] def regressionVerdict(driftAdjRatio: Double,
+                                       sameHost: Boolean): String =
+    if (driftAdjRatio <= 1.15) "host"
+    else if (sameHost) "real"
+    else "cross-host"
 
   /** Whether a query's sample should widen past the base iteration
     * count. Keyed off the PRIOR round's median where one exists: prior

@@ -122,7 +122,17 @@ object ScaleSmoke {
     // semi/anti join, the selection window runs at score-domain grain,
     // and the packer is t28's block prefix sum — expect the t30 class
     // (the 8-gram contamination stream is the dominant linear term).
-    "t40_curation_manifest")
+    "t40_curation_manifest",
+    // Round-15 additions — the kernel-rewritten paths whose 10× record
+    // the round-14 verdict flagged as stale: d14's hash-grain blocked
+    // candidates + pair-grain string stats (its cost is the blocked
+    // collision count, expect the d03 class); t20's window-free bigram
+    // stream (one row-local transform + two hash aggs — expect
+    // ~linear); d11's kernel 30-gram windows (d01-class hash agg).
+    // d03/d06/d10/t16/t21 above already cover the routed pair verify
+    // and the distinct-gram kernel sweep.
+    "d14_dedup_jaccard_blocked", "t20_bigram_lm_score",
+    "d11_substring_dupes")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

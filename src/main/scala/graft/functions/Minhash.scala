@@ -190,6 +190,39 @@ object MinhashKernel {
     }
     set
   }
+
+  /** The distinct n-token gram STRINGS of a document, first-occurrence
+    * order, one row-local pass — the native twin of the
+    * transform+explode+DISTINCT gram generators
+    * (ExtensionsCore.shinglesOfDocsExploded / grams8OfDocsExploded):
+    * same token rule (every single space is a split point, empty tokens
+    * kept), same windows (none when the doc has fewer than n tokens),
+    * distinct BY STRING. `explode(distinct_grams(text, n))` therefore
+    * yields exactly the rows the exploded form's corpus-wide
+    * (doc, gram) DISTINCT shuffle used to — with the dedup done in the
+    * row scan instead of an exchange. */
+  def distinctGrams(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val sp = spacePositions(bytes)
+    val tokens = sp.length + 1
+    if (tokens < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    val nWin = tokens - n + 1
+    while (i < nWin) {
+      val from = if (i == 0) 0 else sp(i - 1) + 1
+      val until = if (i + n - 1 == tokens - 1) bytes.length else sp(i + n - 1)
+      seen.add(UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, from, until)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
 }
 
 /** Per-document MinHash signature as a native codegen expression
@@ -301,4 +334,41 @@ case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
 object SimhashSig {
   def apply(c: Column, bits: Int): Column =
     ColumnBridge.column(SimhashSig(ColumnBridge.expression(c), bits))
+}
+
+/** Per-document distinct n-gram strings as a native codegen expression:
+  * `explode(distinct_grams(text, n))` replaces the transform + explode
+  * + corpus-wide DISTINCT shuffle of the exploded gram generators —
+  * the dedup happens inside the row scan, so the shingle/gram frames
+  * (d14 candidates, t21/t22 novelty, d09/t16 contamination, d11
+  * substring windows, the streaming twins) stop paying an exchange
+  * just to be distinct. Empty array for <n-token docs (such docs have
+  * no windows — the exploded form simply produced no rows). */
+case class DistinctGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"gram width $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"distinct_grams requires a string input, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_grams"
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashKernel.distinctGrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinhashKernel.distinctGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DistinctGrams {
+  def apply(c: Column, n: Int): Column =
+    ColumnBridge.column(DistinctGrams(ColumnBridge.expression(c), n))
 }

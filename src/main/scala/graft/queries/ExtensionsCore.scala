@@ -34,10 +34,27 @@ private[queries] trait ExtCore { this: Extensions.type =>
       .select(col("doc_id"), col("lang"), (col("pos") + 1).as("pos"),
         col("col").as("tok"))
 
-  /** Distinct 3-gram word shingles per doc (same-lang blocking key kept).
-    * Frame-grain so the streaming dedup path can shingle a micro-batch
-    * (streaming.StreamingDedup) with the identical definition. */
+  /** Distinct 3-gram word shingles per doc (same-lang blocking key
+    * kept). Frame-grain so the streaming paths shingle a micro-batch
+    * with the identical definition. Kernel-backed: per-doc distinct
+    * comes out of the one-pass [[graft.functions.DistinctGrams]] scan,
+    * so the corpus-wide (doc, lang, shingle) DISTINCT shuffle the
+    * exploded form paid — an exchange whose only job was dedup — is
+    * gone from every consumer (t21/t22 novelty, the streaming novelty
+    * table, pairJaccard's long route). Same rows
+    * ([[shinglesOfDocsExploded]] is the retained independent anchor;
+    * DedupSpec pins equality including the edge docs). */
   private[graft] def shinglesOfDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"),
+      explode(graft.functions.DistinctGrams(col("text"), 3)).as("shingle"))
+
+  /** The transform+explode+DISTINCT form of [[shinglesOfDocs]] —
+    * retained as the independent implementation the kernel is
+    * spec-pinned against, and the shape every shingle-family DuckDB
+    * oracle mirrors. d02, the Jaccard family's oracle-anchor query,
+    * deliberately stays on THIS form (its whole role is to be the
+    * kernel-free exact twin). */
+  private[graft] def shinglesOfDocsExploded(d: DataFrame): DataFrame =
     d.select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("lang"),
         explode(expr(
@@ -47,8 +64,10 @@ private[queries] trait ExtCore { this: Extensions.type =>
             .stripMargin)).as("shingle"))
       .distinct()
 
+  /** d02's shingle source — the EXPLODED anchor form, never the kernel
+    * (see [[shinglesOfDocsExploded]]). */
   private[queries] def shingles(s: SparkSession, dir: String): DataFrame =
-    shinglesOfDocs(docs(s, dir))
+    shinglesOfDocsExploded(docs(s, dir))
 
   private[queries] def shingleCounts(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -159,6 +178,10 @@ private[queries] trait ExtCore { this: Extensions.type =>
   private[graft] def invalidateCorpusCount(dir: String): Unit = {
     corpusCount.remove(dir)
     booksCache.remove(dir)
+    // The dedup long-doc routing memo is keyed "<dir-ish>#<threshold>";
+    // a grown corpus may have gained its first long doc (stale memo is
+    // perf-only — both routes exact — but refresh with the siblings).
+    longDocMemo.keySet.removeIf(k => k.startsWith(dir))
   }
   private[queries] def coarseCentroids(s: SparkSession, dir: String,
                               e: DataFrame): DataFrame = {
@@ -201,8 +224,20 @@ private[queries] trait ExtCore { this: Extensions.type =>
     * generator d09/t16 and the ingest-time contamination gate
     * (streaming.StreamingContamination) share, so batch and stream
     * agree bit-for-bit. Every non-`text` column is carried through
-    * (d09/t16 ride the split bucket alongside doc_id). */
+    * (d09/t16 ride the split bucket alongside doc_id). Kernel-backed
+    * (the [[shinglesOfDocs]] rationale at n = 8): per-doc distinct in
+    * the row scan, no corpus-wide DISTINCT exchange under the
+    * contamination/novelty chain. [[grams8OfDocsExploded]] is the
+    * retained anchor; DedupSpec pins equality. */
   private[graft] def grams8OfDocs(d: DataFrame): DataFrame = {
+    val keep = d.columns.filter(_ != "text").map(col).toSeq
+    d.select(keep :+
+      explode(graft.functions.DistinctGrams(col("text"), 8)).as("gram"): _*)
+  }
+
+  /** The transform+explode+DISTINCT form of [[grams8OfDocs]] — the
+    * kernel's independent spec anchor and the oracles' shape. */
+  private[graft] def grams8OfDocsExploded(d: DataFrame): DataFrame = {
     val keep = d.columns.filter(_ != "text").map(col).toSeq
     d.withColumn("t", split(col("text"), " "))
       .select(keep :+ explode(expr(

@@ -63,6 +63,64 @@ private[queries] trait ExtDedup { this: Extensions.type =>
     * probe side explodes to {b, b+1} and pair order is (bucket, id), so
     * each unordered pair matches exactly once. */
   def dedupNgramJaccardBlocked(s: SparkSession, dir: String): DataFrame = {
+    // KERNEL-SOURCED, COUNT-AGGREGATED. Two structures meet here and
+    // each gets the shape measurement picked for it:
+    //  - Shingle SOURCING is the one-pass distinct-gram kernel with the
+    //    distinct-string count carried inline (size of the kernel
+    //    array): the exploded form's corpus-wide (doc, shingle)
+    //    DISTINCT shuffle, its shingleCounts aggregation, and the THREE
+    //    count joins (probe-side bucket derivation + two post-agg
+    //    n_a/n_b fetches) are all gone — n_sh rides the rows and the
+    //    pair's (n_a, n_b) travel INSIDE the group key (deterministic
+    //    per pair, so the key is just wider, never more numerous).
+    //  - VERIFICATION stays the count AGGREGATION over the string-grain
+    //    self-join — NOT the pair-grain text kernel. Measured (same-host
+    //    A/B, BENCH_AB round-15 interim): the kernel-verify variant ran
+    //    2.4× SLOWER (2.1 → 5.0 s) because d14's candidates are
+    //    common-shingle pairs — Zipf-dense, unlike d03's LSH candidates
+    //    which need all four minhash band values equal — so per-pair
+    //    text re-hashing pays doc-length × a huge candidate count while
+    //    the aggregation pays one counter bump per matched row. The
+    //    pair-grain kernel is the near-dup verifier, not the dense-
+    //    candidate one; recorded as this round's measured-then-kept
+    //    lesson (the round-13 salting precedent).
+    val d = docs(s, dir)
+    val withG = d.select(col("doc_id"), col("lang"),
+        graft.functions.DistinctGrams(col("text"), 3).as("g"))
+      .withColumn("n_sh", size(col("g")).cast("long"))
+      .filter(col("n_sh") > 0)
+      .withColumn("szb",
+        floor(log(col("n_sh").cast("double")) / math.log(1.25)).cast("long"))
+    val sh = withG.select(col("doc_id"), col("lang"), col("szb"),
+      col("n_sh"), explode(col("g")).as("shingle"))
+    val probe = sh.withColumn("blk",
+      explode(array(col("szb"), col("szb") + 1)))
+    probe.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.lang") === col("b.lang") &&
+        col("a.blk") === col("b.szb") &&
+        (col("a.szb") < col("b.szb") || col("a.doc_id") < col("b.doc_id")))
+      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.n_sh"))
+          .otherwise(col("b.n_sh")).as("n_a"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.n_sh"))
+          .otherwise(col("a.n_sh")).as("n_b"))
+      .agg(count(lit(1)).as("common_shingles"))
+      .withColumn("jaccard_ppm",
+        ppm(col("common_shingles"), col("n_a") + col("n_b") - col("common_shingles")))
+      .filter(col("jaccard_ppm") >= 800000)
+      .select("doc_a", "doc_b", "common_shingles", "jaccard_ppm")
+  }
+
+  /** The exploded-frame form of [[dedupNgramJaccardBlocked]] — retained
+    * as the kernel path's independent spec anchor (DedupSpec pins
+    * row-for-row equality on sf data and planted fixtures), and the
+    * route a book-heavy corpus takes (each doc's shingles paid once at
+    * frame grain, where the pair-grain kernel pays doc-length per
+    * candidate — the pairJaccard routing rationale). */
+  private[graft] def dedupNgramJaccardBlockedFrame(s: SparkSession,
+                                                   dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val cnt = shingleCounts(sh)
     val withB = sh.join(cnt, "doc_id").withColumn("szb",
@@ -157,6 +215,107 @@ private[queries] trait ExtDedup { this: Extensions.type =>
       .distinct()
   }
 
+  /** Byte threshold above which a candidate pair's exact-Jaccard
+    * verification routes to the frame-grain path. The pair-grain kernel
+    * re-hashes a document's shingles once per candidate pair and ships
+    * its FULL text through the candidate shuffle — CPU and shuffle
+    * bytes are candidate-count × doc-length, the right trade for web-
+    * scale short documents (collision counts bound it) and the wrong
+    * one for a book-heavy corpus where one 400 KB text in k pairs pays
+    * 400 KB × k. 16 KiB ≈ a few thousand tokens: comfortably above the
+    * web-document median the kernel was measured on, well below book
+    * length. */
+  private[graft] val LongDocVerifyBytes = 16384
+
+  /** Memoized "does this corpus contain any long doc" probe — the q36
+    * hot-census pattern at the routing dial: ONE driver-side
+    * limit-1 read at plan construction (first invocation per memo key;
+    * a parquet scan that short-circuits at the first long text), so an
+    * all-short corpus — the common web-document case — pays ZERO
+    * routing overhead: [[pairJaccard]]'s plan is then literally the
+    * pure kernel plan (no lens joins, no empty frame-grain branch; the
+    * bench showed the always-routed form's extra stages cost d03/d10
+    * ~double at sf0.1). Staleness on corpus growth is PERF-ONLY (both
+    * routes are exact — a long doc mis-routed to the kernel is slower,
+    * never wrong), and [[invalidateCorpusCount]] drops the memo with
+    * its siblings. */
+  private[queries] val longDocMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[graft] def hasLongDocs(texts: DataFrame, longBytes: Long,
+                                 memoKey: Option[String]): Boolean = {
+    def probe: Boolean =
+      !texts.filter(octet_length(col("text")) > longBytes).limit(1).isEmpty
+    memoKey match {
+      case Some(k) =>
+        longDocMemo.computeIfAbsent(s"$k#$longBytes", _ => probe).booleanValue
+      case None => probe
+    }
+  }
+
+  /** Pair-grain exact-Jaccard verification with LONG-DOC ROUTING — the
+    * shared verify tail of d03, d10, and the streaming dedup cycle.
+    * When the corpus is attested all-short ([[hasLongDocs]] memo) the
+    * routed plan collapses to the pure kernel plan. Otherwise
+    * candidates are first flagged by a NARROW (id, is-long) join — full
+    * texts never ride a shuffle just to be measured — then split:
+    *
+    *  - pairs of two short docs join their texts and verify row-locally
+    *    via the [[graft.functions.ShingleJaccardPpm]] kernel (one call
+    *    per pair, no corpus-grain shuffles);
+    *  - pairs where EITHER side exceeds [[LongDocVerifyBytes]] route to
+    *    the retained frame-grain [[verifiedJaccard]], which pays each
+    *    document's shingle set ONCE (shingles only of the long-route
+    *    participants — the candidate set arrives materialized here, so
+    *    the restriction is a key-grain semi-join, exactly the case the
+    *    verifiedJaccard scaladoc carves out), and long texts never
+    *    enter a pair-grain join at all.
+    *
+    * Identical output on both routes (DedupSpec pins a mixed-length
+    * corpus): on the candidate domain every doc has ≥ 1 shingle (it has
+    * a signature by construction), where kernel and frame arithmetic
+    * agree exactly. `texts` must cover every id in `cand` with
+    * (doc_id, text). */
+  private[graft] def pairJaccard(cand: DataFrame, texts: DataFrame,
+                                 aCol: String, bCol: String,
+                                 longBytes: Long = LongDocVerifyBytes,
+                                 memoKey: Option[String] = None,
+                                 knownHasLong: Option[Boolean] = None)
+      : DataFrame = {
+    // knownHasLong: callers whose `texts` lineage already contains the
+    // candidate join (the streaming cycle's partner fetch) probe their
+    // CHEAP constituents themselves — probing `texts` here would
+    // execute that join twice.
+    if (!knownHasLong.getOrElse(hasLongDocs(texts, longBytes, memoKey)))
+      return cand
+        .join(texts.select(col("doc_id").as(aCol), col("text").as("__ta")), aCol)
+        .join(texts.select(col("doc_id").as(bCol), col("text").as("__tb")), bCol)
+        .select(col(aCol), col(bCol),
+          graft.functions.ShingleJaccardPpm(col("__ta"), col("__tb"))
+            .as("jaccard_ppm"))
+    val lens = texts.select(col("doc_id"),
+      (octet_length(col("text")) > longBytes).as("__lng"))
+    val flagged = cand
+      .join(lens.select(col("doc_id").as(aCol), col("__lng").as("__la")), aCol)
+      .join(lens.select(col("doc_id").as(bCol), col("__lng").as("__lb")), bCol)
+    val short = flagged.filter(!col("__la") && !col("__lb"))
+      .select(col(aCol), col(bCol))
+      .join(texts.select(col("doc_id").as(aCol), col("text").as("__ta")), aCol)
+      .join(texts.select(col("doc_id").as(bCol), col("text").as("__tb")), bCol)
+      .select(col(aCol), col(bCol),
+        graft.functions.ShingleJaccardPpm(col("__ta"), col("__tb"))
+          .as("jaccard_ppm"))
+    val longCand = flagged.filter(col("__la") || col("__lb"))
+      .select(col(aCol), col(bCol))
+    val longSh = shinglesOfDocs(
+      texts.join(
+          longCand.select(col(aCol).as("doc_id"))
+            .unionByName(longCand.select(col(bCol).as("doc_id"))),
+          Seq("doc_id"), "left_semi")
+        .withColumn("lang", lit("")))
+    short.unionByName(verifiedJaccard(longCand, longSh, aCol, bCol))
+  }
+
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     // One self-join on (band, 4-minhash signature) over the band-exploded
@@ -164,23 +323,17 @@ private[queries] trait ExtDedup { this: Extensions.type =>
     // identical build/probe exchanges Spark deduplicates (ReuseExchange),
     // where the per-band version shuffled the signature table 8 times.
     // Signatures come from the native per-row kernel and verification
-    // runs at PAIR grain against the raw texts (two key-grain joins +
-    // one kernel call per candidate) — the exploded distinct shingle
-    // frame and its three corpus-wide verify joins are gone from this
-    // plan entirely. The per-pair trade: a doc in k candidate pairs
-    // re-hashes its shingles k times, row-local CPU bounded by the LSH
-    // collision count, bought against two corpus-grain shuffles.
+    // runs through [[pairJaccard]]: short-doc pairs verify row-locally
+    // (two key-grain joins + one kernel call per candidate — the
+    // exploded distinct shingle frame and its three corpus-wide verify
+    // joins are gone), long-doc pairs route to the frame-grain path
+    // that pays each document's shingles once.
     val banded = bandedSignaturesOfDocs(d)
     val cand = banded.as("a")
       .join(banded.as("b"), bandEq && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(d.select(col("doc_id").as("doc_a"), col("text").as("__ta")), "doc_a")
-      .join(d.select(col("doc_id").as("doc_b"), col("text").as("__tb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        graft.functions.ShingleJaccardPpm(col("__ta"), col("__tb"))
-          .as("jaccard_ppm"))
+    pairJaccard(cand, d, "doc_a", "doc_b", memoKey = Some(dir))
   }
 
   /** Token-frequency SimHash at `bits` width (32 or 64). All signed

@@ -78,7 +78,7 @@ private[queries] trait ExtText { this: Extensions.type =>
     * After the cycle the batch's grams min-merge into the first-seen
     * table — the same append posture as d10's signature log. */
   def noveltyIncremental(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    val sh = shinglesOfDocs(docs(s, dir))
     val cutoff = docs(s, dir).agg((max(col("doc_id")) * 9).as("c9"))
     val shc = sh.crossJoin(broadcast(cutoff))
     val baseFirst = shc.filter(col("doc_id") * 10 <= col("c9"))
@@ -416,21 +416,28 @@ private[queries] trait ExtText { this: Extensions.type =>
     * consumes. Denominator is the unigram count (including stream-final
     * tokens), documented as the proxy's normalization.
     *
-    * Scale shape: successor pairing is ONE per-doc window (lead over
-    * pos — doc-partitioned, never corpus-global); the bigram model is
-    * one hash agg; scoring joins doc bigram rows to the model at
-    * (lang, bigram) grain — t03's "token join" standard shape, where a
-    * Zipfian vocabulary's model table broadcasts and a huge one
-    * shuffles at collision grain. */
+    * Scale shape: successor pairing is a ROW-LOCAL array transform over
+    * the token array (the dsirGramsOf device — adjacency is already
+    * explicit in the array index, so the doc-partitioned lead window
+    * the first cut paid, an exchange + per-doc sort whose only job was
+    * to recover that adjacency, is gone); the bigram model is one hash
+    * agg; scoring joins doc bigram rows to the model at (lang, bigram)
+    * grain — t03's "token join" standard shape, where a Zipfian
+    * vocabulary's model table broadcasts and a huge one shuffles at
+    * collision grain. */
   def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
-    val tr = tokRows(s, dir)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val big = tr
-      .withColumn("tb", lead(col("tok"), 1).over(w))
-      .filter(col("tb").isNotNull)
-      .select(col("doc_id"), col("lang"), col("tok").as("ta"), col("tb"))
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      split(col("text"), " ").as("t"))
+    val big = d.select(col("doc_id"), col("lang"), explode(expr(
+        """CASE WHEN size(t) < 2
+          |THEN CAST(array() AS array<struct<ta:string,tb:string>>)
+          |ELSE transform(sequence(0, size(t) - 2),
+          |               i -> struct(t[i] AS ta, t[i+1] AS tb)) END"""
+          .stripMargin)).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.ta").as("ta"), col("bg.tb").as("tb"))
     val cab = big.groupBy("lang", "ta", "tb").agg(count(lit(1)).as("c"))
-    val ca = tr.select(col("lang"), col("tok").as("ta"))
+    val ca = d.select(col("lang"), explode(col("t")).as("ta"))
       .groupBy("lang", "ta").agg(count(lit(1)).as("c1"))
     val model = cab.join(ca, Seq("lang", "ta"))
       .select(col("lang"), col("ta"), col("tb"),
@@ -1156,14 +1163,7 @@ private[queries] trait ExtText { this: Extensions.type =>
           col("a.doc_id") < col("b.doc_id")))
       .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("other_doc"))
       .distinct()
-    cand
-      .join(d.select(col("doc_id").as("new_doc"), col("text").as("__ta")),
-        "new_doc")
-      .join(d.select(col("doc_id").as("other_doc"), col("text").as("__tb")),
-        "other_doc")
-      .select(col("new_doc"), col("other_doc"),
-        graft.functions.ShingleJaccardPpm(col("__ta"), col("__tb"))
-          .as("jaccard_ppm"))
+    pairJaccard(cand, d, "new_doc", "other_doc", memoKey = Some(dir))
   }
 
   /** d11: exact-substring duplication detection — the memorization-grade
@@ -1176,12 +1176,11 @@ private[queries] trait ExtText { this: Extensions.type =>
     * doc-id range. The shuffle carries |distinct windows| hashed keys —
     * the same cost class as d01, nothing pairwise. */
   def substringDupes(s: SparkSession, dir: String): DataFrame = {
-    val g = toks(s, dir).select(col("doc_id"), explode(expr(
-      """CASE WHEN size(t) < 30 THEN CAST(array() AS array<string>)
-        |ELSE transform(sequence(0, size(t) - 30),
-        |               i -> concat_ws(' ', slice(t, i + 1, 30))) END"""
-        .stripMargin)).as("gram"))
-      .distinct()
+    // Distinct 30-token windows per doc via the one-pass gram kernel
+    // (the shinglesOfDocs rationale at n = 30): the corpus-wide
+    // DISTINCT exchange under the window hash agg is gone.
+    val g = docs(s, dir).select(col("doc_id"),
+      explode(graft.functions.DistinctGrams(col("text"), 30)).as("gram"))
     // countDistinct, not count: the grain is the 32-bit window hash, and
     // two DIFFERENT windows of one document colliding on h32 must not
     // count that document twice — n_docs is distinct documents per hash.

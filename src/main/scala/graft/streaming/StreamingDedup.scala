@@ -66,29 +66,37 @@ object StreamingDedup {
             (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
         .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("other_doc"))
         .distinct()
-      // Exact verification at PAIR grain from raw texts (the d03/d10
-      // kernel): new-doc text from the batch, partner text from the
-      // batch first (new-new pairs) falling back to a candidate-grain
-      // semi-join fetch of the corpus store. The old frame-grain verify
-      // had to carefully EXCLUDE batch docs from the corpus fetch (the
-      // store already holds the batch's file, and duplicated shingle
-      // rows quadrupled the intersection count); the pair-grain kernel
-      // reads each side's text exactly once, so the hazard class is
-      // gone by construction.
+      // Exact verification through Extensions.pairJaccard (the d03/d10
+      // tail): short-doc pairs verify row-locally from raw texts, pairs
+      // with a long side route to the frame-grain path that pays each
+      // document's shingles once. New-doc text from the batch, partner
+      // text from the batch first (new-new pairs) falling back to a
+      // candidate-grain semi-join fetch of the corpus store. The old
+      // frame-grain verify had to carefully EXCLUDE batch docs from the
+      // corpus fetch (the store already holds the batch's file, and
+      // duplicated shingle rows quadrupled the intersection count); the
+      // routed verify reads each side's text from ONE deduplicated
+      // frame, so the hazard class is gone by construction.
       val partnerIds = cand.select(col("other_doc").as("doc_id")).distinct()
         .join(b.select("doc_id"), Seq("doc_id"), "left_anti")
       val partnerTexts = spark.read.schema(docSchema).parquet(corpusDir)
         .join(partnerIds, Seq("doc_id"), "left_semi")
         .select("doc_id", "text")
       val allTexts = b.select("doc_id", "text").unionByName(partnerTexts)
-      val verified = cand
-        .join(b.select(col("doc_id").as("new_doc"), col("text").as("__ta")),
-          "new_doc")
-        .join(allTexts.select(col("doc_id").as("other_doc"),
-          col("text").as("__tb")), "other_doc")
-        .select(col("new_doc"), col("other_doc"),
-          graft.functions.ShingleJaccardPpm(col("__ta"), col("__tb"))
-            .as("jaccard_ppm"))
+      // Routing probe over the CHEAP constituents (the persisted batch,
+      // and the raw store scan memoized per dir) — probing allTexts
+      // itself would execute the candidate join a second time. The
+      // store memo can go stale-false as long docs arrive in later
+      // batches; that is perf-only (both routes exact), and the batch
+      // probe is fresh every cycle.
+      val hasLong =
+        Extensions.hasLongDocs(b, Extensions.LongDocVerifyBytes, None) ||
+          Extensions.hasLongDocs(
+            spark.read.schema(docSchema).parquet(corpusDir),
+            Extensions.LongDocVerifyBytes, Some(corpusDir + "#dedupstore"))
+      val verified = Extensions
+        .pairJaccard(cand, allTexts, "new_doc", "other_doc",
+          knownHasLong = Some(hasLong))
         .filter(col("jaccard_ppm") >= 800000)
       // Order is load-bearing (recache-by-path): the pair plan reads the
       // signature table lazily, so it must be fully consumed by its write

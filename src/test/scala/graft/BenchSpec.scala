@@ -59,11 +59,42 @@ class BenchSpec extends AnyFunSuite {
 
   test("regression verdicts: host drift absolves, residual cost convicts") {
     // 1.4x raw but the flat band moved 1.3x too -> host.
-    assert(Bench.regressionVerdict(1.4 / 1.3) == "host")
-    // 2x raw on a flat host -> real.
-    assert(Bench.regressionVerdict(2.0) == "real")
+    assert(Bench.regressionVerdict(1.4 / 1.3, sameHost = true) == "host")
+    // 2x raw on a flat, same-host-attested prior -> real.
+    assert(Bench.regressionVerdict(2.0, sameHost = true) == "real")
     // Exactly at the band edge stays host (no false alarm on noise).
-    assert(Bench.regressionVerdict(1.15) == "host")
+    assert(Bench.regressionVerdict(1.15, sameHost = true) == "host")
+  }
+
+  test("a cross-host prior can NEVER yield a real verdict") {
+    // Round 14: eight "real" flags on untouched code, every prior min
+    // from a different machine. An over-band ratio against an
+    // unattested prior is a suspect to A/B, not a conviction.
+    assert(Bench.regressionVerdict(2.0, sameHost = false) == "cross-host")
+    // In-band ratio is "host" regardless of attestation — there is
+    // nothing to adjudicate.
+    assert(Bench.regressionVerdict(1.1, sameHost = false) == "host")
+    // Attestation: sentinels within 1.25x either way, both present.
+    assert(Bench.sameHost(Some(0.40), 0.45))
+    assert(Bench.sameHost(Some(0.45), 0.40))
+    assert(!Bench.sameHost(Some(0.216), 0.469)) // the r13->r14 host pair
+    assert(!Bench.sameHost(None, 0.30))         // clipped tail: no proof
+    assert(!Bench.sameHost(Some(0.0), 0.30))
+  }
+
+  test("prior sentinel parses from raw and driver-wrapped artifacts") {
+    val line = """{"metric":"total","value":6.0,"sentinel":0.469,"queries":{"a":1.0},"mins":{"a":0.9},"sf":"x"}"""
+    assert(Bench.parsePriorSentinel(line).contains(0.469))
+    val wrapped =
+      """{"tail": "\"queries\":{\"a\":2.0},\"mins\":{\"a\":1.1},\"sentinel\":0.32,\"sf\":\"x\"}"}"""
+    assert(Bench.parsePriorSentinel(wrapped).contains(0.32))
+    assert(Bench.parsePriorSentinel("{\"n\":1}").isEmpty)
+    // ...and priorMinsAndSentinel pairs the sentinel with the SAME
+    // artifact that supplied the mins.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-sent")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_LOCAL.json"), line)
+    assert(Bench.priorMinsAndSentinel(dir.toString, sf = "/td/x") ==
+      (Map("a" -> 0.9), Some(0.469)))
   }
 
   // --- round-7 layout: the final stdout line must survive the driver's

@@ -283,7 +283,7 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "text", "lang").unionByName(edge)
     assertSameRows(
       Extensions.bandedSignaturesOfDocs(d),
-      Extensions.bandedSignatures(Extensions.shinglesOfDocs(d)),
+      Extensions.bandedSignatures(Extensions.shinglesOfDocsExploded(d)),
       "native banded signatures vs exploded-aggregate form")
   }
 
@@ -292,7 +292,7 @@ class DedupSpec extends SparkSpec {
     val src = sf("sf0.001")
     // Every LSH candidate pair of the corpus, verified both ways.
     val d03 = Extensions.dedupMinhashLsh(spark, src)
-    val sh = Extensions.shinglesOfDocs(
+    val sh = Extensions.shinglesOfDocsExploded(
       Tables.t(spark, src, "documents").select("doc_id", "text", "lang"))
     assertSameRows(d03,
       Extensions.verifiedJaccard(
@@ -312,6 +312,59 @@ class DedupSpec extends SparkSpec {
     // distinct); doc2: {p q r, q r s, r s t, s t u}; common = 1,
     // union = 6 -> 166666 ppm.
     assert(kernel == 166666L, s"duplicate-shingle arithmetic: $kernel")
+  }
+
+  test("long-doc routing: every threshold split of pairJaccard agrees") {
+    import spark.implicits._
+    // Mixed-length corpus: two near-dup long docs (> default threshold),
+    // two near-dup short docs, a cross-length near-dup, and a singleton.
+    // Near-dups by one-token mutation so jaccard lands strictly between
+    // 0 and 1 (arithmetic differences between routes would show).
+    def big(seed: Int, mut: Boolean): String = {
+      val toks = (0 until 3000).map(i => s"tok${(i * 7 + seed) % 97}w$i")
+      (if (mut) toks.updated(123, "MUT") else toks).mkString(" ")
+    }
+    val shortA = (0 until 40).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, big(0, mut = false), "en"),
+      (2L, big(0, mut = true), "en"),           // long-long near-dup
+      (3L, shortA, "en"),
+      (4L, shortA.replace("s7 ", "zz "), "en"), // short-short near-dup
+      (5L, big(1, mut = false) + " " + shortA, "en"), // long, overlaps 3
+      (6L, "w x y z only once here", "en")).toDF("doc_id", "text", "lang")
+    assert(docs.filter(octet_length(col("text")) >
+      Extensions.LongDocVerifyBytes).count() >= 3, "fixture docs too short")
+    val texts = docs.select("doc_id", "text")
+    val ids = docs.select("doc_id")
+    val cand = ids.toDF("doc_a").crossJoin(ids.toDF("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    // Threshold 0 = every pair on the frame-grain route; MaxValue =
+    // every pair on the kernel route; the default splits the corpus.
+    // All three must agree row-for-row — the routing pin.
+    val allFrame =
+      Extensions.pairJaccard(cand, texts, "doc_a", "doc_b", longBytes = 0L)
+    val allKernel = Extensions.pairJaccard(cand, texts, "doc_a", "doc_b",
+      longBytes = Long.MaxValue)
+    val routed = Extensions.pairJaccard(cand, texts, "doc_a", "doc_b")
+    assertSameRows(routed, allKernel, "routed vs all-kernel")
+    assertSameRows(routed, allFrame, "routed vs all-frame-grain")
+    assert(routed.count() == 15, "every candidate pair must verify")
+    // The mixed corpus's routed plan carries BOTH branches: the kernel
+    // verify and the frame-grain shingle source (distinct_grams).
+    val mixedPlan = routed.queryExecution.optimizedPlan.toString
+    assert(mixedPlan.contains("shingle_jaccard_ppm") &&
+      mixedPlan.contains("distinct_grams"),
+      s"routed plan lost a branch:\n$mixedPlan")
+    // ...and for an ATTESTED ALL-SHORT corpus the routing collapses:
+    // d03's plan at sf0.001 is the PURE kernel plan — no lens joins, no
+    // empty frame-grain branch (the always-routed form's extra stages
+    // measurably doubled d03/d10 at bench grain).
+    val d03short = Extensions.dedupMinhashLsh(spark, sf("sf0.001"))
+    val shortPlan = d03short.queryExecution.optimizedPlan.toString
+    assert(!shortPlan.contains("distinct_grams"),
+      s"all-short corpus still pays the long branch:\n$shortPlan")
+    assert(shortPlan.contains("shingle_jaccard_ppm"))
+    assert(d03short.count() > 0)
   }
 
   test("native simhash kernel ≡ the aggregate form at both widths") {
@@ -351,11 +404,52 @@ class DedupSpec extends SparkSpec {
     // The block is a NECESSARY condition of J ≥ 0.8 (size ratio within
     // [0.8, 1.25] → same or adjacent log-1.25 bucket), so the
     // job-callable form must equal the quadratic oracle anchor exactly —
-    // not within a recall bound.
+    // not within a recall bound. Both the kernel-assisted path (hash-
+    // grain candidates + pair-grain string stats) and the retained
+    // exploded-frame twin must land on d02's exact rows.
     val dir = sf("sf0.01")
     assertSameRows(
       Extensions.dedupNgramJaccardBlocked(spark, dir),
       Extensions.dedupNgramJaccard(spark, dir),
-      "blocked Jaccard vs exact d02")
+      "blocked (kernel) Jaccard vs exact d02")
+    assertSameRows(
+      Extensions.dedupNgramJaccardBlockedFrame(spark, dir),
+      Extensions.dedupNgramJaccard(spark, dir),
+      "blocked (frame twin) Jaccard vs exact d02")
+  }
+
+  test("distinct-gram kernel ≡ the exploded+distinct forms, incl. edge docs") {
+    import spark.implicits._
+    // Edge docs from the minhash-kernel pin's class: empty text, <n
+    // tokens, empty tokens from double/trailing spaces, multi-byte
+    // UTF-8, heavy duplicate windows.
+    val edge = Seq(
+      (900L, "", "en"), (901L, "a", "en"), (902L, "a b", "en"),
+      (903L, "a b c", "en"), (904L, "a  b  c  d", "en"),
+      (905L, "x y z x y z x y z x y z", "en"),
+      (906L, "汉字 αβ ☃ tok 汉字 αβ ☃", "de"),
+      (907L, " leading and trailing ", "en"),
+      (908L, (1 to 40).map(i => s"w${i % 5}").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val sfDocs = graft.Tables.t(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "text", "lang")
+    for (d <- Seq(edge, sfDocs)) {
+      assertSameRows(Extensions.shinglesOfDocs(d),
+        Extensions.shinglesOfDocsExploded(d),
+        "kernel shingles vs exploded+distinct")
+      val withBucket = d.select(col("doc_id"), col("text"))
+      assertSameRows(Extensions.grams8OfDocs(withBucket),
+        Extensions.grams8OfDocsExploded(withBucket),
+        "kernel 8-grams vs exploded+distinct")
+    }
+    // ...and d14's inline distinct count (size of the kernel array)
+    // agrees with the exploded form's aggregated count.
+    val inline = edge.select(col("doc_id"),
+        size(graft.functions.DistinctGrams(col("text"), 3)).cast("long")
+          .as("n_sh"))
+      .filter(col("n_sh") > 0)
+    val counts = Extensions.shinglesOfDocsExploded(edge)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    assertSameRows(inline, counts, "inline n_sh vs exploded distinct count")
   }
 }

@@ -276,14 +276,16 @@ class PlanSpec extends SparkSpec {
         s"label@${labelEq.get.start}):\n$p")
   }
 
-  test("t20's successor window is doc-partitioned; the model joins by broadcast") {
+  test("t20's successor pairing is window-free; the model joins by broadcast") {
     // The LM scorer's two scale hazards, pinned: successor pairing must
-    // be a doc-partitioned window (a global window would move the whole
-    // token stream to one partition), and the Zipfian-vocabulary model
-    // table must come back by broadcast, not a corpus shuffle.
+    // be ROW-LOCAL (adjacency is explicit in the token array index — a
+    // window, even doc-partitioned, pays an exchange + per-doc sort
+    // just to recover it; a global window would be worse still), and
+    // the Zipfian-vocabulary model table must come back by broadcast,
+    // not a corpus shuffle.
     val p = planOf(graft.queries.Extensions.bigramLmScore(spark, dir))
-    assert(p.contains("windowspecdefinition(doc_id"),
-      s"successor window not partitioned by doc_id:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"successor pairing regressed to a window:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"bigram model not broadcast back:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
