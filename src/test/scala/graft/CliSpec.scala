@@ -55,9 +55,12 @@ class CliSpec extends SparkSpec {
     lines(base, "service", "--cycles", "1", "--interval", "1 second")
     // Real system clock at second cadences: both crons fire immediately
     // at start, and catch-up fires a missed generate tick on every loop
-    // pass — so even when one delta step takes seconds of real work,
-    // 10 s of wall time yields >=2 generate and >=1 delta ticks.
-    val out = lines(base, "schedule", "--for-secs", "10",
+    // pass — so even when one generate+delta pass takes many seconds of
+    // real work, the window fits >=2 generate and >=1 delta ticks. The
+    // window is 30 s, not 10: on a loaded host a single pass measured
+    // >10 s of wall (round-15 flake — 1 tick in a 10 s window), and the
+    // property under test is the catch-up cadence, not host speed.
+    val out = lines(base, "schedule", "--for-secs", "30",
       "--gen-every-secs", "1", "--delta-every-secs", "4",
       "--interval", "1 second").head
     assert(out.startsWith("Scheduled run: "), out)

@@ -112,4 +112,38 @@ class PropertySpec extends SparkSpec {
         assert(got == want, s"got $got\nwant $want")
     }
   }
+
+  /** Random token streams for the gram kernels: tokens drawn from a
+    * SMALL alphabet (forces duplicate windows), empty tokens included
+    * (double/leading/trailing spaces), occasional multi-byte tokens.
+    * Joined with single spaces — the repo-wide tokenizer contract. */
+  private val tokenTexts: Gen[String] =
+    Gen.listOf(Gen.oneOf("a", "b", "cc", "", "汉", "tok", "x"))
+      .map(_.mkString(" "))
+
+  test("distinct-gram kernel ≡ exploded+distinct on random token streams") {
+    // The byte-scan kernel (one pass, LinkedHashSet dedup) against the
+    // independent transform+explode+DISTINCT implementation, at every
+    // gram width the engine uses (3 = shingles, 8 = contamination
+    // grams, 30 = substring windows) — scalacheck streams where the
+    // curated edge docs in DedupSpec can't reach (e.g. runs of empty
+    // tokens longer than the window).
+    val texts = samples(tokenTexts, 120).distinct
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en") }
+      .toDF("doc_id", "text", "lang")
+    for (n <- Seq(3, 8, 30)) {
+      val kernel = df.select(col("doc_id"),
+        explode(graft.functions.DistinctGrams(col("text"), n)).as("gram"))
+      val exploded = df
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          s"""CASE WHEN size(t) < $n THEN CAST(array() AS array<string>)
+             |ELSE transform(sequence(0, size(t) - $n),
+             |               i -> concat_ws(' ', slice(t, i + 1, $n))) END"""
+            .stripMargin)).as("gram"))
+        .distinct()
+      assertSameRows(kernel, exploded, s"distinct $n-grams, random streams")
+    }
+  }
 }

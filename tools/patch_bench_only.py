@@ -19,8 +19,8 @@ def main() -> None:
     path = sys.argv[1]
     with open(path, encoding="utf-8") as f:
         src = f.read()
-    if "__only" in src:
-        print(f"[patch] {path} already patched")
+    if "__only" in src or "SPARK_GRAFT_ONLY" in src:
+        print(f"[patch] {path} already supports SPARK_GRAFT_ONLY")
         return
     if ANCHOR not in src:
         sys.exit(f"[patch] anchor not found in {path}; prior Bench layout "
