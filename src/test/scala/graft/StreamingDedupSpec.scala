@@ -104,4 +104,54 @@ class StreamingDedupSpec extends SparkSpec {
     assert(emitted == 0,
       s"no pair has true Jaccard >= 0.8, but $emitted were emitted")
   }
+
+  test("long docs take the routed verify across waves (batch and store side)") {
+    // The streaming cycle's long-doc routing, exercised with REAL long
+    // documents (> LongDocVerifyBytes): wave 1 ingests a long doc among
+    // short ones (store side grows a long partner), wave 2 brings its
+    // long near-dup plus a short near-dup pair — so the routed verify
+    // runs long-vs-long ACROSS waves (store probe memo path), long
+    // pairs land in the frame-grain branch, short pairs in the kernel
+    // branch, and the final log must still equal the one-shot batch
+    // LSH, which routes through the same pairJaccard by dir memo.
+    val base = java.nio.file.Files.createTempDirectory("graft-sdedup3").toString
+    val corpus = s"$base/documents.parquet"
+    val (sig, pairs, ckpt) = (s"$base/sigs", s"$base/pairs", s"$base/ckpt")
+    import spark.implicits._
+    def big(mut: Boolean): String = {
+      val toks = (0 until 3000).map(i => s"tok${(i * 7) % 97}w$i")
+      (if (mut) toks.updated(123, "MUT") else toks).mkString(" ")
+    }
+    val shortA = (0 until 40).map(i => s"s$i").mkString(" ")
+    val wave1 = Seq(
+      (1L, big(mut = false), "en"),
+      (2L, shortA, "en"),
+      (3L, "unrelated words only here once", "en")).toDF("doc_id", "text", "lang")
+    val wave2 = Seq(
+      (4L, big(mut = true), "en"),                  // long near-dup of 1
+      (5L, shortA.replace("s7 ", "zz "), "en"))     // short near-dup of 2
+      .toDF("doc_id", "text", "lang")
+    assert(wave1.filter(octet_length(col("text")) >
+      Extensions.LongDocVerifyBytes).count() == 1, "fixture long doc too short")
+
+    wave1.write.mode("append").parquet(corpus)
+    StreamingDedup.ingestAvailable(spark, corpus, sig, pairs, ckpt)
+    wave2.write.mode("append").parquet(corpus)
+    StreamingDedup.ingestAvailable(spark, corpus, sig, pairs, ckpt)
+
+    val streamed = StreamingDedup.pairsView(spark, pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed.contains((1L, 4L)),
+      s"cross-wave LONG near-dup pair missing from $streamed")
+    assert(streamed.contains((2L, 5L)),
+      s"cross-wave SHORT near-dup pair missing from $streamed")
+    // One-shot equivalence on the mixed-length corpus (lshPairs probes
+    // the same dir-memoized routing — fresh dir, fresh probe).
+    val oneShot = Extensions.lshPairs(spark, base)
+      .filter(col("jaccard_ppm") >= 800000)
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == oneShot, s"streamed $streamed != one-shot $oneShot")
+  }
 }
