@@ -68,18 +68,106 @@ private[queries] trait ExtBpe { this: Extensions.type =>
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** Word-table size below which the trainer COLLECTS the table and
+    * runs the merge loop on the driver — the coarseBooks/hot-census
+    * pattern at the BPE dial. The corpus-grain work (bpeWords' hash
+    * agg) is identical either way; what the rounds themselves cost is
+    * rounds × fixed stage overhead when the word table is small (the
+    * d13 lesson: data cost nil, scheduling dominates — measured ~2.5 s
+    * of overhead for 12 rounds over a 31-word table at sf0.1). A
+    * Heaps-law table under the cap is a few MB of (word, cnt, seq)
+    * rows; above it (real web corpora: millions of distinct words) the
+    * distributed rounds run as before. Both paths are the SAME greedy
+    * algorithm — BpeSpec pins merges and final table equal. */
+  private[graft] val BpeDriverWordCap = 65536L
+
+  /** The greedy merge loop over a collected word table — bpeApply's
+    * left-fold semantics replicated exactly (never chains onto a
+    * just-fused symbol; every-other occurrence in self-pair runs), and
+    * the argmax is the same (count desc, then (l, r) lexicographic)
+    * total order, so ties break identically to the distributed
+    * orderBy…limit(1). */
+  private[graft] def bpeTrainLocal(
+      words0: Array[(String, Long, Array[String])], rounds: Int)
+      : (Seq[(Int, String, String, Long)],
+         Array[(String, Long, Array[String])]) = {
+    def applyMerge(seq: Array[String], l: String, r: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < seq.length) {
+        if (out.nonEmpty && out.last == l && seq(i) == r)
+          out(out.length - 1) = l + r
+        else out += seq(i)
+        i += 1
+      }
+      out.toArray
+    }
+    var words = words0
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= rounds && !exhausted) {
+      val stats = new java.util.HashMap[(String, String), Long]()
+      for ((_, cnt, seq) <- words; i <- 1 until seq.length)
+        stats.merge((seq(i - 1), seq(i)), cnt, (a, b) => a + b)
+      if (stats.isEmpty) exhausted = true
+      else {
+        var bl: String = null
+        var br: String = null
+        var bc = Long.MinValue
+        stats.forEach { (p, c) =>
+          val better = c > bc || (c == bc &&
+            (p._1 < bl || (p._1 == bl && p._2 < br)))
+          if (better) { bl = p._1; br = p._2; bc = c }
+        }
+        merges += ((k, bl, br, bc))
+        words = words.map { case (w, cnt, seq) =>
+          (w, cnt, applyMerge(seq, bl, br))
+        }
+        k += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
+
   /** Distributed BPE trainer: the learned merge list plus the word table
-    * tokenized under all of it. Each round is one tiny weighted
+    * tokenized under all of it. The corpus collapses to the distinct-
+    * word table in ONE hash agg; below [[BpeDriverWordCap]] the merge
+    * loop then runs on the driver ([[bpeTrainLocal]] — one collect, no
+    * per-round jobs), above it each round is one tiny weighted
     * pair-count agg, a ONE-ROW argmax collect (count desc, then (l, r)
     * lexicographic — the scalar decision every distributed BPE trainer
     * makes per round), and a narrow fold over the word table,
     * localCheckpoint-ed so round k+1's lineage doesn't replay rounds
     * 1..k; superseded rounds' blocks are freed eagerly and the caller
-    * owns (and may free) the returned frame's. Stops early if the corpus
-    * runs out of pairs. */
+    * owns (and may free) the returned frame's. Stops early if the
+    * corpus runs out of pairs. */
   private[graft] def bpeTrain(d: DataFrame, rounds: Int = BpeRounds)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var words = bpeWords(d).localCheckpoint()
+    if (words.count() <= BpeDriverWordCap) {
+      val arr = words.select("word", "cnt", "seq").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray))
+      freeCkpt(words)
+      val (merges, fin) = bpeTrainLocal(arr, rounds)
+      val s = d.sparkSession
+      import s.implicits._
+      (merges, fin.toSeq.toDF("word", "cnt", "seq"))
+    } else bpeTrainFrom(words, rounds)
+  }
+
+  /** The always-distributed trainer — BpeSpec's independent anchor for
+    * the driver-side loop (and the code path any over-cap corpus takes,
+    * exercised at spec grain by calling it directly). */
+  private[graft] def bpeTrainDistributed(d: DataFrame,
+                                         rounds: Int = BpeRounds)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeTrainFrom(bpeWords(d).localCheckpoint(), rounds)
+
+  private def bpeTrainFrom(words0: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var words = words0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var k = 1
     var exhausted = false

@@ -666,10 +666,78 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
     *
     * Cost is INDEPENDENT of corpus size — the defining property of a
     * post-retrieval stage: every round touches ≤|pool| rows per query. */
+  /** Pool row count below which [[mmrSelect]] COLLECTS the pool and its
+    * similarity frame and runs the greedy rounds on the driver — the
+    * BpeDriverWordCap pattern at the re-ranker: the rounds' cost is
+    * k × fixed stage overhead (every round touches ≤|pool| rows per
+    * query), so for serving-sized pools (|Q|·20 rows; ≤100k under the
+    * cap ≈ a few MB with the all-pairs sims) the driver loop replaces
+    * 5 checkpointed plan executions with one collect. Above the cap —
+    * a batch job re-ranking millions of pools at once — the
+    * distributed rounds run as before. Same greedy argmax
+    * (score desc, cand asc), same missing-sim-means-0 rule;
+    * DiversifySpec pins the two paths row-identical. */
+  private[graft] val MmrDriverPoolCap = 100000L
+
   private[graft] def mmrSelect(pool0: DataFrame,
                                simsOf: DataFrame => DataFrame,
                                k: Int = 5): DataFrame = {
     val pool = pool0.localCheckpoint()
+    if (pool.count() <= MmrDriverPoolCap) {
+      val qcr = pool.select("query_id", "cand", "rel")
+      val schema = org.apache.spark.sql.types.StructType(
+        qcr.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "mmr_rank", org.apache.spark.sql.types.IntegerType, nullable = false))
+      val simMap = simsOf(pool).select("query_id", "a", "b", "sim")
+        .collect().map { r =>
+          (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+            r.getAs[Number](2).longValue) -> r.getAs[Number](3).longValue
+        }.toMap
+      // Original column VALUES ride through untouched (the service
+      // dials' id/score types are preserved exactly); the numeric
+      // views drive only ordering and sim lookups.
+      final case class Cand(row: org.apache.spark.sql.Row,
+                            q: Long, c: Long, rel: Long)
+      val cands = qcr.collect().map(r => Cand(r,
+        r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue))
+      freeCkpt(pool)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      for ((q, qCands) <- cands.groupBy(_.q)) {
+        val remaining = qCands.toBuffer
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Cand]
+        var r = 1
+        while (r <= k && remaining.nonEmpty) {
+          val pick =
+            if (r == 1) remaining.minBy(c => (-c.rel, c.c))
+            else remaining.minBy { c =>
+              val defined = selected.flatMap(s => simMap.get((q, c.c, s.c)))
+              val maxsim = if (defined.isEmpty) 0L else defined.max
+              (-(7L * c.rel - 3L * maxsim), c.c)
+            }
+          out += org.apache.spark.sql.Row.fromSeq(pick.row.toSeq :+ r)
+          remaining -= pick
+          selected += pick
+          r += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      return pool0.sparkSession.createDataFrame(out.asJava, schema)
+    }
+    mmrSelectFrom(pool, simsOf, k)
+  }
+
+  /** The always-distributed greedy rounds — DiversifySpec's independent
+    * anchor for the driver-side loop, and the over-cap batch path. */
+  private[graft] def mmrSelectDistributed(pool0: DataFrame,
+                                          simsOf: DataFrame => DataFrame,
+                                          k: Int = 5): DataFrame =
+    mmrSelectFrom(pool0.localCheckpoint(), simsOf, k)
+
+  private def mmrSelectFrom(pool: DataFrame,
+                            simsOf: DataFrame => DataFrame,
+                            k: Int): DataFrame = {
     val sims = simsOf(pool).localCheckpoint()
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("cand").asc)

@@ -210,6 +210,27 @@ class BpeSpec extends SparkSpec {
     (merges.toSeq, seqs)
   }
 
+  test("driver-side trainer ≡ the distributed rounds (both real corpora and runs)") {
+    // bpeTrain now routes under-cap word tables through the collected
+    // driver loop (bpeTrainLocal); the distributed rounds remain the
+    // over-cap path. Same greedy algorithm, pinned equal — merges AND
+    // final tokenizations — on the sf corpus and on a run-heavy
+    // fixture (self-pair runs are where a fold reformulation diverges).
+    val fixtures = Seq(
+      graft.Tables.t(spark, sf("sf0.001"), "documents")
+        .select("doc_id", "text"),
+      Seq((1L, "aaaaaaa aab bba aaaa"), (2L, "abab aaab aaaaaaa"),
+        (3L, "b a ab aaaaaaa aaaaaaa")).toDF("doc_id", "text"))
+    for (d <- fixtures) {
+      val (mLocal, fLocal) = Extensions.bpeTrain(d, rounds = 8)
+      val (mDist, fDist) = Extensions.bpeTrainDistributed(d, rounds = 8)
+      assert(mLocal == mDist,
+        s"merge sequences diverged\n local=$mLocal\n dist=$mDist")
+      assertSameRows(fLocal, fDist, "final word tables, local vs distributed")
+      Extensions.freeCkpt(fDist)
+    }
+  }
+
   test("bpeTrain ≡ the reference implementation on random run-heavy corpora") {
     // Alphabet {a, b} with word lengths up to 7: maximal tie pressure on
     // the argmax and long self-pair runs ('aaaaaaa') in the apply step —

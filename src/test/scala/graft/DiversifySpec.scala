@@ -165,11 +165,48 @@ class DiversifySpec extends SparkSpec {
     val before = spark.sparkContext.getPersistentRDDs.size
     Extensions.mmrDiversified(spark, dir).count()
     val after = spark.sparkContext.getPersistentRDDs.size
-    // pool, sims, and four intermediate selections are freed inside the
-    // core; only the returned frame's final checkpoint may remain.
+    // Serving-sized pools take the driver loop (pool checkpoint freed
+    // after the collect, nothing else created); the distributed rounds
+    // free pool, sims, and the intermediate selections — only the
+    // returned frame's final checkpoint may remain on that path.
     assert(after - before <= 1,
       s"mmrSelect retained ${after - before} checkpoint RDDs per call " +
         "(pool/sims/intermediate selections must be freed)")
+    val beforeD = spark.sparkContext.getPersistentRDDs.size
+    val e = Extensions.quantizeFrame(Tables.t(spark, dir, "embeddings"))
+    val q0 = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("s2").as("sa"))
+    val pool = Extensions.vecRankExact(e, q0.select(
+        col("query_id").as("vec_id"), col("qa").as("q"), col("sa").as("s2")),
+      excludeSelf = true, k = 20)
+      .select(col("query_id"), col("neighbor_id").as("cand"),
+        col("cos_ppm").as("rel"))
+    Extensions.mmrSelectDistributed(pool,
+      p => Extensions.poolSimsFrom(p, e)).count()
+    val afterD = spark.sparkContext.getPersistentRDDs.size
+    assert(afterD - beforeD <= 1,
+      s"mmrSelectDistributed retained ${afterD - beforeD} checkpoint RDDs")
+  }
+
+  test("driver-side MMR ≡ the distributed greedy rounds") {
+    // The under-cap driver loop against the retained distributed
+    // anchor: same pool, same sims builder, identical picks and ranks —
+    // including the missing-sim-means-0 rule and (score desc, cand asc)
+    // tie order the two paths must share.
+    val dir = sf("sf0.001")
+    val e = Extensions.quantizeFrame(Tables.t(spark, dir, "embeddings"))
+    val q0 = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("vec_id"), col("q"), col("s2"))
+    val pool = Extensions.vecRankExact(e, q0, excludeSelf = true, k = 20)
+      .select(col("query_id"), col("neighbor_id").as("cand"),
+        col("cos_ppm").as("rel"))
+    val local = Extensions.mmrSelect(pool,
+      p => Extensions.poolSimsFrom(p, e))
+    val dist = Extensions.mmrSelectDistributed(pool,
+      p => Extensions.poolSimsFrom(p, e))
+    assertSameRows(local, dist, "driver-side MMR vs distributed rounds")
+    assert(local.count() > 0, "empty pool makes the pin vacuous")
   }
 
   test("hard negatives off the stored index ≡ one-shot t26, as query and service") {
