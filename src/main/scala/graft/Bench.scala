@@ -46,11 +46,20 @@ import org.apache.spark.sql.SparkSession
   * hosts — which tracks memory-bound drift the arithmetic sentinel
   * cannot (round-13's t02 false alarm burned a judge round on exactly
   * this). "real" additionally requires the prior artifact to be
-  * SAME-HOST ATTESTED (its sentinel within 1.25× of this run's);
-  * an over-band suspect against a different host's prior is
-  * "cross-host" — adjudicate it with the cross-commit same-host A/B
-  * (tools/ab_bench.sh), which interleaves a PRIOR BUILD against the
-  * current one in alternating JVMs on one machine.
+  * SAME-HOST ATTESTED — host FINGERPRINT equality (hostname +
+  * boot-id) plus both sentinels in band (arithmetic 1.25×,
+  * memory-bound 1.4×); a sentinel band alone is NOT a host identity
+  * (round 15: two boxes within 1.21× on arithmetic shipped nine
+  * false "real" convictions on untouched code). An over-band suspect
+  * against an unattested prior is "cross-host". Either way, over-band
+  * suspects are then AUTO-ADJUDICATED: when the prior artifact names
+  * its commit, Bench invokes the cross-commit same-host A/B
+  * (tools/ab_bench.sh — the PRIOR BUILD interleaved against the
+  * current one in alternating JVMs on this machine, bounded to the
+  * worst [[AutoAbMaxQueries]] suspects at 2 rounds × 2 iters;
+  * SPARK_GRAFT_AUTO_AB=0 disables) and the A/B verdict supersedes the
+  * banded one — the artifact ships pre-adjudicated, with each
+  * adjudicated suspect carrying its "ab_ratio"/"ab" fields.
   *
   * Output formatting is part of the contract — the driver captures only
   * a ~2000-char TAIL of stdout, so the artifact layout is split:
@@ -144,6 +153,41 @@ object Bench {
       .map(_.group(1).toDouble)
   }
 
+  /** The prior artifact's host FINGERPRINT ("hostname/boot-id"), or
+    * None (pre-round-16 artifact, or a clipped driver tail). The
+    * identity the compare pass requires for a "real" verdict: round 15
+    * proved a sentinel BAND is not a host identity — the builder and
+    * driver boxes sat within the 1.25× arithmetic band (0.374 vs 0.31)
+    * and the band-only check shipped nine false "real" convictions
+    * that the interleaved A/B refuted 6-for-6. */
+  private[graft] def parsePriorHost(raw: String): Option[String] = {
+    val text = raw.replace("\\\"", "\"")
+    """"host"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
+      .map(_.group(1))
+  }
+
+  /** The prior artifact's memory-bound sentinel seconds, or None. The
+    * arithmetic sentinel is pure ALU work and reads flat across
+    * machines and load regimes that differ 1.5× on shuffle-heavy
+    * queries; this one (a fixed wide hash-agg through an exchange) is
+    * bounded by the same resources the suite is. */
+  private[graft] def parsePriorMemSentinel(raw: String): Option[Double] = {
+    val text = raw.replace("\\\"", "\"")
+    """"mem_sentinel"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toDouble)
+  }
+
+  /** The prior artifact's git commit ("abc1234", "-dirty" suffixed when
+    * the tree wasn't clean), or None. The auto-A/B adjudicator's
+    * prior-build ref: an over-band suspect is settled by RUNNING the
+    * prior commit interleaved with this one (tools/ab_bench.sh), and
+    * the artifact itself must say which commit produced it. */
+  private[graft] def parsePriorCommit(raw: String): Option[String] = {
+    val text = raw.replace("\\\"", "\"")
+    """"commit"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
+      .map(_.group(1))
+  }
+
   /** The prior artifact's scale-factor basename ("sf0.1"), or None.
     * The compare pass only runs against a SAME-SF prior — an sf0.001
     * iteration run against an sf0.1 baseline produces ratio garbage
@@ -164,12 +208,27 @@ object Bench {
                                    sf: String = ""): Map[String, Double] =
     priorMinsAndSentinel(dir, sf)._1
 
-  /** The prior artifact's (mins, sentinel) — sentinel from the SAME
-    * artifact that supplied the mins, so the host fingerprint the
-    * verdict column consults can never describe a different file than
-    * the numbers it qualifies. */
+  /** Everything the compare pass consults from the prior artifact —
+    * all fields from the SAME file that supplied the mins, so the host
+    * fingerprint the verdict column consults can never describe a
+    * different file than the numbers it qualifies. Pre-round-16
+    * artifacts carry only (mins, sentinel); the absent fingerprint
+    * fails attestation by design. */
+  private[graft] final case class PriorBench(
+      mins: Map[String, Double],
+      sentinel: Option[Double],
+      memSentinel: Option[Double],
+      host: Option[String],
+      commit: Option[String])
+
   private[graft] def priorMinsAndSentinel(dir: String = ".", sf: String = "")
       : (Map[String, Double], Option[Double]) = {
+    val p = priorBenchInfo(dir, sf)
+    (p.mins, p.sentinel)
+  }
+
+  private[graft] def priorBenchInfo(dir: String = ".", sf: String = "")
+      : PriorBench = {
     def readAll(p: String): String =
       try new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
@@ -191,8 +250,51 @@ object Bench {
     candidates.iterator.map(readAll)
       .filter(raw => sf.isEmpty ||
         parsePriorSf(raw).forall(_ == new java.io.File(sf).getName))
-      .map(raw => (parsePriorKey(raw, "mins"), parsePriorSentinel(raw)))
-      .find(_._1.nonEmpty).getOrElse((Map.empty, None))
+      .map(raw => PriorBench(parsePriorKey(raw, "mins"),
+        parsePriorSentinel(raw), parsePriorMemSentinel(raw),
+        parsePriorHost(raw), parsePriorCommit(raw)))
+      .find(_.mins.nonEmpty).getOrElse(
+        PriorBench(Map.empty, None, None, None, None))
+  }
+
+  /** This run's host fingerprint: hostname (capped at 24 chars — the
+    * stdout-line budget is spec-pinned and hostnames are unbounded)
+    * plus the first 8 hex of the kernel's boot UUID. Two artifacts
+    * with equal fingerprints were produced on the same machine IN THE
+    * SAME BOOT SESSION — the identity "real" verdicts require.
+    * (Hostname alone is weak — every cloud box here is named "vm" —
+    * and a sentinel band is weaker still: round 15's false
+    * convictions. 8 hex of a v4 UUID keeps accidental-collision odds
+    * at ~2^-32 against a same-named host, plenty for an honest-error
+    * guard.) Falls back to hostname-only off Linux. */
+  private[graft] def hostFingerprint(): String = {
+    val host =
+      (try java.net.InetAddress.getLocalHost.getHostName
+       catch { case _: Exception => "unknown" }).take(24)
+    val boot =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id")),
+        "UTF-8").trim.take(8)
+      catch { case _: Exception => "" }
+    if (boot.isEmpty) host else s"$host/$boot"
+  }
+
+  /** This build's git commit ("-dirty" suffixed when the working tree
+    * differs from HEAD — such an artifact's code cannot be recovered
+    * from the ref, so the auto-A/B skips it as a prior), or None when
+    * the bench runs outside a git checkout (A/B scratch legs). */
+  private[graft] def gitCommit(): Option[String] = {
+    def run(cmd: String*): Option[String] =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: Exception => None }
+    run("git", "rev-parse", "--short=9", "HEAD").map { sha =>
+      val dirty = run("git", "status", "--porcelain")
+        .exists(_.nonEmpty)
+      if (dirty) s"$sha-dirty" else sha
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -217,7 +319,15 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val specs = SparkEntry.specs.filter(sp =>
       only.forall(o => o(sp.name) || o(shortName(sp.name))))
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_LOCAL.json")
+    // A restricted (SPARK_GRAFT_ONLY) run writes its partial mins map
+    // to a DISTINCT default: run from the repo root it would otherwise
+    // silently overwrite the full-suite BENCH_LOCAL.json, and the next
+    // round's priorBenchInfo would read the partial file first and
+    // blind the compare pass for every unlisted query (ab_bench.sh
+    // avoids this with scratch cwds and an explicit SPARK_GRAFT_OUT; a
+    // hand-run restricted bench did not).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT",
+      if (only.isDefined) "BENCH_ONLY.json" else "BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -255,6 +365,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val sentinelPre = (1 to 3).map(_ => sentinelOnce())
+
+    // MEMORY-BOUND SENTINEL: a fixed wide hash-agg through a real
+    // exchange (4M distinct keys at the suite's own partition count) —
+    // bounded by hash-table build and shuffle write/read bandwidth,
+    // the resource class the arithmetic sentinel is blind to (round
+    // 15: two boxes within 1.21× on arithmetic differed up to 1.5× on
+    // memory-bound queries). Recorded as "mem_sentinel"; attestation
+    // requires BOTH sentinels in band on top of fingerprint equality.
+    def memSentinelOnce(): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.range(4000000L)
+        .selectExpr("hash(id) as k", "id as v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("sv"))
+        .selectExpr("count(*)", "sum(sv)")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val memSentinelPre = (1 to 3).map(_ => memSentinelOnce())
 
     // A failed query must be visible IN the JSON (not only stderr): its
     // per-query entry becomes JSON `null` — never a numeric sentinel a
@@ -357,9 +486,10 @@ object Bench {
     //    co-tenant burst cannot sit on one query's whole sample.
     //  - verdict "real" iff the confirmed min still exceeds
     //    1.15 × prior × hostDrift; otherwise "host".
-    val (priorMin, priorSentinel) =
-      if (only.isDefined) (Map.empty[String, Double], None)
-      else priorMinsAndSentinel(sf = sfDir)
+    val priorInfo =
+      if (only.isDefined) PriorBench(Map.empty, None, None, None, None)
+      else priorBenchInfo(sf = sfDir)
+    val priorMin = priorInfo.mins
     val curMinByName = results.collect {
       case (k, _, Some(mn), _) => k -> mn
     }.toMap
@@ -398,12 +528,48 @@ object Bench {
     // exists to bracket) so the verdict column can consult the CURRENT
     // host fingerprint against the prior artifact's.
     val sentinelRaw = med(sentinelPre ++ (1 to 3).map(_ => sentinelOnce()))
-    val hostAttested = sameHost(priorSentinel, sentinelRaw)
-    val regressions = suspects.map { name =>
+    val memSentinelRaw =
+      med(memSentinelPre ++ (1 to 3).map(_ => memSentinelOnce()))
+    val curHost = hostFingerprint()
+    val curCommit = gitCommit()
+    val hostAttested = sameHost(priorInfo.host, curHost, priorInfo.sentinel,
+      sentinelRaw, priorInfo.memSentinel, memSentinelRaw)
+    val regressions0 = suspects.map { name =>
       val (p, cur, _) = compared(name)
       val confirmed = math.min(cur, confirmMin.getOrElse(name, cur))
       val adj = confirmed / (p * math.max(hostDrift, 1e-9))
       (name, p, cur, confirmed, adj, regressionVerdict(adj, hostAttested))
+    }
+    // AUTO-ADJUDICATION: every over-band suspect — would-be "real" or
+    // "cross-host" — is settled by the same-host cross-commit A/B
+    // right here, so the artifact ships with zero verdicts a judge
+    // still has to run the tool for. Same-commit priors need no run
+    // (identical code cannot have a plan regression). The A/B is
+    // bounded (worst suspects first, 2 rounds × 2 iters) and skipped
+    // when the prior's commit is unknown/dirty, the tool is absent, or
+    // SPARK_GRAFT_AUTO_AB=0.
+    val overBand = regressions0.filter(r => r._6 == "real" || r._6 == "cross-host")
+    val autoAbOn = sys.env.getOrElse("SPARK_GRAFT_AUTO_AB", "1") != "0"
+    val abResults: Map[String, (Option[Double], String)] =
+      if (overBand.isEmpty || !autoAbOn) Map.empty
+      else priorInfo.commit match {
+        case Some(pc) if curCommit.contains(pc) && !pc.endsWith("-dirty") =>
+          overBand.map(r => r._1 -> (None: Option[Double], "same-commit"))
+            .toMap
+        case Some(pc) if !pc.endsWith("-dirty") =>
+          runAutoAb(overBand.sortBy(-_._5).take(AutoAbMaxQueries).map(_._1),
+            pc, sfDir)
+        case _ => Map.empty
+      }
+    val regressions = regressions0.map { case (name, p, cur, conf, adj, v) =>
+      val ab = abResults.get(name)
+      val finalVerdict = ab.map(_._2) match {
+        case Some("real")                    => "real"
+        case Some("flat") | Some("faster") |
+             Some("same-commit")             => "host"
+        case _                               => v
+      }
+      (name, p, cur, conf, adj, finalVerdict, ab)
     }
 
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
@@ -420,15 +586,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r3(results.flatMap { case (_, med, _, _) => med }.sum)
     val sentinel = r3(sentinelRaw)
-    val regJson = regressions.map { case (k, p, cur, conf, adj, v) =>
+    val memSentinel = r3(memSentinelRaw)
+    val regJson = regressions.map { case (k, p, cur, conf, adj, v, ab) =>
+      val abJson = ab.fold("") { case (ratio, note) =>
+        ratio.fold("")(r => s""","ab_ratio":${r3(r)}""") +
+          s""","ab":"$note""""
+      }
       "\"" + k + "\":{\"prior_min\":" + r3(p) + ",\"min\":" + r3(cur) +
         ",\"confirmed_min\":" + r3(conf) + ",\"drift_adj_ratio\":" + r3(adj) +
-        ",\"verdict\":\"" + v + "\"}"
+        abJson + ",\"verdict\":\"" + v + "\"}"
     }.mkString("{", ",", "}")
     val priorSentJson =
-      priorSentinel.fold("")(p => s""","prior_sentinel":${r3(p)}""")
+      priorInfo.sentinel.fold("")(p => s""","prior_sentinel":${r3(p)}""")
+    val commitJson = curCommit.fold("")(c => s""","commit":"$c"""")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","sentinel":$sentinel$priorSentJson,"host_drift":${r3(hostDrift)},"queries":$qs,"mins":$mins,"iters":$ns,"errors":$errJson,"flaky":$flakyJson,"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sentinel":$sentinel,"mem_sentinel":$memSentinel,"host":"$curHost"$commitJson$priorSentJson,"host_drift":${r3(hostDrift)},"queries":$qs,"mins":$mins,"iters":$ns,"errors":$errJson,"flaky":$flakyJson,"regressions":$regJson,"sf":"$sfDir"}"""
     // Full-fidelity artifact, immune to stdout-tail truncation; next
     // round's priorTimes reads it first.
     try java.nio.file.Files.write(
@@ -442,7 +614,8 @@ object Bench {
     // driver-contract line LAST — and it must fit the window whole.
     println(s"""{"mins":$mins,"iters":$ns}""")
     println(stdoutLine(total, results.map { case (k, med, _, _) => k -> med },
-      errors, flaky, sfDir, sentinel))
+      errors, flaky, sfDir, sentinel, memSentinel, curHost,
+      curCommit.getOrElse("")))
     spark.stop()
     // A bench with errored queries must not pass the round gate silently:
     // the total covers only the queries that ran, so comparing it against
@@ -452,20 +625,107 @@ object Bench {
     if (errors.nonEmpty) sys.exit(1)
   }
 
-  /** Same-host attestation for the compare pass: the prior artifact's
-    * arithmetic sentinel within 1.25× of this run's (either direction).
-    * Wider drift means a different machine or a machine in a different
-    * load/thermal regime — either way the prior min is not evidence a
-    * "real" verdict can stand on (the workload-median normalizer
-    * corrects CPU-bound drift but is documented not to fully correct
-    * memory-bound drift, and the sentinel is the only host fingerprint
-    * artifacts carry). An ABSENT prior sentinel (clipped driver tail)
-    * also fails attestation: "real" is reserved for evidence that can
-    * prove same-host, never defaulted to. */
-  private[graft] def sameHost(priorSentinel: Option[Double],
-                              curSentinel: Double): Boolean =
-    priorSentinel.exists(p => p > 0 && curSentinel > 0 &&
-      math.max(p / curSentinel, curSentinel / p) <= 1.25)
+  /** Two sentinel readings within a multiplicative band (both present
+    * and positive). */
+  private[graft] def band(p: Double, c: Double, w: Double = 1.25): Boolean =
+    p > 0 && c > 0 && math.max(p / c, c / p) <= w
+
+  /** Same-host attestation for the compare pass. "real" requires a
+    * HOST IDENTITY, not a sentinel band: round 15's builder and driver
+    * boxes sat within the 1.25× arithmetic band by coincidence
+    * (0.374 vs 0.31 = 1.21×) and the band-only check shipped nine
+    * false "real" convictions on untouched code that the interleaved
+    * A/B refuted 6-for-6 — two machines can share ALU throughput and
+    * differ 1.5× on memory-bound work. Attested means ALL of:
+    *  - fingerprint EQUALITY (hostname + boot-id — same machine, same
+    *    boot session);
+    *  - arithmetic sentinel within 1.25× (same machine, but pinned to
+    *    a different CPU budget, is still not a baseline);
+    *  - memory-bound sentinel within 1.4× when the prior carries one
+    *    (memory-bound co-tenant load is exactly the drift class the
+    *    arithmetic sentinel cannot see; the wider band reflects its
+    *    higher intrinsic noise).
+    * A prior without a fingerprint (pre-round-16 artifact, clipped
+    * driver tail) fails: "real" is reserved for evidence that can
+    * prove same-host, never defaulted to — such suspects print
+    * "cross-host" and go to the same-host A/B (tools/ab_bench.sh),
+    * which the compare pass now invokes itself when the prior's
+    * commit is known. */
+  private[graft] def sameHost(priorHost: Option[String], curHost: String,
+                              priorSentinel: Option[Double],
+                              curSentinel: Double,
+                              priorMem: Option[Double] = None,
+                              curMem: Double = 0.0): Boolean =
+    curHost.nonEmpty && priorHost.contains(curHost) &&
+      priorSentinel.exists(band(_, curSentinel)) &&
+      priorMem.forall(band(_, curMem, 1.4))
+
+  /** Auto-A/B bound: the adjudicator costs one prior-build compile plus
+    * rounds × legs × suite time — worst suspects first, the rest keep
+    * their banded verdict. */
+  private[graft] val AutoAbMaxQueries = 6
+
+  /** Per-query (ratio, verdict) rows from a BENCH_AB*.json artifact
+    * (tools/ab_aggregate.py's output): entries under "queries" shaped
+    * {"prior_min":…,"cur_min":…,"ratio":…,"verdict":"flat"}. */
+  private[graft] def parseAbQueries(raw: String)
+      : Map[String, (Option[Double], String)] =
+    ("\"([^\"]+)\"\\s*:\\s*\\{[^{}]*\"ratio\"\\s*:\\s*(null|[0-9.]+)" +
+      "[^{}]*\"verdict\"\\s*:\\s*\"([^\"]+)\"").r
+      .findAllMatchIn(raw).map { m =>
+        val ratio = m.group(2) match {
+          case "null" => None
+          case v      => Some(v.toDouble)
+        }
+        m.group(1) -> (ratio, m.group(3))
+      }.toMap
+
+  /** Run the same-host cross-commit A/B (tools/ab_bench.sh) for the
+    * given suspects against the prior artifact's commit, and return its
+    * per-query verdicts. The subprocess's chatter goes to a log file —
+    * Bench's stdout contract (final line = driver contract) must stay
+    * clean — and the artifact lands in BENCH_AB_AUTO.json at the repo
+    * root (never clobbering a hand-run BENCH_AB.json). Empty map when
+    * the tool cannot run here (no git checkout, script absent, prior
+    * ref unknown to this clone, timeout) — the suspect then keeps its
+    * banded verdict, visibly unadjudicated. */
+  private[graft] def runAutoAb(names: Seq[String], priorRef: String,
+                               sfDir: String)
+      : Map[String, (Option[Double], String)] = {
+    if (names.isEmpty) return Map.empty
+    def readAll(p: java.io.File): String =
+      try new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
+      catch { case _: Exception => "" }
+    val root =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "--show-toplevel")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0 && out.nonEmpty) Some(new java.io.File(out))
+        else None
+      } catch { case _: Exception => None }
+    root.filter(r => new java.io.File(r, "tools/ab_bench.sh").isFile)
+      .fold(Map.empty[String, (Option[Double], String)]) { r =>
+        val out = new java.io.File(r, "BENCH_AB_AUTO.json")
+        val log = new java.io.File(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_auto_ab.log")
+        System.err.println(s"[bench] auto-A/B vs $priorRef: " +
+          names.mkString(",") + s" (log: $log)")
+        try {
+          val pb = new ProcessBuilder("bash", "tools/ab_bench.sh", priorRef,
+            names.mkString(","), "2", "2", sfDir, out.getPath)
+          pb.directory(r)
+          pb.redirectErrorStream(true)
+          pb.redirectOutput(log)
+          val proc = pb.start()
+          val done =
+            proc.waitFor(25, java.util.concurrent.TimeUnit.MINUTES)
+          if (!done) { proc.destroyForcibly(); Map.empty }
+          else if (proc.exitValue() != 0) Map.empty
+          else parseAbQueries(readAll(out))
+        } catch { case _: Exception => Map.empty }
+      }
+  }
 
   /** A suspect's verdict after the confirm pass. "real" iff its
     * drift-adjusted ratio (confirmed min / (prior min × host drift))
@@ -524,7 +784,10 @@ object Bench {
       errors: Seq[(String, String)],
       flaky: Seq[(String, Int)],
       sfDir: String,
-      sentinel: Double = 0.0): String = {
+      sentinel: Double = 0.0,
+      memSentinel: Double = 0.0,
+      host: String = "",
+      commit: String = ""): String = {
     val shorts = medians0.map { case (k, _) => shortName(k) }
     val medians =
       if (shorts.distinct.size == shorts.size)
@@ -550,6 +813,15 @@ object Bench {
         .mkString(",\"flaky\":{", ",", "}")
     val sf = new java.io.File(sfDir).getName
     val sent = if (sentinel > 0) s""","sentinel":${c2(sentinel)}""" else ""
-    s"""{"metric":"total","value":${c2(total)},"unit":"sec","queries":$qs$err$flk$sent,"sf":"$sf"}"""
+    // The host fingerprint, memory-bound sentinel, and producing commit
+    // ride the FINAL line because the driver artifact is this line's
+    // tail capture — next round's attestation and auto-A/B read them
+    // from there (an earlier line would be clipped). ~110 chars against
+    // the spec-pinned 600-char headroom.
+    val memS =
+      if (memSentinel > 0) s""","mem_sentinel":${c2(memSentinel)}""" else ""
+    val hostS = if (host.nonEmpty) s""","host":"$host"""" else ""
+    val commitS = if (commit.nonEmpty) s""","commit":"$commit"""" else ""
+    s"""{"metric":"total","value":${c2(total)},"unit":"sec","queries":$qs$err$flk$sent$memS$hostS$commitS,"sf":"$sf"}"""
   }
 }

@@ -81,12 +81,25 @@ private[queries] trait ExtBpe { this: Extensions.type =>
     * algorithm — BpeSpec pins merges and final table equal. */
   private[graft] val BpeDriverWordCap = 65536L
 
+  /** UTF-8 byte order — the order BOTH anchors compare strings in
+    * (Spark's StringType sorts UTF8String bytes; DuckDB compares UTF-8
+    * bytes), which is code-POINT order. Java's String '<' is UTF-16
+    * code-UNIT order, and the two disagree exactly where surrogate
+    * pairs sort against [U+E000, U+FFFF]: a supplementary-plane symbol
+    * (emoji — common in web corpora) reads 0xD8xx-first in UTF-16 but
+    * 0xF0-first in UTF-8, so a count TIE between such symbols would
+    * pick a different merge on the driver than distributed/oracle.
+    * BpeSpec's supplementary-tie fixture pins the agreement. */
+  private[graft] def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
   /** The greedy merge loop over a collected word table — bpeApply's
     * left-fold semantics replicated exactly (never chains onto a
     * just-fused symbol; every-other occurrence in self-pair runs), and
-    * the argmax is the same (count desc, then (l, r) lexicographic)
-    * total order, so ties break identically to the distributed
-    * orderBy…limit(1). */
+    * the argmax is the same (count desc, then (l, r) lexicographic IN
+    * UTF-8 BYTE ORDER — [[utf8Lt]]) total order, so ties break
+    * identically to the distributed orderBy…limit(1). */
   private[graft] def bpeTrainLocal(
       words0: Array[(String, Long, Array[String])], rounds: Int)
       : (Seq[(Int, String, String, Long)],
@@ -118,7 +131,7 @@ private[queries] trait ExtBpe { this: Extensions.type =>
         var bc = Long.MinValue
         stats.forEach { (p, c) =>
           val better = c > bc || (c == bc &&
-            (p._1 < bl || (p._1 == bl && p._2 < br)))
+            (utf8Lt(p._1, bl) || (p._1 == bl && utf8Lt(p._2, br))))
           if (better) { bl = p._1; br = p._2; bc = c }
         }
         merges += ((k, bl, br, bc))
@@ -165,7 +178,7 @@ private[queries] trait ExtBpe { this: Extensions.type =>
       : (Seq[(Int, String, String, Long)], DataFrame) =
     bpeTrainFrom(bpeWords(d).localCheckpoint(), rounds)
 
-  private def bpeTrainFrom(words0: DataFrame, rounds: Int)
+  private[graft] def bpeTrainFrom(words0: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var words = words0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]

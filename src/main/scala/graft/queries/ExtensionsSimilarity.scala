@@ -666,24 +666,48 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
     *
     * Cost is INDEPENDENT of corpus size — the defining property of a
     * post-retrieval stage: every round touches ≤|pool| rows per query. */
-  /** Pool row count below which [[mmrSelect]] COLLECTS the pool and its
-    * similarity frame and runs the greedy rounds on the driver — the
-    * BpeDriverWordCap pattern at the re-ranker: the rounds' cost is
-    * k × fixed stage overhead (every round touches ≤|pool| rows per
-    * query), so for serving-sized pools (|Q|·20 rows; ≤100k under the
-    * cap ≈ a few MB with the all-pairs sims) the driver loop replaces
-    * 5 checkpointed plan executions with one collect. Above the cap —
-    * a batch job re-ranking millions of pools at once — the
-    * distributed rounds run as before. Same greedy argmax
-    * (score desc, cand asc), same missing-sim-means-0 rule;
+  /** Pool row count below which [[mmrSelect]] MAY collect the pool and
+    * run the greedy rounds on the driver — the BpeDriverWordCap
+    * pattern at the re-ranker: the rounds' cost is k × fixed stage
+    * overhead (every round touches ≤|pool| rows per query), so for
+    * serving-sized pools the driver loop replaces 5 checkpointed plan
+    * executions with one collect. Above the caps — a batch job
+    * re-ranking millions of pools at once, or one query with a huge
+    * candidate set — the distributed rounds run as before. Same greedy
+    * argmax (score desc, cand asc), same missing-sim-means-0 rule;
     * DiversifySpec pins the two paths row-identical. */
   private[graft] val MmrDriverPoolCap = 100000L
+
+  /** The SECOND driver-route cap: what the route actually collects is
+    * the pool-internal ALL-PAIRS similarity frame, whose cardinality is
+    * Σ_q |pool_q|·(|pool_q|−1) — quadratic PER QUERY, so a pool-row cap
+    * alone guards the wrong axis (one query with 50k candidates is
+    * under 100k rows but 2.5G sim rows — a driver OOM). Both caps must
+    * hold: ≤1M sim rows is tens of MB as a boxed-tuple map — the real
+    * bound on driver heap, stated honestly (round-15 advisory: the
+    * "few MB" claim held only for the serving shapes, not the cap). */
+  private[graft] val MmrDriverSimsCap = 1000000L
+
+  /** Driver-route eligibility, both axes — factored out so the spec
+    * pins the routing decision itself: a single 10k-candidate pool
+    * (≈10^8 sims) must go distributed even though its row count is
+    * 10% of the pool cap. */
+  private[graft] def mmrDriverEligible(poolRows: Long,
+                                       simsBound: Long): Boolean =
+    poolRows <= MmrDriverPoolCap && simsBound <= MmrDriverSimsCap
 
   private[graft] def mmrSelect(pool0: DataFrame,
                                simsOf: DataFrame => DataFrame,
                                k: Int = 5): DataFrame = {
     val pool = pool0.localCheckpoint()
-    if (pool.count() <= MmrDriverPoolCap) {
+    // One tiny agg yields BOTH route gates: total rows and the exact
+    // all-pairs sims cardinality Σ n·(n−1) over per-query pool sizes.
+    val gate = pool.groupBy("query_id")
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("rows"),
+        coalesce(sum(col("n") * (col("n") - lit(1L))), lit(0L)).as("sims"))
+      .collect()(0)
+    if (mmrDriverEligible(gate.getLong(0), gate.getLong(1))) {
       val qcr = pool.select("query_id", "cand", "rel")
       val schema = org.apache.spark.sql.types.StructType(
         qcr.schema.fields :+ org.apache.spark.sql.types.StructField(

@@ -74,12 +74,94 @@ class BenchSpec extends AnyFunSuite {
     // In-band ratio is "host" regardless of attestation — there is
     // nothing to adjudicate.
     assert(Bench.regressionVerdict(1.1, sameHost = false) == "host")
-    // Attestation: sentinels within 1.25x either way, both present.
-    assert(Bench.sameHost(Some(0.40), 0.45))
-    assert(Bench.sameHost(Some(0.45), 0.40))
-    assert(!Bench.sameHost(Some(0.216), 0.469)) // the r13->r14 host pair
-    assert(!Bench.sameHost(None, 0.30))         // clipped tail: no proof
-    assert(!Bench.sameHost(Some(0.0), 0.30))
+  }
+
+  test("attestation is a host IDENTITY, not a sentinel band") {
+    val fp = "vm/5030ce0f-1e28-487d-ada5-bdc7ac455496"
+    // Fingerprint equal, both sentinels in band -> attested.
+    assert(Bench.sameHost(Some(fp), fp, Some(0.40), 0.45, Some(1.0), 1.2))
+    // THE ROUND-15 FALSE-CONVICTION CASE: arithmetic sentinels within
+    // the 1.25x band (0.374 vs 0.31 = 1.21x) but DIFFERENT machines —
+    // the band-only check passed this pair and shipped nine "real"
+    // flags the interleaved A/B refuted 6-for-6. Fingerprint
+    // inequality must fail attestation no matter how close the
+    // sentinels sit.
+    assert(!Bench.sameHost(Some("vm/aaaa-1111"), "vm/bbbb-2222",
+      Some(0.374), 0.31, Some(1.0), 1.0))
+    // Same sentinel VALUES exactly, different fingerprint -> still no.
+    assert(!Bench.sameHost(Some("vm/aaaa-1111"), "vm/bbbb-2222",
+      Some(0.31), 0.31, Some(1.0), 1.0))
+    // A pre-round-16 prior carries no fingerprint: no proof, no "real".
+    assert(!Bench.sameHost(None, fp, Some(0.31), 0.31, Some(1.0), 1.0))
+    // Same machine, arithmetic sentinel out of band (different CPU
+    // budget / load regime) -> not a baseline.
+    assert(!Bench.sameHost(Some(fp), fp, Some(0.216), 0.469, Some(1.0), 1.0))
+    // Same machine, arithmetic flat, MEMORY-BOUND sentinel 1.5x out —
+    // the drift class the arithmetic sentinel cannot see.
+    assert(!Bench.sameHost(Some(fp), fp, Some(0.31), 0.32, Some(1.0), 1.5))
+    // Memory sentinel tolerates its wider 1.4x band (noisier job)...
+    assert(Bench.sameHost(Some(fp), fp, Some(0.31), 0.32, Some(1.0), 1.35))
+    // ...and an absent prior mem sentinel (fingerprinted artifact with
+    // a clipped field) does not veto on its own.
+    assert(Bench.sameHost(Some(fp), fp, Some(0.31), 0.32, None, 1.0))
+    // Absent arithmetic sentinel: no proof.
+    assert(!Bench.sameHost(Some(fp), fp, None, 0.30, Some(1.0), 1.0))
+  }
+
+  test("host fingerprint / commit / mem sentinel parse from artifacts") {
+    val line = """{"metric":"total","value":6.0,"sentinel":0.31,"mem_sentinel":0.52,"host":"vm/5030ce0f-1e28","commit":"61cead5ab","queries":{"a":1.0},"mins":{"a":0.9},"host_drift":1.01,"sf":"x"}"""
+    assert(Bench.parsePriorHost(line).contains("vm/5030ce0f-1e28"))
+    assert(Bench.parsePriorCommit(line).contains("61cead5ab"))
+    assert(Bench.parsePriorMemSentinel(line).contains(0.52))
+    // "host_drift" must not satisfy the "host" lookup (and vice versa).
+    val driftOnly = """{"sentinel":0.3,"host_drift":1.2,"mins":{"a":1.0}}"""
+    assert(Bench.parsePriorHost(driftOnly).isEmpty)
+    // Driver-wrapped (escaped) shape.
+    val wrapped =
+      """{"tail": "\"mins\":{\"a\":1.1},\"sentinel\":0.32,\"mem_sentinel\":0.5,\"host\":\"vm/boot-1\",\"commit\":\"abc123def\",\"sf\":\"x\"}"}"""
+    assert(Bench.parsePriorHost(wrapped).contains("vm/boot-1"))
+    assert(Bench.parsePriorCommit(wrapped).contains("abc123def"))
+    assert(Bench.parsePriorMemSentinel(wrapped).contains(0.5))
+    // priorBenchInfo carries every field from the SAME artifact.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-fp")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_LOCAL.json"), line)
+    val p = Bench.priorBenchInfo(dir.toString, sf = "/td/x")
+    assert(p.mins == Map("a" -> 0.9))
+    assert(p.sentinel.contains(0.31) && p.memSentinel.contains(0.52))
+    assert(p.host.contains("vm/5030ce0f-1e28") &&
+      p.commit.contains("61cead5ab"))
+  }
+
+  test("auto-A/B artifact verdicts parse (ab_aggregate.py's layout)") {
+    val ab =
+      """{
+        | "mode": "same-host cross-commit A/B",
+        | "prior_ref": "61cead5",
+        | "rounds": 2,
+        | "runs_ok": {"prior": 2, "current": 2},
+        | "queries": {
+        |  "q30_cube_monthly": {"prior_min": 0.61, "cur_min": 0.63, "ratio": 1.033, "verdict": "flat"},
+        |  "s02_ann_lsh_buckets": {"prior_min": 1.2, "cur_min": 1.5, "ratio": 1.25, "verdict": "real"},
+        |  "t27_hard_negatives_indexed": {"prior_min": null, "cur_min": 1.0, "ratio": null, "verdict": "incomplete"}
+        | }
+        |}""".stripMargin
+    val m = Bench.parseAbQueries(ab)
+    assert(m("q30_cube_monthly") == (Some(1.033), "flat"))
+    assert(m("s02_ann_lsh_buckets") == (Some(1.25), "real"))
+    assert(m("t27_hard_negatives_indexed") == (None, "incomplete"))
+    // runs_ok / top-level scalars never masquerade as query rows.
+    assert(!m.contains("runs_ok") && !m.contains("mode"))
+    assert(Bench.parseAbQueries("").isEmpty)
+  }
+
+  test("this host's fingerprint is stable and boot-scoped") {
+    val fp = Bench.hostFingerprint()
+    assert(fp.nonEmpty && fp == Bench.hostFingerprint())
+    // On Linux the boot UUID rides along — same machine across reboots
+    // must NOT attest (a reboot changes clocks/thermal/ASLR posture,
+    // and more importantly equality-after-reboot would be untestable).
+    if (new java.io.File("/proc/sys/kernel/random/boot_id").isFile)
+      assert(fp.contains("/") && fp.split("/", 2)(1).nonEmpty)
   }
 
   test("prior sentinel parses from raw and driver-wrapped artifacts") {
@@ -111,7 +193,14 @@ class BenchSpec extends AnyFunSuite {
         s.name -> Some(if (i % 2 == 0) 9.99 else 99.94)
       },
       errors = Nil, flaky = Nil,
-      sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1",
+      // The attestation fields ride the final line (the driver tail is
+      // where next round reads them) — pin the budget WITH them, at a
+      // worst-case-length fingerprint (a 36-char UUID boot id) and a
+      // dirty-suffixed commit.
+      sentinel = 0.469, memSentinel = 1.25,
+      host = "a-24-char-capped-hostnam/5030ce0f",
+      commit = "123abc456-dirty")
 
   test("short query keys are unique across the real registry") {
     // The stdout line keys medians by the operator id prefix; a
@@ -128,9 +217,14 @@ class BenchSpec extends AnyFunSuite {
     val line = worstCaseLine
     // Hard bound plus explicit headroom: at ~11 chars per short-keyed
     // entry there must be room for dozens of future queries before
-    // this pin forces the layout to shrink again.
-    assert(line.length < Bench.TailWindow - 600,
-      s"stdout line ${line.length} chars >= ${Bench.TailWindow - 600}: the " +
+    // this pin forces the layout to shrink again. (Headroom re-set
+    // 600 -> 400 in round 16: the 120-query registry plus the
+    // attestation fields — host fingerprint, mem sentinel, commit,
+    // which MUST ride the final line for next round's compare pass to
+    // read them from the driver tail — consume ~1500 of the 2000-char
+    // window; 400 still covers ~35 more queries.)
+    assert(line.length < Bench.TailWindow - 400,
+      s"stdout line ${line.length} chars >= ${Bench.TailWindow - 400}: the " +
         "median map is at risk of being sliced by the driver capture")
     // and it still carries every median, under its short key
     assert(Bench.parsePrior(line).keySet ==

@@ -231,6 +231,36 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("argmax ties between supplementary-plane and BMP symbols break in UTF-8 byte order") {
+    // The one place the driver loop could diverge from the distributed
+    // anchor and the DuckDB oracle: Java String '<' is UTF-16
+    // code-UNIT order, under which an emoji (surrogate pair, 0xD8xx
+    // first unit) sorts BELOW [U+E000, U+FFFF] chars — but Spark's
+    // StringType orderBy and DuckDB both compare UTF-8 BYTES (code
+    // points), where the emoji (0xF0 lead byte) sorts ABOVE them.
+    val pua = ""     // U+E000: UTF-16 unit E000, UTF-8 EE 80 80
+    val emoji = "😀" // U+1F600: UTF-16 D83D DE00, UTF-8 F0 9F 98 80
+    assert(Extensions.utf8Lt(pua, emoji), "UTF-8: U+E000 < U+1F600")
+    assert(emoji < pua, "Java UTF-16 order disagrees (the bug this pins)")
+
+    // Corpus engineered so round 3's argmax TIES between a pair led by
+    // the PUA char and one led by the emoji: words {pua+x, emoji+y}
+    // each count 2. Rounds 1-2 consume (x,</w>) and (y,</w>) (ASCII l
+    // sorts first either way); round 3 ties (pua, x</w>) against
+    // (emoji, y</w>) at count 2 and must pick the pua pair — the
+    // UTF-8-smaller lhs — on BOTH paths.
+    val d = Seq((1L, s"${pua}x ${pua}x ${emoji}y ${emoji}y"))
+      .toDF("doc_id", "text")
+    val (mLocal, fLocal) = Extensions.bpeTrain(d, rounds = 4)
+    val (mDist, fDist) = Extensions.bpeTrainDistributed(d, rounds = 4)
+    assert(mLocal == mDist,
+      s"merge sequences diverged on the supplementary tie\n local=$mLocal\n dist=$mDist")
+    assert(mLocal(2) == ((3, pua, "x</w>", 2L)),
+      s"round-3 tie must go to the UTF-8-smaller (PUA) lhs, got ${mLocal(2)}")
+    assertSameRows(fLocal, fDist, "final word tables, supplementary tie")
+    Extensions.freeCkpt(fDist)
+  }
+
   test("bpeTrain ≡ the reference implementation on random run-heavy corpora") {
     // Alphabet {a, b} with word lengths up to 7: maximal tie pressure on
     // the argmax and long self-pair runs ('aaaaaaa') in the apply step —

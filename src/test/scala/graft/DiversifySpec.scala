@@ -209,6 +209,52 @@ class DiversifySpec extends SparkSpec {
     assert(local.count() > 0, "empty pool makes the pin vacuous")
   }
 
+  test("driver route is gated on the QUADRATIC sims axis, not pool rows alone") {
+    // What the driver route collects is the all-pairs sims frame
+    // (Σ_q n_q·(n_q−1)), quadratic per query — so a single
+    // 10k-candidate pool (well under the 100k ROW cap, ~10^8 sim rows)
+    // must route distributed, while the serving shape (many queries,
+    // tens of candidates each) stays driver-side.
+    assert(!Extensions.mmrDriverEligible(
+      poolRows = 10000L, simsBound = 10000L * 9999L),
+      "one 10k-candidate pool must go distributed (sims axis)")
+    assert(Extensions.mmrDriverEligible(
+      poolRows = 2500L * 20L, simsBound = 2500L * 20L * 19L),
+      "2.5k serving pools of 20 stay driver-side")
+    // The sims cap deliberately excludes the full-row-cap shape
+    // (100k rows × 20/query ⇒ 1.9M sims ≈ hundreds of MB boxed — the
+    // round-15 advisory's point): over it, distributed is the right
+    // route even though rows fit.
+    assert(!Extensions.mmrDriverEligible(
+      poolRows = 5000L * 20L, simsBound = 5000L * 20L * 19L),
+      "1.9M-sims shape exceeds the collect budget; goes distributed")
+    assert(!Extensions.mmrDriverEligible(
+      poolRows = MmrOverRows, simsBound = MmrOverRows * 19L),
+      "the row cap still binds on its own axis")
+    assert(Extensions.mmrDriverEligible(0L, 0L), "empty pool is trivially eligible")
+
+    // End-to-end: an over-sims-cap pool takes the distributed rounds
+    // and still produces exactly the distributed answer (routing must
+    // never change the result — only where it computes).
+    val n = 1100 // 1100·1099 ≈ 1.21M > MmrDriverSimsCap with rows ≪ row cap
+    assert(!Extensions.mmrDriverEligible(n.toLong, n.toLong * (n - 1)))
+    val pool = spark.range(n)
+      .select(lit(7L).as("query_id"), col("id").as("cand"),
+        (col("id") % 97).as("rel"))
+    // Sims builder keyed on candidate distance — cheap but non-trivial,
+    // so greedy picks actually depend on it.
+    def sims(p: org.apache.spark.sql.DataFrame) =
+      p.select(col("query_id"), col("cand").as("a"))
+        .join(p.select(col("query_id"), col("cand").as("b")), "query_id")
+        .filter(col("a") =!= col("b"))
+        .withColumn("sim", lit(1000000L) - abs(col("a") - col("b")) * lit(900L))
+        .select("query_id", "a", "b", "sim")
+    val routed = Extensions.mmrSelect(pool, sims)
+    val dist = Extensions.mmrSelectDistributed(pool, sims)
+    assertSameRows(routed, dist, "over-sims-cap pool: routed ≡ distributed")
+  }
+  private val MmrOverRows = Extensions.MmrDriverPoolCap + 1
+
   test("hard negatives off the stored index ≡ one-shot t26, as query and service") {
     val src = sf("sf0.001")
     // The registered t27 form against the one-shot (same corpus, the

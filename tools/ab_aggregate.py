@@ -26,7 +26,12 @@ def main() -> None:
     runs = {"prior": 0, "current": 0}
     for leg in ("prior", "current"):
         for r in range(1, rounds + 1):
-            m = mins_of(os.path.join(scratch, f"{leg}-r{r}", "BENCH_LOCAL.json"))
+            d = os.path.join(scratch, f"{leg}-r{r}")
+            # A leg build may default its restricted-run artifact to
+            # BENCH_ONLY.json (round 16+) or honor the explicit
+            # SPARK_GRAFT_OUT=BENCH_LOCAL.json — read whichever exists.
+            m = (mins_of(os.path.join(d, "BENCH_LOCAL.json"))
+                 or mins_of(os.path.join(d, "BENCH_ONLY.json")))
             if m:
                 runs[leg] += 1
             for q, v in m.items():

@@ -6,10 +6,13 @@
 # a prior ARTIFACT may come from a different host, but a prior BUILD runs
 # right here, now, between the current build's own runs.
 #
-#   usage: tools/ab_bench.sh <prior-git-ref> <q1,q2,...> [rounds] [iters] [sfdir]
+#   usage: tools/ab_bench.sh <prior-git-ref> <q1,q2,...> [rounds] [iters] [sfdir] [out]
 #     rounds  interleaved (prior, current) JVM pairs        (default 3)
 #     iters   Bench iterations per query inside each JVM    (default 2)
 #     sfdir   data directory                                 (default /root/testdata/sf0.1)
+#     out     result artifact path                           (default <repo>/BENCH_AB.json;
+#             Bench's auto-adjudicator passes BENCH_AB_AUTO.json so a
+#             hand-run BENCH_AB.json is never clobbered)
 #
 # Mechanics:
 #  - The prior build compiles in a detached git worktree. Its Bench harness
@@ -36,6 +39,7 @@ CPUS="${SPARK_GRAFT_CPUS:-32}"
 MEM="${SPARK_DRIVER_MEM:-8g}"
 
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
+OUT="${6:-$REPO/BENCH_AB.json}"
 SHORTREF="$(git -C "$REPO" rev-parse --short "$REF")"
 WT="/tmp/graft_ab_${SHORTREF}"
 SCRATCH="/tmp/graft_ab_runs_$$"
@@ -67,7 +71,8 @@ run_leg() { # $1 = leg name (prior|current), $2 = classes dir, $3 = round no
   (cd "$dir" && \
     SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_ITERS="$ITERS" \
     SPARK_GRAFT_ITERS_SUB1="$ITERS" SPARK_GRAFT_SF_DIR="$SFDIR" \
-    SPARK_GRAFT_CPUS="$CPUS" \
+    SPARK_GRAFT_CPUS="$CPUS" SPARK_GRAFT_OUT="BENCH_LOCAL.json" \
+    SPARK_GRAFT_AUTO_AB=0 \
     java $ADD_OPENS -Xmx"$MEM" -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC \
       -cp "/opt/spark/jars/*:$2" graft.Bench \
@@ -81,4 +86,4 @@ for r in $(seq 1 "$ROUNDS"); do
   run_leg current "$REPO/target/scala-2.13/classes" "$r"
 done
 
-python3 "$REPO/tools/ab_aggregate.py" "$SCRATCH" "$ROUNDS" "$REF" "$REPO/BENCH_AB.json"
+python3 "$REPO/tools/ab_aggregate.py" "$SCRATCH" "$ROUNDS" "$REF" "$OUT"
