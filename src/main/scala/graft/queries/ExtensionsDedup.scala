@@ -316,7 +316,37 @@ private[queries] trait ExtDedup { this: Extensions.type =>
     short.unionByName(verifiedJaccard(longCand, longSh, aCol, bCol))
   }
 
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** The long-doc BENCH's strategy dial, mapped onto [[pairJaccard]]'s
+    * existing knobs so the measured plans are exactly the production
+    * ones: None = routed (production), Some(false) = always-kernel
+    * (corpus attested all-short — every pair through the row-local
+    * ShingleJaccardPpm kernel), Some(true) = always-frame (every pair
+    * flagged long — the pre-round-15 frame-grain verify). All three are
+    * EXACT; only cost differs, which is the whole point of measuring
+    * them against each other on a mixed-length corpus
+    * (graft.LongDocBench). Production callers never pass a strategy. */
+  private[graft] def pairJaccardStrategy(cand: DataFrame, texts: DataFrame,
+      aCol: String, bCol: String, strategy: Option[Boolean],
+      memoKey: Option[String] = None,
+      knownHasLong: Option[Boolean] = None): DataFrame =
+    strategy match {
+      case None =>
+        pairJaccard(cand, texts, aCol, bCol, memoKey = memoKey,
+          knownHasLong = knownHasLong)
+      case Some(false) =>
+        pairJaccard(cand, texts, aCol, bCol, knownHasLong = Some(false))
+      case Some(true) =>
+        pairJaccard(cand, texts, aCol, bCol, longBytes = -1L,
+          knownHasLong = Some(true))
+    }
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    dedupMinhashLshMode(s, dir, None)
+
+  /** d03's body with the bench strategy dial — the registered query is
+    * the routed (None) form. */
+  private[graft] def dedupMinhashLshMode(s: SparkSession, dir: String,
+                                         strategy: Option[Boolean]): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     // One self-join on (band, 4-minhash signature) over the band-exploded
     // table instead of four separate self-joins: a single shuffle whose
@@ -333,7 +363,8 @@ private[queries] trait ExtDedup { this: Extensions.type =>
       .join(banded.as("b"), bandEq && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    pairJaccard(cand, d, "doc_a", "doc_b", memoKey = Some(dir))
+    pairJaccardStrategy(cand, d, "doc_a", "doc_b", strategy,
+      memoKey = Some(dir))
   }
 
   /** Token-frequency SimHash at `bits` width (32 or 64). All signed

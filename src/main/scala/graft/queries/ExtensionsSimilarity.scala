@@ -1439,7 +1439,77 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
     }.filterNot(r => pinnedCkpts.contains(r.id))
       .foreach(_.unpersist(blocking = false))
 
+  /** Pair-row count below which [[connectedComponents]] COLLECTS the
+    * pair frame and labels it with a driver-side union-find — the
+    * BpeDriverWordCap / MmrDriverPoolCap pattern at the cluster
+    * resolver, and the d13 verdict item it closes: the fixpoint's cost
+    * is rounds × fixed stage overhead (~0.15-0.2 s scheduling +
+    * planning per round at ANY row count) over a frame that is
+    * COLLISION-grain — d13's sf0.1 graph is 1828 nodes / ~2.6k edges,
+    * yet paid ~6 checkpointed rounds ≈ 3 s. Under the cap one bounded
+    * collect (≤ 2×8 B × 1M ≈ 16 MB) replaces the whole loop; above it
+    * — a pair log at true 100 TB collision scale — the distributed
+    * rounds run as before, unchanged. Same labels by construction
+    * (component minimum: the union-find attaches the larger root under
+    * the smaller, so every root IS its component's min); RanksSpec
+    * pins local ≡ distributed on path/cycle/matching/random graphs. */
+  private[graft] val CcDriverEdgeCap = 1000000
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val allLong = p.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (allLong) {
+      // One bounded job: cap+1 rows decide the route AND carry the data
+      // (a separate count would execute the source chain twice for
+      // under-cap callers, whose frames are typically checkpointed but
+      // need not be).
+      val head = p.limit(CcDriverEdgeCap + 1).collect()
+      if (head.length <= CcDriverEdgeCap) {
+        val s = pairs.sparkSession
+        import s.implicits._
+        return ccLocal(head.map(r => (r.getLong(0), r.getLong(1))))
+          .toSeq.toDF("doc_id", "cluster_id")
+      }
+    }
+    connectedComponentsDistributed(pairs, maxRounds)
+  }
+
+  /** Driver-side union-find with min-root unions and iterative path
+    * compression: the root of every tree is its component's minimum id
+    * (unions always attach the larger root beneath the smaller), so
+    * label(x) = find(x) matches the distributed loop's min-propagation
+    * exactly. Iterative find — a 1M-edge path graph would blow a
+    * recursive one's stack. */
+  private[graft] def ccLocal(edges: Array[(Long, Long)])
+      : Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    for ((a, b) <- edges) {
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = new Array[(Long, Long)](parent.size)
+    var i = 0
+    parent.forEach { (node, _) => out(i) = (node, 0L); i += 1 }
+    out.indices.foreach(j => out(j) = (out(j)._1, find(out(j)._1)))
+    out
+  }
+
+  /** The always-distributed label-propagation fixpoint — RanksSpec's
+    * independent anchor for the driver-side union-find, and the path
+    * any over-cap pair log (or non-LongType id space) takes. */
+  private[graft] def connectedComponentsDistributed(pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
     val edges0 = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()

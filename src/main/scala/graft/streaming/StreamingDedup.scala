@@ -49,9 +49,13 @@ object StreamingDedup {
     StructField("lang", StringType)))
 
   /** One micro-batch of the cycle (also the unit StreamingDedupSpec
-    * drives directly): batch docs in, pairs + signatures appended. */
+    * drives directly): batch docs in, pairs + signatures appended.
+    * `strategy` is the long-doc BENCH dial (Extensions
+    * .pairJaccardStrategy — None = production routing); streaming
+    * callers never pass it. */
   def processBatch(spark: SparkSession, batch: DataFrame, corpusDir: String,
-                   sigDir: String, pairsDir: String): Unit = {
+                   sigDir: String, pairsDir: String,
+                   strategy: Option[Boolean] = None): Unit = {
     if (batch.isEmpty) return
     val b = batch.select(col("doc_id"), col("text"), col("lang")).persist()
     try {
@@ -95,8 +99,8 @@ object StreamingDedup {
             spark.read.schema(docSchema).parquet(corpusDir),
             Extensions.LongDocVerifyBytes, Some(corpusDir + "#dedupstore"))
       val verified = Extensions
-        .pairJaccard(cand, allTexts, "new_doc", "other_doc",
-          knownHasLong = Some(hasLong))
+        .pairJaccardStrategy(cand, allTexts, "new_doc", "other_doc",
+          strategy, knownHasLong = Some(hasLong))
         .filter(col("jaccard_ppm") >= 800000)
       // Order is load-bearing (recache-by-path): the pair plan reads the
       // signature table lazily, so it must be fully consumed by its write

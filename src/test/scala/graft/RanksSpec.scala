@@ -34,12 +34,20 @@ class RanksSpec extends SparkSpec {
 
   test("connectedComponents converges past 3 hops (7-node path graph)") {
     // 10→20→30→40→50→60→70: one component, 6 hops end-to-end — a 3-round
-    // unroll would leave the far end mislabeled.
+    // unroll would leave the far end mislabeled. Both routes: the
+    // under-cap call takes the driver union-find; the DISTRIBUTED
+    // anchor (the over-cap path, with the adaptive hop unroll) is
+    // pinned on the same fixture so its convergence logic keeps
+    // independent coverage.
     val pairs = Seq((20L, 10L), (30L, 20L), (40L, 30L), (50L, 40L),
       (60L, 50L), (70L, 60L)).toDF("doc_a", "doc_b")
+    val want = Set(10L, 20L, 30L, 40L, 50L, 60L, 70L).map(_ -> 10L)
     val got = Extensions.connectedComponents(pairs)
       .as[(Long, Long)].collect().toSet
-    assert(got == Set(10L, 20L, 30L, 40L, 50L, 60L, 70L).map(_ -> 10L))
+    assert(got == want)
+    val gotDist = Extensions.connectedComponentsDistributed(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(gotDist == want, "distributed anchor diverged on the path graph")
   }
 
   test("connectedComponents labels disjoint components independently") {
@@ -52,9 +60,13 @@ class RanksSpec extends SparkSpec {
   test("connectedComponents converges on cycles (fixpoint, not a tree walk)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L), (8L, 9L), (9L, 7L))
       .toDF("doc_a", "doc_b")
+    val want = Set(1L, 2L, 3L).map(_ -> 1L) ++ Set(7L, 8L, 9L).map(_ -> 7L)
     val got = Extensions.connectedComponents(pairs)
       .as[(Long, Long)].collect().toSet
-    assert(got == Set(1L, 2L, 3L).map(_ -> 1L) ++ Set(7L, 8L, 9L).map(_ -> 7L))
+    assert(got == want)
+    val gotDist = Extensions.connectedComponentsDistributed(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(gotDist == want, "distributed anchor diverged on cycles")
   }
 
   test("connectedComponents equals a union-find reference on random graphs") {
@@ -76,6 +88,12 @@ class RanksSpec extends SparkSpec {
       val got = Extensions.connectedComponents(edges.toDF("doc_a", "doc_b"))
         .as[(Long, Long)].collect().toSet
       assert(got == want, s"seed $seed: got $got want $want")
+      // The driver union-find and the distributed fixpoint must agree
+      // row-for-row — the local route's independent anchor.
+      val gotDist = Extensions
+        .connectedComponentsDistributed(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(gotDist == want, s"seed $seed distributed: got $gotDist")
     }
   }
 
@@ -103,10 +121,34 @@ class RanksSpec extends SparkSpec {
     // not hand back half-propagated labels.
     val pairs = Seq((20L, 10L), (30L, 20L), (40L, 30L), (50L, 40L),
       (60L, 50L), (70L, 60L)).toDF("doc_a", "doc_b")
+    // maxRounds is a DISTRIBUTED-loop dial (the driver union-find has
+    // no rounds to bound) — exercised on the anchor directly.
     val e = intercept[IllegalArgumentException] {
-      Extensions.connectedComponents(pairs, maxRounds = 2)
+      Extensions.connectedComponentsDistributed(pairs, maxRounds = 2)
     }
     assert(e.getMessage.contains("not converged"))
+  }
+
+  test("connectedComponents routes non-Long id spaces to the distributed loop") {
+    // The driver route collects (Long, Long) pairs; an IntegerType pair
+    // frame must take the distributed path and still label correctly.
+    val pairs = Seq((2, 1), (3, 2), (9, 8)).toDF("doc_a", "doc_b")
+    val got = Extensions.connectedComponents(pairs)
+      .as[(Int, Int)].collect().toSet
+    assert(got == Set(1 -> 1, 2 -> 1, 3 -> 1, 8 -> 8, 9 -> 8))
+  }
+
+  test("ccLocal handles deep paths, min-root labeling, and duplicate edges") {
+    // 100k-edge path graph: a recursive find would stack-overflow; the
+    // iterative two-pass compression must label every node with the
+    // global min in one pass over the edges.
+    val deep = (1 until 100000).map(i => (i.toLong, i + 1L)).toArray
+    val labels = Extensions.ccLocal(deep).toMap
+    assert(labels.size == 100000 && labels.values.forall(_ == 1L))
+    // Reversed orientation + duplicates + self-loop: same answer.
+    val messy = Array((5L, 3L), (3L, 5L), (5L, 5L), (3L, 1L), (9L, 8L))
+    assert(Extensions.ccLocal(messy).toMap ==
+      Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 8L -> 8L, 9L -> 8L))
   }
 
   test("asOf rejects colliding caller column names") {

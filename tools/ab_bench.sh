@@ -81,9 +81,18 @@ run_leg() { # $1 = leg name (prior|current), $2 = classes dir, $3 = round no
   echo "[ab] $1 round $3 done: $(tail -1 "$dir/stdout.log" | cut -c1-120)"
 }
 
+# Leg order ALTERNATES per round: a fixed (prior, current) order biases
+# against the second leg under monotonically ramping co-tenant load —
+# observed round 16 (sentinels 0.37→0.63 across one run); alternation
+# puts each build first in half the rounds so a ramp hits both equally.
 for r in $(seq 1 "$ROUNDS"); do
-  run_leg prior   "$WT/target/scala-2.13/classes"   "$r"
-  run_leg current "$REPO/target/scala-2.13/classes" "$r"
+  if [ $((r % 2)) -eq 1 ]; then
+    run_leg prior   "$WT/target/scala-2.13/classes"   "$r"
+    run_leg current "$REPO/target/scala-2.13/classes" "$r"
+  else
+    run_leg current "$REPO/target/scala-2.13/classes" "$r"
+    run_leg prior   "$WT/target/scala-2.13/classes"   "$r"
+  fi
 done
 
 python3 "$REPO/tools/ab_aggregate.py" "$SCRATCH" "$ROUNDS" "$REF" "$OUT"
