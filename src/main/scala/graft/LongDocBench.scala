@@ -54,7 +54,18 @@ object LongDocBench {
 
     val corpusDir = s"$root/corpus"
     val docsPath = s"$corpusDir/documents.parquet"
-    buildCorpus(spark, sfDir, docsPath)
+    // Corpus 1 — the family regime: many small book families (k ≈ 4
+    // candidate pairs per book). Corpus 2 — the HOT-CLUSTER regime: two
+    // 48-variant families of ~128 KiB books (k ≈ 42), the boilerplate-
+    // template shape where the kernel's k×len re-hash compounds and the
+    // frame path's pay-len-once should win; the pair of corpora brackets
+    // the multiplicity crossover the routing threshold is calibrated to.
+    buildCorpus(spark, sfDir, docsPath, seedMod = 80, variants = 5,
+      nTok = (lit(6500) * (lit(1) + pmod(xxhash64(col("seed")), lit(8))))
+        .cast("int"))
+    val hotDir = s"$root/corpus_hot"
+    buildCorpus(spark, sfDir, s"$hotDir/documents.parquet", seedMod = 2500,
+      variants = 48, nTok = lit(26000))
 
     val d = Tables.t(spark, corpusDir, "documents")
     val stats = d.agg(count(lit(1)), sum(when(col("doc_id") >= BookBase, 1L)),
@@ -77,12 +88,15 @@ object LongDocBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // --- one-shot surfaces: d03 (full self-join) and d10 (delta) ---
+    // --- one-shot surfaces: d03 (full self-join) and d10 (delta) on
+    // the family corpus, d03 again on the hot-cluster corpus ---
     val oneShot = Seq(
       "d03" -> ((st: Option[Boolean]) =>
         graft.queries.Extensions.dedupMinhashLshMode(spark, corpusDir, st)),
       "d10" -> ((st: Option[Boolean]) =>
-        graft.queries.Extensions.dedupIncrementalMode(spark, corpusDir, st)))
+        graft.queries.Extensions.dedupIncrementalMode(spark, corpusDir, st)),
+      "d03_hot" -> ((st: Option[Boolean]) =>
+        graft.queries.Extensions.dedupMinhashLshMode(spark, hotDir, st)))
 
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[String, (Double, Double)]]
@@ -98,7 +112,9 @@ object LongDocBench {
           agreement = false
           System.err.println(s"[longdoc] $qname $label DISAGREES: $diff rows")
         }
+        graft.queries.Extensions.freeCkptFresh(other)
       }
+      graft.queries.Extensions.freeCkptFresh(routed)
       val perStrategy = strategies.map { case (label, st) =>
         val ts = (1 to iters).map(_ => timeIt(() => mk(st)))
         System.err.println(f"[longdoc] $qname $label%-7s min=${ts.min}%.2f med=${med(ts)}%.2f")
@@ -134,22 +150,25 @@ object LongDocBench {
   /** Book ids live far above any sf doc id. */
   private val BookBase = 10000000L
 
-  /** Mixed corpus: the sf documents untouched, plus 5-variant near-dup
-    * book families at 32–256 KiB from every 80th base doc. Idempotent
-    * (skips when the parquet already exists). */
+  /** Mixed corpus: the sf documents untouched, plus `variants`-variant
+    * near-dup book families from every `seedMod`-th base doc at `nTok`
+    * tokens (~5 B each). Variants share a latent hash(seed, i) token
+    * stream and independently mutate ~2% of positions, so intra-family
+    * Jaccard sits near the 0.8 threshold and most family pairs collide
+    * in ≥1 LSH band. Idempotent (skips when the parquet exists). */
   private[graft] def buildCorpus(spark: SparkSession, sfDir: String,
-                                 docsPath: String): Unit = {
+                                 docsPath: String, seedMod: Int,
+                                 variants: Int,
+                                 nTok: org.apache.spark.sql.Column): Unit = {
     if (new java.io.File(docsPath).exists()) return
     val d = Tables.t(spark, sfDir, "documents")
       .select("doc_id", "lang", "text")
-    val seeds = d.filter(pmod(col("doc_id"), lit(80)) === 0)
+    val seeds = d.filter(pmod(col("doc_id"), lit(seedMod)) === 0)
       .select(col("doc_id").as("seed"), col("lang"))
-      // 6500..52000 tokens at ~5 B/token ≈ 32..254 KiB.
-      .withColumn("n_tok",
-        (lit(6500) * (lit(1) + pmod(xxhash64(col("seed")), lit(8)))).cast("int"))
-    val books = (0 until 5).map { v =>
+      .withColumn("n_tok", nTok)
+    val books = (0 until variants).map { v =>
       seeds.select(
-        (lit(BookBase) + col("seed") * 8 + lit(v)).as("doc_id"),
+        (lit(BookBase) + col("seed") * (variants + 1) + lit(v)).as("doc_id"),
         col("lang"),
         expr(
           s"""concat_ws(' ', transform(sequence(1, n_tok), i ->

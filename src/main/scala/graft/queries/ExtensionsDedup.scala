@@ -215,17 +215,37 @@ private[queries] trait ExtDedup { this: Extensions.type =>
       .distinct()
   }
 
-  /** Byte threshold above which a candidate pair's exact-Jaccard
-    * verification routes to the frame-grain path. The pair-grain kernel
-    * re-hashes a document's shingles once per candidate pair and ships
-    * its FULL text through the candidate shuffle — CPU and shuffle
-    * bytes are candidate-count × doc-length, the right trade for web-
-    * scale short documents (collision counts bound it) and the wrong
-    * one for a book-heavy corpus where one 400 KB text in k pairs pays
-    * 400 KB × k. 16 KiB ≈ a few thousand tokens: comfortably above the
-    * web-document median the kernel was measured on, well below book
-    * length. */
+  /** Byte threshold above which a document is a LONG-ROUTE CANDIDATE —
+    * the floor under the frame-grain verify: below it the row-local
+    * kernel always wins (collision counts bound the re-hash; the
+    * pre-round-15 frame form measurably doubled all-short d03/d10).
+    * 16 KiB ≈ a few thousand tokens: comfortably above the web-document
+    * median. Length alone does NOT route a pair, though — see
+    * [[LongDocFrameMinMult]]: round 16's planted-corpus measurement
+    * showed the kernel beating the frame path 1.6-2.3× on 32-256 KiB
+    * books at low candidate multiplicity, because BOTH paths are linear
+    * in text length (kernel: k × len hashing; frame: len shingled once
+    * + join machinery) and the frame's per-byte constant is higher —
+    * length cancels out of the crossover, multiplicity doesn't. */
   private[graft] val LongDocVerifyBytes = 16384
+
+  /** Candidate-multiplicity threshold for the frame route: a long doc's
+    * pairs verify frame-grain only when the doc sits in at least this
+    * many candidate pairs (the hot-template regime — k × len re-hash
+    * compounds, pay-len-once wins), or when the doc exceeds
+    * [[HugeDocVerifyBytes]] outright. Calibrated on the round-16
+    * LongDocBench corpora: at k ≈ 4 (five-variant families) the kernel
+    * wins ~1.7×; at k ≈ 42 (48-variant hot clusters) the frame path
+    * wins — the threshold sits between the two regimes. */
+  private[graft] val LongDocFrameMinMult = 12L
+
+  /** Absolute length override: above ~1 MiB a text stops being a
+    * reasonable SHUFFLE ROW regardless of multiplicity — the kernel
+    * path ships both full texts through the candidate shuffle per pair,
+    * and multi-MB rows are a task-memory and row-size hazard before
+    * they are a CPU one. Such docs always verify frame-grain, where
+    * their text never enters a pair-grain join. */
+  private[graft] val HugeDocVerifyBytes = 1048576L
 
   /** Memoized "does this corpus contain any long doc" probe — the q36
     * hot-census pattern at the routing dial: ONE driver-side
@@ -260,16 +280,19 @@ private[queries] trait ExtDedup { this: Extensions.type =>
     * candidates are first flagged by a NARROW (id, is-long) join — full
     * texts never ride a shuffle just to be measured — then split:
     *
-    *  - pairs of two short docs join their texts and verify row-locally
-    *    via the [[graft.functions.ShingleJaccardPpm]] kernel (one call
-    *    per pair, no corpus-grain shuffles);
-    *  - pairs where EITHER side exceeds [[LongDocVerifyBytes]] route to
-    *    the retained frame-grain [[verifiedJaccard]], which pays each
-    *    document's shingle set ONCE (shingles only of the long-route
-    *    participants — the candidate set arrives materialized here, so
-    *    the restriction is a key-grain semi-join, exactly the case the
-    *    verifiedJaccard scaladoc carves out), and long texts never
-    *    enter a pair-grain join at all.
+    *  - by default a pair verifies row-locally via the
+    *    [[graft.functions.ShingleJaccardPpm]] kernel (one call per
+    *    pair, no corpus-grain shuffles);
+    *  - a pair routes to the retained frame-grain [[verifiedJaccard]]
+    *    only when EITHER side is a long doc IN THE HOT-CLUSTER REGIME —
+    *    over [[LongDocVerifyBytes]] AND in ≥ [[LongDocFrameMinMult]]
+    *    candidate pairs (the multiplicity census is one agg over the
+    *    materialized candidate frame) — or over [[HugeDocVerifyBytes]]
+    *    outright. The frame path pays each such document's shingle set
+    *    ONCE (shingles only of the long-route participants — a
+    *    key-grain semi-join, exactly the case the verifiedJaccard
+    *    scaladoc carves out), and those texts never enter a pair-grain
+    *    join at all.
     *
     * Identical output on both routes (DedupSpec pins a mixed-length
     * corpus): on the candidate domain every doc has ≥ 1 shingle (it has
@@ -280,7 +303,8 @@ private[queries] trait ExtDedup { this: Extensions.type =>
                                  aCol: String, bCol: String,
                                  longBytes: Long = LongDocVerifyBytes,
                                  memoKey: Option[String] = None,
-                                 knownHasLong: Option[Boolean] = None)
+                                 knownHasLong: Option[Boolean] = None,
+                                 frameMinMult: Long = LongDocFrameMinMult)
       : DataFrame = {
     // knownHasLong: callers whose `texts` lineage already contains the
     // candidate join (the streaming cycle's partner fetch) probe their
@@ -293,19 +317,73 @@ private[queries] trait ExtDedup { this: Extensions.type =>
         .select(col(aCol), col(bCol),
           graft.functions.ShingleJaccardPpm(col("__ta"), col("__tb"))
             .as("jaccard_ppm"))
-    val lens = texts.select(col("doc_id"),
-      (octet_length(col("text")) > longBytes).as("__lng"))
-    val flagged = cand
-      .join(lens.select(col("doc_id").as(aCol), col("__lng").as("__la")), aCol)
-      .join(lens.select(col("doc_id").as(bCol), col("__lng").as("__lb")), bCol)
-    val short = flagged.filter(!col("__la") && !col("__lb"))
+    // MATERIALIZED at candidate grain before the fan-out (round-16
+    // LongDocBench finding): the routed plan references the candidate
+    // frame in the multiplicity census, both verify branches, and the
+    // long route's shingle restriction — left lazy, every reference
+    // re-executes the whole upstream chain (the LSH self-join, or the
+    // streaming cycle's signature probe + corpus-store partner fetch).
+    // Measured on the mixed 32-256 KiB book corpus: the streaming
+    // cycle's routed verify ran 132 s against the pure kernel's 7 s —
+    // nearly all of it repeated subtree execution, not verify
+    // arithmetic. `candM` (collision-grain rows) and `longSh` (the
+    // long-route participants' distinct shingles — the frame the long
+    // route exists to pay ONCE, which "once" must mean materially)
+    // both ride the returned frame's lineage, so consumers release
+    // them via freeCkptFresh like every other per-invocation
+    // checkpoint.
+    val candM = cand.localCheckpoint()
+    // FRAME-ROUTE CENSUS, per doc: long enough AND in enough candidate
+    // pairs (both paths are linear in text length — the kernel pays
+    // k × len re-hash, the frame pays len shingled once plus
+    // higher-constant join machinery — so length cancels out of the
+    // crossover and MULTIPLICITY is the axis; see
+    // [[LongDocFrameMinMult]]); or over [[HugeDocVerifyBytes]], where
+    // a text stops being a reasonable shuffle row at any k. One tiny
+    // agg over the materialized candidate frame, inner-joined to the
+    // text lengths (docs outside the candidate set can't route); the
+    // result is DRIVER-READ (the q36 hot-census pattern): a corpus
+    // whose census comes back empty — long docs present but none in
+    // the hot-cluster regime, the common case — gets the PURE kernel
+    // plan, paying the probe but none of the split machinery (measured
+    // ~70% over the kernel plan when the split was built uncondition-
+    // ally: an eager empty shingle checkpoint plus doubled flag joins).
+    val mult = candM.select(col(aCol).as("doc_id"))
+      .unionByName(candM.select(col(bCol).as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("__k"))
+    val frameDocs = texts
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("__len"))
+      .join(mult, "doc_id")
+      .filter((col("__len") > longBytes && col("__k") >= frameMinMult) ||
+        col("__len") > HugeDocVerifyBytes)
+      .select(col("doc_id"), lit(true).as("__f"))
+      .localCheckpoint()
+    if (frameDocs.isEmpty) {
+      // Not in the returned plan — release now, or it leaks.
+      freeCkpt(frameDocs)
+      return candM
+        .join(texts.select(col("doc_id").as(aCol), col("text").as("__ta")), aCol)
+        .join(texts.select(col("doc_id").as(bCol), col("text").as("__tb")), bCol)
+        .select(col(aCol), col(bCol),
+          graft.functions.ShingleJaccardPpm(col("__ta"), col("__tb"))
+            .as("jaccard_ppm"))
+    }
+    val flagged = candM
+      .join(frameDocs.select(col("doc_id").as(aCol), col("__f").as("__la")),
+        Seq(aCol), "left")
+      .join(frameDocs.select(col("doc_id").as(bCol), col("__f").as("__lb")),
+        Seq(bCol), "left")
+    val short = flagged
+      .filter(coalesce(col("__la"), lit(false)) === false &&
+        coalesce(col("__lb"), lit(false)) === false)
       .select(col(aCol), col(bCol))
       .join(texts.select(col("doc_id").as(aCol), col("text").as("__ta")), aCol)
       .join(texts.select(col("doc_id").as(bCol), col("text").as("__tb")), bCol)
       .select(col(aCol), col(bCol),
         graft.functions.ShingleJaccardPpm(col("__ta"), col("__tb"))
           .as("jaccard_ppm"))
-    val longCand = flagged.filter(col("__la") || col("__lb"))
+    val longCand = flagged
+      .filter(coalesce(col("__la"), lit(false)) || coalesce(col("__lb"), lit(false)))
       .select(col(aCol), col(bCol))
     val longSh = shinglesOfDocs(
       texts.join(
@@ -313,6 +391,7 @@ private[queries] trait ExtDedup { this: Extensions.type =>
             .unionByName(longCand.select(col(bCol).as("doc_id"))),
           Seq("doc_id"), "left_semi")
         .withColumn("lang", lit("")))
+      .localCheckpoint()
     short.unionByName(verifiedJaccard(longCand, longSh, aCol, bCol))
   }
 
@@ -337,7 +416,7 @@ private[queries] trait ExtDedup { this: Extensions.type =>
         pairJaccard(cand, texts, aCol, bCol, knownHasLong = Some(false))
       case Some(true) =>
         pairJaccard(cand, texts, aCol, bCol, longBytes = -1L,
-          knownHasLong = Some(true))
+          knownHasLong = Some(true), frameMinMult = 0L)
     }
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =

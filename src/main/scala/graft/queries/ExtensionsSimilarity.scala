@@ -1674,6 +1674,12 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
     * the component labels (their own checkpoint) exist. */
   private[graft] def clusterPairs(pairFrame: DataFrame): DataFrame = {
     val pairs = pairFrame.select("doc_a", "doc_b").localCheckpoint()
+    // The pair source's own per-invocation checkpoints (pairJaccard's
+    // routed-verify frames on a long-doc corpus) are truncated OUT of
+    // `pairs`' lineage by the checkpoint above — release them here or
+    // they leak blocks nobody can reach (pinned memo state is skipped
+    // as everywhere).
+    freeCkptFresh(pairFrame)
     val out = connectedComponents(pairs)
     freeCkpt(pairs)
     out

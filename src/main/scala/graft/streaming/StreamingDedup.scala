@@ -64,12 +64,18 @@ object StreamingDedup {
       val tSig = sigTable(spark, sigDir).withColumn("is_new", lit(false))
       // Probe: batch vs (table ∪ batch). An old partner always pairs; a
       // new-new pair only in id order, so it is emitted exactly once.
+      // MATERIALIZED at candidate grain: `cand` is referenced by the
+      // partner-id fetch below AND by the verify plan (twice more on
+      // the routed long-doc path) — left lazy, each reference re-runs
+      // the signature probe join. Collision-grain rows, tiny at any
+      // corpus size; released in the finally with the batch.
       val cand = bSig.as("a")
         .join(tSig.unionByName(bSig).as("b"),
           Extensions.bandEq && col("a.doc_id") =!= col("b.doc_id") &&
             (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
         .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("other_doc"))
         .distinct()
+        .localCheckpoint()
       // Exact verification through Extensions.pairJaccard (the d03/d10
       // tail): short-doc pairs verify row-locally from raw texts, pairs
       // with a long side route to the frame-grain path that pays each
@@ -86,7 +92,12 @@ object StreamingDedup {
       val partnerTexts = spark.read.schema(docSchema).parquet(corpusDir)
         .join(partnerIds, Seq("doc_id"), "left_semi")
         .select("doc_id", "text")
+      // Persisted: the verify plan reads `allTexts` on both pair sides
+      // (and the routed long branch a third time) — each read otherwise
+      // re-scans the corpus store for the partner fetch. Candidate-
+      // participant texts only; unpersisted in the finally.
       val allTexts = b.select("doc_id", "text").unionByName(partnerTexts)
+        .persist()
       // Routing probe over the CHEAP constituents (the persisted batch,
       // and the raw store scan memoized per dir) — probing allTexts
       // itself would execute the candidate join a second time. The
@@ -107,6 +118,14 @@ object StreamingDedup {
       // BEFORE the batch signatures are appended to that same path.
       verified.write.mode(SaveMode.Append).parquet(pairsDir)
       bSig.drop("is_new").write.mode(SaveMode.Append).parquet(sigDir)
+      // Cycle-scoped block release (the always-on form runs this every
+      // batch): the verify plan's per-invocation checkpoints (routed
+      // path's flagged/longSh), the candidate frame, and the pinned
+      // participant texts. The failure path leaves them to driver GC —
+      // a failed batch aborts the stream, not the block manager.
+      Extensions.freeCkptFresh(verified)
+      Extensions.freeCkpt(cand)
+      allTexts.unpersist()
     } finally b.unpersist()
   }
 

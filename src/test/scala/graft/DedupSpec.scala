@@ -338,23 +338,34 @@ class DedupSpec extends SparkSpec {
     val ids = docs.select("doc_id")
     val cand = ids.toDF("doc_a").crossJoin(ids.toDF("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-    // Threshold 0 = every pair on the frame-grain route; MaxValue =
-    // every pair on the kernel route; the default splits the corpus.
-    // All three must agree row-for-row — the routing pin.
-    val allFrame =
-      Extensions.pairJaccard(cand, texts, "doc_a", "doc_b", longBytes = 0L)
+    // (longBytes 0, minMult 0) = every pair on the frame-grain route;
+    // longBytes MaxValue = every pair on the kernel route; minMult 1
+    // splits the corpus on length alone (every long doc hot); the
+    // DEFAULT keeps these k=5 pairs on the kernel (round 16: below
+    // LongDocFrameMinMult the kernel measured faster at every length
+    // up to 256 KiB — multiplicity, not length, is the crossover
+    // axis). All four must agree row-for-row — the routing pin.
+    val allFrame = Extensions.pairJaccard(cand, texts, "doc_a", "doc_b",
+      longBytes = 0L, frameMinMult = 0L)
     val allKernel = Extensions.pairJaccard(cand, texts, "doc_a", "doc_b",
       longBytes = Long.MaxValue)
     val routed = Extensions.pairJaccard(cand, texts, "doc_a", "doc_b")
+    val routedHot = Extensions.pairJaccard(cand, texts, "doc_a", "doc_b",
+      frameMinMult = 1L)
     assertSameRows(routed, allKernel, "routed vs all-kernel")
     assertSameRows(routed, allFrame, "routed vs all-frame-grain")
+    assertSameRows(routedHot, allFrame, "hot-split routed vs all-frame-grain")
     assert(routed.count() == 15, "every candidate pair must verify")
-    // The mixed corpus's routed plan carries BOTH branches: the kernel
-    // verify and the frame-grain shingle source (distinct_grams).
-    val mixedPlan = routed.queryExecution.optimizedPlan.toString
+    // The hot-split plan carries BOTH branches: the kernel verify and
+    // the frame-grain branch (whose shingle source is materialized as
+    // an eager checkpoint, so it surfaces as a LogicalRDD under the
+    // Union rather than as distinct_grams text).
+    val mixedPlan = routedHot.queryExecution.optimizedPlan.toString
     assert(mixedPlan.contains("shingle_jaccard_ppm") &&
-      mixedPlan.contains("distinct_grams"),
-      s"routed plan lost a branch:\n$mixedPlan")
+      mixedPlan.contains("Union"),
+      s"hot-split routed plan lost a branch:\n$mixedPlan")
+    Seq(allFrame, allKernel, routed, routedHot)
+      .foreach(Extensions.freeCkptFresh)
     // ...and for an ATTESTED ALL-SHORT corpus the routing collapses:
     // d03's plan at sf0.001 is the PURE kernel plan — no lens joins, no
     // empty frame-grain branch (the always-routed form's extra stages

@@ -110,10 +110,12 @@ class StreamingDedupSpec extends SparkSpec {
     // documents (> LongDocVerifyBytes): wave 1 ingests a long doc among
     // short ones (store side grows a long partner), wave 2 brings its
     // long near-dup plus a short near-dup pair — so the routed verify
-    // runs long-vs-long ACROSS waves (store probe memo path), long
-    // pairs land in the frame-grain branch, short pairs in the kernel
-    // branch, and the final log must still equal the one-shot batch
-    // LSH, which routes through the same pairJaccard by dir memo.
+    // engages its length/multiplicity census long-vs-long ACROSS waves
+    // (store probe memo path; at this k the census keeps the pairs on
+    // the kernel — routing is perf-only and both routes are exact,
+    // which is precisely what this pin holds), and the final log must
+    // still equal the one-shot batch LSH, which routes through the
+    // same pairJaccard by dir memo.
     val base = java.nio.file.Files.createTempDirectory("graft-sdedup3").toString
     val corpus = s"$base/documents.parquet"
     val (sig, pairs, ckpt) = (s"$base/sigs", s"$base/pairs", s"$base/ckpt")
