@@ -56,7 +56,7 @@ import org.apache.spark.sql.SparkSession
   * its commit, Bench invokes the cross-commit same-host A/B
   * (tools/ab_bench.sh — the PRIOR BUILD interleaved against the
   * current one in alternating JVMs on this machine, bounded to the
-  * worst [[AutoAbMaxQueries]] suspects at 2 rounds × 2 iters;
+  * worst [[AutoAbMaxQueries]] suspects at 3 rounds × 2 iters;
   * SPARK_GRAFT_AUTO_AB=0 disables) and the A/B verdict supersedes the
   * banded one — the artifact ships pre-adjudicated, with each
   * adjudicated suspect carrying its "ab_ratio"/"ab" fields.
@@ -545,7 +545,7 @@ object Bench {
     // right here, so the artifact ships with zero verdicts a judge
     // still has to run the tool for. Same-commit priors need no run
     // (identical code cannot have a plan regression). The A/B is
-    // bounded (worst suspects first, 2 rounds × 2 iters) and skipped
+    // bounded (worst suspects first, 3 rounds × 2 iters) and skipped
     // when the prior's commit is unknown/dirty, the tool is absent, or
     // SPARK_GRAFT_AUTO_AB=0.
     val overBand = regressions0.filter(r => r._6 == "real" || r._6 == "cross-host")
@@ -713,7 +713,7 @@ object Bench {
           names.mkString(",") + s" (log: $log)")
         try {
           val pb = new ProcessBuilder("bash", "tools/ab_bench.sh", priorRef,
-            names.mkString(","), "2", "2", sfDir, out.getPath)
+            names.mkString(","), "3", "2", sfDir, out.getPath)
           pb.directory(r)
           pb.redirectErrorStream(true)
           pb.redirectOutput(log)

@@ -1468,8 +1468,14 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       if (head.length <= CcDriverEdgeCap) {
         val s = pairs.sparkSession
         import s.implicits._
-        return ccLocal(head.map(r => (r.getLong(0), r.getLong(1))))
-          .toSeq.toDF("doc_id", "cluster_id")
+        val labels = ccLocal(head.map(r => (r.getLong(0), r.getLong(1))))
+        // Parallelized, not toDF-on-Seq: a LocalRelation embeds every
+        // row INSIDE the logical plan (a near-cap graph is ~2M label
+        // rows — plan-walk and explain cost on every consumer); an
+        // RDD-backed frame keeps the plan a constant-size LogicalRDD.
+        val parts = math.max(1, math.min(32, labels.length / 100000))
+        return s.sparkContext.parallelize(labels.toIndexedSeq, parts)
+          .toDF("doc_id", "cluster_id")
       }
     }
     connectedComponentsDistributed(pairs, maxRounds)
@@ -1674,12 +1680,16 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
     * the component labels (their own checkpoint) exist. */
   private[graft] def clusterPairs(pairFrame: DataFrame): DataFrame = {
     val pairs = pairFrame.select("doc_a", "doc_b").localCheckpoint()
-    // The pair source's own per-invocation checkpoints (pairJaccard's
-    // routed-verify frames on a long-doc corpus) are truncated OUT of
-    // `pairs`' lineage by the checkpoint above — release them here or
-    // they leak blocks nobody can reach (pinned memo state is skipped
-    // as everywhere).
-    freeCkptFresh(pairFrame)
+    // NOT freed here: the pair source's own checkpoints (pairJaccard's
+    // routed-verify frames on a long-doc corpus) are truncated out of
+    // `pairs`' lineage by the checkpoint above, but they belong to the
+    // CALLER — the corpus service hands in its accumulated pair-log
+    // frame and reuses it across ticks, and a free here broke the next
+    // tick (round-16 CorpusServiceSpec catch: CHECKPOINT_RDD_BLOCK_ID_
+    // NOT_FOUND). Ownership rule: a frame's checkpoints are released
+    // by whoever constructed them; unreachable-after-truncation blocks
+    // are reclaimed by Spark's ContextCleaner once the RDD handles go
+    // out of scope — a bounded deferral, not a leak.
     val out = connectedComponents(pairs)
     freeCkpt(pairs)
     out
