@@ -373,6 +373,14 @@ object Bench {
     // 15: two boxes within 1.21× on arithmetic differed up to 1.5× on
     // memory-bound queries). Recorded as "mem_sentinel"; attestation
     // requires BOTH sentinels in band on top of fingerprint equality.
+    // SPARK_GRAFT_MEM_SENTINEL=0 skips the sampling — the A/B legs set
+    // it so both builds' harnesses do IDENTICAL pre-suite work (a
+    // build whose legs alone run 6 extra heavy hash-aggs measures its
+    // own queries in a differently-shaped heap; attestation is
+    // meaningless inside a leg anyway, its artifact carries no
+    // compare pass).
+    val memSentinelOn =
+      sys.env.getOrElse("SPARK_GRAFT_MEM_SENTINEL", "1") != "0"
     def memSentinelOnce(): Double = {
       System.gc()
       val t0 = System.nanoTime()
@@ -383,7 +391,8 @@ object Bench {
         .collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val memSentinelPre = (1 to 3).map(_ => memSentinelOnce())
+    val memSentinelPre =
+      if (memSentinelOn) (1 to 3).map(_ => memSentinelOnce()) else Nil
 
     // A failed query must be visible IN the JSON (not only stderr): its
     // per-query entry becomes JSON `null` — never a numeric sentinel a
@@ -529,7 +538,9 @@ object Bench {
     // host fingerprint against the prior artifact's.
     val sentinelRaw = med(sentinelPre ++ (1 to 3).map(_ => sentinelOnce()))
     val memSentinelRaw =
-      med(memSentinelPre ++ (1 to 3).map(_ => memSentinelOnce()))
+      if (memSentinelOn)
+        med(memSentinelPre ++ (1 to 3).map(_ => memSentinelOnce()))
+      else 0.0
     val curHost = hostFingerprint()
     val curCommit = gitCommit()
     val hostAttested = sameHost(priorInfo.host, curHost, priorInfo.sentinel,

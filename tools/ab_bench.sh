@@ -72,7 +72,7 @@ run_leg() { # $1 = leg name (prior|current), $2 = classes dir, $3 = round no
     SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_ITERS="$ITERS" \
     SPARK_GRAFT_ITERS_SUB1="$ITERS" SPARK_GRAFT_SF_DIR="$SFDIR" \
     SPARK_GRAFT_CPUS="$CPUS" SPARK_GRAFT_OUT="BENCH_LOCAL.json" \
-    SPARK_GRAFT_AUTO_AB=0 \
+    SPARK_GRAFT_AUTO_AB=0 SPARK_GRAFT_MEM_SENTINEL=0 \
     java $ADD_OPENS -Xmx"$MEM" -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC \
       -cp "/opt/spark/jars/*:$2" graft.Bench \
