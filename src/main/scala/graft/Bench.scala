@@ -291,11 +291,53 @@ object Bench {
         if (p.waitFor() == 0) Some(out) else None
       } catch { case _: Exception => None }
     run("git", "rev-parse", "--short=9", "HEAD").map { sha =>
-      val dirty = run("git", "status", "--porcelain")
+      // Dirty means BUILD-AFFECTING dirt only: an unscoped porcelain
+      // check counts untracked scratch and the bench's own artifact
+      // churn (BENCH_LOCAL.json is modified by every run), so nearly
+      // every artifact recorded "-dirty" and the next round's
+      // auto-A/B adjudicator silently disabled (ADVICE r16). -uno
+      // drops untracked files; the pathspec scopes to the sources and
+      // build definition that decide what the compiled classes are.
+      val dirty = run("git", "status", "--porcelain", "-uno", "--",
+          "src", "tools", "build.sbt")
         .exists(_.nonEmpty)
       if (dirty) s"$sha-dirty" else sha
     }
   }
+
+  /** Pathspec of the sources whose bytes decide MEASURED query plans:
+    * src/main minus the bench harness itself (Bench, LongDocBench, the
+    * tools subpackage). Tests and repo-root artifacts never affect a
+    * compiled query; harness-only edits affect how queries are TIMED,
+    * never what plan they run. */
+  private[graft] val QueryPathSpec: Seq[String] = Seq(
+    "src/main",
+    ":(exclude)src/main/scala/graft/Bench.scala",
+    ":(exclude)src/main/scala/graft/LongDocBench.scala",
+    ":(exclude)src/main/scala/graft/tools")
+
+  /** Source-diff gate for the auto-A/B (VERDICT r16 #1a): true iff the
+    * working tree — the bytes the current classes were compiled from —
+    * is identical to `priorRef` over [[QueryPathSpec]]. An over-band
+    * suspect whose prior build is query-source-identical CANNOT carry a
+    * plan regression, so the adjudicator short-circuits to a
+    * "harness-only" verdict instead of running an A/B whose legs differ
+    * only in harness behavior — exactly the asymmetry class that
+    * produced round 16's two false "real" convictions (q16 1.163,
+    * t33 1.24 vs a byte-identical df1f4cd; the judge's equalized A/B
+    * read 0.85×/0.70×). Any git failure (unknown ref, not a checkout)
+    * returns false — the gate only ever SKIPS work it can prove
+    * pointless, never suppresses a real adjudication. */
+  private[graft] def querySourcesIdentical(
+      priorRef: String, workDir: Option[java.io.File] = None): Boolean =
+    try {
+      val cmd = Seq("git", "diff", "--quiet", priorRef, "--") ++ QueryPathSpec
+      val pb = new ProcessBuilder(cmd: _*)
+      workDir.foreach(pb.directory)
+      val p = pb.start()
+      p.getInputStream.readAllBytes()
+      p.waitFor() == 0
+    } catch { case _: Exception => false }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -568,19 +610,22 @@ object Bench {
           overBand.map(r => r._1 -> (None: Option[Double], "same-commit"))
             .toMap
         case Some(pc) if !pc.endsWith("-dirty") =>
-          runAutoAb(overBand.sortBy(-_._5).take(AutoAbMaxQueries).map(_._1),
-            pc, sfDir)
+          // SOURCE-DIFF GATE before any A/B run: identical query-path
+          // sources ⇒ identical plans ⇒ the over-band reading is
+          // harness or host, by construction — no measurement needed
+          // (and an A/B against a harness-divergent prior build could
+          // only re-measure the harness difference).
+          if (querySourcesIdentical(pc))
+            overBand.map(r => r._1 -> (None: Option[Double], "harness-only"))
+              .toMap
+          else
+            runAutoAb(overBand.sortBy(-_._5).take(AutoAbMaxQueries)
+              .map(_._1), pc, sfDir)
         case _ => Map.empty
       }
     val regressions = regressions0.map { case (name, p, cur, conf, adj, v) =>
       val ab = abResults.get(name)
-      val finalVerdict = ab.map(_._2) match {
-        case Some("real")                    => "real"
-        case Some("flat") | Some("faster") |
-             Some("same-commit")             => "host"
-        case _                               => v
-      }
-      (name, p, cur, conf, adj, finalVerdict, ab)
+      (name, p, cur, conf, adj, finalVerdictOf(ab.map(_._2), v), ab)
     }
 
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
@@ -715,26 +760,48 @@ object Bench {
         if (p.waitFor() == 0 && out.nonEmpty) Some(new java.io.File(out))
         else None
       } catch { case _: Exception => None }
+    def runOnce(r: java.io.File, qs: Seq[String], rounds: Int,
+                outName: String): Map[String, (Option[Double], String)] = {
+      val out = new java.io.File(r, outName)
+      val log = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_auto_ab.log")
+      System.err.println(s"[bench] auto-A/B vs $priorRef ($rounds rounds): " +
+        qs.mkString(",") + s" (log: $log)")
+      try {
+        val pb = new ProcessBuilder("bash", "tools/ab_bench.sh", priorRef,
+          qs.mkString(","), rounds.toString, "2", sfDir, out.getPath)
+        pb.directory(r)
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(log)
+        val proc = pb.start()
+        val done =
+          proc.waitFor(25, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) {
+          // Kill the TREE, not just the bash wrapper: the script's
+          // child sbt/Spark JVM legs would survive as orphans burning
+          // CPU on the host and skewing every later same-host
+          // measurement (ADVICE r16). Descendants first — destroying
+          // the parent first reparents them to init and loses the
+          // handle.
+          proc.descendants().forEach(h => { h.destroyForcibly(); () })
+          proc.destroyForcibly()
+          Map.empty
+        }
+        else if (proc.exitValue() != 0) Map.empty
+        else parseAbQueries(readAll(out))
+      } catch { case _: Exception => Map.empty }
+    }
     root.filter(r => new java.io.File(r, "tools/ab_bench.sh").isFile)
       .fold(Map.empty[String, (Option[Double], String)]) { r =>
-        val out = new java.io.File(r, "BENCH_AB_AUTO.json")
-        val log = new java.io.File(
-          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_auto_ab.log")
-        System.err.println(s"[bench] auto-A/B vs $priorRef: " +
-          names.mkString(",") + s" (log: $log)")
-        try {
-          val pb = new ProcessBuilder("bash", "tools/ab_bench.sh", priorRef,
-            names.mkString(","), "3", "2", sfDir, out.getPath)
-          pb.directory(r)
-          pb.redirectErrorStream(true)
-          pb.redirectOutput(log)
-          val proc = pb.start()
-          val done =
-            proc.waitFor(25, java.util.concurrent.TimeUnit.MINUTES)
-          if (!done) { proc.destroyForcibly(); Map.empty }
-          else if (proc.exitValue() != 0) Map.empty
-          else parseAbQueries(readAll(out))
-        } catch { case _: Exception => Map.empty }
+        val first = runOnce(r, names, 3, "BENCH_AB_AUTO.json")
+        // WIDEN AT THE LINE (VERDICT r16 #1c): a first-pass ratio
+        // within ±0.1 of the 1.15 threshold is one co-tenant wobble
+        // from flipping — re-measure those suspects at 5 rounds and
+        // let the wider sample supersede, instead of convicting (or
+        // acquitting) at 3×2.
+        val near = names.filter(n => nearThreshold(first.get(n).flatMap(_._1)))
+        if (near.isEmpty) first
+        else first ++ runOnce(r, near, 5, "BENCH_AB_AUTO2.json")
       }
   }
 
@@ -751,6 +818,31 @@ object Bench {
     if (driftAdjRatio <= 1.15) "host"
     else if (sameHost) "real"
     else "cross-host"
+
+  /** A suspect's FINAL verdict given its auto-A/B note (None when no
+    * A/B ran). Only an A/B "real" convicts; "flat"/"faster" refute to
+    * "host", and the two no-measurement-needed notes — "same-commit"
+    * (identical build) and "harness-only" (identical query-path
+    * sources, only Bench/tools differ: a plan regression is logically
+    * impossible, round 16's q16/t33 false convictions) — refute the
+    * same way. Anything else (A/B couldn't run, "incomplete" rows)
+    * leaves the banded verdict standing, visibly unadjudicated. */
+  private[graft] def finalVerdictOf(ab: Option[String],
+                                    banded: String): String = ab match {
+    case Some("real")                      => "real"
+    case Some("flat") | Some("faster") |
+         Some("same-commit") |
+         Some("harness-only")              => "host"
+    case _                                 => banded
+  }
+
+  /** Whether an A/B ratio sits too close to the 1.15 conviction line to
+    * trust at the base sample size (VERDICT r16: q16 was convicted at
+    * 1.163 from 3 rounds × 2 iters — one co-tenant wobble from the
+    * threshold). Within ±0.1 of the line, [[runAutoAb]] re-runs the
+    * suspect at a wider sample instead of shipping the first verdict. */
+  private[graft] def nearThreshold(ratio: Option[Double]): Boolean =
+    ratio.exists(r => r >= 1.05 && r <= 1.25)
 
   /** Whether a query's sample should widen past the base iteration
     * count. Keyed off the PRIOR round's median where one exists: prior

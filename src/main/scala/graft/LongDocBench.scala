@@ -227,9 +227,23 @@ object LongDocBench {
       System.err.println(f"[longdoc] sdedup $label%-7s min=${ts.min}%.2f med=${med(ts)}%.2f pairs=${pairRows(label)}")
       label -> (ts.min, med(ts))
     }.toMap
-    // Agreement at the emitted-pairs grain (the cycle's observable).
-    val ok = pairRows.values.toSet.size == 1
-    if (!ok) System.err.println(s"[longdoc] sdedup pair counts diverge: $pairRows")
+    // Agreement at the emitted-pairs grain (the cycle's observable) —
+    // CONTENT, not just counts (ADVICE r16: two strategies could emit
+    // equally many DIFFERENT pairs, or differing jaccard_ppm values,
+    // and a count check would still bless the timings). The run-1 pair
+    // logs persist under $root/run_<label>_1/pairs; exceptAll both ways
+    // against the first strategy's, like the one-shot surfaces.
+    val base = spark.read.parquet(s"$root/run_${strategies.head._1}_1/pairs")
+    val contentOk = strategies.tail.forall { case (label, _) =>
+      val other = spark.read.parquet(s"$root/run_${label}_1/pairs")
+      val diff = base.exceptAll(other).count() +
+        other.exceptAll(base).count()
+      if (diff != 0)
+        System.err.println(s"[longdoc] sdedup $label content DISAGREES: $diff rows")
+      diff == 0
+    }
+    val ok = pairRows.values.toSet.size == 1 && contentOk
+    if (!ok) System.err.println(s"[longdoc] sdedup pair logs diverge: $pairRows")
     report(ok)
     out
   }

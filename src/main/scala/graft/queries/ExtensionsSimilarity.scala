@@ -1463,9 +1463,22 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       // One bounded job: cap+1 rows decide the route AND carry the data
       // (a separate count would execute the source chain twice for
       // under-cap callers, whose frames are typically checkpointed but
-      // need not be).
+      // need not be). OVER-CAP cost: the probe rows are discarded and
+      // the distributed loop re-executes the pair source — bounded on
+      // both ends: the probe is an executeTake (partitions scanned
+      // incrementally, stopping at cap+1 rows, never a full-source
+      // materialization), and every production caller hands in a
+      // materialized frame (clusterPairs localCheckpoints; the corpus
+      // service hands its checkpointed pair log), so the re-execution
+      // is a block read. A raw over-cap caller pays one extra partial
+      // scan of its source — the price of not double-executing every
+      // UNDER-cap caller, which is the common case by 1M-fold margin.
       val head = p.limit(CcDriverEdgeCap + 1).collect()
-      if (head.length <= CcDriverEdgeCap) {
+      // A null endpoint (malformed pair row) falls through to the
+      // distributed path rather than NPE at getLong — route choice
+      // must never change what inputs are accepted.
+      if (head.length <= CcDriverEdgeCap &&
+          head.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
         val s = pairs.sparkSession
         import s.implicits._
         val labels = ccLocal(head.map(r => (r.getLong(0), r.getLong(1))))

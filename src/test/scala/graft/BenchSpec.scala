@@ -294,6 +294,72 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.priorTimes(dir.getPath) == Map("a" -> 9.0))
   }
 
+  test("final verdict: only an A/B 'real' convicts; harness-only refutes") {
+    // Round 16 shipped two "real" convictions (q16/t33) against a prior
+    // whose query-path source was byte-identical to HEAD — the
+    // "harness-only" note exists so that class of suspect is refuted
+    // WITHOUT a measurement, like same-commit.
+    assert(Bench.finalVerdictOf(Some("real"), "cross-host") == "real")
+    assert(Bench.finalVerdictOf(Some("flat"), "real") == "host")
+    assert(Bench.finalVerdictOf(Some("faster"), "real") == "host")
+    assert(Bench.finalVerdictOf(Some("same-commit"), "real") == "host")
+    assert(Bench.finalVerdictOf(Some("harness-only"), "real") == "host")
+    // A/B couldn't run / incomplete row: banded verdict stands, visibly.
+    assert(Bench.finalVerdictOf(None, "cross-host") == "cross-host")
+    assert(Bench.finalVerdictOf(Some("incomplete"), "real") == "real")
+  }
+
+  test("near-threshold A/B ratios trigger a wider sample, not a verdict") {
+    // q16's round-16 conviction: 1.163 against the 1.15 line from
+    // 3 rounds x 2 iters — inside the +-0.1 wobble band.
+    assert(Bench.nearThreshold(Some(1.163)))
+    assert(Bench.nearThreshold(Some(1.05)) && Bench.nearThreshold(Some(1.25)))
+    assert(!Bench.nearThreshold(Some(1.04)))  // clearly flat
+    assert(!Bench.nearThreshold(Some(1.3)))   // clearly real
+    assert(!Bench.nearThreshold(Some(0.7)))   // clearly faster
+    assert(!Bench.nearThreshold(None))        // incomplete: nothing to widen
+  }
+
+  test("source-diff gate: harness-only edits do not defeat it") {
+    // A temp repo shaped like ours: a query-path file, the bench
+    // harness, a tools main. The gate must read IDENTICAL when only
+    // harness files changed since the ref, and NOT identical when a
+    // query-path file did.
+    val dir = java.nio.file.Files.createTempDirectory("graft-srcdiff").toFile
+    def sh(cmd: String*): Unit = {
+      val p = new ProcessBuilder(cmd: _*).directory(dir)
+        .redirectErrorStream(true).start()
+      p.getInputStream.readAllBytes()
+      assert(p.waitFor() == 0, s"${cmd.mkString(" ")} failed")
+    }
+    def put(rel: String, body: String): Unit = {
+      val f = new java.io.File(dir, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+    }
+    sh("git", "init", "-q", "-b", "main")
+    put("src/main/scala/graft/Q.scala", "object Q")
+    put("src/main/scala/graft/Bench.scala", "object Bench")
+    put("src/main/scala/graft/LongDocBench.scala", "object LongDocBench")
+    put("src/main/scala/graft/tools/T.scala", "object T")
+    sh("git", "add", "-A")
+    sh("git", "-c", "user.email=t@t", "-c", "user.name=t",
+      "commit", "-q", "-m", "base")
+    val w = Some(dir)
+    assert(Bench.querySourcesIdentical("HEAD", w))
+    // Harness-only edits: still identical over the query paths.
+    put("src/main/scala/graft/Bench.scala", "object Bench { val x = 1 }")
+    put("src/main/scala/graft/LongDocBench.scala", "object LongDocBench {}")
+    put("src/main/scala/graft/tools/T.scala", "object T { val y = 2 }")
+    assert(Bench.querySourcesIdentical("HEAD", w))
+    // A query-path edit defeats the gate.
+    put("src/main/scala/graft/Q.scala", "object Q { val changed = true }")
+    assert(!Bench.querySourcesIdentical("HEAD", w))
+    // Unknown ref / broken git: false — the gate only ever skips work
+    // it can prove pointless.
+    assert(!Bench.querySourcesIdentical("no-such-ref", w))
+  }
+
   test("widen rule fires on prior-sub-second, got-faster, and drift") {
     assert(Bench.widenRule(Some(0.5), 0.6))   // prior sub-second
     assert(Bench.widenRule(Some(2.0), 0.7))   // got faster: now noise-dominated

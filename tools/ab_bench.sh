@@ -56,8 +56,12 @@ done
 if [ ! -d "$WT" ]; then
   echo "[ab] adding worktree for $REF at $WT"
   git -C "$REPO" worktree add --detach "$WT" "$REF"
-  python3 "$REPO/tools/patch_bench_only.py" "$WT/src/main/scala/graft/Bench.scala"
 fi
+# Outside the guard: each graft is independently idempotent, and a CACHED
+# worktree from an earlier run must still pick up grafts added since
+# (round 17: the SPARK_GRAFT_MEM_SENTINEL toggle — a cached prior leg
+# without it does non-identical pre-suite work vs the current leg).
+python3 "$REPO/tools/patch_bench_only.py" "$WT/src/main/scala/graft/Bench.scala"
 echo "[ab] compiling prior build ($REF)"
 (cd "$WT" && sbt -batch compile >"$SCRATCH/prior_compile.log" 2>&1) \
   || { tail -20 "$SCRATCH/prior_compile.log"; exit 1; }
