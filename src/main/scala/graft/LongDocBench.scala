@@ -66,6 +66,14 @@ object LongDocBench {
     val hotDir = s"$root/corpus_hot"
     buildCorpus(spark, sfDir, s"$hotDir/documents.parquet", seedMod = 2500,
       variants = 48, nTok = lit(26000))
+    // Corpus 3 — the MID regime (round-17 calibration point): 13-variant
+    // families put each book in k ≈ 12 candidate pairs, right at the
+    // LongDocFrameMinMult dial that round 16 calibrated from only the
+    // k≈4 and k≈42 endpoints — this row either confirms the threshold
+    // sits in the flat part of the crossover or moves it.
+    val midDir = s"$root/corpus_mid"
+    buildCorpus(spark, sfDir, s"$midDir/documents.parquet", seedMod = 1200,
+      variants = 13, nTok = lit(13000))
 
     val d = Tables.t(spark, corpusDir, "documents")
     val stats = d.agg(count(lit(1)), sum(when(col("doc_id") >= BookBase, 1L)),
@@ -96,7 +104,19 @@ object LongDocBench {
       "d10" -> ((st: Option[Boolean]) =>
         graft.queries.Extensions.dedupIncrementalMode(spark, corpusDir, st)),
       "d03_hot" -> ((st: Option[Boolean]) =>
-        graft.queries.Extensions.dedupMinhashLshMode(spark, hotDir, st)))
+        graft.queries.Extensions.dedupMinhashLshMode(spark, hotDir, st)),
+      "d03_mid" -> ((st: Option[Boolean]) =>
+        graft.queries.Extensions.dedupMinhashLshMode(spark, midDir, st)),
+      // d08 over a book corpus (round-17 stretch): the edit-distance
+      // family has NO long-doc routing to dial — its only kernel call
+      // site compares fixed 20-char prefixes, so the LevenshteinBp
+      // >64-code-point fallback is structurally unreachable here and
+      // the strategy dial is a no-op (three identical measurements =
+      // extra iterations). What books DO stress is the (lang,
+      // length-bucket) blocking: 13-variant families land in one
+      // bucket, so every family pair is a candidate.
+      "d08_books" -> ((_: Option[Boolean]) =>
+        graft.queries.Extensions.dedupEditDistance(spark, midDir)))
 
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[String, (Double, Double)]]
@@ -126,6 +146,30 @@ object LongDocBench {
     // --- streaming surface: one processBatch cycle, book-bearing batch ---
     results("sdedup") = benchStreaming(spark, corpusDir, root, iters,
       strategies, ok => if (!ok) agreement = false)
+
+    // --- LevenshteinBp >64-cp fallback probe (round-17 stretch): no
+    // production call site can reach it (d08 passes 20-char prefixes),
+    // but a future full-text caller should find its cost on record.
+    // The fallback is UTF8String.levenshteinDistance — unthresholded
+    // O(n·m) cells — so per-pair cost scales with the PRODUCT of the
+    // lengths: the probe times ~1.3k pairs at 512 and 2048 code points
+    // per side (0.26M / 4.2M cells/pair). A genuine full-text d08 over
+    // books would need a block-based Myers extension first; until a
+    // caller exists, that kernel is dead weight. ---
+    for (cp <- Seq(512, 2048)) {
+      val pairs = Tables.t(spark, midDir, "documents")
+        .filter(col("doc_id") >= BookBase)
+        .select(substring(col("text"), 1, cp).as("s1"),
+          substring(col("text"), 51, cp).as("s2"))
+      val t0 = System.nanoTime()
+      val n = pairs.select(
+          sum(graft.functions.LevenshteinBp(col("s1"), col("s2"))
+            .cast("long")).as("d"), count(lit(1)).as("n"))
+        .collect()(0).getLong(1)
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[longdoc] lev_fallback cp=$cp%4d pairs=$n t=$dt%.2f s (${dt * 1e6 / n}%.0f us/pair)")
+    }
 
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qJson = results.map { case (q, m) =>

@@ -80,6 +80,14 @@ object ScaleSmoke {
     // at blockDocs rows — expect ~linear in the manifest rows it emits,
     // with no single-partition window cliff for the exponent to expose.
     "t28_pack_manifest",
+    // d16 keeps the long-doc FRAME ROUTE under standing smoke coverage
+    // (round 17): its book count grows with the seed slice (6 → 13
+    // families across the SFs, capped by the id<1200 bound), so the
+    // exponent reads the routed verify's scaling on a corpus where the
+    // census is non-empty by construction — a materialization-
+    // discipline regression (the round-16 18× fan-out class) shows up
+    // here as a super-linear cliff.
+    "d16_longdoc_routed",
     // t32's only corpus-grain stage is the word-frequency hash agg; the
     // 12 merge rounds run at word grain, and the synthetic corpus's
     // vocabulary is FIXED (~31 words), so the word table doesn't grow

@@ -1151,6 +1151,19 @@ object Extensions extends ExtCore with ExtDedup with ExtSimilarity
         |FROM ch GROUP BY 1
         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
 
+    // d16 = d03's exact chain over the synthesized book-bearing fixture
+    // corpus — the standing coverage row for the long-doc frame route
+    // (census non-empty by construction; see longdocFixtureCorpus).
+    // Oracle: regenerate the corpus in SQL, then the d03 tail verbatim.
+    QuerySpec("d16_longdoc_routed", dedupLongdocRouted, Some(
+      bookCorpusCtes + docCtesOver("corpus") + minhashCtes +
+      """SELECT c.doc_a, c.doc_b,
+        |       (COALESCE(cm.c, 0) * 1000000) // (x.n_sh + y.n_sh - COALESCE(cm.c, 0)) AS jaccard_ppm
+        |FROM cand c
+        |LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+        |JOIN shc x ON x.doc_id = c.doc_a
+        |JOIN shc y ON y.doc_id = c.doc_b""".stripMargin)),
+
     // s20's oracle recomputes the full PQ chain in SQL: hash-sampled
     // codebooks, exact-L2 assignment per (vector, subspace), ADC dots
     // of the raw query against reconstructions, exact rerank. Every

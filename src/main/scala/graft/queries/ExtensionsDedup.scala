@@ -339,21 +339,26 @@ private[queries] trait ExtDedup { this: Extensions.type =>
     // higher-constant join machinery — so length cancels out of the
     // crossover and MULTIPLICITY is the axis; see
     // [[LongDocFrameMinMult]]); or over [[HugeDocVerifyBytes]], where
-    // a text stops being a reasonable shuffle row at any k. One tiny
-    // agg over the materialized candidate frame, inner-joined to the
-    // text lengths (docs outside the candidate set can't route); the
-    // result is DRIVER-READ (the q36 hot-census pattern): a corpus
-    // whose census comes back empty — long docs present but none in
-    // the hot-cluster regime, the common case — gets the PURE kernel
+    // a text stops being a reasonable shuffle row at any k. LENGTH
+    // PRE-FILTER FIRST (VERDICT r16 #3): only long docs can route, so
+    // the candidate endpoints join against the (selective, broadcast-
+    // able) long-id set BEFORE the multiplicity agg — the groupBy then
+    // shuffles only long-doc endpoints instead of the whole candidate
+    // frame, and a corpus whose long docs are all NON-candidates pays
+    // one broadcast and an empty agg, not a full endpoint census. The
+    // result is DRIVER-READ (the q36 hot-census pattern): a census
+    // that comes back empty — long docs present but none in the
+    // hot-cluster regime, the common case — gets the PURE kernel
     // plan, paying the probe but none of the split machinery (measured
     // ~70% over the kernel plan when the split was built uncondition-
     // ally: an eager empty shingle checkpoint plus doubled flag joins).
-    val mult = candM.select(col(aCol).as("doc_id"))
-      .unionByName(candM.select(col(bCol).as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("__k"))
-    val frameDocs = texts
+    val longIds = texts
       .select(col("doc_id"), octet_length(col("text")).cast("long").as("__len"))
-      .join(mult, "doc_id")
+      .filter(col("__len") > math.min(longBytes, HugeDocVerifyBytes))
+    val frameDocs = candM.select(col(aCol).as("doc_id"))
+      .unionByName(candM.select(col(bCol).as("doc_id")))
+      .join(longIds, "doc_id")
+      .groupBy(col("doc_id"), col("__len")).agg(count(lit(1)).as("__k"))
       .filter((col("__len") > longBytes && col("__k") >= frameMinMult) ||
         col("__len") > HugeDocVerifyBytes)
       .select(col("doc_id"), lit(true).as("__f"))
@@ -444,6 +449,68 @@ private[queries] trait ExtDedup { this: Extensions.type =>
       .distinct()
     pairJaccardStrategy(cand, d, "doc_a", "doc_b", strategy,
       memoKey = Some(dir))
+  }
+
+  /** d16's synthesized BOOK-BEARING corpus — the standing fixture that
+    * keeps the long-doc verify routing under bench/oracle coverage
+    * every round (VERDICT r16 #4: the driver corpora max out at 577
+    * bytes/doc, so without this row the frame route and its
+    * materialization discipline had perf evidence only in the manually
+    * run LongDocBench). Deterministic and ORACLE-REPLICABLE: every
+    * token is derived from md5 over a (seed, position, variant) key —
+    * the one hash both engines compute byte-identically (the h32
+    * portability contract) — so the DuckDB twin regenerates the exact
+    * corpus in SQL. Shape: 16-variant families of ~4200-token
+    * (~29 KiB > LongDocVerifyBytes) books from every 97th base doc
+    * under id 1200 (6 families at sf0.01, 13 at sf0.1), 1% of
+    * positions mutated per variant — intra-family Jaccard ≈ 0.89, so
+    * nearly all C(16,2) family pairs collide in ≥1 LSH band and each
+    * book sits in k ≈ 14 candidate pairs ≥ LongDocFrameMinMult: the
+    * frame route FIRES by construction (DedupSpec pins the census
+    * non-empty), while every 41st base doc rides along unmodified to
+    * keep the short/kernel branch of the split populated too.
+    * Materialized (localCheckpoint): the text-generation expression
+    * (4200 md5s per book) is referenced by both verify branches and
+    * the census — the round-16 fan-out lesson applies to generated
+    * corpora exactly as to candidate frames. Returned-frame lineage
+    * carries the checkpoint, so consumers release it via the standard
+    * freeCkptFresh discipline. */
+  private[graft] def longdocFixtureCorpus(s: SparkSession,
+                                          dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val shorts = d.filter(pmod(col("doc_id"), lit(41)) === 0)
+    val seeds = d.filter(pmod(col("doc_id"), lit(97)) === 0 &&
+        col("doc_id") < 1200)
+      .select(col("doc_id").as("seed"))
+    val books = (0 until 16).map { v =>
+      seeds.select(
+        (lit(10000000L) + col("seed") * 16 + lit(v.toLong)).as("doc_id"),
+        expr(
+          s"""concat_ws(' ', transform(sequence(1, 4200), i ->
+             |  CASE WHEN pmod(cast(conv(substr(md5(concat(seed, '-', i, '-', $v, '-m')), 1, 8), 16, 10) as bigint), 100) = 0
+             |       THEN concat('m', pmod(cast(conv(substr(md5(concat(seed, '-', i, '-', $v, '-x')), 1, 8), 16, 10) as bigint), 100))
+             |       ELSE cast(pmod(cast(conv(substr(md5(concat(seed, '-', i, '-0-b')), 1, 8), 16, 10) as bigint), 1000000) as string)
+             |  END))""".stripMargin).as("text"))
+    }.reduce(_ unionByName _)
+    shorts.unionByName(books).localCheckpoint()
+  }
+
+  def dedupLongdocRouted(s: SparkSession, dir: String): DataFrame =
+    dedupLongdocRoutedMode(s, dir, None)
+
+  /** d16's body with the bench strategy dial (DedupSpec pins routed ≡
+    * kernel ≡ frame on the fixture). No memo key: the corpus is
+    * synthesized per invocation, and the long-doc probe over the
+    * materialized frame is a block-read limit-1. */
+  private[graft] def dedupLongdocRoutedMode(s: SparkSession, dir: String,
+      strategy: Option[Boolean]): DataFrame = {
+    val corpus = longdocFixtureCorpus(s, dir)
+    val banded = bandedSignaturesOfDocs(corpus)
+    val cand = banded.as("a")
+      .join(banded.as("b"), bandEq && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairJaccardStrategy(cand, corpus, "doc_a", "doc_b", strategy)
   }
 
   /** Token-frequency SimHash at `bits` width (32 or 64). All signed

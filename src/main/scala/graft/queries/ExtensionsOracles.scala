@@ -69,6 +69,34 @@ private[queries] trait ExtOracles { this: Extensions.type =>
       |  GROUP BY 1, 2)
       |""".stripMargin
 
+  /** d16's synthesized book corpus in SQL — regenerates
+    * [[longdocFixtureCorpus]] byte-for-byte: md5-derived token streams
+    * are the one primitive both engines hash identically (Spark
+    * conv(hex,16,10) ↔ DuckDB ('0x'||…)::BIGINT, both unsigned 32-bit;
+    * '-'-joined keys render the same because BIGINT→VARCHAR is
+    * unpadded decimal in both). Ends with a `corpus(doc_id, lang,
+    * text)` CTE; [[docCtesOver]] rebases the shingle chain onto it. */
+  private[queries] val bookCorpusCtes: String =
+    """WITH seeds AS (SELECT doc_id AS seed FROM documents
+      |               WHERE doc_id % 97 = 0 AND doc_id < 1200),
+      |booktoks AS (
+      |  SELECT 10000000 + seed * 16 + v AS doc_id, i,
+      |    CASE WHEN ('0x' || substr(md5(seed || '-' || i || '-' || v || '-m'), 1, 8))::BIGINT % 100 = 0
+      |         THEN 'm' || (('0x' || substr(md5(seed || '-' || i || '-' || v || '-x'), 1, 8))::BIGINT % 100)
+      |         ELSE (('0x' || substr(md5(seed || '-' || i || '-0-b'), 1, 8))::BIGINT % 1000000)::VARCHAR
+      |    END AS tok
+      |  FROM seeds, UNNEST(range(0, 16)) uv(v), UNNEST(range(1, 4201)) ui(i)),
+      |books AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+      |          FROM booktoks GROUP BY 1),
+      |corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 41 = 0
+      |           UNION ALL SELECT doc_id, 'xx' AS lang, text FROM books)
+      |""".stripMargin
+
+  /** [[docCtes]] rebased onto a prior CTE instead of the raw documents
+    * table (continuation form — the caller supplies the WITH). */
+  private[queries] def docCtesOver(rel: String): String =
+    docCtes.replaceFirst("WITH ", ", ").replace("FROM documents", s"FROM $rel")
+
   /** Oracle twin of `connectedComponents(lshPairs(...))`: LSH-verified
     * pairs → symmetric edges → recursive transitive closure →
     * component-min labels. */

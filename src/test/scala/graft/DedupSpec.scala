@@ -378,6 +378,47 @@ class DedupSpec extends SparkSpec {
     assert(d03short.count() > 0)
   }
 
+  test("d16 fixture routes books through the frame path; strategies agree") {
+    // The standing long-doc coverage row (VERDICT r16 #4): the
+    // synthesized corpus must (a) actually contain books over the
+    // length threshold, (b) put them in >= LongDocFrameMinMult
+    // candidate pairs so the production routing FIRES — not just
+    // exist, and (c) verify identically on all three strategies.
+    val dir = sf("sf0.001")
+    val corpus = Extensions.longdocFixtureCorpus(spark, dir)
+    val books = corpus.filter(col("doc_id") >= 10000000L)
+    assert(books.count() == 96, "6 seeds x 16 variants at sf0.001")
+    assert(books.filter(octet_length(col("text")) <=
+      Extensions.LongDocVerifyBytes).isEmpty, "every book must be long")
+    // Census at data grain, the exact routing condition: candidate-pair
+    // multiplicity of the long docs. Most books must clear the dial —
+    // a fixture that only grazes it would flap with corpus drift.
+    val banded = Extensions.bandedSignaturesOfDocs(corpus)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        Extensions.bandEq && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val hot = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id")))
+      .filter(col("doc_id") >= 10000000L)
+      .groupBy("doc_id").count()
+      .filter(col("count") >= Extensions.LongDocFrameMinMult)
+      .count()
+    assert(hot >= 80, s"only $hot of 96 books clear the multiplicity dial")
+    // All three strategies row-identical; the routed plan carries both
+    // branches (kernel verify + the materialized frame branch's Union).
+    val routed = Extensions.dedupLongdocRoutedMode(spark, dir, None)
+    val kernel = Extensions.dedupLongdocRoutedMode(spark, dir, Some(false))
+    val frame = Extensions.dedupLongdocRoutedMode(spark, dir, Some(true))
+    assertSameRows(routed, kernel, "d16 routed vs all-kernel")
+    assertSameRows(routed, frame, "d16 routed vs all-frame")
+    val plan = routed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("shingle_jaccard_ppm") && plan.contains("Union"),
+      s"d16 routed plan lost a branch:\n$plan")
+    Seq(corpus, routed, kernel, frame).foreach(Extensions.freeCkptFresh)
+  }
+
   test("native simhash kernel ≡ the aggregate form at both widths") {
     val src = sf("sf0.001")
     for (bits <- Seq(32, 64))
