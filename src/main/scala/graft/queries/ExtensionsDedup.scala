@@ -233,11 +233,29 @@ private[queries] trait ExtDedup { this: Extensions.type =>
     * pairs verify frame-grain only when the doc sits in at least this
     * many candidate pairs (the hot-template regime — k × len re-hash
     * compounds, pay-len-once wins), or when the doc exceeds
-    * [[HugeDocVerifyBytes]] outright. Calibrated on the round-16
-    * LongDocBench corpora: at k ≈ 4 (five-variant families) the kernel
-    * wins ~1.7×; at k ≈ 42 (48-variant hot clusters) the frame path
-    * wins — the threshold sits between the two regimes. */
-  private[graft] val LongDocFrameMinMult = 12L
+    * [[HugeDocVerifyBytes]] outright. Calibration history: round 16
+    * measured k ≈ 4 (kernel wins ~1.7×) and k ≈ 42 (frame wins) and
+    * split the difference at 12; the round-17 mid-regime corpus
+    * (k ≈ 12) showed the frame path ALREADY winning there (4.12 vs
+    * kernel 4.45 s) while a dial AT the corpus's multiplicity made the
+    * routed plan straddle it — part of each family on each route,
+    * paying both machineries (6.84 s, worse than either pure form).
+    * The crossover therefore sits in (4, 12); 8 centers the dial in
+    * that bracket AND keeps measured whole-corpus regimes (k≈4 all
+    * kernel, k≈12 and k≈42 all frame) away from the straddle zone. */
+  private[graft] val LongDocFrameMinMult = 8L
+
+  /** Census-size cap for the DRIVER-READ hot-doc set (the q36
+    * hot-census pattern at the routing dial): the census output is
+    * doc-grain — one row per long document in ≥ [[LongDocFrameMinMult]]
+    * candidate pairs — so in any real corpus it is the hot-template
+    * tail, orders below the corpus. Under the cap the flag joins
+    * broadcast a driver-built local relation (≤ 64Ki longs ≈ 0.5 MB of
+    * plan) instead of shuffling against a checkpointed frame, and the
+    * empty-census common case costs ONE collect job instead of
+    * checkpoint + isEmpty. A census over the cap falls back to the
+    * checkpointed distributed form — same rows, same routing. */
+  private[graft] val HotDocDriverCap = 65536
 
   /** Absolute length override: above ~1 MiB a text stops being a
     * reasonable SHUFFLE ROW regardless of multiplicity — the kernel
@@ -355,17 +373,21 @@ private[queries] trait ExtDedup { this: Extensions.type =>
     val longIds = texts
       .select(col("doc_id"), octet_length(col("text")).cast("long").as("__len"))
       .filter(col("__len") > math.min(longBytes, HugeDocVerifyBytes))
-    val frameDocs = candM.select(col(aCol).as("doc_id"))
+    val census = candM.select(col(aCol).as("doc_id"))
       .unionByName(candM.select(col(bCol).as("doc_id")))
       .join(longIds, "doc_id")
       .groupBy(col("doc_id"), col("__len")).agg(count(lit(1)).as("__k"))
       .filter((col("__len") > longBytes && col("__k") >= frameMinMult) ||
         col("__len") > HugeDocVerifyBytes)
-      .select(col("doc_id"), lit(true).as("__f"))
-      .localCheckpoint()
-    if (frameDocs.isEmpty) {
-      // Not in the returned plan — release now, or it leaks.
-      freeCkpt(frameDocs)
+      .select(col("doc_id"))
+    // DRIVER-READ (one bounded collect — the probe rows ARE the hot
+    // set, the CC-probe pattern): empty census → the pure kernel plan
+    // for the price of one job; under [[HotDocDriverCap]] → the flag
+    // joins broadcast a local relation (no shuffle, no checkpoint);
+    // over the cap → the checkpointed distributed frame, re-reading
+    // candM's materialized blocks (bounded — never a source re-run).
+    val hotRows = census.limit(HotDocDriverCap + 1).collect()
+    if (hotRows.isEmpty) {
       return candM
         .join(texts.select(col("doc_id").as(aCol), col("text").as("__ta")), aCol)
         .join(texts.select(col("doc_id").as(bCol), col("text").as("__tb")), bCol)
@@ -373,6 +395,14 @@ private[queries] trait ExtDedup { this: Extensions.type =>
           graft.functions.ShingleJaccardPpm(col("__ta"), col("__tb"))
             .as("jaccard_ppm"))
     }
+    val s = cand.sparkSession
+    val frameDocs =
+      if (hotRows.length <= HotDocDriverCap) {
+        import s.implicits._
+        broadcast(hotRows.map(_.getLong(0)).toSeq.toDF("doc_id")
+          .withColumn("__f", lit(true)))
+      } else
+        census.withColumn("__f", lit(true)).localCheckpoint()
     val flagged = candM
       .join(frameDocs.select(col("doc_id").as(aCol), col("__f").as("__la")),
         Seq(aCol), "left")
