@@ -264,15 +264,25 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
     * − 2ab, all BIGINT), ties by centroid id — one (vec_id, sub,
     * cent_id, scs) row per subspace. */
   private[graft] def pqEncodeWith(e: DataFrame, books: DataFrame): DataFrame = {
-    val aw = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2").asc, col("cent_id").asc)
+    // Argmin as a partial-aggregable min(struct(...)) instead of a
+    // row_number window (round-17 bench: the window form exchanged and
+    // sorted |corpus|·4·|codebook| rows — 5M at sf0.1, the 2.0 s of
+    // s20's 2.6 s — where the aggregate collapses each (vec, sub)
+    // group map-side: the broadcast join leaves a group's candidate
+    // rows contiguous in one task, so the exchange carries one row per
+    // group). Ordering identical: struct comparison is lexicographic
+    // and (d2, cent_id) is unique per group — ties cannot reach the
+    // payload fields, so the winner matches the window's
+    // (d2 asc, cent_id asc) exactly.
     pqSubvectors(e).join(broadcast(books), "sub")
       .withColumn("d2",
         col("ss") + col("scs") - lit(2L) * DotI64(col("qs"), col("cs")))
-      .withColumn("rn", row_number().over(aw))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("cent_id"),
-        col("cs"), col("scs"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cent_id"), col("scs"), col("cs")))
+        .as("__best"))
+      .select(col("vec_id"), col("sub"),
+        col("__best.cent_id").as("cent_id"),
+        col("__best.cs").as("cs"), col("__best.scs").as("scs"))
   }
 
   def annPq(s: SparkSession, dir: String): DataFrame = {
