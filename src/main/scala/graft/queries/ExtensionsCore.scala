@@ -109,6 +109,37 @@ private[queries] trait ExtCore { this: Extensions.type =>
       .select(aCol, bCol, "jaccard_ppm")
   }
 
+  /** Per-group top-k by (score desc, id asc) via the typed map-side
+    * MinKByKey aggregator — the scale-safe coarse-selection form of
+    * `row_number() over (partition by group order by score desc, id)
+    * <= k`. The window form shuffles EVERY candidate row into
+    * ≤|groups| reducers — the ANN coarse passes feed it |Q|·|corpus|
+    * rows, so once |corpus| ≫ |Q| a handful of reducers sort the
+    * whole corpus (the q26 single-reducer cliff, measured again this
+    * round on t26's 1.4M-row symmetrized frame). The aggregator keeps
+    * ≤k rows per group per MAP task, so the exchange carries
+    * O(|groups|·k) regardless of candidate volume. Output rows and
+    * order are identical to the window's: ties break by id, scores
+    * are exact integers, and MinKByKey's (k, id) ascending order with
+    * k = −score reproduces (score desc, id asc) bit-for-bit.
+    * `scoreName`/`rankName` name the recovered score (= −k) and the
+    * 1-based rank; callers that only need ids drop them. */
+  private[graft] def topKPerGroup(df: DataFrame, group: String,
+                                  score: org.apache.spark.sql.Column,
+                                  id: String, k: Int,
+                                  scoreName: String = "__score",
+                                  rankName: String = "__rank"): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MinKByKey(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.KeyedId])
+    df.groupBy(group)
+      .agg(agg((-score).cast("long"), col(id)).as("__top"))
+      .select(col(group), posexplode(col("__top.ids")).as(Seq("__pos", "__e")))
+      .select(col(group), col("__e.id").as(id),
+        (-col("__e.k")).as(scoreName),
+        (col("__pos") + 1).cast("int").as(rankName))
+  }
+
   /** Embeddings quantized to integer parts-per-million so every sum is
     * exact and order-free (float accumulation order differs between
     * engines; integer sums cannot). Frame form shared with the streaming

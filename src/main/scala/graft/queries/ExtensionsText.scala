@@ -1330,10 +1330,21 @@ private[queries] trait ExtText { this: Extensions.type =>
         col("cos_ppm"))
       .unionByName(scored.select(col("vec_b").as("doc_id"),
         col("vec_a").as("negative_id"), col("cos_ppm")))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("cos_ppm").desc, col("negative_id").asc)
-    sym.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+    // Top-3 via the typed map-side topKPerGroup aggregator, not a
+    // window (round-17 measurement: the hard-negative band keeps
+    // ~99.6% of cell candidates — near-uniform embeddings rarely cross
+    // the near-dup cut — so the symmetrized frame is ~2× the candidate
+    // volume and the window exchanged+sorted 1.4M rows at sf0.1 for a
+    // 3-row-per-doc answer, ~0.8 s of t26's 1.9; measured 1.85 → 1.37
+    // isolated). NOTE the round's counter-measurement: the same
+    // transform applied to the ANN coarse passes (50k–500k-row inputs)
+    // LOST 2–3× — the typed aggregator's per-row encoder conversion
+    // only beats the codegen'd window when the per-reducer row volume
+    // is large (here: millions symmetrized), so the window form stays
+    // everywhere else. Ordering identical to the window's (the
+    // oracle's form, q25's pattern).
+    topKPerGroup(sym, "doc_id", col("cos_ppm"), "negative_id", 3,
+        "cos_ppm", "rank")
       .select("doc_id", "negative_id", "cos_ppm", "rank")
   }
 

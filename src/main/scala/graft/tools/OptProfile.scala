@@ -70,6 +70,32 @@ object OptProfile {
         E.dedupLongdocRoutedMode(spark, sfDir, Some(true)))
     }
 
+    if (sets("t26")) {
+      val e = E.quantized(spark, sfDir)
+      def assigned() = E.imiRankB(e, E.coarseBooks(spark, sfDir, e), "vec_id", 2)
+        .filter(col("rn") <= 4)
+        .select(col("vec_id"), col("cent_id").as("cell"))
+      def cand() = assigned().as("a")
+        .join(assigned().as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      def scored() = cand()
+        .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+          col("s2").as("sa")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+          col("s2").as("sb")), "vec_b")
+        .withColumn("dot", E.dot)
+        .withColumn("cos_ppm", E.cosPpm)
+        .filter(col("cos_ppm") < 350000)
+        .select("vec_a", "vec_b", "cos_ppm")
+      println("[optprofile] t26 cand rows = " + cand().count() +
+        ", scored rows = " + scored().count())
+      time("t26 cand distinct")(() => cand())
+      time("t26 +scored")(() => scored())
+      time("t26 full")(() => E.hardNegatives(spark, sfDir))
+    }
+
     if (sets("s20")) {
       val n: Long = E.corpusCount.computeIfAbsent(sfDir,
         _ => graft.Tables.t(spark, sfDir, "embeddings").count())
