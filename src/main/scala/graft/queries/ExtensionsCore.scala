@@ -123,22 +123,27 @@ private[queries] trait ExtCore { this: Extensions.type =>
     * are exact integers, and MinKByKey's (k, id) ascending order with
     * k = −score reproduces (score desc, id asc) bit-for-bit.
     * `scoreName`/`rankName` name the recovered score (= −k) and the
-    * 1-based rank; callers that only need ids drop them. */
+    * 1-based rank; callers that only need ids drop them.
+    *
+    * The aggregate is the NATIVE [[graft.functions.MinKLongs]]
+    * (TypedImperativeAggregate over a primitive-array heap), not the
+    * typed MinKByKey udaf: the udaf form was measured this round to
+    * pay a Catalyst↔Scala encoder round-trip per INPUT row — 2–3×
+    * slower than the codegen'd window on 50k–500k-row coarse frames —
+    * while the native form reads two longs off the InternalRow per
+    * row. */
   private[graft] def topKPerGroup(df: DataFrame, group: String,
                                   score: org.apache.spark.sql.Column,
                                   id: String, k: Int,
                                   scoreName: String = "__score",
-                                  rankName: String = "__rank"): DataFrame = {
-    val agg = org.apache.spark.sql.functions.udaf(
-      new graft.functions.MinKByKey(k),
-      org.apache.spark.sql.Encoders.product[graft.functions.KeyedId])
+                                  rankName: String = "__rank"): DataFrame =
     df.groupBy(group)
-      .agg(agg((-score).cast("long"), col(id)).as("__top"))
-      .select(col(group), posexplode(col("__top.ids")).as(Seq("__pos", "__e")))
+      .agg(graft.functions.MinKLongs((-score).cast("long"), col(id), k)
+        .as("__top"))
+      .select(col(group), posexplode(col("__top")).as(Seq("__pos", "__e")))
       .select(col(group), col("__e.id").as(id),
         (-col("__e.k")).as(scoreName),
         (col("__pos") + 1).cast("int").as(rankName))
-  }
 
   /** Embeddings quantized to integer parts-per-million so every sum is
     * exact and order-free (float accumulation order differs between

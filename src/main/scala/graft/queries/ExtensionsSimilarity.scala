@@ -31,13 +31,16 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
-    q.join(b, col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", dot)
-      .withColumn("cos_ppm", cosPpm)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    // Top-5 via the native map-side MinKLongs aggregate (topKPerGroup),
+    // not a window: the exact baseline scores |Q|·|corpus| rows and the
+    // window funneled all of them into ≤|Q| reducers (round-17
+    // coarse-selection sweep; native ≈ window at sf grain, probe in
+    // OptProfile "topk").
+    topKPerGroup(
+      q.join(b, col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", dot)
+        .withColumn("cos_ppm", cosPpm),
+      "query_id", col("cos_ppm"), "neighbor_id", 5, "cos_ppm", "rank")
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
   }
 
@@ -71,13 +74,14 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       .distinct()
     val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
     val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
-    val win = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
-    cand.join(q, "query_id").join(n, "neighbor_id")
-      .withColumn("dot", dot)
-      .withColumn("cos_ppm", cosPpm)
-      .withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= 5)
+    // Candidate volume is collision-bound (a hot-bucket corpus floods
+    // it), so the rerank's top-5 goes through the native map-side
+    // aggregate rather than a ≤|Q|-reducer window.
+    topKPerGroup(
+      cand.join(q, "query_id").join(n, "neighbor_id")
+        .withColumn("dot", dot)
+        .withColumn("cos_ppm", cosPpm),
+      "query_id", col("cos_ppm"), "neighbor_id", 5, "cos_ppm", "rank")
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
   }
 
@@ -111,15 +115,15 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       .select(col("vec_id").as("query_id"), col("qp").as("qpa"), col("sp").as("spa"))
     val np = pfx.select(col("vec_id").as("neighbor_id"),
       col("qp").as("qpb"), col("sp").as("spb"))
-    val pw = Window.partitionBy(col("query_id"))
-      .orderBy(col("pcos").desc, col("neighbor_id").asc)
-    val cand = qp.join(np, col("query_id") =!= col("neighbor_id"))
-      .withColumn("pdot", DotI64(col("qpa"), col("qpb")))
-      .withColumn("pcos",
-        floor(col("pdot") / (sqrt(col("spa")) * sqrt(col("spb")))
-          * lit(1000000.0) + lit(0.5)).cast("long"))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= 100)
+    // Coarse top-100 via the native map-side aggregate (the window put
+    // |Q|·|corpus| prefix-scored rows through ≤|Q| reducers).
+    val cand = topKPerGroup(
+      qp.join(np, col("query_id") =!= col("neighbor_id"))
+        .withColumn("pdot", DotI64(col("qpa"), col("qpb")))
+        .withColumn("pcos",
+          floor(col("pdot") / (sqrt(col("spa")) * sqrt(col("spb")))
+            * lit(1000000.0) + lit(0.5)).cast("long")),
+      "query_id", col("pcos"), "neighbor_id", 100)
       .select("query_id", "neighbor_id")
     // Exact rerank at candidate grain: full vectors enter by key join.
     val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
@@ -306,17 +310,17 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("pdot")).as("adot"))
     val qn = e.select(col("vec_id").as("query_id"), col("s2").as("sa"))
-    val cw = Window.partitionBy(col("query_id"))
-      .orderBy(col("acos").desc, col("neighbor_id").asc)
-    val cand = adc
-      .join(qn, "query_id")
-      .join(rnorm.select(col("vec_id").as("neighbor_id"), col("ssr")),
-        "neighbor_id")
-      .withColumn("acos",
-        floor(col("adot") / (sqrt(col("sa")) * sqrt(col("ssr")))
-          * lit(1000000.0) + lit(0.5)).cast("long"))
-      .withColumn("arn", row_number().over(cw))
-      .filter(col("arn") <= 100)
+    // ADC coarse top-100 via the native map-side aggregate
+    // (coarse-selection sweep: |Q|·|corpus| rows, ≤|Q| reducers).
+    val cand = topKPerGroup(
+      adc
+        .join(qn, "query_id")
+        .join(rnorm.select(col("vec_id").as("neighbor_id"), col("ssr")),
+          "neighbor_id")
+        .withColumn("acos",
+          floor(col("adot") / (sqrt(col("sa")) * sqrt(col("ssr")))
+            * lit(1000000.0) + lit(0.5)).cast("long")),
+      "query_id", col("acos"), "neighbor_id", 100)
       .select("query_id", "neighbor_id")
     // Exact rerank at candidate grain (the family's shared tail).
     val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"),
@@ -341,15 +345,15 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       .select(col("vec_id").as("query_id"), col("vh").as("vha"), col("ss").as("ssa"))
     val nc = coded.select(col("vec_id").as("neighbor_id"),
       col("vh").as("vhb"), col("ss").as("ssb"))
-    val aw = Window.partitionBy(col("query_id"))
-      .orderBy(col("acos").desc, col("neighbor_id").asc)
-    val cand = qc.join(nc, col("query_id") =!= col("neighbor_id"))
-      .withColumn("adot", DotI64(col("vha"), col("vhb")))
-      .withColumn("acos",
-        floor(col("adot") / (sqrt(col("ssa")) * sqrt(col("ssb")))
-          * lit(1000000.0) + lit(0.5)).cast("long"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") <= 100)
+    // Coarse top-100 via the native map-side aggregate (the window put
+    // the |Q|·|corpus| code-scored rows through ≤|Q| reducers).
+    val cand = topKPerGroup(
+      qc.join(nc, col("query_id") =!= col("neighbor_id"))
+        .withColumn("adot", DotI64(col("vha"), col("vhb")))
+        .withColumn("acos",
+          floor(col("adot") / (sqrt(col("ssa")) * sqrt(col("ssb")))
+            * lit(1000000.0) + lit(0.5)).cast("long")),
+      "query_id", col("acos"), "neighbor_id", 100)
       .select("query_id", "neighbor_id")
     // Exact rerank at candidate grain only.
     val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
@@ -405,15 +409,16 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       col("vh").as("vha"), col("ss").as("ssa"))
     val nc = coded.select(col("vec_id").as("neighbor_id"),
       col("vh").as("vhb"), col("ss").as("ssb"))
-    val aw = Window.partitionBy(col("query_id"))
-      .orderBy(col("acos").desc, col("neighbor_id").asc)
-    val cand = cellCand.join(qc, "query_id").join(nc, "neighbor_id")
-      .withColumn("adot", DotI64(col("vha"), col("vhb")))
-      .withColumn("acos",
-        floor(col("adot") / (sqrt(col("ssa")) * sqrt(col("ssb")))
-          * lit(1000000.0) + lit(0.5)).cast("long"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") <= 100)
+    // Cell-candidate coarse top-100 via the native map-side aggregate
+    // (nprobe/√n of the corpus per query — still corpus-grain through
+    // ≤|Q| reducers in the window form).
+    val cand = topKPerGroup(
+      cellCand.join(qc, "query_id").join(nc, "neighbor_id")
+        .withColumn("adot", DotI64(col("vha"), col("vhb")))
+        .withColumn("acos",
+          floor(col("adot") / (sqrt(col("ssa")) * sqrt(col("ssb")))
+            * lit(1000000.0) + lit(0.5)).cast("long")),
+      "query_id", col("acos"), "neighbor_id", 100)
       .select("query_id", "neighbor_id")
     // Exact rerank at the doubly-pruned candidate grain.
     val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
@@ -470,23 +475,23 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
         col("vh").as("vha"), col("ss").as("ssa"))
     // Coarse pass: partition-pruned index read; per-row work is one
     // reconstruction zip (codes × broadcast ranges) + one DotI64.
-    val aw = Window.partitionBy(col("query_id"))
-      .orderBy(col("acos").desc, col("neighbor_id").asc)
-    val cand = idx.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("codes"), col("css"))
-      .crossJoin(broadcast(ranges))
-      .withColumn("vhb", expr(
-        """zip_with(codes, zip_with(mns, rs, (m, r) -> named_struct('m', m, 'r', r)),
-          |  (k, c) -> 255 * c.m + CAST(k AS BIGINT) * c.r)""".stripMargin))
-      .join(broadcast(qc), "query_id")
-      .withColumn("adot", DotI64(col("vha"), col("vhb")))
-      .withColumn("acos",
-        floor(col("adot") / (sqrt(col("ssa")) * sqrt(col("css")))
-          * lit(1000000.0) + lit(0.5)).cast("long"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") <= 100)
+    // Top-100 via the native map-side aggregate (coarse-selection
+    // sweep).
+    val cand = topKPerGroup(
+      idx.join(broadcast(probes), "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("codes"), col("css"))
+        .crossJoin(broadcast(ranges))
+        .withColumn("vhb", expr(
+          """zip_with(codes, zip_with(mns, rs, (m, r) -> named_struct('m', m, 'r', r)),
+            |  (k, c) -> 255 * c.m + CAST(k AS BIGINT) * c.r)""".stripMargin))
+        .join(broadcast(qc), "query_id")
+        .withColumn("adot", DotI64(col("vha"), col("vhb")))
+        .withColumn("acos",
+          floor(col("adot") / (sqrt(col("ssa")) * sqrt(col("css")))
+            * lit(1000000.0) + lit(0.5)).cast("long")),
+      "query_id", col("acos"), "neighbor_id", 100)
       .select("query_id", "neighbor_id")
     // Exact rerank at the doubly-pruned grain — the one corpus-grain
     // touch (full neighbor vectors fetched by key join).
@@ -565,18 +570,18 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       .select(col("query_id"), col("neighbor_id"),
         col("pos").as("sub"), col("col").as("cent_id"), col("spq"))
     val qn = eq.select(col("vec_id").as("query_id"), col("s2").as("sa"))
-    val cw = Window.partitionBy(col("query_id"))
-      .orderBy(col("acos").desc, col("neighbor_id").asc)
-    val cand = cand0
-      .join(broadcast(lut), Seq("query_id", "sub", "cent_id"))
-      .groupBy("query_id", "neighbor_id", "spq")
-      .agg(sum(col("pdot")).as("adot"))
-      .join(broadcast(qn), "query_id")
-      .withColumn("acos",
-        floor(col("adot") / (sqrt(col("sa")) * sqrt(col("spq")))
-          * lit(1000000.0) + lit(0.5)).cast("long"))
-      .withColumn("arn", row_number().over(cw))
-      .filter(col("arn") <= 100)
+    // ADC top-100 via the native map-side aggregate (coarse-selection
+    // sweep).
+    val cand = topKPerGroup(
+      cand0
+        .join(broadcast(lut), Seq("query_id", "sub", "cent_id"))
+        .groupBy("query_id", "neighbor_id", "spq")
+        .agg(sum(col("pdot")).as("adot"))
+        .join(broadcast(qn), "query_id")
+        .withColumn("acos",
+          floor(col("adot") / (sqrt(col("sa")) * sqrt(col("spq")))
+            * lit(1000000.0) + lit(0.5)).cast("long")),
+      "query_id", col("acos"), "neighbor_id", 100)
       .select("query_id", "neighbor_id")
     // Exact rerank at the doubly-pruned grain — the one corpus-grain
     // touch (full neighbor vectors fetched by key join).
@@ -625,15 +630,15 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
     val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
       col("s2").as("sb"))
-    val wv = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
-    val pool = q0.join(n, col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", dot)
-      .withColumn("cos_ppm", cosPpm)
-      .withColumn("rnk", row_number().over(wv))
-      .filter(col("rnk") <= 20)
-      .select(col("query_id"), col("neighbor_id").as("cand"),
-        col("cos_ppm").as("rel"))
+    // Pool top-20 via the native map-side aggregate (coarse-selection
+    // sweep: |Q|·|corpus| exact-scored rows, ≤|Q| reducers in window
+    // form).
+    val pool = topKPerGroup(
+      q0.join(n, col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", dot)
+        .withColumn("cos_ppm", cosPpm),
+      "query_id", col("cos_ppm"), "neighbor_id", 20, "rel")
+      .select(col("query_id"), col("neighbor_id").as("cand"), col("rel"))
     mmrSelect(pool, p => poolSimsFrom(p, e))
       .select(col("query_id"), col("cand").as("neighbor_id"),
         col("rel").as("cos_ppm"), col("mmr_rank"))
@@ -859,14 +864,14 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
     val n = corpus
       .select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
-    val wv = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
-    (if (excludeSelf) q.join(n, col("query_id") =!= col("neighbor_id"))
-     else q.crossJoin(n))
-      .withColumn("dot", dot)
-      .withColumn("cos_ppm", cosPpm)
-      .withColumn("rank_v", row_number().over(wv))
-      .filter(col("rank_v") <= k)
+    // Top-k via the native map-side aggregate (coarse-selection sweep:
+    // |Q|·|corpus| exact-scored rows, ≤|Q| reducers in window form).
+    topKPerGroup(
+      (if (excludeSelf) q.join(n, col("query_id") =!= col("neighbor_id"))
+       else q.crossJoin(n))
+        .withColumn("dot", dot)
+        .withColumn("cos_ppm", cosPpm),
+      "query_id", col("cos_ppm"), "neighbor_id", k, "cos_ppm", "rank_v")
       .select("query_id", "neighbor_id", "cos_ppm", "rank_v")
   }
 
@@ -927,8 +932,6 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
     val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(tot))
       .filter(col("df") * lit(1000000L) <= lit(dfCapPpm) * col("n_docs"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("bm25_ppm").desc, col("neighbor_id").asc)
     val hits = qtoks
       .join(dfx, "tok")
       .join(tf.select(col("doc_id").as("neighbor_id"), col("tok"), col("tf")), "tok")
@@ -953,8 +956,11 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       .groupBy("query_id", "neighbor_id")
       .agg(sum(idiv(idiv(col("idf_ppm"), lit(1000L)) * col("sat_ppm"),
         lit(1000L))).as("bm25_ppm"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      // Top-k via the native map-side aggregate: per-query candidates
+      // are Σ df over query tokens — corpus-grain for common tokens —
+      // and the window form funneled them through ≤|Q| reducers.
+      .transform(topKPerGroup(_, "query_id", col("bm25_ppm"),
+        "neighbor_id", k, "bm25_ppm", "rank"))
       .select("query_id", "neighbor_id", "bm25_ppm", "rank")
   }
 
@@ -986,8 +992,6 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
     // in (n_docs rides the broadcast one-row frame).
     val dfx = dfx0.crossJoin(broadcast(nn))
       .filter(col("df") * lit(1000000L) <= lit(dfCapPpm) * col("n_docs"))
-    val wl = Window.partitionBy(col("query_id"))
-      .orderBy(col("lex_score").desc, col("neighbor_id").asc)
     val hits = qtoks
       .join(dfx, "tok")
       .join(tf.select(col("doc_id").as("neighbor_id"), col("tok"), col("tf")), "tok")
@@ -998,8 +1002,9 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
      else hits)
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("tf") * ppm(col("n_docs"), col("df"))).as("lex_score"))
-      .withColumn("rank_l", row_number().over(wl))
-      .filter(col("rank_l") <= 20)
+      // Top-20 via the native map-side aggregate (bm25Rank's rationale).
+      .transform(topKPerGroup(_, "query_id", col("lex_score"),
+        "neighbor_id", 20, "__lex", "rank_l"))
       .select("query_id", "neighbor_id", "rank_l")
   }
 
@@ -1142,21 +1147,25 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
     * space instead of echoing the crawl distribution.
     *
     * Scale shape: one broadcast-centroid assignment map over the corpus
-    * (no shuffle), then one window per cell — partitions are cell-sized
-    * (~√n rows each), never a global sort. The cap is the dial; rank is
-    * exposed so a consumer can re-cut to any budget ≤ 8 without
-    * re-assigning. */
+    * (no shuffle), then a map-side per-cell 8-sample aggregation —
+    * never a global sort, and the exchange carries ≤8 rows per cell.
+    * The cap is the dial; rank is exposed so a consumer can re-cut to
+    * any budget ≤ 8 without re-assigning. */
   def clusterSample(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
     val assigned = imiRankB(e, coarseBooks(s, dir, e), "vec_id", 1)
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"))
-    val w = Window.partitionBy(col("cell"))
-      .orderBy(h32(col("vec_id").cast("string")), col("vec_id"))
-    assigned
-      .withColumn("smp_rank", row_number().over(w).cast("int"))
-      .filter(col("smp_rank") <= 8)
-      .select("cell", "vec_id", "smp_rank")
+    // Per-cell 8-sample via the native map-side MinKLongs aggregate:
+    // the window form shuffled every assignment row into ~√n cell
+    // reducers; the aggregate keeps ≤8 per cell per map task
+    // (ascending (h32, id) is its native order — no negation).
+    assigned.groupBy("cell")
+      .agg(graft.functions.MinKLongs(
+        h32(col("vec_id").cast("string")), col("vec_id"), 8).as("__s"))
+      .select(col("cell"), posexplode(col("__s")).as(Seq("__pos", "__e")))
+      .select(col("cell"), col("__e.id").as("vec_id"),
+        (col("__pos") + 1).cast("int").as("smp_rank"))
   }
 
   /** t25: fixed-window document chunking — 64-token windows on a
@@ -1277,15 +1286,16 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       .select(col("doc_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
     val n = cv.select(col("doc_id").as("neighbor_id"),
       col("q").as("qb"), col("s2").as("sb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("max_cos_ppm").desc, col("neighbor_id").asc)
     q.join(n, col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", dot)
       .withColumn("cos_ppm", cosPpm)
       .groupBy("query_id", "neighbor_id")
       .agg(max(col("cos_ppm")).as("max_cos_ppm"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      // Top-5 via the native map-side aggregate (coarse-selection
+      // sweep: the MaxSim rollup is |Q|·|docs| rows, ≤|Q| reducers in
+      // window form).
+      .transform(topKPerGroup(_, "query_id", col("max_cos_ppm"),
+        "neighbor_id", 5, "max_cos_ppm", "rank"))
       .select("query_id", "neighbor_id", "max_cos_ppm", "rank")
   }
 
@@ -1327,16 +1337,17 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       .select(col("query_id"), col("q").as("qa"), col("s2").as("sa"))
     val n = corpusCv.select(col("vec_id").as("neighbor_id"),
       col("doc_id").as("nd"), col("q").as("qb"), col("s2").as("sb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("best_cos_ppm").desc, col("neighbor_id").asc)
     (if (excludeSelfDoc) q.join(n, col("query_id") =!= col("nd"))
      else q.crossJoin(n))
       .withColumn("dot", dot)
       .withColumn("cos_ppm", cosPpm)
       .groupBy("query_id", "neighbor_id")
       .agg(max(col("cos_ppm")).as("best_cos_ppm"))
-      .withColumn("rank_v", row_number().over(w))
-      .filter(col("rank_v") <= k)
+      // Top-k via the native map-side aggregate (coarse-selection
+      // sweep: the MaxSim rollup is |Q|·|chunks| rows, ≤|Q| reducers
+      // in window form).
+      .transform(topKPerGroup(_, "query_id", col("best_cos_ppm"),
+        "neighbor_id", k, "__best", "rank_v"))
       .select("query_id", "neighbor_id", "rank_v")
   }
 
@@ -1797,15 +1808,16 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))
     val n = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("s2").as("sb"))
-    val win = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
-    probes.join(assigned, "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .join(q, "query_id").join(n, "neighbor_id")
-      .withColumn("dot", dot)
-      .withColumn("cos_ppm", cosPpm)
-      .withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= 5)
+    // Top-5 via the native map-side aggregate: cell candidates are
+    // ~nprobe/√n of the corpus PER QUERY — corpus-grain through ≤|Q|
+    // reducers in the window form (coarse-selection sweep).
+    topKPerGroup(
+      probes.join(assigned, "cell")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .join(q, "query_id").join(n, "neighbor_id")
+        .withColumn("dot", dot)
+        .withColumn("cos_ppm", cosPpm),
+      "query_id", col("cos_ppm"), "neighbor_id", 5, "cos_ppm", "rank")
       .select("query_id", "neighbor_id", "cos_ppm", "rank")
   }
 
@@ -1846,15 +1858,16 @@ private[queries] trait ExtSimilarity { this: Extensions.type =>
       col("qp").as("qpa"), col("sp").as("spa"))
     val np = pfx.select(col("vec_id").as("neighbor_id"),
       col("qp").as("qpb"), col("sp").as("spb"))
-    val pw = Window.partitionBy(col("query_id"))
-      .orderBy(col("pcos").desc, col("neighbor_id").asc)
-    val cand = cellCand.join(qp, "query_id").join(np, "neighbor_id")
-      .withColumn("pdot", DotI64(col("qpa"), col("qpb")))
-      .withColumn("pcos",
-        floor(col("pdot") / (sqrt(col("spa")) * sqrt(col("spb")))
-          * lit(1000000.0) + lit(0.5)).cast("long"))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= 100)
+    // Prefix coarse top-100 via the native map-side aggregate (cell
+    // candidates are corpus-grain per query at scale — the coarse-
+    // selection sweep's rationale).
+    val cand = topKPerGroup(
+      cellCand.join(qp, "query_id").join(np, "neighbor_id")
+        .withColumn("pdot", DotI64(col("qpa"), col("qpb")))
+        .withColumn("pcos",
+          floor(col("pdot") / (sqrt(col("spa")) * sqrt(col("spb")))
+            * lit(1000000.0) + lit(0.5)).cast("long")),
+      "query_id", col("pcos"), "neighbor_id", 100, "pcos", "prn")
       .select("query_id", "neighbor_id")
     // Exact rerank at the doubly-pruned candidate grain.
     val q = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("s2").as("sa"))

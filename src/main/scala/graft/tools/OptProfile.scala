@@ -70,6 +70,42 @@ object OptProfile {
         E.dedupLongdocRoutedMode(spark, sfDir, Some(true)))
     }
 
+    if (sets("topk")) {
+      // Window vs native MinKLongs top-k over the SAME coarse frame
+      // (s01's scoring join: |Q|·|corpus| rows) — the decisive probe
+      // for rolling the native form out to the ANN coarse passes.
+      import org.apache.spark.sql.expressions.Window
+      val e = E.quantized(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qa"),
+          col("s2").as("sa"))
+      val b = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+        col("s2").as("sb"))
+      def scored() = q.join(b, col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", E.dot)
+        .withColumn("cos_ppm", E.cosPpm)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+      time("s01-shape window top5")(() =>
+        scored().withColumn("rank", org.apache.spark.sql.functions
+            .row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("query_id", "neighbor_id", "cos_ppm", "rank"))
+      time("s01-shape native top5")(() =>
+        E.topKPerGroup(scored(), "query_id", col("cos_ppm"),
+            "neighbor_id", 5, "cos_ppm", "rank")
+          .select("query_id", "neighbor_id", "cos_ppm", "rank"))
+      time("s01-shape window top100")(() =>
+        scored().withColumn("rank", org.apache.spark.sql.functions
+            .row_number().over(w))
+          .filter(col("rank") <= 100)
+          .select("query_id", "neighbor_id"))
+      time("s01-shape native top100")(() =>
+        E.topKPerGroup(scored(), "query_id", col("cos_ppm"),
+            "neighbor_id", 100)
+          .select("query_id", "neighbor_id"))
+    }
+
     if (sets("t26")) {
       val e = E.quantized(spark, sfDir)
       def assigned() = E.imiRankB(e, E.coarseBooks(spark, sfDir, e), "vec_id", 2)

@@ -239,15 +239,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("slice("), s"prefix pass not computed on a slice:\n$p")
     assert("cell#\\d+L? = cell#\\d+L?".r.findFirstIn(p).isDefined,
       s"no cell equi-join (candidate pruning) in:\n$p")
-    assert("prn#\\d+ <= 100".r.findFirstIn(p).isDefined,
-      s"no prefix top-100 filter (byte pruning) in:\n$p")
-    // Plan strings print parents first: the rerank's rank window must sit
-    // ABOVE the prefix filter, which must sit ABOVE the cell join.
+    // The prefix top-100 is the native map-side min_k_longs aggregation
+    // over the prefix score (round 17: the per-query window became the
+    // TypedImperativeAggregate — the pcos-keyed aggregate IS the
+    // byte-pruning selection, and it partial-aggregates map-side where
+    // the window funneled |Q|·cell-candidate rows into ≤|Q| reducers).
+    assert(p.contains("min_k_longs") && p.contains("pcos#"),
+      s"no prefix top-100 aggregation (byte pruning) in:\n$p")
+    // Plan strings print parents first: the rerank's rank selection must
+    // sit ABOVE the prefix selection, ABOVE the cell join.
     val (rankAt, prnAt, cellAt) =
-      (p.indexOf("rank#"), p.indexOf("prn#"), "cell#\\d+L? = cell#\\d+L?".r
+      (p.indexOf("rank#"), p.indexOf("pcos#"), "cell#\\d+L? = cell#\\d+L?".r
         .findFirstMatchIn(p).map(_.start).getOrElse(-1))
     assert(rankAt >= 0 && rankAt < prnAt && prnAt < cellAt,
-      s"composition order broken (rank@$rankAt prn@$prnAt cell@$cellAt):\n$p")
+      s"composition order broken (rank@$rankAt pcos@$prnAt cell@$cellAt):\n$p")
   }
 
   test("s11's label filter prunes candidates below the exact rerank") {
@@ -309,11 +314,15 @@ class PlanSpec extends SparkSpec {
     assert(nlj.forall(_ == "Broadcast"),
       s"non-broadcast nested-loop join in s13 plan:\n$phys")
     val p = df.queryExecution.optimizedPlan.toString
-    assert("arn#\\d+ <= 100".r.findFirstIn(p).isDefined,
-      s"no SQ8 top-100 candidate filter in:\n$p")
-    val (rankAt, arnAt) = (p.indexOf("rank#"), p.indexOf("arn#"))
+    // The coarse top-100 is the native map-side min_k_longs aggregation
+    // over the code score (round 17: the per-query window became the
+    // TypedImperativeAggregate); `acos` exists only in the coarse pass,
+    // so its position anchors the composition order.
+    assert(p.contains("min_k_longs") && p.contains("acos#"),
+      s"no SQ8 top-100 candidate selection in:\n$p")
+    val (rankAt, arnAt) = (p.indexOf("rank#"), p.indexOf("acos#"))
     assert(rankAt >= 0 && rankAt < arnAt,
-      s"rerank not above the SQ8 filter (rank@$rankAt arn@$arnAt):\n$p")
+      s"rerank not above the SQ8 selection (rank@$rankAt acos@$arnAt):\n$p")
   }
 
   test("s14's Lloyd iterations broadcast the centroid side only") {
